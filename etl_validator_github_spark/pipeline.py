@@ -1,0 +1,106 @@
+"""Batch validation pipeline: ready -> validate -> error CSV -> archive.
+
+Collapses the reference's S3/Glue/DB choreography (SURVEY.md §3 E1-E3)
+into one Spark application: read the ready folder, evaluate the rule
+catalog in a single projection, write the pipe-delimited error file, move
+the input to archive/{YYYY}/{MM}. The polling/retry machinery around the
+external Glue job (PIPE:1550-1753) disappears — the validation IS this job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_validator_github_spark.operators.errors import to_error_records, write_error_csv
+from etl_validator_github_spark.operators.rules import Rule
+from etl_validator_github_spark.operators.validate import (
+    ERRORS_COL,
+    failing_records,
+    validate_schema,
+)
+from etl_validator_github_spark.sources.io import read_bankdata, write_single_csv
+
+
+@dataclass
+class PipelineResult:
+    input_path: str
+    schema_issues: dict[str, list[str]]
+    error_count: int
+    error_file: str | None
+    archived_to: str | None
+    file_level_failure: bool = False
+    details: dict = field(default_factory=dict)
+
+
+def validate_file(
+    spark: SparkSession,
+    input_path: str,
+    error_dir: str,
+    archive_dir: str | None = None,
+    rules: list[Rule] | None = None,
+    env: str = "dev2",
+    now: dt.datetime | None = None,
+    single_file: bool = True,
+) -> PipelineResult:
+    """Validate one bank file end-to-end.
+
+    File-level checks run first (extension, schema — R24); on failure the
+    file is rejected whole, mirroring the reference's file-level scenarios
+    (PIPE:3040-3073 invalid extension, PIPE:2279-2408 schema drift). Row
+    rules are a map-only stage; only failing rows ever leave the scan.
+    """
+    now = now or dt.datetime.now()
+    ts = now.strftime("%Y%m%d_%H%M%S")
+    basename = os.path.basename(input_path)
+
+    if not input_path.lower().endswith((".parquet", ".csv", ".json")):
+        return PipelineResult(
+            input_path, {"missing": [], "extra": []}, 0, None, None,
+            file_level_failure=True,
+            details={"reason": f"invalid file extension: {basename}"},
+        )
+
+    df = read_bankdata(spark, input_path)
+    issues = validate_schema(df)
+    if issues["missing"]:
+        # Missing canonical columns: structural failure, row rules can't run.
+        return PipelineResult(
+            input_path, issues, 0, None, None,
+            file_level_failure=True,
+            details={"reason": f"missing columns: {issues['missing']}"},
+        )
+
+    failing = failing_records(df, rules)
+    errors = to_error_records(failing, filename=basename)
+    error_count = errors.count()
+
+    error_file = None
+    if error_count > 0:
+        os.makedirs(error_dir, exist_ok=True)
+        error_file = write_single_csv(
+            errors, error_dir, f"mtfdm_{env}_dmbankerrorfile_{ts}.csv"
+        ) if single_file else _write_dir(errors, error_dir, ts, env)
+
+    archived_to = None
+    if archive_dir is not None:
+        target = os.path.join(archive_dir, f"{now.year:04d}", f"{now.month:02d}")
+        os.makedirs(target, exist_ok=True)
+        archived_to = os.path.join(target, basename)
+        if os.path.isdir(input_path) or os.path.isfile(input_path):
+            shutil.move(input_path, archived_to)
+
+    return PipelineResult(
+        input_path, issues, error_count, error_file, archived_to,
+        details={"extra_columns": issues["extra"]},
+    )
+
+
+def _write_dir(errors: DataFrame, error_dir: str, ts: str, env: str) -> str:
+    path = os.path.join(error_dir, f"mtfdm_{env}_dmbankerrorfile_{ts}")
+    write_error_csv(errors, path, single_file=False)
+    return path

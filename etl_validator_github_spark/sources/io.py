@@ -1,0 +1,115 @@
+"""File sources and sinks (SURVEY.md §2.1).
+
+Covers the reference's format matrix: parquet (S1/S2/S6), csv with a
+configurable null token (S3), json (S5), xlsx (S4, driver-side — no native
+Spark sink), the pipe-delimited error CSV (S7/S12), and raw line counting
+(S8). S3-object choreography (S9/S10/S13) maps to plain paths — Spark's
+Hadoop FS layer handles s3a:// URIs natively at deploy time.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.schema import bankdata_schema
+
+
+def read_bankdata(spark: SparkSession, path: str) -> DataFrame:
+    """S6: read a bank-data file by extension (parquet/csv/json).
+
+    The canonical schema is enforced for flat formats so blank dates and
+    string columns survive exactly; extra/missing columns intentionally
+    still surface (schema validation runs on df.columns, R24).
+    """
+    lower = path.lower()
+    if lower.endswith(".parquet"):
+        return spark.read.parquet(path)
+    if lower.endswith(".csv"):
+        return spark.read.option("header", True).csv(path)
+    if lower.endswith(".json"):
+        return spark.read.json(path)
+    raise ValueError(f"unsupported bank-file extension: {path}")
+
+
+def write_bankdata(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    null_display: str | None = None,
+) -> None:
+    """S1/S3/S5: write generated bank data.
+
+    csv supports the reference's ``--null-display`` token (GEN:539-552);
+    NaT/blank dates render empty.
+    """
+    writer = df.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", True).option(
+            "nullValue", null_display or ""
+        ).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "xlsx":
+        # S4: no native Spark xlsx sink; the reference also writes xlsx on a
+        # single node (GEN:563-581). Driver-side via pandas; small files only.
+        df.toPandas().to_excel(path, index=False)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
+def read_pipe_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S7: header-mapped pipe-delimited CSV (the error-file format)."""
+    return spark.read.option("header", True).option("sep", "|").csv(path)
+
+
+def read_error_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S7 specialized: error file with case-insensitive column mapping
+    (PIPE:841-852 lower-cases header names before lookup)."""
+    df = read_pipe_csv(spark, path)
+    mapping = {c.lower(): c for c in df.columns}
+    out = df
+    for want in ("FILENAME", "PayeeId", "ERROR_DESC"):
+        have = mapping.get(want.lower())
+        if have and have != want:
+            out = out.withColumnRenamed(have, want)
+    return out
+
+
+def raw_data_row_count(spark: SparkSession, path: str) -> int:
+    """S8: physical non-empty line count minus header (PIPE:969-989).
+
+    Reads as text, so malformed rows still count — same tolerance as the
+    reference's csv.reader loop.
+    """
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0).count()
+    return max(lines - 1, 0)
+
+
+def write_single_csv(df: DataFrame, directory: str, filename: str, sep: str = "|") -> str:
+    """S12 single-file sink: coalesce(1) + rename of the part file.
+
+    Mirrors the reference's one-error-CSV-per-run naming
+    (mtfdm_{env}_dmbankerrorfile_{ts}.csv, PIPE:2741-2748). Only for
+    per-batch outputs that are small by construction.
+    """
+    tmp = os.path.join(directory, f"__tmp_{filename}")
+    df.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "sep", sep
+    ).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    final = os.path.join(directory, filename)
+    shutil.move(part, final)
+    shutil.rmtree(tmp)
+    return final
+
+
+def archive_path(base: str, year: int, month: int) -> str:
+    """S13: ready -> archive/{YYYY}/{MM} layout (PIPE:2121-2123)."""
+    return os.path.join(base, "archive", f"{year:04d}", f"{month:02d}")

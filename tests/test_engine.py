@@ -1,0 +1,192 @@
+"""Engine-level tests: generator validity, mutation ops, reconciliation,
+error sink, schema validation, end-to-end pipeline."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.generator import (
+    generate_bankdata,
+    generate_bankdata_distributed,
+)
+from etl_validator_github_spark.operators import mutate
+from etl_validator_github_spark.operators.errors import (
+    aggregate_errors_by_payee,
+    to_error_records,
+)
+from etl_validator_github_spark.operators.reconcile import reconcile_errors
+from etl_validator_github_spark.operators.validate import (
+    ERRORS_COL,
+    failing_records,
+    validate_schema,
+    with_errors,
+)
+from etl_validator_github_spark.pipeline import validate_file
+from etl_validator_github_spark.schema import COLUMNS, R_KEEP_FIELDS
+from tests.helpers import VALID_D_CHK, VALID_M_EFT, make_df
+
+
+def test_generated_data_is_rule_valid(spark):
+    df = generate_bankdata(spark, 200, seed=246)
+    bad = failing_records(df)
+    rows = bad.select("PayeeID", "OrganizationCode", ERRORS_COL).collect()
+    assert rows == [], [r.asDict() for r in rows[:5]]
+
+
+def test_generator_is_seed_deterministic(spark):
+    a = generate_bankdata(spark, 50, seed=246).collect()
+    b = generate_bankdata(spark, 50, seed=246).collect()
+    c = generate_bankdata(spark, 50, seed=7).collect()
+    assert a == b
+    assert a != c
+
+
+def test_distributed_generator_partition_invariant(spark):
+    one = generate_bankdata_distributed(spark, 100, seed=42, num_partitions=1)
+    many = generate_bankdata_distributed(spark, 100, seed=42, num_partitions=7)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_distributed_generator_is_rule_valid(spark):
+    df = generate_bankdata_distributed(spark, 500, seed=42)
+    bad = failing_records(df)
+    rows = bad.select("PayeeID", "OrganizationCode", ERRORS_COL).collect()
+    assert rows == [], [r.asDict() for r in rows[:5]]
+
+
+def test_mutation_operators(spark):
+    df = generate_bankdata(spark, 10, seed=1)
+    assert "PayeeID" not in mutate.drop_columns(df, ["PayeeID"]).columns
+
+    renamed = mutate.rename_columns(df, {"PayeeID": "PAYEE"})
+    assert "PAYEE" in renamed.columns and "PayeeID" not in renamed.columns
+
+    extra = mutate.add_extra_columns(df, ["Bogus"], order_by="PayeeID")
+    vals = [r.Bogus for r in extra.orderBy("PayeeID").collect()]
+    assert vals[0] == "Bogus_0" or vals[0].startswith("Extra_Bogus_")
+
+    col_inj = mutate.overwrite_column(df, "PaymentMode", "XYZ")
+    assert col_inj.filter(F.col("PaymentMode") == "XYZ").count() == 10
+
+    dropped = mutate.drop_rows(df, [0, 1], order_by="PayeeID")
+    assert dropped.count() == 8
+
+    dup = mutate.duplicate_row(df, 0, order_by="PayeeID")
+    assert dup.count() == 11
+
+
+def test_cell_injection_targets_one_row(spark):
+    df = generate_bankdata(spark, 10, seed=1)
+    out = mutate.overwrite_cells(df, {("PaymentMode", 3): "POP"}, order_by="PayeeID")
+    assert out.filter(F.col("PaymentMode") == "POP").count() == 1
+
+
+def test_duplicate_payee_detection(spark):
+    df = generate_bankdata(spark, 10, seed=1)
+    dup = mutate.duplicate_payee_id(df, order_by="PayeeID")
+    dupes = mutate.find_duplicate_payees(dup)
+    assert dupes.count() == 1
+    assert dupes.first().row_count == 2
+
+
+def test_schema_validation_r24(spark):
+    df = make_df(spark, [VALID_M_EFT])
+    assert validate_schema(df) == {"missing": [], "extra": []}
+    issues = validate_schema(df.drop("PayeeID").withColumn("Zed", F.lit("x")))
+    assert issues["missing"] == ["PayeeID"]
+    assert issues["extra"] == ["Zed"]
+
+
+def test_error_records_and_payee_aggregation(spark):
+    df = make_df(
+        spark,
+        [
+            {**VALID_M_EFT, "RoutingTransitNumber": "BAD"},
+            {**VALID_D_CHK, "PayeeID": "DISP02", "OrganizationIdentifier": "DISP02",
+             "RoutingTransitNumber": "123456789"},
+        ],
+    )
+    errors = to_error_records(failing_records(df), filename="input.parquet")
+    rows = {r.PayeeId: r for r in errors.collect()}
+    assert set(rows) == {"MFR001", "DISP02"}
+    assert rows["MFR001"].FILENAME == "input.parquet"
+    assert "RoutingTransitNumber must be 9 digits" in rows["MFR001"].ERROR_DESC
+
+    agg = aggregate_errors_by_payee(errors)
+    toks = {r.PayeeId: r.error_tokens for r in agg.collect()}
+    # Token semantics match the reference comparator (PIPE:822-830): split
+    # on ',' — so the CHK message, which itself contains a comma, becomes
+    # two tokens on BOTH the CSV and DB sides and still reconciles.
+    assert "For PaymentMode CHK" in toks["DISP02"]
+    assert "RoutingTransitNumber must be blank" in toks["DISP02"]
+
+
+def test_reconciliation_token_set_semantics(spark):
+    csv = spark.createDataFrame(
+        [
+            ("f.parquet", "P1", "tok a, tok   b"),
+            ("f.parquet", "P2", "tok c"),
+        ],
+        ["FILENAME", "PayeeId", "ERROR_DESC"],
+    )
+    # DB has P1 (superset — passes), P2 (exact), P3 (extra — non-fatal).
+    db = spark.createDataFrame(
+        [
+            ("B1", "P1", "tok b, tok a, tok z"),
+            ("B1", "P2", "tok c"),
+            ("B1", "P3", "tok d"),
+        ],
+        ["INS_BATCH_ID", "PAYEE_ID", "ERROR_DESC"],
+    )
+    res = reconcile_errors(csv, db)
+    assert res.missing_in_db.isEmpty()
+    assert res.mismatched.isEmpty()
+    assert res.missing_in_csv.count() == 1  # P3, reported not fatal
+    assert not res.counts_match  # 2 CSV rows vs 3 DB rows
+    # CSV-side extra token IS fatal.
+    csv2 = spark.createDataFrame(
+        [("f.parquet", "P1", "tok a, tok NEW")], ["FILENAME", "PayeeId", "ERROR_DESC"]
+    )
+    res2 = reconcile_errors(csv2, db)
+    assert res2.mismatched.count() == 1
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    # Generate -> inject violations -> write ready -> validate -> error CSV
+    # -> archive: the reference's E1 path in one Spark app.
+    df = generate_bankdata(spark, 30, seed=246)
+    df = mutate.overwrite_column(df, "RoutingTransitNumber", "BAD123")
+    ready = tmp_path / "ready"
+    input_path = str(ready / "mtfdm_dev2_dmbankdata_20260310_120000.parquet")
+    df.write.parquet(input_path)
+
+    res = validate_file(
+        spark,
+        input_path,
+        error_dir=str(tmp_path / "error"),
+        archive_dir=str(tmp_path / "archive"),
+    )
+    assert not res.file_level_failure
+    # Every M/D/P EFT row fails the RTN rules; CHK rows fail the CHK-blank rule.
+    assert res.error_count > 0
+    assert res.error_file and os.path.exists(res.error_file)
+    with open(res.error_file) as fh:
+        header = fh.readline().strip()
+    assert header == "FILENAME|PayeeId|ERROR_DESC"
+    assert res.archived_to and os.path.exists(res.archived_to)
+    assert not os.path.exists(input_path)
+
+
+def test_pipeline_rejects_bad_extension(spark, tmp_path):
+    res = validate_file(
+        spark, str(tmp_path / "file.txt"), error_dir=str(tmp_path / "err")
+    )
+    assert res.file_level_failure
+
+
+def test_clear_r_columns(spark):
+    df = make_df(spark, [{**VALID_M_EFT, "OrganizationCode": "R"}])
+    out = mutate.clear_r_columns(df, keep=R_KEEP_FIELDS)
+    row = out.first()
+    assert row.RoutingTransitNumber is None
+    assert row.PayeeID == "MFR001"
