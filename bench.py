@@ -1,0 +1,51 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-ish action
+(``df.write.format("noop")`` is avoided to keep Spark-version-agnostic;
+we use ``count()`` on the final result, which executes the whole plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from etl_validator_github_spark.plans.session import get_spark
+from etl_validator_github_spark.queries import CATALOG
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="etl-validator-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: q for n, q in CATALOG.items() if q.bench}
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + file listing once with the cheapest query.
+    CATALOG["q1_pricing_summary"].build(spark, sf_dir).count()
+
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

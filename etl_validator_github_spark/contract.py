@@ -1,0 +1,76 @@
+"""Query-catalog plumbing for the driver contract (__spark_entry__).
+
+Each :class:`Query` pairs a Spark DataFrame builder with an equivalent
+ANSI-SQL oracle string that DuckDB runs on the same parquet tables. The
+driver hash-compares both results (columns sorted by name,
+order-insensitive value hash), so every query here is engineered for
+**bit-identical cross-engine results**:
+
+- Aggregates over doubles are quantized to integer units first
+  (``round(x * 100)`` as BIGINT). Integer sums are exact and
+  order-independent, so they don't depend on shuffle/partition order.
+  Post-aggregation scalar arithmetic (``/ 100.0``, ``sqrt``) is IEEE-754
+  deterministic given identical operands and operation order, so it is
+  written with the same expression shape on both sides.
+- LIMIT/top-k always carries a full deterministic ORDER BY (ties broken
+  by a key column), so both engines select the same row set.
+- Timestamps are cast to DATE (or epoch seconds) before output; the
+  Spark session runs in UTC to match DuckDB's naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → Catalyst gets column
+    pruning + predicate pushdown for free."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def cents(c) -> F.Column:
+    """Quantize a double column to integer cents (exact, order-independent
+    under aggregation)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * F.lit(100)).cast("long")
+
+
+def micros(c) -> F.Column:
+    """Quantize a float column to integer millionths (embedding math)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col.cast("double") * F.lit(1000000)).cast("long")
+
+
+@dataclass(frozen=True)
+class Query:
+    """One driver-contract query.
+
+    ``build(spark, sf_dir)`` returns the Spark result; ``oracle`` is the
+    DuckDB-equivalent SQL (None → driver records a weaker rows-only
+    check). ``bench`` marks headline queries that bench.py times at
+    sf0.1.
+    """
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    bench: bool = False
+
+
+def catalog_to_queries(catalog: dict[str, Query]):
+    return {name: q.build for name, q in catalog.items()}
+
+
+def catalog_to_oracles(catalog: dict[str, Query]):
+    return {name: q.oracle for name, q in catalog.items() if q.oracle is not None}

@@ -1,0 +1,575 @@
+"""Relational operator coverage queries (SURVEY.md §2.3-2.7, §2.9).
+
+Each query maps reference operators onto the driver's TPC-H-ish testdata
+tables and carries a DuckDB oracle. Operator provenance is cited per
+query; expressions follow the determinism rules in queries/base.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.contract import Query, cents, load
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary (scan → filter → hash agg; the flagship bench query).
+# Exercises A1-A5-style grouped aggregation (PIPE:856-861) at TPC-H shape.
+# ---------------------------------------------------------------------------
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(cents(disc_price)) / F.lit(100.0)).alias("sum_disc_price"),
+            (F.sum(cents(charge)) / F.lit(100.0)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+       COUNT(*) AS count_order,
+       (CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0) / COUNT(*) AS avg_qty,
+       (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority (3-way join → agg → deterministic top-10).
+# Customer side is small → Catalyst broadcasts it; limit carries a full
+# tie-broken ORDER BY so both engines pick the same rows (O1, PIPE:1110).
+# ---------------------------------------------------------------------------
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"),
+                 "o_orderpriority")
+        .agg((F.sum(cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+              / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Q5: local-supplier revenue (6-way join; dims broadcast, fact co-joined).
+# ---------------------------------------------------------------------------
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg((F.sum(cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+              / F.lit(100.0)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, r_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Top-10 customers by revenue (join → agg → deterministic top-k, O1/O2).
+# ---------------------------------------------------------------------------
+
+
+def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg((F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_spend"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (J2 payee IN-list fetch PIPE:904-914; T1 key-set
+# difference PIPE:941-948).
+# ---------------------------------------------------------------------------
+
+
+def _customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 45000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 45000)
+"""
+
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+# ---------------------------------------------------------------------------
+# Latest order per customer — window dedup, the Spark form of the
+# reference's latest-file selection (O1, PIPE:1110-1111: sort by
+# LastModified desc, take first).
+# ---------------------------------------------------------------------------
+
+
+def _latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.to_date("o_orderdate").alias("latest_date"),
+            "o_totalprice",
+        )
+    )
+
+
+_LATEST_SQL = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       CAST(o_orderdate AS DATE) AS latest_date, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Duplicate-key detection (R23: count(*) over key > 1, PIPE:2696-2739).
+# groupBy + having rather than a window: one shuffle, map-side partial agg.
+# ---------------------------------------------------------------------------
+
+
+def _duplicate_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min("o_orderkey").alias("first_orderkey"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+_DUPES_SQL = """
+SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS first_orderkey
+FROM orders
+GROUP BY 1, 2
+HAVING COUNT(*) > 1
+"""
+
+# ---------------------------------------------------------------------------
+# Per-key collected set (A1: payee → error list, PIPE:856-861), rendered
+# as a sorted joined string so the value is engine-order-independent.
+# ---------------------------------------------------------------------------
+
+
+def _priorities_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count_distinct("o_orderpriority").alias("n_distinct_priorities"),
+    )
+
+
+_COLLECT_SQL = """
+SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_distinct_priorities
+FROM orders
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# String function battery (§2.9: regexp_extract, lpad, split, concat,
+# lower/upper, substring, length, levenshtein).
+# ---------------------------------------------------------------------------
+
+
+def _string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", r"([0-9]+)", 1)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.split("p_name", " ").getItem(0).alias("first_token"),
+        brand_num.cast("int").alias("brand_num"),
+        F.lpad(brand_num, 3, "0").alias("brand_num_padded"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.concat_ws("-", F.col("p_brand"), F.lower("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_red_widget"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_name").alias("name_rev"),
+    )
+
+
+_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       string_split(p_name, ' ')[1] AS first_token,
+       CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+       lpad(regexp_extract(p_brand, '([0-9]+)', 1), 3, '0') AS brand_num_padded,
+       substring(p_type, 1, 3) AS type_prefix,
+       concat_ws('-', p_brand, lower(p_type)) AS brand_type,
+       length(p_name) AS name_len,
+       levenshtein(p_name, 'red widget') AS lev_red_widget,
+       replace(p_name, ' ', '_') AS name_snake,
+       reverse(p_name) AS name_rev
+FROM part
+"""
+
+# ---------------------------------------------------------------------------
+# Date/time function battery (§2.9: to_date, date_format, date_add,
+# current-date-free arithmetic, epoch conversion PIPE:1513-1520).
+# ---------------------------------------------------------------------------
+
+
+def _date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("q"),
+        (F.weekday(d) + F.lit(1)).alias("iso_dow"),
+        F.trunc(d, "month").alias("month_start"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.last_day(d).alias("last_dom"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_t0"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+       last_day(CAST(o_orderdate AS DATE)) AS last_dom,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_t0,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window rollup (batch form of the Structured Streaming
+# windowed agg; §2.11) + JSON-ish prop extraction.
+# ---------------------------------------------------------------------------
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as BIGINT epoch-nanoseconds.
+
+    The testdata events parquet uses TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; reading nanos as long keeps full precision
+    and makes all downstream time math exact integer arithmetic (which is
+    also the cross-engine-deterministic choice).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return load(spark, sf_dir, "events")
+
+
+_NS_PER_HOUR = 3600 * 1_000_000_000
+
+
+def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
+    hour_epoch = (F.expr(f"ts div {_NS_PER_HOUR}") * F.lit(3600)).alias("hour_epoch")
+    return (
+        ev.groupBy(hour_epoch, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("value_total"),
+            F.sum(k).alias("k_total"),
+        )
+    )
+
+
+_EVENTS_ROLLUP_SQL = f"""
+SELECT (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_total,
+       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_total
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Events: gap-based sessionization (lag window → cumulative session ids).
+# The scale path for clickstream pipelines: one shuffle on user_id, all
+# window work stays within the partition.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_NS = 1800 * 1_000_000_000
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > SESSION_GAP_NS),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sid = ev.withColumn("session_id", F.sum(new_session).over(cum))
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+), with_sid AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM with_sid GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Set operations (T1/T2/T3, PIPE:941-956): intersect / except / union with
+# provenance tags.
+# ---------------------------------------------------------------------------
+
+
+def _nation_balance_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    rich = joined.filter(F.col("c_acctbal") > 9500).select("n_name").distinct()
+    poor = joined.filter(F.col("c_acctbal") < 0).select("n_name").distinct()
+    return (
+        rich.intersect(poor).withColumn("tag", F.lit("both"))
+        .unionAll(rich.subtract(poor).withColumn("tag", F.lit("rich_only")))
+        .unionAll(poor.subtract(rich).withColumn("tag", F.lit("poor_only")))
+    )
+
+
+_SETOPS_SQL = """
+WITH rich AS (
+  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal > 9500
+), poor AS (
+  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal < 0
+)
+SELECT n_name, 'both' AS tag FROM (SELECT n_name FROM rich INTERSECT SELECT n_name FROM poor)
+UNION ALL
+SELECT n_name, 'rich_only' AS tag FROM (SELECT n_name FROM rich EXCEPT SELECT n_name FROM poor)
+UNION ALL
+SELECT n_name, 'poor_only' AS tag FROM (SELECT n_name FROM poor EXCEPT SELECT n_name FROM rich)
+"""
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation / pivot-style rollup (A2/A4 count matching by
+# group, PIPE:797-809) — one pass, no pivot shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def n(status: str):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    def total(status: str):
+        return (
+            F.sum(
+                F.when(F.col("o_orderstatus") == status, cents("o_totalprice"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            / F.lit(100.0)
+        )
+
+    return orders.groupBy("o_orderpriority").agg(
+        n("F").alias("n_f"), n("O").alias("n_o"), n("P").alias("n_p"),
+        total("F").alias("total_f"), total("O").alias("total_o"),
+        total("P").alias("total_p"),
+    )
+
+
+_STATUS_ROLLUP_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS total_p
+FROM orders
+GROUP BY 1
+"""
+
+
+RELATIONAL_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("q1_pricing_summary", _q1, _Q1_SQL,
+              "TPC-H Q1-shaped scan→filter→agg; quantized exact sums.", bench=True),
+        Query("q3_shipping_priority", _q3, _Q3_SQL,
+              "3-way join + agg + deterministic top-10.", bench=True),
+        Query("q5_local_supplier", _q5, _Q5_SQL,
+              "6-way join with broadcast dims (TPC-H Q5 shape).", bench=True),
+        Query("top_customers", _top_customers, _TOP_CUSTOMERS_SQL,
+              "Join + agg + tie-broken top-k (O1/O2)."),
+        Query("customers_with_high_value_orders", _customers_with_high_value_orders,
+              _SEMI_SQL, "Left-semi join (J2 IN-list fetch)."),
+        Query("customers_without_orders", _customers_without_orders, _ANTI_SQL,
+              "Left-anti join (T1 key-set difference)."),
+        Query("latest_order_per_customer", _latest_order_per_customer, _LATEST_SQL,
+              "Window row_number dedup (O1 latest-file selection).", bench=True),
+        Query("duplicate_customer_priority", _duplicate_customer_priority, _DUPES_SQL,
+              "Duplicate-key detection via groupBy-having (R23)."),
+        Query("priorities_per_customer", _priorities_per_customer, _COLLECT_SQL,
+              "Per-key sorted collect_set (A1 payee→errors grouping)."),
+        Query("string_functions", _string_functions, _STRING_SQL,
+              "Scalar string function battery (§2.9)."),
+        Query("date_functions", _date_functions, _DATE_SQL,
+              "Scalar date function battery (§2.9)."),
+        Query("events_hourly_rollup", _events_hourly_rollup, _EVENTS_ROLLUP_SQL,
+              "Tumbling-window rollup + regex prop extraction.", bench=True),
+        Query("events_sessionize", _events_sessionize, _SESSIONIZE_SQL,
+              "Gap-based sessionization via lag + cumulative windows.", bench=True),
+        Query("nation_balance_setops", _nation_balance_setops, _SETOPS_SQL,
+              "INTERSECT/EXCEPT/UNION with provenance tags (T1-T3)."),
+        Query("status_rollup", _status_rollup, _STATUS_ROLLUP_SQL,
+              "Pivot-style conditional aggregation in one pass (A2/A4)."),
+    ]
+}

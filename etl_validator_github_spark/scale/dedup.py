@@ -1,0 +1,357 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB point):
+
+- **Exact** dedup is a hash-groupBy — one shuffle on a 128-bit content
+  hash, map-side partial agg, no skew (hashes are uniform).
+- **Jaccard** never runs all-pairs: candidate pairs come from blocking
+  (lang × length-bucket) or LSH band buckets, so the join fans out only
+  within buckets. All-pairs at 100 TB is impossible; bucketed self-joins
+  shuffle once on the bucket key.
+- **MinHash** signatures use ``min(md5(seed || shingle))`` over fixed-width
+  hex strings: the lexicographic min equals the numeric min, every engine
+  with md5 agrees on it, and signatures are order/partitioning-independent.
+- **SimHash** packs 32 md5-derived bits into a BIGINT; near-dup candidates
+  are pairs with small Hamming distance (bit_count(xor)) inside a block.
+
+The testdata corpus has no exact duplicates, so dedup queries run over
+``documents ∪ (documents with shifted doc_id)`` — every doc then has
+exactly one true duplicate, which the operators must find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.contract import Query, load
+
+#: doc_id offset for the injected duplicate copy.
+COPY_OFFSET = 1_000_000
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def with_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ identical copy at doc_id + COPY_OFFSET."""
+    base = docs.select("doc_id", "text", "lang")
+    copy = docs.select(
+        (F.col("doc_id") + F.lit(COPY_OFFSET)).alias("doc_id"), "text", "lang"
+    )
+    return base.unionAll(copy)
+
+
+_COPIES_SQL = f"""
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET}, text, lang FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, keep the min doc_id per content hash.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(with_copies(load(spark, sf_dir, "documents")))
+
+
+_EXACT_SQL = f"""
+WITH all_docs AS ({_COPIES_SQL})
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM all_docs
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# N-gram (token-set) Jaccard near-dup with blocking. Jaccard is computed
+# from exact integer intersection/union sizes → the double ratio is a
+# single IEEE division, identical across engines.
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.96
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("ts"),
+        F.size(F.split("text", " ")).alias("nt"),
+    ).withColumn("bucket", F.floor(F.col("nt") / F.lit(10)))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.ts", "b.ts"))
+    union = F.size(F.array_union("a.ts", "b.ts"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            inter.alias("n_common"),
+            union.alias("n_union"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(with_copies(load(spark, sf_dir, "documents")),
+                          JACCARD_THRESHOLD)
+
+
+_JACCARD_SQL = f"""
+WITH all_docs AS ({_COPIES_SQL}),
+tok AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split(text, ' ')) AS ts,
+         len(string_split(text, ' ')) AS nt,
+         CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bucket
+  FROM all_docs
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(len(list_intersect(a.ts, b.ts)) AS INT) AS n_common,
+       CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) AS n_union,
+       CAST(len(list_intersect(a.ts, b.ts)) AS INT)
+         / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) AS jaccard
+FROM tok a JOIN tok b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ts, b.ts)) AS INT)
+        / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) >= {JACCARD_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding: shingle → 16 minhash signatures → 4 bands of 4 →
+# candidate pairs share a band bucket. The scale path: no all-pairs work,
+# one shuffle on band keys.
+# ---------------------------------------------------------------------------
+
+
+def _shingles() -> Column:
+    """3-token shingles as strings (guarded for docs < 3 tokens)."""
+    return F.expr(
+        "CASE WHEN size(__toks) >= 3 THEN "
+        "transform(sequence(1, size(__toks) - 2), "
+        "          i -> concat_ws(' ', slice(__toks, i, 3))) "
+        "ELSE array() END"
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id + sig_0..sig_{n-1} minhash columns over 3-token shingles."""
+    with_sh = (
+        docs.withColumn("__toks", F.split("text", " "))
+        .withColumn("__sh", _shingles())
+        .filter(F.size("__sh") > 0)
+    )
+    def sig(i: int):
+        # NB: the lambda must take exactly one arg — PySpark passes the
+        # array index to arity-2 lambdas, which would corrupt the seed.
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform("__sh", lambda t: F.md5(F.concat(F.lit(prefix), t)))
+        ).alias(f"sig_{i}")
+
+    return with_sh.select("doc_id", *[sig(i) for i in range(n_hashes)])
+
+
+def lsh_band_buckets(sig_df: DataFrame, n_bands: int = N_BANDS,
+                     rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Explode signatures into (doc_id, band, band_key) bucket rows."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    return (
+        sig_df.select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"))
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate near-dup pairs with shared-band counts."""
+    buckets = lsh_band_buckets(minhash_signatures(docs))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(with_copies(load(spark, sf_dir, "documents")))
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ",\n         ".join(
+        "list_aggregate(list_transform(sh, s -> md5('%d|' || s)), 'min') AS sig_%d"
+        % (i, i)
+        for i in range(N_MINHASH)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, %d AS band, md5(concat_ws('|', %s)) AS band_key FROM sigs"
+        % (b, ", ".join(f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)))
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH all_docs AS ({_COPIES_SQL}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         ELSE [] END AS sh
+  FROM tok
+),
+sigs AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM sh WHERE len(sh) > 0
+),
+buckets AS (
+{band_rows}
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32 bits from md5(token) prefixes, weighted by occurrence;
+# near-dups = small Hamming distance within a lang block.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 3
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """doc_id, lang, simhash BIGINT from token md5 bit votes."""
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"c{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id", "lang").agg(*votes)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return agg.select("doc_id", "lang", packed.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:
+    sh = simhash(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(with_copies(load(spark, sf_dir, "documents")))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH all_docs AS ({_COPIES_SQL}),
+tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM all_docs
+),
+hashed AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, lang,
+         {votes}
+  FROM hashed GROUP BY 1, 2
+),
+packed AS (
+  SELECT doc_id, lang, CAST({packed} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM packed a JOIN packed b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
+
+DEDUP_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("dedup_exact", _dedup_exact_q, _EXACT_SQL,
+              "Exact dedup via content-hash groupBy (keep min doc_id).",
+              bench=True),
+        Query("dedup_ngram_jaccard", _dedup_jaccard_q, _JACCARD_SQL,
+              "Blocked token-set Jaccard near-dup pairs (exact int ratio)."),
+        Query("dedup_minhash_lsh", _dedup_minhash_q, _minhash_sql(),
+              "MinHash signatures + LSH banding candidate pairs.", bench=True),
+        Query("dedup_simhash", _dedup_simhash_q, _simhash_sql(),
+              "SimHash bit-vote fingerprints + Hamming-distance pairs."),
+    ]
+}

@@ -1,0 +1,200 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths:
+
+- ``embed_cosine_topk`` — brute-force cosine top-k: the correctness
+  baseline. Query set × candidate set via a broadcast join; per-pair dot
+  products fold JVM-side (zip_with + aggregate), no Python in the loop.
+- ``embed_ann_lsh`` — the scale path: random-hyperplane LSH buckets.
+  Each vector gets a b-bit signature (sign of dot with b pseudo-random
+  ±1 hyperplanes); neighbor search only compares vectors sharing a
+  bucket. At 100 TB the bucket key is the shuffle key; no all-pairs.
+
+Determinism: components are quantized to integer millionths, so dot
+products and norms are exact BIGINTs under any partitioning; the final
+cosine is a single IEEE double expression (identical in any engine).
+Hyperplane signs derive from md5 parity, so Python, Spark SQL, and
+DuckDB all reconstruct the same planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.contract import Query, load
+
+EMBED_DIM = 64
+N_QUERIES = 8
+TOP_K = 10
+N_PLANES = 8
+
+# The float→double cast is explicit on BOTH sides: DuckDB would otherwise
+# multiply in float32, where e.g. 337052.494 lands on 337052.5 and rounds
+# the other way.
+_QUANT = ("transform({col}, x -> "
+          "cast(round(cast(x as double) * 1000000.0d) as bigint))")
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def quantized(docs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """vec_id, qv (BIGINT components), norm2 (exact self-dot)."""
+    q = docs.select(
+        F.col(id_col),
+        F.expr(_QUANT.format(col="embedding")).alias("qv"),
+    )
+    return q.withColumn("norm2", F.expr(_DOT.format(a="qv", b="qv")))
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors."""
+    vecs = quantized(embeddings)
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    pairs = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(_DOT.format(a="q_qv", b="qv"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.sqrt("q_norm2") * F.sqrt("norm2"))).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
+_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), with_norm AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS norm2
+  FROM vecs
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])) AS BIGINT)
+           / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_sim
+  FROM with_norm q JOIN with_norm c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank,
+       cos_sim
+FROM pairs
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def _plane_signs(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible in any
+    engine/language with md5 (Python here, inlined as literals into both
+    the Spark plan and the oracle SQL)."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """vec_id, qv, norm2, bucket (b-bit signature string)."""
+    vecs = quantized(embeddings)
+    signs = _plane_signs()
+    bits = []
+    for p in range(N_PLANES):
+        arr = "array(%s)" % ", ".join(str(s) for s in signs[p])
+        proj = _DOT.format(a="qv", b=arr)
+        bits.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    return vecs.withColumn("bucket", F.expr("concat(%s)" % ", ".join(bits)))
+
+
+def ann_pairs(embeddings: DataFrame, min_cos: float = 0.0) -> DataFrame:
+    """Same-bucket candidate pairs with exact cosine (the ANN scale path)."""
+    b = lsh_buckets(embeddings)
+    a, c = b.alias("a"), b.alias("c")
+    dot = F.expr(_DOT.format(a="a.qv", b="c.qv"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("c.vec_id").alias("v2"),
+            F.col("a.bucket").alias("bucket"),
+            (dot / (F.sqrt("a.norm2") * F.sqrt("c.norm2"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+    )
+
+
+def _ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def _ann_sql() -> str:
+    signs = _plane_signs()
+    bits = []
+    for p in range(N_PLANES):
+        arr = "[%s]" % ", ".join(str(s) for s in signs[p])
+        proj = (f"CAST(list_sum(list_transform(range(1, len(qv) + 1), "
+                f"i -> qv[i] * ({arr})[i])) AS BIGINT)")
+        bits.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    bucket = "concat(%s)" % ", ".join(bits)
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), with_norm AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS norm2,
+         {bucket} AS bucket
+  FROM vecs
+)
+SELECT a.vec_id AS v1, c.vec_id AS v2, a.bucket AS bucket,
+       CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[i])) AS BIGINT)
+         / (sqrt(a.norm2) * sqrt(c.norm2)) AS cos_sim
+FROM with_norm a JOIN with_norm c
+  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[i])) AS BIGINT)
+        / (sqrt(a.norm2) * sqrt(c.norm2)) >= 0.0
+"""
+
+
+SIMILARITY_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("embed_cosine_topk", _topk_q, _TOPK_SQL,
+              "Brute-force cosine top-k (quantized exact math).", bench=True),
+        Query("embed_ann_lsh", _ann_q, _ann_sql(),
+              "Random-hyperplane LSH bucketed ANN candidate pairs."),
+    ]
+}

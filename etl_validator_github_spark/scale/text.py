@@ -1,0 +1,204 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built from JVM-side expressions (split / transform /
+filter / md5) — no Python UDFs — so the whole stage stays inside
+whole-stage codegen and scales as a map-only pass at 100 TB.
+
+Determinism: counts are exact ints; ratios are single double divisions
+of exact ints (IEEE-deterministic); fingerprints are md5 over
+canonically sorted token lists, identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.contract import Query, load
+
+#: Stopword markers per language. The testdata corpus shares one
+#: vocabulary across langs, so this demonstrates the scoring mechanism
+#: (deterministically) rather than real discrimination power.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "las"),
+    "fr": ("le", "la", "les", "des"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({in_list})))"
+
+
+# ---------------------------------------------------------------------------
+# Token/quality statistics.
+# ---------------------------------------------------------------------------
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    t = tokens()
+    n_chars = F.length("text")
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    # BPE-ish subword proxy: count of <=3-char greedy word pieces.
+    n_pieces = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,3}"), 0))
+    stop_ratio = _count_in(t, _STOPWORDS) / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_pieces.alias("n_word_pieces"),
+        ((n_chars - (n_tokens - F.lit(1))) / n_tokens).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_distinct / n_tokens).alias("type_token_ratio"),
+        (
+            (n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio < 0.5)
+        ).cast("int").alias("is_quality"),
+    )
+
+
+def _text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id, lang,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]{{1,3}}')) AS INT) AS n_word_pieces,
+       (CAST(length(text) AS INT) - (CAST(len(toks) AS INT) - 1)) / CAST(len(toks) AS INT) AS avg_token_len,
+       {_sql_count_in(_STOPWORDS)} / CAST(len(toks) AS INT) AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS INT) / CAST(len(toks) AS INT) AS type_token_ratio,
+       CAST(len(toks) >= 20 AND len(toks) <= 1000
+            AND ({_sql_count_in(_STOPWORDS)} / CAST(len(toks) AS INT)) < 0.5 AS INT) AS is_quality
+FROM tok
+"""
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword-marker scores + deterministic argmax.
+# ---------------------------------------------------------------------------
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    t = tokens()
+    raw = {lg: _count_in(t, ws) for lg, ws in LANG_MARKERS.items()}
+    out = docs.select(
+        "doc_id", "lang",
+        *[raw[lg].alias(f"score_{lg}") for lg in ("en", "de", "es", "fr")],
+    )
+    s = {lg: F.col(f"score_{lg}") for lg in LANG_MARKERS}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"])
+               & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return out.withColumn("predicted_lang", pred).withColumn(
+        "matches_label", (F.col("predicted_lang") == F.col("lang")).cast("int")
+    )
+
+
+def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_scores(load(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    s = {lg: _sql_count_in(ws) for lg, ws in LANG_MARKERS.items()}
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         CAST({s['en']} AS INT) AS score_en,
+         CAST({s['de']} AS INT) AS score_de,
+         CAST({s['es']} AS INT) AS score_es,
+         CAST({s['fr']} AS INT) AS score_fr
+  FROM tok
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+       CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       CAST((CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END) = lang AS INT) AS matches_label
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: canonical md5 + two MinHash signature slots
+# (the building block scale/dedup.py expands to a full LSH).
+# ---------------------------------------------------------------------------
+
+
+def minhash_sig(toks: Column, seed: int) -> Column:
+    """Min over md5('{seed}|' + token) hex strings.
+
+    md5 hex strings have fixed width, so the lexicographic min equals the
+    numeric min — and both Spark and any SQL engine with md5 agree on it.
+    """
+    return F.array_min(
+        F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t)))
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    t = F.array_distinct(tokens())
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(t))).alias("content_fp"),
+        minhash_sig(t, 0).alias("minhash_0"),
+        minhash_sig(t, 1).alias("minhash_1"),
+    )
+
+
+def _fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load(spark, sf_dir, "documents"))
+
+
+_FP_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(toks), ' ')) AS content_fp,
+       list_aggregate(list_transform(toks, t -> md5('0|' || t)), 'min') AS minhash_0,
+       list_aggregate(list_transform(toks, t -> md5('1|' || t)), 'min') AS minhash_1
+FROM tok
+"""
+
+
+TEXT_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("text_stats", _text_stats_q, _STATS_SQL,
+              "Token counts, quality ratios, BPE-ish piece counts.", bench=True),
+        Query("text_lang_id", _lang_id_q, _lang_sql(),
+              "Marker-based language-ID heuristic with deterministic argmax."),
+        Query("text_fingerprint", _fingerprint_q, _FP_SQL,
+              "Canonical md5 + MinHash signature fingerprints."),
+    ]
+}

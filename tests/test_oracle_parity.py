@@ -1,0 +1,92 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every CATALOG query at sf0.001 on Spark AND its DuckDB oracle, then
+compares row count, column names, and values (columns sorted by name,
+rows sorted by all columns) — the same shape of check the driver records
+in CORRECTNESS_r{N}.json, so a failure here predicts a driver failure.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from etl_validator_github_spark.queries import CATALOG
+from etl_validator_github_spark.contract import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+ORACLE_NAMES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    # Exact comparison by design (integer-quantized aggregates; see
+    # queries/base.py). NaN normalized so tuples stay comparable.
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _rows(schema_names, rows):
+    order = sorted(range(len(schema_names)), key=lambda i: schema_names[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = CATALOG[name]
+    sdf = q.build(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    left, right = _rows(spark_cols, spark_rows), _rows(duck_cols, duck_rows)
+    for i, (a, b) in enumerate(zip(left, right)):
+        assert a == b, f"{name}: first differing row #{i}: spark={a} duck={b}"
+
+
+def test_rows_only_queries_run(spark):
+    for name, q in CATALOG.items():
+        if q.oracle is None:
+            df = q.build(spark, SF_DIR)
+            assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_catalog_and_oracle_keys_align():
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(CATALOG)
