@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB.
+
+These assert, from ``explain("formatted")`` output, that:
+- parquet scans receive pushed filters and pruned schemas,
+- small dimension joins broadcast (no shuffle of the fact table for dims),
+- the rule engine compiles to a single projection (no shuffle before the
+  final aggregation),
+so a regression that silently de-optimizes a plan fails CI rather than
+showing up as a 10× slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.operators.validate import with_errors
+from etl_validator_github_spark.plans.session import explain_str
+from etl_validator_github_spark.queries import CATALOG
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    return explain_str(CATALOG[name].build(spark, sf_dir))
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    # Column pruning: the scan must not read l_orderkey/l_suppkey etc.
+    assert "ReadSchema" in p
+    read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # The shipdate filter reaches the parquet reader.
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p or "PushedFilters" in p
+
+
+def test_q3_broadcasts_customer_side(spark, sf_dir):
+    p = plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    # mktsegment filter is pushed to the customer scan.
+    assert "BUILDING" in p
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "q5_local_supplier")
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "customers_with_high_value_orders")
+    assert "LeftAnti" in plan(spark, sf_dir, "customers_without_orders")
+
+
+def test_rule_engine_is_single_projection(spark, sf_dir):
+    """The 50-rule catalog must evaluate as one map-only Project over the
+    scan — no Exchange (shuffle) anywhere in the validation stage."""
+    from etl_validator_github_spark.generator import generate_bankdata
+
+    bank = generate_bankdata(spark, 10, seed=246)
+    p = explain_str(with_errors(bank).filter(F.size("__errors") > 0))
+    assert "Exchange" not in p, "rule evaluation must not shuffle"
+
+
+def test_whole_stage_codegen_covers_q1(spark, sf_dir):
+    # Under AQE the codegen spans only appear in the FINAL plan, so run
+    # the query first and then inspect the executed plan.
+    df = CATALOG["q1_pricing_summary"].build(spark, sf_dir)
+    df.collect()
+    p = explain_str(df)
+    assert "isFinalPlan=true" in p
+    # Formatted mode marks whole-stage-codegen participation per operator.
+    assert "codegen id" in p
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "embed_ann_lsh"])
+def test_lsh_paths_avoid_cartesian_products(spark, sf_dir, name):
+    """LSH candidate generation must join on bucket keys, never via a
+    nested-loop over all pairs."""
+    p = plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
