@@ -384,6 +384,61 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed cleaning pipeline: the shape of a real training-data corpus
+# pass — quality filter + exact-dup removal (keep the min doc_id), in one
+# dataflow. Semi-join against the keep-list, never a collect.
+# ---------------------------------------------------------------------------
+
+
+def clean_corpus(docs: DataFrame) -> DataFrame:
+    """Kept documents: exact-dedup canonical copies that pass quality."""
+    toks = F.split("text", " ")
+    stats = docs.select(
+        "doc_id", "lang", "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "in", "to")))
+         / F.size(toks)).alias("stop_ratio"),
+    )
+    quality = stats.filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000)
+        & (F.col("stop_ratio") < 0.5)
+    )
+    keep = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        quality.join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+def _clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_corpus(with_copies(load(spark, sf_dir, "documents")))
+
+
+_CLEAN_SQL = f"""
+WITH all_docs AS ({_COPIES_SQL}),
+stats AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'in', 'to')))
+           / CAST(len(string_split(text, ' ')) AS INT) AS stop_ratio
+  FROM all_docs
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
+)
+SELECT doc_id, lang, n_tokens
+FROM stats
+WHERE n_tokens >= 20 AND n_tokens <= 1000 AND stop_ratio < 0.5
+  AND EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = stats.doc_id)
+"""
+
+
 DEDUP_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -396,5 +451,8 @@ DEDUP_QUERIES: dict[str, Query] = {
               "MinHash signatures + LSH banding candidate pairs.", bench=True),
         Query("dedup_simhash", _dedup_simhash_q, _simhash_sql(),
               "SimHash bit-vote fingerprints + Hamming-distance pairs."),
+        Query("corpus_clean", _clean_corpus_q, _CLEAN_SQL,
+              "Composed pipeline: quality filter + exact-dedup keep-list "
+              "semi-join.", bench=True),
     ]
 }

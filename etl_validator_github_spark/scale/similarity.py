@@ -159,6 +159,32 @@ def _ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs(load(spark, sf_dir, "embeddings"))
 
 
+#: Near-duplicate threshold for embedding-cosine dedup. Exact comparison
+#: is safe cross-engine because cos_sim derives from identical integers.
+NEAR_DUP_COS = 0.9
+
+
+def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates whose
+    exact cosine clears the near-dup threshold. The dedup variant of
+    ``ann_pairs`` — at 100 TB both share the bucket-key shuffle."""
+    return ann_pairs(embeddings, min_cos=NEAR_DUP_COS).select(
+        "v1", "v2", "cos_sim"
+    )
+
+
+def _near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(load(spark, sf_dir, "embeddings"))
+
+
+def _near_dup_sql() -> str:
+    base = _ann_sql()
+    return (
+        "SELECT v1, v2, cos_sim FROM (" + base.replace(">= 0.0", f">= {NEAR_DUP_COS}")
+        + ") t"
+    )
+
+
 def _ann_sql() -> str:
     signs = _plane_signs()
     bits = []
@@ -189,6 +215,51 @@ WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-label centroid build — the IVF coarse-quantizer building block.
+# posexplode → (label, dim) partial sums: one shuffle on a tiny key
+# space; means are exact-int sums divided once (cross-engine identical).
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    vecs = embeddings.select(
+        "label", F.expr(_QUANT.format(col="embedding")).alias("qv")
+    )
+    exploded = vecs.select(
+        "label", F.posexplode("qv").alias("pos", "q")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("q").alias("sum_q"),
+        )
+        .withColumn("mean_q", F.col("sum_q") / F.col("n_vecs"))
+    )
+
+
+def _centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+_CENTROIDS_SQL = """
+WITH vecs AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, 65)) AS dim
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(qv[dim]) AS BIGINT) AS sum_q,
+       CAST(SUM(qv[dim]) AS BIGINT) / COUNT(*) AS mean_q
+FROM vecs CROSS JOIN dims
+GROUP BY 1, 2
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -196,5 +267,9 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Brute-force cosine top-k (quantized exact math).", bench=True),
         Query("embed_ann_lsh", _ann_q, _ann_sql(),
               "Random-hyperplane LSH bucketed ANN candidate pairs."),
+        Query("embed_label_centroids", _centroids_q, _CENTROIDS_SQL,
+              "Per-label centroid build (IVF coarse quantizer)."),
+        Query("dedup_embedding_cosine", _near_dup_q, _near_dup_sql(),
+              "Embedding-cosine near-dup pairs over LSH buckets."),
     ]
 }
