@@ -538,6 +538,130 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Window-function battery: running totals, ranks, lag/lead deltas — the
+# §2.6 ordering operators generalized. One shuffle on the partition key;
+# all window work is partition-local.
+# ---------------------------------------------------------------------------
+
+
+def _window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_c = cents("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.row_number().over(w).alias("order_seq"),
+        F.rank().over(
+            Window.partitionBy("o_custkey").orderBy(price_c.desc(), F.col("o_orderkey"))
+        ).alias("price_rank"),
+        (F.sum(price_c).over(wrun) / F.lit(100.0)).alias("running_spend"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       CAST(rank() OVER (PARTITION BY o_custkey
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                  o_orderkey) AS INT) AS price_rank,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS running_spend,
+       CAST(date_diff('day',
+                      CAST(lag(o_orderdate) OVER w AS DATE),
+                      CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation — the skew pattern from SURVEY §4/§7.4.7:
+# pre-aggregate on (key, salt) so one hot key spreads over N reducers,
+# then combine the tiny partials. Result is identical to a plain groupBy
+# (exact integer sums are associative), which is what the oracle runs.
+# ---------------------------------------------------------------------------
+
+N_SALTS = 16
+
+
+def _skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("salt")
+    partial = (
+        ev.groupBy(F.col("event_type"), salt)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("v"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("v") / F.lit(100.0)).alias("value_total"),
+        )
+    )
+
+
+_SKEW_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_total
+FROM events
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Schema-drift detection (R24): compare an arriving frame's columns to an
+# expected contract, reporting ok/missing/extra per column — the file-
+# level validation the reference runs before row rules (PIPE:2279-2408).
+# ---------------------------------------------------------------------------
+
+_EXPECTED_CUSTOMER = (
+    "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+    "c_mktsegment", "c_loyalty_tier",   # deliberately not in the data
+)
+
+
+def _schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    actual = load(spark, sf_dir, "customer").columns
+    expected = _EXPECTED_CUSTOMER
+    rows = [(c, "ok" if c in actual else "missing") for c in expected]
+    rows += [(c, "extra") for c in actual if c not in expected]
+    return spark.createDataFrame(
+        sorted(rows), schema="column_name string, status string"
+    )
+
+
+_SCHEMA_DRIFT_SQL = """
+WITH actual AS (
+  SELECT column_name
+  FROM (DESCRIBE customer)
+), expected AS (
+  SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal',
+                 'c_mktsegment', 'c_loyalty_tier']) AS column_name
+)
+SELECT e.column_name,
+       CASE WHEN a.column_name IS NULL THEN 'missing' ELSE 'ok' END AS status
+FROM expected e LEFT JOIN actual a USING (column_name)
+UNION ALL
+SELECT a.column_name, 'extra' AS status
+FROM actual a LEFT JOIN expected e USING (column_name)
+WHERE e.column_name IS NULL
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -571,5 +695,12 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "INTERSECT/EXCEPT/UNION with provenance tags (T1-T3)."),
         Query("status_rollup", _status_rollup, _STATUS_ROLLUP_SQL,
               "Pivot-style conditional aggregation in one pass (A2/A4)."),
+        Query("window_functions", _window_functions, _WINDOW_SQL,
+              "Running totals, ranks, lag/lead deltas per customer."),
+        Query("skew_salted_rollup", _skew_salted_rollup, _SKEW_SQL,
+              "Two-stage salted aggregation (skew pattern); oracle is the "
+              "equivalent plain groupBy."),
+        Query("schema_drift", _schema_drift, _SCHEMA_DRIFT_SQL,
+              "File-level schema validation: ok/missing/extra columns (R24)."),
     ]
 }

@@ -43,7 +43,9 @@ def _norm(v):
 
 def _rows(schema_names, rows):
     order = sorted(range(len(schema_names)), key=lambda i: schema_names[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # None-safe total order (NULLs sort first, typed by repr).
+    return sorted(out, key=lambda t: tuple((v is None, repr(v)) for v in t))
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
