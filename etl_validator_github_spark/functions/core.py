@@ -36,9 +36,58 @@ def not_blank(c: Column | str) -> Column:
     return ~is_blank(c)
 
 
-def charset_ok(c: Column | str, pattern: str = SAFE_CHARSET_RE) -> Column:
-    """Charset predicate; blank values pass (requiredness is a separate rule)."""
+#: Allowed-character strings for the translate() fast path. Must stay in
+#: sync with the *_RE patterns above (tests/test_rules.py pins both).
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_DIGITS = "0123456789"
+SAFE_CHARS = _UPPER + _LOWER + _DIGITS + " .,&()'-"
+NAME_CHARS = _UPPER + _LOWER + " .,'-"
+PHONE_CHARS = _DIGITS + " ().+-x"
+ALNUM_CHARS = _UPPER + _LOWER + _DIGITS
+ALPHA_CHARS = _UPPER + _LOWER
+
+_RE_TO_CHARS = {
+    SAFE_CHARSET_RE: SAFE_CHARS,
+    NAME_CHARSET_RE: NAME_CHARS,
+    PHONE_CHARSET_RE: PHONE_CHARS,
+}
+
+
+def only_chars(c: Column | str, allowed: str) -> Column:
+    """True when the value contains only ``allowed`` characters.
+
+    ``translate`` is a single character-map pass — roughly an order of
+    magnitude cheaper per row than a Java regex match, which matters when
+    the rule catalog runs ~35 such checks per record at 100 TB. Blank and
+    NULL values pass (requiredness is a separate rule).
+    """
     col = F.col(c) if isinstance(c, str) else c
+    return F.translate(F.coalesce(col.cast("string"), F.lit("")), allowed, "") == ""
+
+
+def digits_exactly(c: Column | str, n: int) -> Column:
+    """Exactly ``n`` characters, all digits (regex-free ``^[0-9]{n}$``)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.length(col) == n) & only_chars(col, _DIGITS)
+
+
+def digits_between(c: Column | str, lo: int, hi: int) -> Column:
+    """``^[0-9]{lo,hi}$`` without the regex engine."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.length(col).between(lo, hi) & only_chars(col, _DIGITS)
+
+
+def charset_ok(c: Column | str, pattern: str = SAFE_CHARSET_RE) -> Column:
+    """Charset predicate; blank values pass (requiredness is a separate rule).
+
+    The three catalog charsets dispatch to the translate() fast path;
+    unknown patterns fall back to rlike.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    allowed = _RE_TO_CHARS.get(pattern)
+    if allowed is not None:
+        return only_chars(col, allowed)
     return F.coalesce(col.cast("string"), F.lit("")).rlike(pattern)
 
 

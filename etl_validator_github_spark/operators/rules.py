@@ -30,12 +30,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from etl_validator_github_spark.functions.core import (
+    ALNUM_CHARS,
+    ALPHA_CHARS,
     NAME_CHARSET_RE,
     PHONE_CHARSET_RE,
     SAFE_CHARSET_RE,
     charset_ok,
+    digits_between,
+    digits_exactly,
     is_blank,
     not_blank,
+    only_chars,
 )
 from etl_validator_github_spark.schema import R_BLANK_FIELDS
 
@@ -174,7 +179,9 @@ def bankdata_rules() -> list[Rule]:
         Rule(
             "organizationidentifier_format",
             "OrganizationIdentifier must be 3 to 12 alphanumeric characters",
-            lambda: _c("OrganizationIdentifier").rlike(r"^[A-Za-z0-9]{3,12}$"),
+            lambda: F.length("OrganizationIdentifier").between(3, 12)
+            & only_chars("OrganizationIdentifier", ALNUM_CHARS)
+            & not_blank("OrganizationIdentifier"),
         )
     )
     # R5 Organization names <=40, safe charset (GEN:67-68).
@@ -209,7 +216,7 @@ def bankdata_rules() -> list[Rule]:
         Rule(
             "organizationtin_format",
             "OrganizationTIN must be 9 numeric digits",
-            lambda: _c("OrganizationTIN").rlike(r"^[0-9]{9}$"),
+            lambda: digits_exactly("OrganizationTIN", 9),
             applies_when=lambda: _is_mdp() & not_blank("OrganizationTIN"),
         )
     )
@@ -262,7 +269,8 @@ def bankdata_rules() -> list[Rule]:
         Rule(
             "organizationnpi_format",
             "OrganizationNPI must be 10 numeric digits starting with a non-zero digit",
-            lambda: _c("OrganizationNPI").rlike(r"^[1-9][0-9]{9}$"),
+            lambda: digits_exactly("OrganizationNPI", 10)
+            & ~_c("OrganizationNPI").startswith("0"),
             applies_when=lambda: not_blank("OrganizationNPI"),
         )
     )
@@ -289,7 +297,7 @@ def bankdata_rules() -> list[Rule]:
         Rule(
             "routingtransitnumber_numeric_eft",
             MSG_RTN_NUMERIC_EFT,
-            lambda: _c("RoutingTransitNumber").rlike(r"^[0-9]{9}$"),
+            lambda: digits_exactly("RoutingTransitNumber", 9),
             applies_when=lambda: _is_mdp() & (_mode() == "EFT"),
         )
     )
@@ -308,7 +316,7 @@ def bankdata_rules() -> list[Rule]:
         Rule(
             "accountnumber_eft_format",
             "AccountNumber must be 2 to 17 numeric digits for EFT records",
-            lambda: _c("AccountNumber").rlike(r"^[0-9]{2,17}$"),
+            lambda: digits_between("AccountNumber", 2, 17),
             applies_when=lambda: _is_mdp() & (_mode() == "EFT"),
         )
     )
@@ -404,7 +412,7 @@ def bankdata_rules() -> list[Rule]:
         Rule(
             "state_format",
             "State must be exactly 2 characters",
-            lambda: _c("State").rlike(r"^[A-Za-z]{2}$"),
+            lambda: (F.length("State") == 2) & only_chars("State", ALPHA_CHARS),
             applies_when=lambda: not_blank("State"),
         )
     )
@@ -413,7 +421,8 @@ def bankdata_rules() -> list[Rule]:
         Rule(
             "postalcode_format",
             "PostalCode must be 5 to 10 alphanumeric characters",
-            lambda: _c("PostalCode").rlike(r"^[A-Za-z0-9]{5,10}$"),
+            lambda: F.length("PostalCode").between(5, 10)
+            & only_chars("PostalCode", ALNUM_CHARS),
             applies_when=lambda: not_blank("PostalCode"),
         )
     )
@@ -507,7 +516,7 @@ def bankdata_rules() -> list[Rule]:
             Rule(
                 f"{core.lower()}_charset",
                 f"{core} must not contain special characters",
-                lambda c=core: charset_ok(c, r"^[A-Za-z0-9 ]*$"),
+                lambda c=core: only_chars(c, ALNUM_CHARS + " "),
                 applies_when=lambda c=core: not_blank(c),
             )
         )
