@@ -414,15 +414,18 @@ GROUP BY 1, 2
 # window work stays within the partition.
 # ---------------------------------------------------------------------------
 
-SESSION_GAP_NS = 1800 * 1_000_000_000
+SESSION_GAP_US = 1800 * 1_000_000
 
 
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    # Microsecond basis on BOTH sides: the raw nanos carry sub-µs digits
+    # that DuckDB's TIMESTAMP (µs) drops, so comparing at ns precision
+    # would be engine-dependent for gaps within 1µs of the threshold.
+    ev = load_events(spark, sf_dir).withColumn("ts", F.expr("ts div 1000"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.col("ts")).over(w)
     new_session = F.when(
-        prev.isNull() | ((F.col("ts") - prev) > SESSION_GAP_NS),
+        prev.isNull() | ((F.col("ts") - prev) > SESSION_GAP_US),
         F.lit(1),
     ).otherwise(F.lit(0))
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -441,12 +444,12 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONIZE_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, epoch_ns(ts) AS ts, event_id,
-         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+  SELECT user_id, epoch_us(ts) AS ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ), with_sid AS (
   SELECT user_id,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
