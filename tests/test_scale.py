@@ -1,0 +1,140 @@
+"""Unit tests for the scale extensions' primitives.
+
+The oracle-parity suite checks Spark-vs-DuckDB end to end; these pin the
+*algorithms* against pure-Python reimplementations so a change that
+breaks both engines identically (and would slip past parity) still
+fails.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.scale import dedup, multimodal, similarity
+from etl_validator_github_spark.scale.text import LANG_MARKERS, lang_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(rows)],
+        "doc_id: long, text: string, lang: string",
+    )
+
+
+def _py_minhash(text: str, i: int) -> int:
+    toks = text.split(" ")
+    shingles = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+    a, b = dedup._minhash_ab(i)
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dedup.MINHASH_P
+        for s in shingles
+    ]
+    return min((a * h + b) % dedup.MINHASH_P for h in hs)
+
+
+def test_minhash_matches_pure_python(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = dedup.minhash_signatures(_docs(spark, [text]))
+    row = df.collect()[0]
+    for i in range(dedup.N_MINHASH):
+        assert row[f"sig_{i}"] == _py_minhash(text, i), f"sig_{i}"
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    pairs = dedup.minhash_candidate_pairs(
+        _docs(spark, [text, text, "totally different words here now ok yes"])
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["d1"], p["d2"]) == (0, 1)
+    assert p["n_shared_bands"] == dedup.N_BANDS
+
+
+def test_minhash_skips_short_docs(spark):
+    df = dedup.minhash_signatures(_docs(spark, ["one two", "a b c d e"]))
+    assert [r["doc_id"] for r in df.collect()] == [1]
+
+
+def test_simhash_identical_distance_zero(spark):
+    text = "spark scales out not up across many machines"
+    out = dedup.simhash_pairs(_docs(spark, [text, text]))
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["hamming"] == 0
+
+
+def _py_simhash(text: str) -> int:
+    votes = [0] * dedup.SIMHASH_BITS
+    for tok in text.split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        for j in range(dedup.SIMHASH_BITS):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j, v in enumerate(votes) if v > 0)
+
+
+def test_simhash_matches_pure_python(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    row = dedup.simhash(_docs(spark, [text])).collect()[0]
+    assert row["simhash"] == _py_simhash(text)
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    df = _docs(spark, ["same text here", "same text here", "other text now"])
+    groups = {r["keep_id"]: r["n_copies"]
+              for r in dedup.exact_dedup_groups(df).collect()}
+    assert groups == {0: 2, 2: 1}
+
+
+def test_plane_signs_are_stable(spark):
+    signs = similarity._plane_signs()
+    assert len(signs) == similarity.N_PLANES
+    assert all(len(p) == similarity.EMBED_DIM for p in signs)
+    assert all(s in (-1, 1) for p in signs for s in p)
+    # Regression pin: derivation change would silently re-bucket vectors.
+    assert signs[0][:8] == [-1, 1, 1, 1, -1, -1, -1, -1]
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(i, [float(i + 1)] * 4) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = similarity.cosine_topk(df, n_queries=1, k=2).collect()
+    # All vectors are parallel → cosine 1.0 for every neighbor.
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-12 for r in out)
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_multimodal_features_match_hashlib(spark):
+    docs = _docs(spark, ["hello world of binary payloads"])
+    row = multimodal.extract_features(multimodal.attach_payload(docs)).collect()[0]
+    h = hashlib.md5(b"hello world of binary payloads").hexdigest()
+    h32 = int(h[:8], 16)
+    assert row["content_hash"] == h
+    assert row["n_bytes"] == 30
+    assert row["fake_width"] == 1 + h32 % 1920
+    assert row["fake_height"] == 1 + h32 % 1080
+
+
+def test_lang_scores_argmax_tiebreak(spark):
+    # 'la' scores for both es and fr; tie breaks deterministically to es.
+    df = _docs(spark, ["la la la"])
+    row = lang_scores(df).collect()[0]
+    assert row["score_es"] == 3 and row["score_fr"] == 3
+    assert row["predicted_lang"] == "es"
+
+
+def test_clean_corpus_drops_low_quality_and_copies(spark):
+    good = " ".join(["word"] * 30)
+    short = "too short"
+    df = _docs(spark, [good, short])
+    out = dedup.clean_corpus(dedup.with_copies(df))
+    kept = [r["doc_id"] for r in out.collect()]
+    assert kept == [0]
