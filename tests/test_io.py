@@ -1,0 +1,81 @@
+"""Format-matrix tests for sources/io.py (SURVEY §2.1 S1-S8).
+
+Parquet, CSV (with null token), JSON round-trips; XLSX is skipped when
+no xlsx engine is installed (the write path is driver-side pandas, as in
+the reference). Raw line counting and pipe-CSV error reads are the S7/S8
+operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.generator import generate_bankdata
+from etl_validator_github_spark.sources import io as sio
+
+
+@pytest.fixture(scope="module")
+def bank(spark):
+    return generate_bankdata(spark, 20, seed=246)
+
+
+def test_parquet_roundtrip(spark, bank, tmp_path):
+    path = str(tmp_path / "bank.parquet")
+    sio.write_bankdata(bank, path, fmt="parquet")
+    back = sio.read_bankdata(spark, path)
+    assert back.count() == 20
+    assert back.columns == bank.columns
+
+
+def test_csv_roundtrip_with_null_token(spark, bank, tmp_path):
+    path = str(tmp_path / "bank.csv")
+    sio.write_bankdata(bank, path, fmt="csv", null_display="NULL")
+    raw = spark.read.text(f"{path}/*.csv")
+    assert raw.filter(F.col("value").contains("PayeeID")).count() >= 1
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 20
+
+
+def test_json_roundtrip(spark, bank, tmp_path):
+    path = str(tmp_path / "bank.json")
+    sio.write_bankdata(bank, path, fmt="json")
+    back = spark.read.json(path)
+    assert back.count() == 20
+
+
+def test_xlsx_write(bank, tmp_path):
+    pytest.importorskip("openpyxl")
+    path = str(tmp_path / "bank.xlsx")
+    sio.write_bankdata(bank, path, fmt="xlsx")
+    import os
+
+    assert os.path.getsize(path) > 0
+
+
+def test_unsupported_format_raises(bank, tmp_path):
+    with pytest.raises(ValueError, match="unsupported"):
+        sio.write_bankdata(bank, str(tmp_path / "x"), fmt="orc2")
+
+
+def test_raw_data_row_count_tolerates_blank_lines(spark, tmp_path):
+    p = tmp_path / "err.csv"
+    p.write_text("FILENAME|PayeeId|ERROR_DESC\nf|P1|bad\n\nf|P2|worse\n\n")
+    # header excluded, blank lines ignored (PIPE:969-989 semantics)
+    assert sio.raw_data_row_count(spark, str(p)) == 2
+
+
+def test_read_error_csv_pipe_delimited(spark, tmp_path):
+    p = tmp_path / "err2.csv"
+    p.write_text(
+        "FILENAME|PayeeId|ERROR_DESC\n"
+        "f.parquet|MFR003|RoutingTransitNumber must be 9 digits\n"
+    )
+    df = sio.read_error_csv(spark, str(p))
+    row = df.collect()[0]
+    assert row["PayeeId"] == "MFR003"
+    assert "9 digits" in row["ERROR_DESC"]
+
+
+def test_archive_path_layout():
+    assert sio.archive_path("/a", 2026, 3) == "/a/archive/2026/03"
