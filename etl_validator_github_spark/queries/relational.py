@@ -626,6 +626,31 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP over (priority, status) — subtotals + grand total
+# in one pass (Spark expands to a single shuffle with grouping-id).
+# ---------------------------------------------------------------------------
+
+
+def _rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_spend"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spend
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+# ---------------------------------------------------------------------------
 # Schema-drift detection (R24): compare an arriving frame's columns to an
 # expected contract, reporting ok/missing/extra per column — the file-
 # level validation the reference runs before row rules (PIPE:2279-2408).
@@ -705,5 +730,7 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "equivalent plain groupBy."),
         Query("schema_drift", _schema_drift, _SCHEMA_DRIFT_SQL,
               "File-level schema validation: ok/missing/extra columns (R24)."),
+        Query("rollup_order_counts", _rollup_order_counts, _ROLLUP_SQL,
+              "ROLLUP grouping sets: subtotals + grand total in one pass."),
     ]
 }

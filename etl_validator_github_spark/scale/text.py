@@ -191,6 +191,49 @@ FROM tok
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters: top terms per language — explode → count → tie-
+# broken top-k per group. The shuffle key is (lang, token); map-side
+# partial aggregation keeps the explosion from amplifying the shuffle.
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 10
+
+
+def top_terms_per_lang(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("lang", F.explode(tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
+def _top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_terms_per_lang(load(spark, sf_dir, "documents"))
+
+
+_TOP_TERMS_SQL = f"""
+WITH counts AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), agg AS (
+  SELECT lang, token, COUNT(*) AS n FROM counts GROUP BY 1, 2
+)
+SELECT lang, token, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS INT) AS rnk
+FROM agg
+QUALIFY rnk <= {TOP_TERMS_K}
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -200,5 +243,7 @@ TEXT_QUERIES: dict[str, Query] = {
               "Marker-based language-ID heuristic with deterministic argmax."),
         Query("text_fingerprint", _fingerprint_q, _FP_SQL,
               "Canonical md5 + MinHash signature fingerprints."),
+        Query("text_top_terms", _top_terms_q, _TOP_TERMS_SQL,
+              "Heavy-hitter terms per language (tie-broken top-k)."),
     ]
 }
