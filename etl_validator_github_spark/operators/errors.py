@@ -65,16 +65,24 @@ def write_error_csv(
     error_records: DataFrame,
     path: str,
     single_file: bool = True,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Pipe-delimited error CSV sink.
 
     ``single_file=True`` mirrors the reference's one-CSV-per-run semantics
     (mtfdm_{env}_dmbankerrorfile_{ts}.csv) via coalesce(1) — correct for
-    per-batch error files which are small relative to input. For massive
-    error volumes pass single_file=False and let Spark write partitioned
-    output.
+    per-batch error files which are small relative to input. At the 100 TB
+    design point pass ``single_file=False`` with ``partition_by`` (e.g.
+    batch/date columns, SURVEY §4) so the sink lays out
+    ``path/col=value/part-*.csv`` and downstream reads prune partitions.
     """
-    out = error_records.select(*ERROR_FILE_COLUMNS)
-    if single_file:
+    cols = list(ERROR_FILE_COLUMNS) + [
+        c for c in (partition_by or []) if c not in ERROR_FILE_COLUMNS
+    ]
+    out = error_records.select(*cols)
+    if single_file and not partition_by:
         out = out.coalesce(1)
-    out.write.mode("overwrite").option("header", True).option("sep", "|").csv(path)
+    writer = out.write.mode("overwrite").option("header", True).option("sep", "|")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)

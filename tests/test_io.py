@@ -79,3 +79,26 @@ def test_read_error_csv_pipe_delimited(spark, tmp_path):
 
 def test_archive_path_layout():
     assert sio.archive_path("/a", 2026, 3) == "/a/archive/2026/03"
+
+
+def test_partitioned_error_sink(spark, tmp_path):
+    from etl_validator_github_spark.operators.errors import write_error_csv
+
+    records = spark.createDataFrame(
+        [("f.parquet", "P1", "bad", "2026-08-01"),
+         ("f.parquet", "P2", "worse", "2026-08-02")],
+        "FILENAME string, PayeeId string, ERROR_DESC string, batch_date string",
+    )
+    path = str(tmp_path / "errs")
+    write_error_csv(records, path, single_file=False,
+                    partition_by=["batch_date"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("batch_date=")
+    ) == ["batch_date=2026-08-01", "batch_date=2026-08-02"]
+    back = (
+        spark.read.option("header", True).option("sep", "|")
+        .option("basePath", path).csv(f"{path}/batch_date=2026-08-01")
+    )
+    assert [r["PayeeId"] for r in back.collect()] == ["P1"]
