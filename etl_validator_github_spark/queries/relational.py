@@ -138,6 +138,120 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q6: forecast revenue change — pure scan+filter+sum; the pushdown
+# showcase (every predicate reaches the parquet reader).
+# ---------------------------------------------------------------------------
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+             / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting — who returned the most revenue.
+# ---------------------------------------------------------------------------
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+              / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# Q14: promotion revenue share — conditional-sum ratio (exact ints, one
+# final IEEE division).
+# ---------------------------------------------------------------------------
+
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01"))
+    )
+    rev = cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    economy = F.sum(
+        F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("long"))
+    )
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (economy / F.lit(100.0)).alias("economy_revenue"),
+            (total / F.lit(100.0)).alias("total_revenue"),
+            (F.lit(100.0) * economy / total).alias("economy_share_pct"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) / 100.0 AS economy_revenue,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue,
+       CAST(100.0 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
+             / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS economy_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-10-01'
+"""
+
+# ---------------------------------------------------------------------------
 # Top-10 customers by revenue (join → agg → deterministic top-k, O1/O2).
 # ---------------------------------------------------------------------------
 
@@ -699,6 +813,13 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "3-way join + agg + deterministic top-10.", bench=True),
         Query("q5_local_supplier", _q5, _Q5_SQL,
               "6-way join with broadcast dims (TPC-H Q5 shape).", bench=True),
+        Query("q6_forecast_revenue", _q6, _Q6_SQL,
+              "Pure scan+filter+sum; full predicate pushdown (TPC-H Q6 shape).",
+              bench=True),
+        Query("q10_returned_items", _q10, _Q10_SQL,
+              "Returned-item revenue top-20 (TPC-H Q10 shape).", bench=True),
+        Query("q14_promo_share", _q14, _Q14_SQL,
+              "Conditional-sum revenue share (TPC-H Q14 shape)."),
         Query("top_customers", _top_customers, _TOP_CUSTOMERS_SQL,
               "Join + agg + tie-broken top-k (O1/O2)."),
         Query("customers_with_high_value_orders", _customers_with_high_value_orders,
