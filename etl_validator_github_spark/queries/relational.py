@@ -804,6 +804,211 @@ WHERE e.column_name IS NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 shape: priority counts over orders with EXISTS-style semi-join that
+# carries a non-equi condition (late shipment). The semi-join keeps the
+# orders side un-duplicated — no fan-out, no distinct needed — and the
+# extra predicate rides the join instead of a second pass.
+# ---------------------------------------------------------------------------
+
+
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (F.to_date(li.l_shipdate) > F.date_add(F.to_date(orders.o_orderdate), 60)),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q12 shape: two-way conditional counts (high- vs low-priority orders) per
+# lineitem status — CASE-sum inside one hash agg after an equi-join.
+# ---------------------------------------------------------------------------
+
+
+def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — left outer join so
+# zero-order customers survive, then a second aggregation over the first
+# (count-of-counts). Two shuffles by construction; the first groups on
+# the join key so it reuses the join's partitioning.
+# ---------------------------------------------------------------------------
+
+
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY 1
+)
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume orders — agg-filtered key list (HAVING) joined
+# back to the fact tables, deterministic top-100. The keep-list join is
+# the same shape as corpus_clean's dedup keep-list semi-join.
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 200
+
+
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice,
+       CAST(round(total_qty) AS BIGINT) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(round(SUM(l_quantity)) AS BIGINT) > {Q18_QTY_THRESHOLD}
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-attribute predicates (brand × size ×
+# quantity OR-branches) over a broadcast part join. Catalyst pushes the
+# part-only disjuncts into the dim scan; the OR across joined columns
+# stays as the join filter.
+# ---------------------------------------------------------------------------
+
+
+def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        joined.filter(branch1 | branch2 | branch3)
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+             / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -820,6 +1025,16 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "Returned-item revenue top-20 (TPC-H Q10 shape).", bench=True),
         Query("q14_promo_share", _q14, _Q14_SQL,
               "Conditional-sum revenue share (TPC-H Q14 shape)."),
+        Query("q4_late_orders", _q4, _Q4_SQL,
+              "EXISTS semi-join with non-equi condition (TPC-H Q4 shape)."),
+        Query("q12_priority_by_status", _q12, _Q12_SQL,
+              "Two-way conditional counts after equi-join (TPC-H Q12 shape)."),
+        Query("q13_order_count_distribution", _q13, _Q13_SQL,
+              "Outer-join count-of-counts distribution (TPC-H Q13 shape)."),
+        Query("q18_large_volume_orders", _q18, _Q18_SQL,
+              "HAVING keep-list joined back to facts, top-100 (TPC-H Q18 shape)."),
+        Query("q19_disjunctive_predicates", _q19, _Q19_SQL,
+              "OR-of-conjuncts predicate over broadcast dim join (TPC-H Q19 shape)."),
         Query("top_customers", _top_customers, _TOP_CUSTOMERS_SQL,
               "Join + agg + tie-broken top-k (O1/O2)."),
         Query("customers_with_high_value_orders", _customers_with_high_value_orders,
