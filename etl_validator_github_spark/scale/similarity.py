@@ -260,6 +260,151 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF search: coarse-quantize into cells, assign every vector to its
+# nearest cell, probe the nprobe nearest cells per query, exact-rescore
+# inside the probed cells. Cosine is scale-invariant, so the per-label
+# SUM vector works as the cell direction with exact BIGINT math — no
+# mean division, no float accumulation. At 100 TB: the assignment is a
+# broadcast of K tiny centroids against the corpus (one map pass), and
+# candidate generation shuffles on the cell id — work is corpus/K per
+# probe instead of all-pairs.
+# ---------------------------------------------------------------------------
+
+N_PROBE = 2
+
+_SQL_DOT = ("CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+            "i -> {a}[i] * {b}[i])) AS BIGINT)")
+
+
+def ivf_cells(embeddings: DataFrame) -> DataFrame:
+    """label → summed direction vector (array<bigint>) + its norm².
+
+    Built via posexplode → per-(label, dim) partial sums → re-assembled
+    sorted by dim: the shuffle key space is labels × dims (tiny), and
+    partial aggregation happens map-side — never a collect_list of raw
+    vectors per cell.
+    """
+    vecs = embeddings.select(
+        "label", F.expr(_QUANT.format(col="embedding")).alias("qv")
+    )
+    partial = (
+        vecs.select("label", F.posexplode("qv").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"))
+    )
+    cells = partial.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+        .alias("cv")
+    )
+    return cells.withColumn("cnorm2", F.expr(_DOT.format(a="cv", b="cv")))
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+             k: int = TOP_K, nprobe: int = N_PROBE) -> DataFrame:
+    """Approximate top-k neighbors via IVF cell probing."""
+    from pyspark.sql import Window
+
+    vecs = quantized(embeddings)
+    cells = ivf_cells(embeddings)
+    cell_cos = (
+        F.expr(_DOT.format(a="qv", b="cv"))
+        / (F.sqrt("norm2") * F.sqrt("cnorm2"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("label")
+    )
+    ranked = (
+        vecs.crossJoin(F.broadcast(cells))
+        .withColumn("cell_cos", cell_cos)
+        .withColumn("cell_rank", F.row_number().over(w_assign))
+    )
+    assign = ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", F.col("label").alias("cell"), "qv", "norm2"
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= nprobe)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    cand_cos = (
+        F.expr(_DOT.format(a="q_qv", b="qv"))
+        / (F.sqrt("q_norm2") * F.sqrt("norm2"))
+    )
+    cands = (
+        F.broadcast(probes).join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cand_cos.alias("cos_sim"),
+        )
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w_topk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _ivf_sql() -> str:
+    dot_qc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    dot_qq = _SQL_DOT.format(a="p.q_qv", b="a.qv")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), with_norm AS (
+  SELECT vec_id, label, qv,
+         {_SQL_DOT.format(a="qv", b="qv")} AS norm2
+  FROM vecs
+), dims AS (
+  SELECT unnest(range(1, 65)) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), ranked AS (
+  SELECT v.vec_id, v.qv, v.norm2, c.label,
+         CAST(row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_qc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS INT) AS cell_rank
+  FROM with_norm v CROSS JOIN cells c
+), assign AS (
+  SELECT vec_id, label AS cell, qv, norm2 FROM ranked WHERE cell_rank = 1
+), probes AS (
+  SELECT vec_id AS query_id, label AS cell, qv AS q_qv, norm2 AS q_norm2
+  FROM ranked WHERE vec_id < {N_QUERIES} AND cell_rank <= {N_PROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {dot_qq} / (sqrt(p.q_norm2) * sqrt(a.norm2)) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank,
+       cos_sim
+FROM cand
+QUALIFY rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -269,6 +414,9 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Random-hyperplane LSH bucketed ANN candidate pairs."),
         Query("embed_label_centroids", _centroids_q, _CENTROIDS_SQL,
               "Per-label centroid build (IVF coarse quantizer)."),
+        Query("embed_ivf_topk", _ivf_q, _ivf_sql(),
+              "IVF search: cell assignment → nprobe=2 probing → exact "
+              "rescoring inside probed cells."),
         Query("dedup_embedding_cosine", _near_dup_q, _near_dup_sql(),
               "Embedding-cosine near-dup pairs over LSH buckets."),
     ]

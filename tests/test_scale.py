@@ -138,3 +138,40 @@ def test_clean_corpus_drops_low_quality_and_copies(spark):
     out = dedup.clean_corpus(dedup.with_copies(df))
     kept = [r["doc_id"] for r in out.collect()]
     assert kept == [0]
+
+
+def _vecs(spark, rows):
+    # rows: list of (vec_id, [floats], label)
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+
+
+def test_ivf_topk_finds_exact_neighbor_in_probed_cell(spark):
+    # Two well-separated directions; labels match the geometry, so the
+    # nearest neighbor always lives in the probed cell and IVF == exact.
+    rows = [
+        (0, [1.0, 0.0, 0.01], 0),
+        (1, [0.99, 0.01, 0.0], 0),
+        (2, [0.98, 0.0, 0.02], 0),
+        (3, [0.0, 1.0, 0.01], 1),
+        (4, [0.01, 0.99, 0.0], 1),
+    ]
+    out = similarity.ivf_topk(_vecs(spark, rows), n_queries=1, k=2).collect()
+    # cos(v0,v2) > cos(v0,v1): v2's tiny third component aligns with v0's.
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [2, 1]
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in out)
+
+
+def test_ivf_assignment_is_deterministic_and_total(spark):
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(4)], i % 3)
+            for i in range(12)]
+    df = _vecs(spark, rows)
+    cells = similarity.ivf_cells(df)
+    assert cells.count() == 3
+    out1 = similarity.ivf_topk(df, n_queries=3, k=4).collect()
+    out2 = similarity.ivf_topk(df, n_queries=3, k=4).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(out1, key=key) == sorted(out2, key=key)
+    for r in out1:
+        assert 1 <= r.rank <= 4 and r.neighbor_id != r.query_id
