@@ -581,6 +581,69 @@ FROM per_session GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent click at or
+# before it. Spark has no ASOF JOIN operator; the scalable re-expression
+# is union-the-sides + carry-forward window — ONE shuffle on user_id and
+# a linear in-partition pass, versus the O(n²)-per-user inequality join a
+# naive translation would produce. DuckDB's native ASOF LEFT JOIN is the
+# oracle, which also pins the inclusive (ts_click <= ts_purchase)
+# semantics. Same-µs click ties collapse to max event_id BEFORE the
+# union so both engines see one candidate per instant.
+# ---------------------------------------------------------------------------
+
+
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "ts_us", "event_id", F.lit(0).alias("is_p"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", F.lit(1).alias("is_p")
+    )
+    both = clicks.unionAll(purchases)
+    # Clicks sort before purchases at the same instant (is_p asc), so the
+    # carry-forward value at a purchase row includes same-µs clicks.
+    w = Window.partitionBy("user_id").orderBy("ts_us", "is_p", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    click_only = lambda c: F.when(F.col("is_p") == 0, c)  # noqa: E731
+    tagged = both.withColumn(
+        "last_click_id", F.last(click_only(F.col("event_id")), ignorenulls=True).over(w)
+    ).withColumn(
+        "last_click_ts", F.last(click_only(F.col("ts_us")), ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "last_click_id",
+        (F.col("ts_us") - F.col("last_click_ts")).alias("gap_us"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2
+), purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts_us AS purchase_ts_us,
+       c.event_id AS last_click_id,
+       p.ts_us - c.ts_us AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+# ---------------------------------------------------------------------------
 # Set operations (T1/T2/T3, PIPE:941-956): intersect / except / union with
 # provenance tags.
 # ---------------------------------------------------------------------------
@@ -1055,6 +1118,9 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "Tumbling-window rollup + regex prop extraction.", bench=True),
         Query("events_sessionize", _events_sessionize, _SESSIONIZE_SQL,
               "Gap-based sessionization via lag + cumulative windows.", bench=True),
+        Query("events_asof_join", _events_asof_join, _ASOF_SQL,
+              "As-of join via union + carry-forward window (oracle: native "
+              "ASOF LEFT JOIN)."),
         Query("nation_balance_setops", _nation_balance_setops, _SETOPS_SQL,
               "INTERSECT/EXCEPT/UNION with provenance tags (T1-T3)."),
         Query("status_rollup", _status_rollup, _STATUS_ROLLUP_SQL,
