@@ -72,13 +72,15 @@ class Rule:
     valid: Callable[[], Column]
     applies_when: Callable[[], Column] | None = None
 
-    def error_expr(self) -> Column:
+    def violation_expr(self) -> Column:
+        """Boolean: the rule applies and the row is not valid."""
         ok = F.coalesce(self.valid(), F.lit(False))
         if self.applies_when is not None:
-            fails = F.coalesce(self.applies_when(), F.lit(False)) & ~ok
-        else:
-            fails = ~ok
-        return F.when(fails, F.lit(self.message))
+            return F.coalesce(self.applies_when(), F.lit(False)) & ~ok
+        return ~ok
+
+    def error_expr(self) -> Column:
+        return F.when(self.violation_expr(), F.lit(self.message))
 
 
 def _c(name: str) -> Column:
@@ -543,7 +545,31 @@ def _all_blank(fields: tuple[str, ...]) -> Column:
 def compile_rules(rules: list[Rule]) -> Column:
     """Compile a rule list into one ``array<string>`` errors expression.
 
-    One projection, evaluated in a single pass under whole-stage codegen;
-    deterministic message order = catalog order.
+    One projection, single pass, deterministic message order = catalog
+    order. Note: ``array_compact`` lowers to a higher-order ``filter``
+    lambda, which whole-stage codegen does NOT support — so any stage
+    containing this expression evaluates interpreted. Keep it off the
+    hot filter path (see ``compile_any_violation``).
     """
     return F.array_compact(F.array(*[r.error_expr() for r in rules]))
+
+
+def compile_any_violation(rules: list[Rule]) -> Column:
+    """Boolean OR of every rule's violation predicate.
+
+    Equivalent to ``size(compile_rules(rules)) > 0`` but built purely
+    from codegen-supported primitives (no array, no lambda, no message
+    literals), so a filter on it stays inside whole-stage codegen —
+    useful for a cheap "does this batch contain any violation at all"
+    gate. Measured caveat: as a pre-filter in front of the error-array
+    projection it does NOT speed up validation (per-row cost is
+    regex-dominated either way) and doubles planning time; see
+    ``validate.failing_records``.
+    """
+    out: Column | None = None
+    for r in rules:
+        v = r.violation_expr()
+        out = v if out is None else out | v
+    if out is None:
+        return F.lit(False)
+    return out

@@ -26,7 +26,6 @@ from etl_validator_github_spark.operators.rules import Rule, compile_rules
 from etl_validator_github_spark.operators.validate import (
     failing_records,
     summarize_errors,
-    with_errors,
 )
 from etl_validator_github_spark.contract import Query, load
 
@@ -85,7 +84,7 @@ WHERE e1 IS NOT NULL OR e2 IS NOT NULL OR e3 IS NOT NULL OR e4 IS NOT NULL
 
 def _validate_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    errs = with_errors(cust, rules=customer_rules()).filter(F.size("__errors") > 0)
+    errs = failing_records(cust, rules=customer_rules())
     return summarize_errors(errs)
 
 
@@ -227,7 +226,7 @@ def _bankdata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(key.between(40, 49), F.lit("checking")).otherwise(F.col("AccountType")),
         )
     )
-    errs = with_errors(df).filter(F.size("__errors") > 0)
+    errs = failing_records(df)
     return summarize_errors(errs)
 
 
