@@ -644,6 +644,57 @@ ASOF LEFT JOIN clicks c
 """
 
 # ---------------------------------------------------------------------------
+# Range join: events matched to overlapping value intervals (derived
+# from nation keys). Implemented with the grid-bucketed range-join
+# operator (plans/range_join.py) — an equi-join on the bucket key
+# instead of the BroadcastNestedLoopJoin Spark would otherwise plan for
+# BETWEEN — then aggregated per interval. Oracle: plain BETWEEN join.
+# ---------------------------------------------------------------------------
+
+_RANGE_WIDTH = 18.0
+_RANGE_SPAN = 36.0
+
+
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_validator_github_spark.plans.range_join import bucketed_range_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "value")
+    intervals = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey") * _RANGE_WIDTH).alias("lo"),
+        (F.col("n_nationkey") * _RANGE_WIDTH + _RANGE_SPAN).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        ev, intervals, point_col="value", lo_col="lo", hi_col="hi",
+        bucket_width=_RANGE_WIDTH,
+    )
+    return (
+        joined.groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("value_total"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH intervals AS (
+  SELECT n_nationkey, n_name,
+         n_nationkey * {_RANGE_WIDTH} AS lo,
+         n_nationkey * {_RANGE_WIDTH} + {_RANGE_SPAN} AS hi
+  FROM nation
+)
+SELECT n_nationkey, n_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_total
+FROM events JOIN intervals ON value BETWEEN lo AND hi
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Set operations (T1/T2/T3, PIPE:941-956): intersect / except / union with
 # provenance tags.
 # ---------------------------------------------------------------------------
@@ -1121,6 +1172,9 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("events_asof_join", _events_asof_join, _ASOF_SQL,
               "As-of join via union + carry-forward window (oracle: native "
               "ASOF LEFT JOIN)."),
+        Query("events_range_join", _events_range_join, _RANGE_JOIN_SQL,
+              "Grid-bucketed range join (equi-join on bucket key instead "
+              "of nested-loop BETWEEN)."),
         Query("nation_balance_setops", _nation_balance_setops, _SETOPS_SQL,
               "INTERSECT/EXCEPT/UNION with provenance tags (T1-T3)."),
         Query("status_rollup", _status_rollup, _STATUS_ROLLUP_SQL,

@@ -79,3 +79,45 @@ def test_lsh_paths_avoid_cartesian_products(spark, sf_dir, name):
     p = plan(spark, sf_dir, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_range_join_matches_naive_between(spark):
+    from etl_validator_github_spark.plans.range_join import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 9.99, 10.0, 17.5, 30.0, 99.9])],
+        "pid: long, p: double",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 10.0, 20.0), (3, 5.0, 35.0), (4, 90.0, 95.0)],
+        "iid: long, lo: double, hi: double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_range_join(
+            points, intervals, "p", "lo", "hi", bucket_width=7.0
+        ).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter("p BETWEEN lo AND hi")
+        .collect()
+    )
+    assert got == naive
+    # bounds are inclusive on both ends: p=10.0 hits [0,10] AND [10,20]
+    assert (3, 1) in got and (3, 2) in got
+
+
+def test_bucketed_range_join_plans_as_hash_join(spark):
+    from etl_validator_github_spark.plans.range_join import bucketed_range_join
+
+    points = spark.range(100).selectExpr("id AS pid", "CAST(id AS DOUBLE) AS p")
+    intervals = spark.range(5).selectExpr(
+        "id AS iid", "CAST(id * 20 AS DOUBLE) AS lo", "CAST(id * 20 + 30 AS DOUBLE) AS hi"
+    )
+    plan = explain_str(
+        bucketed_range_join(points, intervals, "p", "lo", "hi", bucket_width=20.0)
+    )
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
