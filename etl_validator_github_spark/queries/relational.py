@@ -695,6 +695,82 @@ ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q2 essence: correlated scalar subquery (min per group) decorrelated
+# into a window min — one shuffle on the group key instead of a
+# re-executed subquery per row.
+# ---------------------------------------------------------------------------
+
+
+def _min_balance_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        sup.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+_MIN_BAL_SQL = """
+SELECT s_suppkey, s_name, n_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT MIN(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = supplier.s_nationkey
+)
+ORDER BY s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
+# Exact percentile aggregates per order priority. Percentiles run over
+# integer cents so both engines interpolate between identical BIGINTs;
+# the result is rounded back to cents to absorb any last-bit difference
+# in the two engines' (mathematically identical) interpolation formulas.
+# ---------------------------------------------------------------------------
+
+
+def _order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    pct = lambda p: (F.round(F.percentile(c, F.lit(p))) / F.lit(100.0))  # noqa: E731
+    return (
+        orders.withColumn("__cents", c)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            (F.min("__cents") / F.lit(100.0)).alias("min_price"),
+            pct(0.5).alias("median_price"),
+            pct(0.9).alias("p90_price"),
+            (F.max("__cents") / F.lit(100.0)).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PERCENTILES_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(MIN(cents) AS BIGINT) / 100.0 AS min_price,
+       round(quantile_cont(cents, 0.5)) / 100.0 AS median_price,
+       round(quantile_cont(cents, 0.9)) / 100.0 AS p90_price,
+       CAST(MAX(cents) AS BIGINT) / 100.0 AS max_price
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Set operations (T1/T2/T3, PIPE:941-956): intersect / except / union with
 # provenance tags.
 # ---------------------------------------------------------------------------
@@ -1175,6 +1251,12 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("events_range_join", _events_range_join, _RANGE_JOIN_SQL,
               "Grid-bucketed range join (equi-join on bucket key instead "
               "of nested-loop BETWEEN)."),
+        Query("min_balance_suppliers", _min_balance_suppliers, _MIN_BAL_SQL,
+              "Correlated min subquery decorrelated to a window (TPC-H Q2 "
+              "essence)."),
+        Query("order_value_percentiles", _order_percentiles, _PERCENTILES_SQL,
+              "Exact percentiles + count-distinct per priority over integer "
+              "cents."),
         Query("nation_balance_setops", _nation_balance_setops, _SETOPS_SQL,
               "INTERSECT/EXCEPT/UNION with provenance tags (T1-T3)."),
         Query("status_rollup", _status_rollup, _STATUS_ROLLUP_SQL,
