@@ -234,11 +234,77 @@ QUALIFY rnk <= {TOP_TERMS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-modal composition: quality-gated docs joined to their embedding
+# rows — the canonical curation-pipeline shape (text filter feeding a
+# vector stage). The quality filter runs BEFORE the join so the join
+# input is already pruned; per-lang rollup aggregates exact quantized
+# embedding norms.
+# ---------------------------------------------------------------------------
+
+
+def quality_doc_embeddings(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    from etl_validator_github_spark.scale.similarity import quantized
+
+    quality = text_stats(docs).filter(F.col("is_quality") == 1).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    vecs = quantized(embeddings)
+    return (
+        quality.join(vecs, quality.doc_id == vecs.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_quality_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("norm2").alias("sum_norm2"),
+            (F.sum("norm2") / F.count(F.lit(1))).alias("avg_norm2"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _quality_embed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_doc_embeddings(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
+_QUALITY_EMBED_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), quality AS (
+  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens
+  FROM tok
+  WHERE len(toks) >= 20 AND len(toks) <= 1000
+    AND ({_sql_count_in(_STOPWORDS)} / CAST(len(toks) AS INT)) < 0.5
+), vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), norms AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS norm2
+  FROM vecs
+)
+SELECT lang,
+       COUNT(*) AS n_quality_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(norm2) AS BIGINT) AS sum_norm2,
+       CAST(SUM(norm2) AS BIGINT) / COUNT(*) AS avg_norm2
+FROM quality JOIN norms ON doc_id = vec_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("text_stats", _text_stats_q, _STATS_SQL,
               "Token counts, quality ratios, BPE-ish piece counts.", bench=True),
+        Query("text_quality_embeddings", _quality_embed_q, _QUALITY_EMBED_SQL,
+              "Cross-modal pipeline: quality-gated docs joined to embedding "
+              "norms, per-lang rollup."),
         Query("text_lang_id", _lang_id_q, _lang_sql(),
               "Marker-based language-ID heuristic with deterministic argmax."),
         Query("text_fingerprint", _fingerprint_q, _FP_SQL,
