@@ -6,7 +6,7 @@ the full operator catalog from ``etl_validator_github_spark.queries``:
 every SURVEY.md §2 operator family plus the scale extensions (dedup,
 similarity search, text analysis, multimodal plumbing), each with a
 DuckDB oracle where SQL-expressible. Determinism engineering notes live
-in ``etl_validator_github_spark/queries/base.py``.
+in ``etl_validator_github_spark/contract.py``.
 """
 
 from __future__ import annotations

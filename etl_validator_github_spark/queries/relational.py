@@ -2,7 +2,7 @@
 
 Each query maps reference operators onto the driver's TPC-H-ish testdata
 tables and carries a DuckDB oracle. Operator provenance is cited per
-query; expressions follow the determinism rules in queries/base.py.
+query; expressions follow the determinism rules in contract.py.
 """
 
 from __future__ import annotations
@@ -1222,7 +1222,8 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("q13_order_count_distribution", _q13, _Q13_SQL,
               "Outer-join count-of-counts distribution (TPC-H Q13 shape)."),
         Query("q18_large_volume_orders", _q18, _Q18_SQL,
-              "HAVING keep-list joined back to facts, top-100 (TPC-H Q18 shape)."),
+              "HAVING keep-list joined back to facts, top-100 (TPC-H Q18 "
+              "shape).", bench=True),
         Query("q19_disjunctive_predicates", _q19, _Q19_SQL,
               "OR-of-conjuncts predicate over broadcast dim join (TPC-H Q19 shape)."),
         Query("top_customers", _top_customers, _TOP_CUSTOMERS_SQL,
@@ -1247,10 +1248,10 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "Gap-based sessionization via lag + cumulative windows.", bench=True),
         Query("events_asof_join", _events_asof_join, _ASOF_SQL,
               "As-of join via union + carry-forward window (oracle: native "
-              "ASOF LEFT JOIN)."),
+              "ASOF LEFT JOIN).", bench=True),
         Query("events_range_join", _events_range_join, _RANGE_JOIN_SQL,
               "Grid-bucketed range join (equi-join on bucket key instead "
-              "of nested-loop BETWEEN)."),
+              "of nested-loop BETWEEN).", bench=True),
         Query("min_balance_suppliers", _min_balance_suppliers, _MIN_BAL_SQL,
               "Correlated min subquery decorrelated to a window (TPC-H Q2 "
               "essence)."),

@@ -416,7 +416,7 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Per-label centroid build (IVF coarse quantizer)."),
         Query("embed_ivf_topk", _ivf_q, _ivf_sql(),
               "IVF search: cell assignment → nprobe=2 probing → exact "
-              "rescoring inside probed cells."),
+              "rescoring inside probed cells.", bench=True),
         Query("dedup_embedding_cosine", _near_dup_q, _near_dup_sql(),
               "Embedding-cosine near-dup pairs over LSH buckets."),
     ]

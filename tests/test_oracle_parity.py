@@ -35,7 +35,7 @@ def duck():
 
 def _norm(v):
     # Exact comparison by design (integer-quantized aggregates; see
-    # queries/base.py). NaN normalized so tuples stay comparable.
+    # contract.py). NaN normalized so tuples stay comparable.
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     return v
