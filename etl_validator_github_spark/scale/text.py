@@ -297,6 +297,122 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-style pair counting: the inner loop of byte-pair/vocab induction is
+# "count adjacent token pairs, take the most frequent". One explode of
+# n-1 pairs per doc, then a hash agg on the pair key — map-side partial
+# agg keeps the shuffle at vocab-size, not corpus-size.
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_K = 50
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "          i -> concat(__toks[i - 1], ' ', __toks[i])) "
+        "ELSE array() END"
+    )
+    return (
+        docs.withColumn("__toks", F.split("text", " "))
+        .select("lang", F.explode(pairs).alias("pair"))
+        .groupBy("lang", "pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def top_bigrams(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        bigram_counts(docs)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_bigrams(load(spark, sf_dir, "documents"))
+
+
+_BIGRAMS_SQL = f"""
+WITH tok AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), pairs AS (
+  SELECT lang,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> concat(toks[i], ' ', toks[i + 1]))
+         ELSE [] END) AS pair
+  FROM tok
+), agg AS (
+  SELECT lang, pair, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT lang, pair, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair ASC) AS INT) AS rnk
+FROM agg
+QUALIFY rnk <= {BIGRAM_TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Fixed-size chunking: split every document into CHUNK_TOKENS-token
+# chunks (the LLM-training pre-tokenization shape). Pure column math —
+# sequence + slice + explode — so chunking stays JVM-side and
+# partitioning follows the parent doc (no shuffle at all).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, __n_chunks - 1), "
+        f"          i -> concat_ws(' ', slice(__toks, i * {chunk_tokens} + 1, "
+        f"{chunk_tokens})))"
+    )
+    return (
+        docs.withColumn("__toks", F.split("text", " "))
+        .withColumn("__n_chunks", n_chunks)
+        .select(
+            "doc_id", "lang",
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id", "lang",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(F.split("chunk_text", " ")).alias("chunk_tokens"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )
+
+
+def _chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+_CHUNKS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT)),
+                i -> struct_pack(idx := i,
+                                 txt := array_to_string(list_slice(toks,
+                                         i * {CHUNK_TOKENS} + 1,
+                                         i * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ')))) AS c
+  FROM tok
+)
+SELECT doc_id, lang,
+       CAST(c.idx AS INT) AS chunk_idx,
+       CAST(len(string_split(c.txt, ' ')) AS INT) AS chunk_tokens,
+       md5(c.txt) AS chunk_hash
+FROM chunks
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -311,5 +427,10 @@ TEXT_QUERIES: dict[str, Query] = {
               "Canonical md5 + MinHash signature fingerprints."),
         Query("text_top_terms", _top_terms_q, _TOP_TERMS_SQL,
               "Heavy-hitter terms per language (tie-broken top-k)."),
+        Query("text_bigram_vocab", _bigrams_q, _BIGRAMS_SQL,
+              "BPE-style adjacent-pair counts, top-50 per language."),
+        Query("text_chunks", _chunks_q, _CHUNKS_SQL,
+              "Fixed-50-token document chunking with per-chunk hashes "
+              "(shuffle-free)."),
     ]
 }

@@ -175,3 +175,20 @@ def test_ivf_assignment_is_deterministic_and_total(spark):
     assert sorted(out1, key=key) == sorted(out2, key=key)
     for r in out1:
         assert 1 <= r.rank <= 4 and r.neighbor_id != r.query_id
+
+
+def test_chunk_documents_edges(spark):
+    from etl_validator_github_spark.scale.text import chunk_documents
+
+    docs = _docs(spark, [
+        "a b c",                      # shorter than one chunk
+        " ".join(f"t{i}" for i in range(100)),  # exactly 2 chunks at 50
+        " ".join(f"t{i}" for i in range(101)),  # 2 full + 1 single-token
+    ])
+    out = chunk_documents(docs, chunk_tokens=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_tokens))
+    assert by_doc[0] == [(0, 3)]
+    assert sorted(by_doc[1]) == [(0, 50), (1, 50)]
+    assert sorted(by_doc[2]) == [(0, 50), (1, 50), (2, 1)]
