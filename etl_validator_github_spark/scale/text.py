@@ -413,6 +413,67 @@ FROM chunks
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: keep a doc iff the first 8 hex chars
+# of md5(doc_id) fall under a per-language threshold. Unlike rand()-based
+# sampling this is reproducible under ANY partitioning/executor count —
+# the property that matters when a 100 TB sample must be re-derivable —
+# and it needs no shuffle at all (pure per-row predicate; the rollup
+# after it is for the oracle check).
+# ---------------------------------------------------------------------------
+
+#: Per-language sample rates out of 2^32.
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.125}
+_H32 = 4294967296  # 2^32
+
+
+def sample_documents(docs: DataFrame) -> DataFrame:
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+               ).cast("long")
+    expr = None
+    for lang, rate in SAMPLE_RATES.items():
+        t = int(rate * _H32)
+        expr = (F.when(F.col("lang") == lang, F.lit(t)) if expr is None
+                else expr.when(F.col("lang") == lang, F.lit(t)))
+    thresh = expr.otherwise(F.lit(0))
+    return docs.withColumn("__h", h).filter(F.col("__h") < thresh).drop("__h")
+
+
+def _sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sampled = sample_documents(load(spark, sf_dir, "documents"))
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * _H32)}"
+        for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+         CASE lang {cases} ELSE 0 END AS thresh
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       MIN(doc_id) AS min_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM hashed WHERE h < thresh
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -432,5 +493,8 @@ TEXT_QUERIES: dict[str, Query] = {
         Query("text_chunks", _chunks_q, _CHUNKS_SQL,
               "Fixed-50-token document chunking with per-chunk hashes "
               "(shuffle-free)."),
+        Query("docs_sample_stratified", _sample_q, _sample_sql(),
+              "Deterministic md5-threshold stratified sampling "
+              "(partitioning-independent, no rand)."),
     ]
 }
