@@ -365,7 +365,12 @@ def bankdata_rules() -> list[Rule]:
             applies_when=lambda: not_blank("EffectiveStartDate"),
         )
     )
-    # R15 EffectiveEndDate optional; format when present; end >= start
+    # R15 EffectiveEndDate optional; format when present; end >= start.
+    # Deliberately NO hard "D records must have an end date" rule: the
+    # reference generator emits ~10% of D records with blank end dates in
+    # VALID data and documents "system uses current date" as the behavior
+    # (newaugsver_clean.py:176-191) — that defaulting lives in
+    # pipeline.default_end_date_for_deactivated, not the error catalog.
     # (GEN:176-204, 385-392).
     add(
         Rule(

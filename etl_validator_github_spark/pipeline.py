@@ -26,6 +26,33 @@ from etl_validator_github_spark.operators.validate import (
 from etl_validator_github_spark.sources.io import read_bankdata, write_single_csv
 
 
+def default_end_date_for_deactivated(
+    df: DataFrame, as_of: dt.date | None = None
+) -> DataFrame:
+    """Normalization, not validation: deactivated (RecordOperation=D)
+    records with a blank EffectiveEndDate get the current date.
+
+    The reference treats this as a SOFT rule — its own generator emits
+    ~10% of D records with blank end dates in *valid* data and documents
+    "if deactivated without end date, system uses current date"
+    (newaugsver_clean.py:176-191; tests/
+    test_effectiveenddate_blank_deactivated_record.py). A hard rejection
+    rule would fail the reference's valid base scenario, so the rule
+    catalog deliberately omits it and this transform implements the
+    documented defaulting behavior instead.
+    """
+    from pyspark.sql import functions as F
+
+    as_of_lit = F.lit((as_of or dt.date.today()).isoformat())
+    end = F.col("EffectiveEndDate").cast("string")
+    blank = F.coalesce(F.trim(end), F.lit("")) == ""
+    return df.withColumn(
+        "EffectiveEndDate",
+        F.when((F.col("RecordOperation") == "D") & blank, as_of_lit)
+        .otherwise(end),
+    )
+
+
 @dataclass
 class PipelineResult:
     input_path: str

@@ -190,3 +190,21 @@ def test_clear_r_columns(spark):
     row = out.first()
     assert row.RoutingTransitNumber is None
     assert row.PayeeID == "MFR001"
+
+
+def test_default_end_date_for_deactivated(spark):
+    import datetime as dt
+
+    from etl_validator_github_spark.pipeline import default_end_date_for_deactivated
+
+    df = spark.createDataFrame(
+        [
+            ("D", ""),            # deactivated, blank → defaulted
+            ("D", "2026-01-15"),  # deactivated, explicit → kept
+            ("A", ""),            # active, blank → stays blank
+        ],
+        "RecordOperation: string, EffectiveEndDate: string",
+    )
+    out = default_end_date_for_deactivated(df, as_of=dt.date(2026, 3, 10))
+    got = [r.EffectiveEndDate for r in out.orderBy("RecordOperation", "EffectiveEndDate").collect()]
+    assert got == ["", "2026-01-15", "2026-03-10"]
