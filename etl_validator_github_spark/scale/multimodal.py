@@ -99,9 +99,100 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(features, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+    StructField("scale_num", LongType()),   # exact rational scale =
+    StructField("scale_den", LongType()),   # target / max(w, h)
+])
+
+TARGET_EDGE = 256
+
+
+def resize_images(features: DataFrame, target_edge: int = TARGET_EDGE) -> DataFrame:
+    """Aspect-preserving resize metadata (longest edge → target).
+
+    STUB decode: real pixel resampling needs codec libraries; here the
+    stage computes the exact output geometry a resizer would use, as
+    integer arithmetic (floor(dim * target / long_edge)), batch-wise
+    over Arrow. The geometry math IS the production logic — only the
+    pixel pass is fake. Scale is carried as an exact rational
+    (target/long_edge) so downstream stays engine-exact.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["fake_width"].astype("int64")
+            h = pdf["fake_height"].astype("int64")
+            long_edge = w.combine(h, max)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_width": (w * target_edge // long_edge).astype("int32"),
+                "out_height": (h * target_edge // long_edge).astype("int32"),
+                "scale_num": pd.Series([target_edge] * len(pdf)).astype("int64"),
+                "scale_den": long_edge,
+            })
+
+    return features.select(
+        "doc_id", "fake_width", "fake_height"
+    ).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_hash", StringType()),
+])
+
+FRAME_STRIDE = 4
+
+
+def sample_frames(features: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Every ``stride``-th frame index per video payload (frame 0 always
+    included) — the fan-out stage of a video pipeline. One output row
+    per sampled frame; frame bytes are faked as md5(content_hash ||
+    frame_idx) where a real decoder would emit the frame tensor. The
+    fan-out happens inside the Arrow batch, so output partitioning
+    follows the parent payload (no shuffle).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, n, chash in zip(
+                pdf["doc_id"], pdf["fake_n_frames"], pdf["content_hash"]
+            ):
+                for i in range(0, int(n), stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(f"{chash}|{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_hash": pd.Series(hashes, dtype="object"),
+            })
+
+    return features.select(
+        "doc_id", "fake_n_frames", "content_hash"
+    ).mapInPandas(frames, FRAME_SCHEMA)
+
+
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
+
+
+def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return resize_images(extract_features(attach_payload(docs)))
+
+
+def _frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(extract_features(attach_payload(docs)))
 
 
 # The oracle reproduces the fake decoder arithmetic in SQL: payload is
@@ -123,10 +214,53 @@ FROM h
 """
 
 
+_RESIZE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), dims AS (
+  SELECT doc_id,
+         CAST(1 + h32 % 1920 AS BIGINT) AS w,
+         CAST(1 + h32 % 1080 AS BIGINT) AS h
+  FROM h
+)
+SELECT doc_id,
+       CAST(w * {TARGET_EDGE} // greatest(w, h) AS INT) AS out_width,
+       CAST(h * {TARGET_EDGE} // greatest(w, h) AS INT) AS out_height,
+       CAST({TARGET_EDGE} AS BIGINT) AS scale_num,
+       greatest(w, h) AS scale_den
+FROM dims
+"""
+
+_FRAMES_SQL = f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, content_hash, CAST(1 + h32 % 16 AS INT) AS n_frames
+  FROM h
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       md5(concat(content_hash, '|', CAST(i AS VARCHAR))) AS frame_hash
+FROM meta, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(i)
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, Query] = {
-    "multimodal_features": Query(
-        "multimodal_features", _multimodal_q, _MULTIMODAL_SQL,
-        "Arrow-batched mapInPandas binary plumbing with md5-derived fake "
-        "decoder features (decode stubbed; no codecs in container).",
-    )
+    q.name: q
+    for q in [
+        Query("multimodal_features", _multimodal_q, _MULTIMODAL_SQL,
+              "Arrow-batched mapInPandas binary plumbing with md5-derived "
+              "fake decoder features (decode stubbed; no codecs in "
+              "container)."),
+        Query("multimodal_resize", _resize_q, _RESIZE_SQL,
+              "Aspect-preserving resize geometry over mapInPandas (pixel "
+              "pass stubbed; integer geometry exact)."),
+        Query("multimodal_frame_sample", _frames_q, _FRAMES_SQL,
+              "Strided video-frame sampling fan-out inside Arrow batches "
+              "(no shuffle)."),
+    ]
 }

@@ -192,3 +192,30 @@ def test_chunk_documents_edges(spark):
     assert by_doc[0] == [(0, 3)]
     assert sorted(by_doc[1]) == [(0, 50), (1, 50)]
     assert sorted(by_doc[2]) == [(0, 50), (1, 50), (2, 1)]
+
+
+def test_resize_preserves_aspect_and_caps_edge(spark):
+    docs = _docs(spark, ["wide payload text here", "another doc body"])
+    feats = multimodal.extract_features(multimodal.attach_payload(docs))
+    out = {r.doc_id: r for r in multimodal.resize_images(feats).collect()}
+    src = {r.doc_id: r for r in feats.collect()}
+    for doc_id, r in out.items():
+        w, h = src[doc_id].fake_width, src[doc_id].fake_height
+        long_edge = max(w, h)
+        assert max(r.out_width, r.out_height) == multimodal.TARGET_EDGE * max(w, h) // long_edge
+        assert r.out_width == w * multimodal.TARGET_EDGE // long_edge
+        assert r.out_height == h * multimodal.TARGET_EDGE // long_edge
+        assert (r.scale_num, r.scale_den) == (multimodal.TARGET_EDGE, long_edge)
+
+
+def test_sample_frames_stride_and_hashes(spark):
+    import hashlib as hl
+
+    docs = _docs(spark, ["some video-ish payload"])
+    feats = multimodal.extract_features(multimodal.attach_payload(docs))
+    meta = feats.collect()[0]
+    rows = sorted(multimodal.sample_frames(feats).collect(), key=lambda r: r.frame_idx)
+    expect_idx = list(range(0, meta.fake_n_frames, multimodal.FRAME_STRIDE))
+    assert [r.frame_idx for r in rows] == expect_idx
+    for r in rows:
+        assert r.frame_hash == hl.md5(f"{meta.content_hash}|{r.frame_idx}".encode()).hexdigest()
