@@ -771,6 +771,97 @@ ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q17 shape: lineitems under 20% of their part's average quantity. The
+# correlated per-part AVG decorrelates into a grouped aggregate joined
+# back on partkey — part-cardinality rows, so at scale the avg side is
+# small relative to the fact and AQE/broadcast handles it. Quantities
+# are quantized so the 0.2×avg threshold compares exact integers
+# (avg = sum/count stays rational: compare q * 5 * count < sum).
+# ---------------------------------------------------------------------------
+
+
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load(spark, sf_dir, "lineitem")
+    qcents = cents("l_quantity")
+    avgs = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(qcents).alias("sum_q"), F.count(F.lit(1)).alias("n_q"))
+    )
+    # q < 0.2 * (sum_q / n_q)  ⇔  q * 5 * n_q < sum_q  (exact integers)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgs, "l_partkey")
+        .filter(qcents * F.lit(5) * F.col("n_q") < F.col("sum_q"))
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH avgs AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_q,
+         COUNT(*) AS n_q
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avgs USING (l_partkey)
+WHERE p_brand = 'Brand#23'
+  AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * n_q < sum_q
+"""
+
+# ---------------------------------------------------------------------------
+# Q22 shape: rich-but-idle customers — global scalar subquery (average
+# balance of positive-balance customers) broadcast into a filter, then
+# an anti join against orders. The scalar is one row: Spark plans it as
+# a (free) broadcast; never recomputed per row.
+# ---------------------------------------------------------------------------
+
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(cents("c_acctbal")) / F.count(F.lit(1))).alias("avg_cents"))
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(cents("c_acctbal") > F.col("avg_cents"))
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / COUNT(*) AS avg_cents
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_balance
+FROM customer, avg_bal
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Set operations (T1/T2/T3, PIPE:941-956): intersect / except / union with
 # provenance tags.
 # ---------------------------------------------------------------------------
@@ -1258,6 +1349,12 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("order_value_percentiles", _order_percentiles, _PERCENTILES_SQL,
               "Exact percentiles + count-distinct per priority over integer "
               "cents."),
+        Query("q17_small_quantity_revenue", _q17, _Q17_SQL,
+              "Correlated per-part AVG threshold decorrelated to a grouped "
+              "join (TPC-H Q17 shape, exact rational compare)."),
+        Query("q22_idle_rich_customers", _q22, _Q22_SQL,
+              "Global scalar subquery broadcast + anti join (TPC-H Q22 "
+              "shape)."),
         Query("nation_balance_setops", _nation_balance_setops, _SETOPS_SQL,
               "INTERSECT/EXCEPT/UNION with provenance tags (T1-T3)."),
         Query("status_rollup", _status_rollup, _STATUS_ROLLUP_SQL,
