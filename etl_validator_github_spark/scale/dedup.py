@@ -460,6 +460,94 @@ WHERE n_tokens >= 20 AND n_tokens <= 1000 AND stop_ratio < 0.5
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over candidate pairs via
+# min-label propagation. Near-dup pairs only say "A≈B"; deduplication
+# needs the transitive closure (A≈B≈C → one cluster, keep one doc). The
+# iteration is the standard Spark fixpoint pattern: labels start as the
+# vertex id, each round every vertex takes the min label in its
+# neighborhood, stop when a round changes nothing. Dup clusters have
+# tiny diameter (near-dups of near-dups), so rounds ≈ 2-4; each round is
+# one join + one aggregation, and the converged fixpoint is unique —
+# which is what makes it oracle-checkable despite being iterative.
+# ---------------------------------------------------------------------------
+
+MAX_CC_ROUNDS = 10
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """(d1, d2) candidate pairs → (doc_id, cluster_id = min doc in its
+    connected component).
+
+    The per-round convergence check is a driver-side ``count()`` — the
+    standard iterative-algorithm pattern (GraphX/MLlib do the same);
+    the DATA never visits the driver. Each round's labels are eagerly
+    localCheckpointed: it truncates the exponentially-growing lineage
+    AND avoids recomputing the previous round inside the join.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == F.col("v2"), "left_outer")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_copies(load(spark, sf_dir, "documents"))
+    return duplicate_clusters(minhash_candidate_pairs(docs))
+
+
+def _clusters_sql() -> str:
+    # Transitive closure by recursive CTE (UNION dedups, so it
+    # terminates), then min reachable vertex = cluster id.
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+sym AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach(v, u) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+)
+SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
 DEDUP_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -475,5 +563,8 @@ DEDUP_QUERIES: dict[str, Query] = {
         Query("corpus_clean", _clean_corpus_q, _CLEAN_SQL,
               "Composed pipeline: quality filter + exact-dedup keep-list "
               "semi-join.", bench=True),
+        Query("dedup_clusters", _dedup_clusters_q, _clusters_sql(),
+              "Connected components over near-dup pairs via iterative "
+              "min-label propagation (oracle: recursive CTE closure)."),
     ]
 }

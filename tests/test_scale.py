@@ -219,3 +219,23 @@ def test_sample_frames_stride_and_hashes(spark):
     assert [r.frame_idx for r in rows] == expect_idx
     for r in rows:
         assert r.frame_hash == hl.md5(f"{meta.content_hash}|{r.frame_idx}".encode()).hexdigest()
+
+
+def test_duplicate_clusters_transitive(spark):
+    # A≈B, B≈C, and a separate pair D≈E: two components, min-id labels.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1: long, d2: long"
+    )
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_chain_beyond_one_hop(spark):
+    # A 6-vertex path: min label must travel the whole chain.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "d1: long, d2: long"
+    )
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {i: 0 for i in range(6)}
