@@ -1,0 +1,155 @@
+"""Command-line surface mirroring the reference's two entry points.
+
+The reference is driven entirely from the shell: a generator CLI
+(``newaugsver_clean.py --rows N --seed S --formats ...``, GEN:594-647)
+and a scenario/pipeline CLI (``DM_bankfile_validate_pipeline.py
+--invalid-values Col:Val ... --rows N``, PIPE:3516-3767). This module
+gives a reference user the same muscle memory against the Spark engine:
+
+    python -m etl_validator_github_spark generate --rows 50 --seed 246 \
+        --output /tmp/bank --formats parquet,csv
+    python -m etl_validator_github_spark mutate /tmp/bank.parquet \
+        --invalid-values RoutingTransitNumber:54321 RecordOperation:3=Z \
+        --drop-columns ContactFax --output /tmp/mutated.parquet
+    python -m etl_validator_github_spark validate /tmp/mutated.parquet \
+        --error-dir /tmp/error --archive-dir /tmp/archive
+
+``validate`` exits 0 when the file processed cleanly and 1 on
+file-level rejection, and prints the per-payee error summary the
+reference surfaces through its error CSV + DB reconciliation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from etl_validator_github_spark.plans.session import get_spark
+
+
+def _parse_invalid_values(specs: list[str]) -> tuple[dict, dict]:
+    """Reference syntax (PIPE:3113-3244): ``Col:Value`` overwrites the
+    whole column; ``Col:rowIndex=Value`` overwrites one cell."""
+    columns: dict[str, str] = {}
+    cells: dict[tuple[str, int], str] = {}
+    for spec in specs:
+        col, _, rest = spec.partition(":")
+        if not _:
+            raise SystemExit(f"bad --invalid-values spec (need Col:Val): {spec!r}")
+        idx, eq, val = rest.partition("=")
+        if eq and idx.isdigit():
+            cells[(col, int(idx))] = val
+        else:
+            columns[col] = rest
+    return columns, cells
+
+
+def _cmd_generate(args: argparse.Namespace) -> int:
+    from etl_validator_github_spark.generator import (
+        generate_bankdata,
+        generate_bankdata_distributed,
+    )
+    from etl_validator_github_spark.sources.io import write_bankdata
+
+    spark = get_spark(app_name="bankdata-generate")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Mirror the reference's streaming threshold (GEN:616): above it,
+    # generation must not be single-node.
+    if args.rows >= 300_000:
+        df = generate_bankdata_distributed(spark, n=args.rows, seed=args.seed)
+    else:
+        df = generate_bankdata(spark, n=args.rows, seed=args.seed,
+                               blank_as_null=args.blank_as_null)
+    for fmt in args.formats.split(","):
+        fmt = fmt.strip()
+        suffix = "" if args.output.endswith(f".{fmt}") else f".{fmt}"
+        write_bankdata(df, f"{args.output}{suffix}", fmt=fmt,
+                       null_display=args.null_display)
+        print(f"wrote {args.rows} rows -> {args.output}{suffix} [{fmt}]")
+    return 0
+
+
+def _cmd_mutate(args: argparse.Namespace) -> int:
+    from etl_validator_github_spark.operators import mutate
+    from etl_validator_github_spark.sources.io import read_bankdata, write_bankdata
+
+    spark = get_spark(app_name="bankdata-mutate")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = mutate.widen_to_strings(read_bankdata(spark, args.input))
+    if args.invalid_values:
+        columns, cells = _parse_invalid_values(args.invalid_values)
+        for col, val in columns.items():
+            df = mutate.overwrite_column(df, col, val)
+        if cells:
+            df = mutate.overwrite_cells(df, cells, order_by="PayeeID")
+    if args.drop_columns:
+        df = mutate.drop_columns(df, args.drop_columns)
+    if args.rename_columns:
+        renames = dict(spec.split(":", 1) for spec in args.rename_columns)
+        df = mutate.rename_columns(df, renames)
+    if args.drop_rows:
+        df = mutate.drop_rows(df, args.drop_rows, order_by="PayeeID")
+    if args.duplicate_payee:
+        df = mutate.duplicate_payee_id(df, order_by="PayeeID")
+    write_bankdata(df, args.output, fmt="parquet")
+    print(f"mutated {args.input} -> {args.output}")
+    return 0
+
+
+def _cmd_validate(args: argparse.Namespace) -> int:
+    from etl_validator_github_spark.pipeline import validate_file
+
+    spark = get_spark(app_name="bankdata-validate")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = validate_file(
+        spark, args.input, error_dir=args.error_dir,
+        archive_dir=args.archive_dir,
+    )
+    if res.file_level_failure:
+        print(f"FILE REJECTED: {res.schema_issues}")
+        return 1
+    print(f"error records: {res.error_count}")
+    if res.error_file:
+        print(f"error file: {res.error_file}")
+    if res.archived_to:
+        print(f"archived to: {res.archived_to}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="etl_validator_github_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="seeded synthetic bank data")
+    g.add_argument("--rows", type=int, default=50)       # GEN:596 default
+    g.add_argument("--seed", type=int, default=246)      # suite convention
+    g.add_argument("--output", required=True)
+    g.add_argument("--formats", default="parquet")
+    g.add_argument("--null-display", default=None)
+    g.add_argument("--blank-as-null", action="store_true")
+    g.set_defaults(fn=_cmd_generate)
+
+    m = sub.add_parser("mutate", help="scenario mutations on a bank file")
+    m.add_argument("input")
+    m.add_argument("--output", required=True)
+    m.add_argument("--invalid-values", nargs="*", default=None,
+                   metavar="Col:Val|Col:row=Val")
+    m.add_argument("--drop-columns", nargs="*", default=None)
+    m.add_argument("--rename-columns", nargs="*", default=None,
+                   metavar="Old:New")
+    m.add_argument("--drop-rows", nargs="*", type=int, default=None)
+    m.add_argument("--duplicate-payee", action="store_true")
+    m.set_defaults(fn=_cmd_mutate)
+
+    v = sub.add_parser("validate", help="run the rule catalog on a file")
+    v.add_argument("input")
+    v.add_argument("--error-dir", required=True)
+    v.add_argument("--archive-dir", default=None)
+    v.set_defaults(fn=_cmd_validate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
