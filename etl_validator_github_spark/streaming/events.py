@@ -62,6 +62,52 @@ def windowed_rollup(
     )
 
 
+def deduped_events(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event ingestion: drop redelivered events by id.
+
+    ``dropDuplicatesWithinWatermark`` keys state on event_id and expires
+    entries past the watermark — at-least-once sources (Kafka, file
+    redelivery) become effectively-once downstream while state stays
+    bounded by (arrival rate × watermark), not by stream lifetime. The
+    batch twin is a plain ``dropDuplicates(["event_id"])``.
+    """
+    with_ts = events.withColumn("event_time", F.timestamp_seconds("ts_s"))
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def stream_deduped_ingest(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """File-source → watermarked id-dedup → parquet append sink."""
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    deduped = deduped_events(stream, watermark=watermark)
+    writer = (
+        deduped.drop("event_time")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_rollup(
     spark,
     source_dir: str,

@@ -52,3 +52,22 @@ def test_windowed_rollup_emits_finalized_windows(spark, tmp_path):
     assert got[(1, "view")] == (2, 3.0)
     # Hour 3 is NOT finalized yet in append mode.
     assert (3, "click") not in got
+
+
+def test_stream_dedup_drops_redelivered_ids(spark, tmp_path):
+    from etl_validator_github_spark.streaming.events import stream_deduped_ingest
+
+    src, sink, ckpt = tmp_path / "dsrc", tmp_path / "dsink", tmp_path / "dckpt"
+    rows = [
+        {"event_id": 1, "ts_s": 10, "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts_s": 20, "user_id": 1, "event_type": "view", "value": 2.0},
+        {"event_id": 1, "ts_s": 10, "user_id": 1, "event_type": "click", "value": 1.0},  # redelivery
+        {"event_id": 3, "ts_s": 30, "user_id": 2, "event_type": "click", "value": 3.0},
+        {"event_id": 2, "ts_s": 20, "user_id": 1, "event_type": "view", "value": 2.0},   # redelivery
+    ]
+    _write_events(src, rows)
+    q = stream_deduped_ingest(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(sink))
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3]
