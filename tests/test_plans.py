@@ -121,3 +121,21 @@ def test_bucketed_range_join_plans_as_hash_join(spark):
     )
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan
+
+
+def test_any_violation_gate_stays_in_codegen(spark, sf_dir):
+    """Regression guard for a measured finding: the pure-boolean OR of
+    all ~50 violation predicates compiles into whole-stage codegen
+    (`*(n) Filter`), while the array/lambda error projection cannot.
+    If this assertion breaks, someone added a codegen-unsupported
+    primitive (higher-order function, lambda) to a rule predicate."""
+    from etl_validator_github_spark.generator import generate_bankdata
+    from etl_validator_github_spark.operators.rules import (
+        bankdata_rules,
+        compile_any_violation,
+    )
+
+    bank = generate_bankdata(spark, 10, seed=246).localCheckpoint(eager=True)
+    gated = bank.filter(compile_any_violation(bankdata_rules())).select("PayeeID")
+    p = gated._jdf.queryExecution().executedPlan().toString()
+    assert "*(1) Filter" in p or "WholeStageCodegen" in p
