@@ -771,6 +771,63 @@ ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q7 shape: bilateral trade volume between two nations — supplier and
+# customer nations joined independently (both broadcast), the
+# directionality constraint expressed as an OR of the two orderings,
+# yearly rollup.
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1, n2 = _Q7_NATIONS
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    s_nat = nat.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    c_nat = nat.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+        | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(s_nat), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(c_nat), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year(F.to_date("l_shipdate")).alias("l_year"))
+        .agg((F.sum(cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+              / F.lit(100.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = f"""
+SELECT s_nat.n_name AS supp_nation,
+       c_nat.n_name AS cust_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+WHERE (s_nat.n_name = '{_Q7_NATIONS[0]}' AND c_nat.n_name = '{_Q7_NATIONS[1]}')
+   OR (s_nat.n_name = '{_Q7_NATIONS[1]}' AND c_nat.n_name = '{_Q7_NATIONS[0]}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
 # Q17 shape: lineitems under 20% of their part's average quantity. The
 # correlated per-part AVG decorrelates into a grouped aggregate joined
 # back on partkey — part-cardinality rows, so at scale the avg side is
@@ -1349,6 +1406,9 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("order_value_percentiles", _order_percentiles, _PERCENTILES_SQL,
               "Exact percentiles + count-distinct per priority over integer "
               "cents."),
+        Query("q7_bilateral_trade", _q7, _Q7_SQL,
+              "Bilateral nation-pair revenue with OR-direction predicate "
+              "(TPC-H Q7 shape)."),
         Query("q17_small_quantity_revenue", _q17, _Q17_SQL,
               "Correlated per-part AVG threshold decorrelated to a grouped "
               "join (TPC-H Q17 shape, exact rational compare)."),
