@@ -828,6 +828,72 @@ ORDER BY 1, 2, 3
 """
 
 # ---------------------------------------------------------------------------
+# Q9 shape: profit by part type and year — revenue minus a
+# quantity-scaled cost (p_retailprice stands in for supplycost, which
+# the schema lacks). Exercises mixed fact/dim arithmetic inside the
+# aggregate with exact cents.
+# ---------------------------------------------------------------------------
+
+
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    profit = cents(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", F.year(F.to_date("l_shipdate")).alias("l_year"))
+        .agg((F.sum(profit) / F.lit(100.0)).alias("profit"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_type", "l_year")
+    )
+
+
+_Q9_SQL = """
+SELECT p_type,
+       CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+       CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)
+                            - p_retailprice * l_quantity * 0.1) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS profit,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Native pivot: per-user event-type counts as columns. groupBy().pivot()
+# with an EXPLICIT value list — at scale the explicit list is mandatory
+# anyway (the implicit form runs a distinct scan first, and unbounded
+# pivot width breaks the row format).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Q17 shape: lineitems under 20% of their part's average quantity. The
 # correlated per-part AVG decorrelates into a grouped aggregate joined
 # back on partkey — part-cardinality rows, so at scale the avg side is
@@ -1409,6 +1475,11 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("q7_bilateral_trade", _q7, _Q7_SQL,
               "Bilateral nation-pair revenue with OR-direction predicate "
               "(TPC-H Q7 shape)."),
+        Query("q9_product_profit", _q9, _Q9_SQL,
+              "Profit by part type and year with dim-scaled cost (TPC-H "
+              "Q9 shape)."),
+        Query("events_type_pivot", _events_pivot, _PIVOT_SQL,
+              "Native pivot with explicit value list (mandatory at scale)."),
         Query("q17_small_quantity_revenue", _q17, _Q17_SQL,
               "Correlated per-part AVG threshold decorrelated to a grouped "
               "join (TPC-H Q17 shape, exact rational compare)."),
