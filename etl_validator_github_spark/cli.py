@@ -116,6 +116,20 @@ def _cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_scenario(args: argparse.Namespace) -> int:
+    from etl_validator_github_spark.pipeline import run_scenario
+
+    spark = get_spark(app_name="bankdata-scenario")
+    spark.sparkContext.setLogLevel("ERROR")
+    columns, cells = _parse_invalid_values(args.invalid_values or [])
+    res = run_scenario(
+        spark, args.work_dir, rows=args.rows, seed=args.seed,
+        invalid_values=columns, invalid_cells=cells,
+    )
+    print(res.summary())
+    return 0 if res.reconcile_passed else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_validator_github_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -146,6 +160,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--error-dir", required=True)
     v.add_argument("--archive-dir", default=None)
     v.set_defaults(fn=_cmd_validate)
+
+    s = sub.add_parser(
+        "scenario",
+        help="full E1 lifecycle: generate -> inject -> validate -> reconcile",
+    )
+    s.add_argument("--work-dir", required=True)
+    s.add_argument("--rows", type=int, default=50)
+    s.add_argument("--seed", type=int, default=246)
+    s.add_argument("--invalid-values", nargs="*", default=None,
+                   metavar="Col:Val|Col:row=Val")
+    s.set_defaults(fn=_cmd_scenario)
 
     args = parser.parse_args(argv)
     return args.fn(args)

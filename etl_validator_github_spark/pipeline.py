@@ -15,6 +15,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_validator_github_spark.operators.errors import to_error_records, write_error_csv
 from etl_validator_github_spark.operators.rules import Rule
@@ -41,8 +42,6 @@ def default_end_date_for_deactivated(
     catalog deliberately omits it and this transform implements the
     documented defaulting behavior instead.
     """
-    from pyspark.sql import functions as F
-
     as_of_lit = F.lit((as_of or dt.date.today()).isoformat())
     end = F.col("EffectiveEndDate").cast("string")
     blank = F.coalesce(F.trim(end), F.lit("")) == ""
@@ -131,3 +130,81 @@ def _write_dir(errors: DataFrame, error_dir: str, ts: str, env: str) -> str:
     path = os.path.join(error_dir, f"mtfdm_{env}_dmbankerrorfile_{ts}")
     write_error_csv(errors, path, single_file=False)
     return path
+
+
+@dataclass
+class ScenarioResult:
+    pipeline: PipelineResult
+    csv_error_count: int
+    db_error_count: int
+    counts_match: bool
+    reconcile_passed: bool
+
+    def summary(self) -> str:
+        # The reference's success criterion, verbatim shape: its tests
+        # assert `"Row counts MATCH" in stdout`
+        # (tests/test_recordoperation_invalid_z.py:73-76).
+        verdict = "MATCH" if self.counts_match else "MISMATCH"
+        return (f"CSV errors: {self.csv_error_count}, "
+                f"DB errors: {self.db_error_count}. Row counts {verdict}")
+
+
+def run_scenario(
+    spark: SparkSession,
+    work_dir: str,
+    rows: int = 50,
+    seed: int = 246,
+    invalid_values: dict[str, str] | None = None,
+    invalid_cells: dict[tuple[str, int], str] | None = None,
+    env: str = "dev2",
+) -> ScenarioResult:
+    """The reference's E1 scenario lifecycle in one Spark application:
+    generate → inject violations → ready folder → validate → error CSV →
+    archive → reconcile (E3).
+
+    The reconciliation compares two INDEPENDENT paths to the error set:
+    the pipe-CSV read back from disk (the reference's Glue-CSV side,
+    exercising the sink + parse round-trip) against the rule engine's
+    in-memory error records (the reference's SQL-DB side). Matching
+    token sets + counts is what the reference calls "Row counts MATCH"
+    (PIPE:1196-1361)."""
+    from etl_validator_github_spark.generator import generate_bankdata
+    from etl_validator_github_spark.operators import mutate
+    from etl_validator_github_spark.operators.errors import to_error_records
+    from etl_validator_github_spark.operators.reconcile import reconcile_errors
+    from etl_validator_github_spark.sources.io import read_error_csv, write_bankdata
+
+    now = dt.datetime.now()
+    ts = now.strftime("%Y%m%d_%H%M%S")
+    df = mutate.widen_to_strings(generate_bankdata(spark, rows, seed=seed))
+    for col, val in (invalid_values or {}).items():
+        df = mutate.overwrite_column(df, col, val)
+    if invalid_cells:
+        df = mutate.overwrite_cells(df, invalid_cells, order_by="PayeeID")
+
+    ready = os.path.join(work_dir, "ready",
+                         f"mtfdm_{env}_dmbankdata_{ts}.parquet")
+    write_bankdata(df, ready)
+    res = validate_file(
+        spark, ready,
+        error_dir=os.path.join(work_dir, "error"),
+        archive_dir=os.path.join(work_dir, "archive"),
+        env=env, now=now,
+    )
+
+    # Independent "DB side": re-derive error records from the archived
+    # input through the rule engine (no disk round-trip of the CSV).
+    archived = res.archived_to or ready
+    db_side = to_error_records(
+        failing_records(read_bankdata(spark, archived)),
+        filename=os.path.basename(archived),
+    ).select(F.col("PayeeId").alias("PAYEE_ID"), "ERROR_DESC")
+
+    if res.error_file:
+        csv_side = read_error_csv(spark, res.error_file)
+        rec = reconcile_errors(csv_side, db_side)
+        return ScenarioResult(res, rec.csv_count, rec.db_count,
+                              rec.counts_match, rec.passed)
+    # No error file: pass iff the DB side is empty too (PIPE:1284-1290).
+    db_count = db_side.count()
+    return ScenarioResult(res, 0, db_count, db_count == 0, db_count == 0)

@@ -54,3 +54,16 @@ def test_cli_validate_rejects_schema_drift(spark, tmp_path):
     assert main([
         "validate", str(broken), "--error-dir", str(tmp_path / "err2"),
     ]) == 1
+
+
+def test_cli_scenario_mirrors_reference_contract(spark, tmp_path, capsys):
+    # The reference's tests spawn the pipeline CLI with --invalid-values
+    # and assert exit 0 + "Row counts MATCH" in stdout
+    # (tests/test_recordoperation_invalid_z.py:49-76). Same contract here.
+    rc = main([
+        "scenario", "--work-dir", str(tmp_path), "--rows", "12",
+        "--invalid-values", "RecordOperation:3=Z",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Row counts MATCH" in out

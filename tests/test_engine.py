@@ -208,3 +208,27 @@ def test_default_end_date_for_deactivated(spark):
     out = default_end_date_for_deactivated(df, as_of=dt.date(2026, 3, 10))
     got = [r.EffectiveEndDate for r in out.orderBy("RecordOperation", "EffectiveEndDate").collect()]
     assert got == ["", "2026-01-15", "2026-03-10"]
+
+
+def test_run_scenario_invalid_values_row_counts_match(spark, tmp_path):
+    from etl_validator_github_spark.pipeline import run_scenario
+
+    res = run_scenario(
+        spark, str(tmp_path), rows=30, seed=246,
+        invalid_cells={("RoutingTransitNumber", 2): "54321",
+                       ("RecordOperation", 5): "Z"},
+    )
+    assert res.csv_error_count == 2
+    assert res.counts_match and res.reconcile_passed
+    assert "Row counts MATCH" in res.summary()
+    assert res.pipeline.archived_to is not None
+
+
+def test_run_scenario_valid_data_no_error_file(spark, tmp_path):
+    from etl_validator_github_spark.pipeline import run_scenario
+
+    res = run_scenario(spark, str(tmp_path), rows=20, seed=246)
+    # Valid base scenario (E2): no error CSV, both sides empty → pass.
+    assert res.pipeline.error_file is None
+    assert res.csv_error_count == 0 and res.db_error_count == 0
+    assert res.counts_match and res.reconcile_passed
