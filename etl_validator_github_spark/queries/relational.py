@@ -985,6 +985,85 @@ ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# CUBE grouping sets: all 2^k subtotal combinations in one pass (ROLLUP's
+# sibling — rollup_order_counts covers the hierarchical form). NULL
+# grouping markers are replaced with a literal so the cross-engine hash
+# compare is unambiguous.
+# ---------------------------------------------------------------------------
+
+
+def _status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "n_orders", "total_price",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: per customer, revenue of all their orders within
+# the trailing 30 days of each order — a value-based frame
+# (rangeBetween), unlike the row-based frames in window_functions.
+# Day-integer basis on both sides keeps the frame boundary exact.
+# ---------------------------------------------------------------------------
+
+
+def _trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_day"))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", day.alias("o_day"), cents("o_totalprice").alias("c")
+        )
+        .withColumn("trailing_30d_orders", F.count(F.lit(1)).over(w))
+        .withColumn("trailing_30d_total", (F.sum("c").over(w) / F.lit(100.0)))
+        .select("o_orderkey", "o_custkey", "o_day",
+                "trailing_30d_orders", "trailing_30d_total")
+        .orderBy("o_orderkey")
+    )
+
+
+_TRAILING_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS o_day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_day,
+       COUNT(*) OVER w AS trailing_30d_orders,
+       CAST(SUM(c) OVER w AS BIGINT) / 100.0 AS trailing_30d_total
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+# ---------------------------------------------------------------------------
 # Set operations (T1/T2/T3, PIPE:941-956): intersect / except / union with
 # provenance tags.
 # ---------------------------------------------------------------------------
@@ -1480,6 +1559,11 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "Q9 shape)."),
         Query("events_type_pivot", _events_pivot, _PIVOT_SQL,
               "Native pivot with explicit value list (mandatory at scale)."),
+        Query("status_priority_cube", _status_priority_cube, _CUBE_SQL,
+              "CUBE grouping sets: all subtotal combinations in one pass."),
+        Query("trailing_30d_window", _trailing_window, _TRAILING_SQL,
+              "Value-based RANGE window frame (trailing 30 days per "
+              "customer)."),
         Query("q17_small_quantity_revenue", _q17, _Q17_SQL,
               "Correlated per-part AVG threshold decorrelated to a grouped "
               "join (TPC-H Q17 shape, exact rational compare)."),
