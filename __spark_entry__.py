@@ -26,7 +26,7 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return CATALOG["validate_customer_rules"].build(spark, _SMOKE_SF_DIR)
+    return queries()["validate_customer_rules"](spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -68,8 +68,34 @@ class Query:
     bench: bool = False
 
 
+def _self_configuring(build: Callable[[SparkSession, str], DataFrame]):
+    """Make a catalog callable independent of the caller's session config.
+
+    The DRIVER owns the SparkSession that runs these queries. Two
+    runtime-settable confs are load-bearing for cross-engine parity:
+
+    - ``spark.sql.session.timeZone=UTC`` — ``unix_timestamp`` on the
+      TIMESTAMP_NTZ testdata columns converts via the session zone,
+      while DuckDB's ``epoch()`` treats naive timestamps as UTC; a
+      non-UTC session would shift every epoch output.
+    - ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet is
+      TIMESTAMP(NANOS), which Spark's reader otherwise rejects. The
+      flag only affects nanos columns; micros timestamps are untouched.
+
+    Setting them at build time persists on the session, so the driver's
+    later action runs under them too.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return build(spark, sf_dir)
+
+    return wrapped
+
+
 def catalog_to_queries(catalog: dict[str, Query]):
-    return {name: q.build for name, q in catalog.items()}
+    return {name: _self_configuring(q.build) for name, q in catalog.items()}
 
 
 def catalog_to_oracles(catalog: dict[str, Query]):

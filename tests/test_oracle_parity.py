@@ -92,3 +92,26 @@ def test_catalog_and_oracle_keys_align():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) == len(CATALOG)
+
+
+def test_queries_self_configure_timezone(spark, duck):
+    """The driver owns the SparkSession; a non-UTC session must not shift
+    epoch outputs. The contract wrapper resets the tz at build time."""
+    import __spark_entry__ as e
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        q = e.queries()["date_functions"]
+        sdf = q(spark, SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = {r.o_orderkey: r.epoch_s for r in sdf.limit(50).collect()}
+        res = duck.execute(
+            "SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s "
+            "FROM orders LIMIT 50"
+        ).fetchall()
+        expected = dict(res)
+        for k, v in got.items():
+            assert expected[k] == v
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
