@@ -44,6 +44,16 @@ from etl_validator_github_spark.functions.core import (
 )
 from etl_validator_github_spark.schema import R_BLANK_FIELDS
 
+# Resolved constraint conflicts (SURVEY §7.4 hard-part 4): the reference
+# carries a second, partially contradictory constraints table inside its
+# min/max scenario (DM_bankfile_validate_pipeline.py:3350-3378). Where
+# the two disagree, the GENERATOR + preserved error evidence win:
+# - ProfitNonprofit: P/NP (GEN:139, 411-417) — NOT the test-doc's "Y or N".
+# - ContactCode: AO/DO (GEN:152) — NOT the scenario table's PRIM/SEC.
+# - AccountNumber: 1..17 chars (GEN:49; we require >=2 per the
+#   single-digit-invalid tests) — NOT the scenario table's 6..12.
+# Each divergent rule below cites its generator/evidence source.
+
 # Literal ERROR_DESC strings preserved in reference evidence files
 # (see SURVEY.md §2.8). Verbatim — do not edit.
 MSG_RTN_9_DIGITS = "RoutingTransitNumber must be 9 digits"
