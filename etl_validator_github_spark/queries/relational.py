@@ -1064,6 +1064,36 @@ ORDER BY o_orderkey
 """
 
 # ---------------------------------------------------------------------------
+# SQL-API entry path: the same engine driven through spark.sql over
+# registered temp views — Catalyst produces the identical plan as the
+# DataFrame form, and the text is near-verbatim the DuckDB oracle
+# (differences: explicit casts only). Demonstrates the spark.sql surface
+# users of SQL-first tooling expect.
+# ---------------------------------------------------------------------------
+
+# NB: ``/ 100.0`` alone would diverge — Spark's SQL parser types the
+# literal as DECIMAL (→ Decimal result) while DuckDB yields DOUBLE; the
+# explicit CAST keeps one identical text valid and double-typed on both.
+_SQL_API_QUERY = """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         / CAST(100.0 AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY n_name
+HAVING COUNT(*) >= 5
+ORDER BY n_name
+"""
+
+
+def _sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SQL_API_QUERY)
+
+
+# ---------------------------------------------------------------------------
 # Set operations (T1/T2/T3, PIPE:941-956): intersect / except / union with
 # provenance tags.
 # ---------------------------------------------------------------------------
@@ -1564,6 +1594,9 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("trailing_30d_window", _trailing_window, _TRAILING_SQL,
               "Value-based RANGE window frame (trailing 30 days per "
               "customer)."),
+        Query("sql_api_segment_balances", _sql_api, _SQL_API_QUERY,
+              "spark.sql over temp views — the SQL entry path; oracle is "
+              "the same text."),
         Query("q17_small_quantity_revenue", _q17, _Q17_SQL,
               "Correlated per-part AVG threshold decorrelated to a grouped "
               "join (TPC-H Q17 shape, exact rational compare)."),
