@@ -1064,6 +1064,46 @@ ORDER BY o_orderkey
 """
 
 # ---------------------------------------------------------------------------
+# Q20 shape: semi-join against an aggregated keep-list — suppliers who
+# shipped a large total of a brand's parts. The aggregation runs BEFORE
+# the semi-join so the probe side carries only qualifying suppkeys.
+# ---------------------------------------------------------------------------
+
+Q20_QTY = 300
+
+
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = load(spark, sf_dir, "lineitem")
+    big_shippers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("qty"))
+        .filter(F.col("qty") > Q20_QTY)
+    )
+    return (
+        sup.join(big_shippers, sup.s_suppkey == big_shippers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+  GROUP BY l_suppkey
+  HAVING CAST(round(SUM(l_quantity)) AS BIGINT) > {Q20_QTY}
+)
+ORDER BY s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
 # SQL-API entry path: the same engine driven through spark.sql over
 # registered temp views — Catalyst produces the identical plan as the
 # DataFrame form, and the text is near-verbatim the DuckDB oracle
@@ -1597,6 +1637,8 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("sql_api_segment_balances", _sql_api, _SQL_API_QUERY,
               "spark.sql over temp views — the SQL entry path; oracle is "
               "the same text."),
+        Query("q20_brand_volume_suppliers", _q20, _Q20_SQL,
+              "Semi-join against an aggregated keep-list (TPC-H Q20 shape)."),
         Query("q17_small_quantity_revenue", _q17, _Q17_SQL,
               "Correlated per-part AVG threshold decorrelated to a grouped "
               "join (TPC-H Q17 shape, exact rational compare)."),

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from etl_validator_github_spark.contract import Query, load
 
 #: Stopword markers per language. The testdata corpus shares one
@@ -474,6 +476,64 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Arrow-vectorized scalar pandas_udf: the sanctioned escape hatch when a
+# metric genuinely needs Python (here a stand-in readability score).
+# Batches cross the JVM↔Python boundary as Arrow columns and the body is
+# vectorized pandas — 10-100× faster than a row-at-a-time Python UDF,
+# and the ONLY acceptable Python-UDF form in a hot path. The math is
+# deliberately SQL-expressible so the oracle can pin the UDF's output
+# exactly (integer-only arithmetic → no float drift across the boundary).
+# ---------------------------------------------------------------------------
+
+
+def _readability_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def readability(text: pd.Series) -> pd.Series:
+        words = text.str.split(" ")
+        n_words = words.str.len()
+        n_long = words.map(lambda ws: sum(1 for w in ws if len(w) > 6))
+        # Flesch-ish integer score: 10*words + 25*long-words.
+        return (n_words * 10 + n_long * 25).astype("int64")
+
+    return readability
+
+
+def _pandas_udf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    score = _readability_udf()
+    return (
+        docs.select("doc_id", "lang", score(F.col("text")).alias("read_score"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("read_score").alias("score_total"),
+            F.max("read_score").alias("score_max"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PANDAS_UDF_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) * 10
+              + len(list_filter(string_split(text, ' '), w -> length(w) > 6)) * 25
+              AS BIGINT) AS read_score
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(read_score) AS BIGINT) AS score_total,
+       CAST(MAX(read_score) AS BIGINT) AS score_max
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -496,5 +556,8 @@ TEXT_QUERIES: dict[str, Query] = {
         Query("docs_sample_stratified", _sample_q, _sample_sql(),
               "Deterministic md5-threshold stratified sampling "
               "(partitioning-independent, no rand)."),
+        Query("text_pandas_udf_score", _pandas_udf_q, _PANDAS_UDF_SQL,
+              "Arrow-vectorized scalar pandas_udf scoring, oracle-pinned "
+              "(integer math crosses the boundary exactly)."),
     ]
 }
