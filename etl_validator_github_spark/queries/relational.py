@@ -1104,6 +1104,82 @@ ORDER BY s_suppkey
 """
 
 # ---------------------------------------------------------------------------
+# Q15 shape: top-revenue supplier(s) — an aggregate compared against the
+# max OF that aggregate. The one-row max broadcasts; ties all surface
+# (no arbitrary limit), which is the part naive top-1 queries get wrong.
+# ---------------------------------------------------------------------------
+
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01"))
+    )
+    sup = load(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))))
+             .alias("rev_cents"))
+    )
+    top = rev.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name",
+                (F.col("rev_cents") / F.lit(100.0)).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier variety per part attribute, excluding an
+# unwanted-brand list — NOT IN compiles to an anti join, then
+# count-distinct per group.
+# ---------------------------------------------------------------------------
+
+_Q16_EXCLUDED_BRANDS = ("Brand#1", "Brand#2")
+
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin(*_Q16_EXCLUDED_BRANDS)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_type"), F.asc("p_size"))
+        .limit(50)
+    )
+
+
+_Q16_SQL = f"""
+SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT IN {_Q16_EXCLUDED_BRANDS!r}
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_type ASC, p_size ASC
+LIMIT 50
+"""
+
+# ---------------------------------------------------------------------------
 # SQL-API entry path: the same engine driven through spark.sql over
 # registered temp views — Catalyst produces the identical plan as the
 # DataFrame form, and the text is near-verbatim the DuckDB oracle
@@ -1639,6 +1715,12 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "the same text."),
         Query("q20_brand_volume_suppliers", _q20, _Q20_SQL,
               "Semi-join against an aggregated keep-list (TPC-H Q20 shape)."),
+        Query("q15_top_supplier", _q15, _Q15_SQL,
+              "Aggregate vs max-of-aggregate with ties surfaced (TPC-H Q15 "
+              "shape)."),
+        Query("q16_supplier_variety", _q16, _Q16_SQL,
+              "NOT-IN brand exclusion + count-distinct per group (TPC-H "
+              "Q16 shape)."),
         Query("q17_small_quantity_revenue", _q17, _Q17_SQL,
               "Correlated per-part AVG threshold decorrelated to a grouped "
               "join (TPC-H Q17 shape, exact rational compare)."),
