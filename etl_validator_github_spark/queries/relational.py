@@ -1104,6 +1104,46 @@ ORDER BY s_suppkey
 """
 
 # ---------------------------------------------------------------------------
+# Q11 shape: groups whose total exceeds a FRACTION of the global total —
+# the scaled-global-threshold pattern. Both aggregates are exact integer
+# cents; the fraction comparison is integer-only (group * N > global)
+# so no float threshold crosses engines.
+# ---------------------------------------------------------------------------
+
+Q11_FRACTION_DEN = 25  # keep groups holding > 1/25th of the global total
+
+
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    per_nation = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents("s_acctbal")).alias("bal_cents"))
+    )
+    total = per_nation.agg(F.sum("bal_cents").alias("total_cents"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("bal_cents") * Q11_FRACTION_DEN > F.col("total_cents"))
+        .select("n_name", (F.col("bal_cents") / F.lit(100.0)).alias("nation_balance"))
+        .orderBy("n_name")
+    )
+
+
+_Q11_SQL = f"""
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, bal_cents / 100.0 AS nation_balance
+FROM per_nation
+WHERE bal_cents * {Q11_FRACTION_DEN} > (SELECT SUM(bal_cents) FROM per_nation)
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Q15 shape: top-revenue supplier(s) — an aggregate compared against the
 # max OF that aggregate. The one-row max broadcasts; ties all surface
 # (no arbitrary limit), which is the part naive top-1 queries get wrong.
@@ -1715,6 +1755,9 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "the same text."),
         Query("q20_brand_volume_suppliers", _q20, _Q20_SQL,
               "Semi-join against an aggregated keep-list (TPC-H Q20 shape)."),
+        Query("q11_important_balances", _q11, _Q11_SQL,
+              "Groups above a fraction of the global total, integer-only "
+              "threshold (TPC-H Q11 shape)."),
         Query("q15_top_supplier", _q15, _Q15_SQL,
               "Aggregate vs max-of-aggregate with ties surfaced (TPC-H Q15 "
               "shape)."),
