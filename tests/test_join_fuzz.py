@@ -17,6 +17,7 @@ from etl_validator_github_spark.plans.range_join import bucketed_range_join
 _slow = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 

@@ -96,7 +96,7 @@ def fuzz_rules():
     return rules
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(_row_strategy, min_size=40, max_size=80))
 def test_conditional_rules_match_python_oracle(spark, fuzz_rules, variants):
