@@ -56,6 +56,12 @@ def _cmd_generate(args: argparse.Namespace) -> int:
     # Mirror the reference's streaming threshold (GEN:616): above it,
     # generation must not be single-node.
     if args.rows >= 300_000:
+        if args.blank_as_null:
+            raise SystemExit(
+                "--blank-as-null is not supported above the 300k "
+                "distributed-generation threshold (the distributed "
+                "generator emits blanks as '')"
+            )
         df = generate_bankdata_distributed(spark, n=args.rows, seed=args.seed)
     else:
         df = generate_bankdata(spark, n=args.rows, seed=args.seed,
@@ -85,7 +91,12 @@ def _cmd_mutate(args: argparse.Namespace) -> int:
     if args.drop_columns:
         df = mutate.drop_columns(df, args.drop_columns)
     if args.rename_columns:
-        renames = dict(spec.split(":", 1) for spec in args.rename_columns)
+        renames = {}
+        for spec in args.rename_columns:
+            old, sep, new = spec.partition(":")
+            if not sep or not old or not new:
+                raise SystemExit(f"bad --rename-columns spec (need Old:New): {spec!r}")
+            renames[old] = new
         df = mutate.rename_columns(df, renames)
     if args.drop_rows:
         df = mutate.drop_rows(df, args.drop_rows, order_by="PayeeID")

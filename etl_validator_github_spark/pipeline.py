@@ -102,23 +102,38 @@ def validate_file(
         )
 
     failing = failing_records(df, rules)
-    errors = to_error_records(failing, filename=basename)
-    error_count = errors.count()
+    # Persist across the two actions (count + CSV write): without it the
+    # full scan + rule projection would execute twice — at the 100 TB
+    # design point that doubles the hot path's I/O and CPU.
+    errors = to_error_records(failing, filename=basename).persist()
+    try:
+        error_count = errors.count()
 
-    error_file = None
-    if error_count > 0:
-        os.makedirs(error_dir, exist_ok=True)
-        error_file = write_single_csv(
-            errors, error_dir, f"mtfdm_{env}_dmbankerrorfile_{ts}.csv"
-        ) if single_file else _write_dir(errors, error_dir, ts, env)
+        error_file = None
+        if error_count > 0:
+            os.makedirs(error_dir, exist_ok=True)
+            error_file = write_single_csv(
+                errors, error_dir, f"mtfdm_{env}_dmbankerrorfile_{ts}.csv"
+            ) if single_file else _write_dir(errors, error_dir, ts, env)
+    finally:
+        errors.unpersist()
 
     archived_to = None
-    if archive_dir is not None:
+    if archive_dir is not None and (
+        os.path.isdir(input_path) or os.path.isfile(input_path)
+    ):
         target = os.path.join(archive_dir, f"{now.year:04d}", f"{now.month:02d}")
         os.makedirs(target, exist_ok=True)
         archived_to = os.path.join(target, basename)
-        if os.path.isdir(input_path) or os.path.isfile(input_path):
-            shutil.move(input_path, archived_to)
+        # A same-named archive entry from an earlier run would make
+        # shutil.move nest the new file INSIDE the existing directory
+        # (archive/.../f.parquet/f.parquet) — remove it first; the
+        # re-run's output is the authoritative copy.
+        if os.path.isdir(archived_to):
+            shutil.rmtree(archived_to)
+        elif os.path.isfile(archived_to):
+            os.remove(archived_to)
+        shutil.move(input_path, archived_to)
 
     return PipelineResult(
         input_path, issues, error_count, error_file, archived_to,

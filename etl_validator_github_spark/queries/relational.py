@@ -517,7 +517,7 @@ SELECT (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_total,
-       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_total
+       CAST(SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS k_total
 FROM events
 GROUP BY 1, 2
 """
@@ -1655,7 +1655,7 @@ def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 20)
     )
     branch3 = (
-        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+        (F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 35)
         & F.col("l_quantity").between(20, 30)
     )
     return (
@@ -1674,7 +1674,7 @@ SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """
 
 

@@ -350,13 +350,41 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= ``max_hamming``.
+
+    Candidate generation uses pigeonhole segment blocking, not
+    all-pairs: the 32-bit fingerprint splits into ``max_hamming + 1``
+    segments, and any pair within the threshold must agree on at least
+    one whole segment — so an equi-join on (lang, segment_index,
+    segment_value) finds every qualifying pair while only comparing
+    within segment buckets (the same bucket-key shuffle shape as the
+    MinHash band join). The result set is exactly the all-pairs +
+    filter answer; only the candidate set shrinks.
+    """
+    n_seg = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_seg
+    mask = (1 << seg_bits) - 1
     sh = simhash(docs)
-    a, b = sh.alias("a"), sh.alias("b")
+    segs = F.array(*[
+        F.struct(
+            F.lit(s).alias("seg"),
+            F.shiftright(F.col("simhash"), s * seg_bits)
+            .bitwiseAND(mask).alias("seg_val"),
+        )
+        for s in range(n_seg)
+    ])
+    blocked = sh.select(
+        "doc_id", "lang", "simhash", F.explode(segs).alias("b")
+    ).select("doc_id", "lang", "simhash",
+             F.col("b.seg").alias("seg"), F.col("b.seg_val").alias("seg_val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -365,6 +393,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> Data
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -472,7 +501,11 @@ WHERE n_tokens >= 20 AND n_tokens <= 1000 AND stop_ratio < 0.5
 # which is what makes it oracle-checkable despite being iterative.
 # ---------------------------------------------------------------------------
 
-MAX_CC_ROUNDS = 10
+#: Safety valve only — min-label propagation converges within the
+#: largest component's diameter, and the loop runs UNTIL convergence.
+#: Hitting this cap raises rather than silently returning partial labels
+#: (which would hash-mismatch the recursive-CTE oracle's true closure).
+MAX_CC_ROUNDS = 64
 
 
 def duplicate_clusters(pairs: DataFrame) -> DataFrame:
@@ -496,7 +529,7 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("v"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(MAX_CC_ROUNDS):
+    for round_no in range(1, MAX_CC_ROUNDS + 1):
         neighbor_min = (
             edges.join(labels, edges.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
@@ -521,6 +554,12 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {MAX_CC_ROUNDS} "
+            "rounds — component diameter exceeds the safety cap; raise "
+            "MAX_CC_ROUNDS (partial labels would be silently wrong)"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
