@@ -239,3 +239,33 @@ def test_duplicate_clusters_chain_beyond_one_hop(spark):
     out = {r.doc_id: r.cluster_id
            for r in dedup.duplicate_clusters(pairs).collect()}
     assert out == {i: 0 for i in range(6)}
+
+
+def test_simhash_segment_blocking_finds_all_pairs(spark):
+    # Segment-blocked candidates must equal the naive all-pairs answer —
+    # pigeonhole guarantees no qualifying pair is missed.
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [" ".join(rng.choice(vocab) for _ in range(12)) for _ in range(40)]
+    docs = _docs(spark, rows)
+    got = sorted(
+        (r.d1, r.d2, r.hamming) for r in dedup.simhash_pairs(docs).collect()
+    )
+    sh = dedup.simhash(docs).alias("a")
+    b = dedup.simhash(docs).alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    naive = sorted(
+        (r.d1, r.d2, r.hamming)
+        for r in sh.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= dedup.HAMMING_THRESHOLD)
+        .collect()
+    )
+    assert got == naive
