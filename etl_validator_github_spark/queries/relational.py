@@ -1104,6 +1104,114 @@ ORDER BY s_suppkey
 """
 
 # ---------------------------------------------------------------------------
+# Q8 shape: market share — one nation's fraction of yearly revenue
+# among orders from customers in one region. Numerator and denominator
+# are conditional exact-cent sums in the SAME aggregation; the share is
+# one final IEEE division.
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "REGION_1"
+
+
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    c_nat = nat.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    s_nat = nat.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    rev = cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    target = F.sum(F.when(F.col("supp_nation") == _Q8_NATION, rev)
+                   .otherwise(F.lit(0).cast("long")))
+    total = F.sum(rev)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(c_nat), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(reg), F.col("c_rk") == reg.r_regionkey)
+        .filter(F.col("r_name") == _Q8_REGION)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(s_nat), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            (target / F.lit(100.0)).alias("nation_revenue"),
+            (total / F.lit(100.0)).alias("total_revenue"),
+            (target.cast("double") / total).alias("market_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = f"""
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN s_nat.n_name = '{_Q8_NATION}'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) / 100.0 AS nation_revenue,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue,
+       CAST(SUM(CASE WHEN s_nat.n_name = '{_Q8_NATION}'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS market_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+JOIN region   ON c_nat.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+WHERE r_name = '{_Q8_REGION}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join: '' normalized to NULL, then joined with <=> —
+# NULL keys MATCH each other (unlike plain =, which drops them). Oracle
+# uses IS NOT DISTINCT FROM, the ANSI spelling of the same operator.
+# ---------------------------------------------------------------------------
+
+
+def _null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # Derive a nullable key: priority digit for urgent/high, else NULL.
+    key = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.substring("o_orderpriority", 1, 1),
+    )
+    left = orders.select(F.col("o_orderkey").alias("l_key"), key.alias("l_pri"))
+    tiers = spark.createDataFrame(
+        [("1", "critical"), ("2", "elevated"), (None, "routine")],
+        "t_pri: string, tier: string",
+    )
+    return (
+        left.join(F.broadcast(tiers), left.l_pri.eqNullSafe(tiers.t_pri))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("tier")
+    )
+
+
+_NULL_SAFE_SQL = """
+WITH lhs AS (
+  SELECT o_orderkey AS l_key,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN substring(o_orderpriority, 1, 1) END AS l_pri
+  FROM orders
+), tiers(t_pri, tier) AS (
+  VALUES ('1', 'critical'), ('2', 'elevated'), (NULL, 'routine')
+)
+SELECT tier, COUNT(*) AS n_orders
+FROM lhs JOIN tiers ON l_pri IS NOT DISTINCT FROM t_pri
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Q11 shape: groups whose total exceeds a FRACTION of the global total —
 # the scaled-global-threshold pattern. Both aggregates are exact integer
 # cents; the fraction comparison is integer-only (group * N > global)
@@ -1755,6 +1863,11 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "the same text."),
         Query("q20_brand_volume_suppliers", _q20, _Q20_SQL,
               "Semi-join against an aggregated keep-list (TPC-H Q20 shape)."),
+        Query("q8_market_share", _q8, _Q8_SQL,
+              "Conditional-sum market-share ratio per year (TPC-H Q8 "
+              "shape)."),
+        Query("null_safe_tier_join", _null_safe_join, _NULL_SAFE_SQL,
+              "Null-safe equality join (<=> / IS NOT DISTINCT FROM)."),
         Query("q11_important_balances", _q11, _Q11_SQL,
               "Groups above a fraction of the global total, integer-only "
               "threshold (TPC-H Q11 shape)."),
