@@ -1212,6 +1212,77 @@ ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q21 shape: suppliers who were the ONLY late shipper on multi-supplier
+# orders (lateness adapted to shipdate > orderdate + 60d — the schema
+# has no commit/receipt dates). EXISTS (another supplier on the order)
+# + NOT EXISTS (another LATE supplier on the order) decorrelate into a
+# semi-join and an anti-join on the order key.
+# ---------------------------------------------------------------------------
+
+
+def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                                "l_shipdate")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.to_date("l_shipdate")
+                > F.date_add(F.to_date("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    # EXISTS another supplier on the same order:
+    other_supp = pairs.select(F.col("l_orderkey").alias("o2"),
+                              F.col("l_suppkey").alias("s2"))
+    multi = late.join(
+        other_supp,
+        (late.l_orderkey == F.col("o2")) & (late.l_suppkey != F.col("s2")),
+        "left_semi",
+    )
+    # NOT EXISTS another LATE supplier on the same order:
+    other_late = late.select(F.col("l_orderkey").alias("o3"),
+                             F.col("l_suppkey").alias("s3"))
+    sole = multi.join(
+        other_late,
+        (multi.l_orderkey == F.col("o3")) & (multi.l_suppkey != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(25)
+    )
+
+
+_Q21_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM late l JOIN supplier ON l.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE p.l_orderkey = l.l_orderkey AND p.l_suppkey <> l.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l2
+    WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey
+  )
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 25
+"""
+
+# ---------------------------------------------------------------------------
 # Q11 shape: groups whose total exceeds a FRACTION of the global total —
 # the scaled-global-threshold pattern. Both aggregates are exact integer
 # cents; the fraction comparison is integer-only (group * N > global)
@@ -1868,6 +1939,9 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "shape)."),
         Query("null_safe_tier_join", _null_safe_join, _NULL_SAFE_SQL,
               "Null-safe equality join (<=> / IS NOT DISTINCT FROM)."),
+        Query("q21_sole_late_supplier", _q21, _Q21_SQL,
+              "EXISTS + NOT EXISTS on the same fact via semi- and "
+              "anti-joins (TPC-H Q21 shape)."),
         Query("q11_important_balances", _q11, _Q11_SQL,
               "Groups above a fraction of the global total, integer-only "
               "threshold (TPC-H Q11 shape)."),
