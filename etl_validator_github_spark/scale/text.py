@@ -477,6 +477,76 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF: term frequency × inverse document frequency — the classic
+# distinctive-term scorer. Three exact-integer aggregates (tf per
+# doc×term, df per term, N) and ONE float expression at the end
+# (tf · ln(N/df), IEEE-identical across engines given identical ints).
+# The df table is term-cardinality (vocab-sized) — broadcast it; tf is
+# the only corpus-sized shuffle.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+TFIDF_DOC_LIMIT = 20
+
+
+def tf_idf(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    # Output rounded to 9 decimals: Spark's log and DuckDB's ln differ
+    # by 1 ulp for some inputs (different libm). Ranking stays on the
+    # raw score — equal (tf, df) pairs produce identical doubles within
+    # each engine and ties break on the term, so order is stable.
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= k) & (F.col("doc_id") < TFIDF_DOC_LIMIT))
+        .select("doc_id", "term", "tf", "df",
+                F.round("tfidf", 9).alias("tfidf"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tf_idf(load(spark, sf_dir, "documents"))
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(tfidf, 9) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {TFIDF_TOP_K} AND doc_id < {TFIDF_DOC_LIMIT}
+"""
+
+# ---------------------------------------------------------------------------
 # Arrow-vectorized scalar pandas_udf: the sanctioned escape hatch when a
 # metric genuinely needs Python (here a stand-in readability score).
 # Batches cross the JVM↔Python boundary as Arrow columns and the body is
@@ -556,6 +626,9 @@ TEXT_QUERIES: dict[str, Query] = {
         Query("docs_sample_stratified", _sample_q, _sample_sql(),
               "Deterministic md5-threshold stratified sampling "
               "(partitioning-independent, no rand)."),
+        Query("text_tfidf", _tfidf_q, _TFIDF_SQL,
+              "TF-IDF distinctive terms, top-3 per doc (exact int "
+              "aggregates, one final log)."),
         Query("text_pandas_udf_score", _pandas_udf_q, _PANDAS_UDF_SQL,
               "Arrow-vectorized scalar pandas_udf scoring, oracle-pinned "
               "(integer math crosses the boundary exactly)."),
