@@ -246,12 +246,17 @@ def generate_bankdata_distributed(
     seed: int = 246,
     as_of: dt.date | None = None,
     num_partitions: int | None = None,
+    keep_id: bool = False,
 ) -> DataFrame:
     """Distributed deterministic generation over ``spark.range(n)``.
 
     Every field is a pure function of the row id (multiplicative hashing),
     so results do not depend on partitioning — unlike ``rand(seed)`` whose
     stream is per-partition. Scales linearly with executors; no shuffle.
+
+    ``keep_id=True`` appends the source row id, letting callers derive
+    further deterministic per-row values (e.g. the violation-injection
+    key in queries/validation.py) from the same id stream.
     """
     as_of = as_of or dt.date(2026, 3, 10)
     df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
@@ -312,5 +317,6 @@ def generate_bankdata_distributed(
         blank.alias("ContactFax"),
         blank.alias("ContactOtherPhone"),
         F.concat(F.lit("user"), F.col("id").cast("string"), F.lit("@example.com")).alias("ContactEmail"),
+        *([F.col("id")] if keep_id else []),
     )
     return df

@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_validator_github_spark.generator import generate_bankdata_distributed
+from etl_validator_github_spark.queries.bankdata_oracle import (
+    INJECTIONS,
+    bankdata_oracle_sql,
+    injection_key_expr,
+)
 from etl_validator_github_spark.operators.reconcile import reconcile_errors
 from etl_validator_github_spark.operators.rules import Rule, compile_rules
 from etl_validator_github_spark.operators.validate import (
@@ -188,44 +193,44 @@ FROM csv_tok c FULL OUTER JOIN db_tok d ON c.payee_id = d.payee_id
 
 # ---------------------------------------------------------------------------
 # The real engine on its native schema: distributed seeded generation →
-# full 40+-rule catalog in one projection → error summary. No SQL oracle
-# (the generator is engine-side); the driver records a rows-only check and
-# tests/test_rules.py pins per-rule semantics.
+# full 40+-rule catalog in one projection → error summary. The oracle
+# (queries/bankdata_oracle.py) regenerates the identical table in DuckDB
+# SQL from the same id-keyed arithmetic, applies the same INJECTIONS
+# spec, and mirrors every rule predicate — a fully independent
+# cross-engine recomputation, no staged files.
 # ---------------------------------------------------------------------------
 
 
 def _bankdata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir scales the generated row count so bench stresses the rule
     # engine at the same order of magnitude as the relational queries.
+    # The oracle pins n=20k, matching every non-bench sf (the driver's
+    # correctness gate runs at sf0.01).
     n = 200_000 if sf_dir.rstrip("/").endswith("sf0.1") else 20_000
-    df = generate_bankdata_distributed(spark, n=n, seed=246)
-    # Lineage barrier: without it Catalyst inlines the generator's nested
-    # CASE trees into every one of the ~50 rule expressions and the
-    # optimizer blows up super-linearly (observed: minutes of planning).
-    # In production the input is a real table, so the barrier is free.
+    df = generate_bankdata_distributed(spark, n=n, seed=246, keep_id=True)
+    # First lineage barrier: the injection projection below references
+    # every generated column, so without it the generator's nested CASE
+    # trees are re-analyzed inside each override expression.
     df = df.localCheckpoint(eager=False)
-    # Deterministic violation injection (value-keyed, so partitioning-
-    # independent): mirrors the reference's --invalid-values scenarios
-    # (PIPE:3113-3244) at scale.
-    key = F.pmod(F.xxhash64("PayeeID"), F.lit(1000))
-    df = (
-        df.withColumn(
-            "RoutingTransitNumber",
-            F.when(key < 20, F.lit("54321")).otherwise(F.col("RoutingTransitNumber")),
-        )
-        .withColumn(
-            "RecordOperation",
-            F.when(key.between(20, 29), F.lit("Z")).otherwise(F.col("RecordOperation")),
-        )
-        .withColumn(
-            "PostalCode",
-            F.when(key.between(30, 39), F.lit("123")).otherwise(F.col("PostalCode")),
-        )
-        .withColumn(
-            "AccountType",
-            F.when(key.between(40, 49), F.lit("checking")).otherwise(F.col("AccountType")),
-        )
+    # Deterministic violation injection keyed on the generator's own id
+    # stream (partitioning-independent, SQL-expressible): mirrors the
+    # reference's --invalid-values scenarios (PIPE:3113-3244) at scale,
+    # firing nearly every rule family. All overrides go in ONE select —
+    # chained withColumn calls re-analyze the plan per column.
+    key = injection_key_expr(seed=246)
+    overrides: dict[str, F.Column] = {}
+    for lo, hi, col, val in INJECTIONS:
+        base = overrides.get(col, F.col(col))
+        overrides[col] = F.when(key.between(lo, hi), F.lit(val)).otherwise(base)
+    df = df.select(
+        *[overrides.get(c, F.col(c)).alias(c) for c in df.columns if c != "id"]
     )
+    # Second lineage barrier AFTER injection: without it Catalyst inlines
+    # the injection CASE trees into every one of the ~50 rule expressions
+    # and the optimizer blows up super-linearly (observed: minutes of
+    # planning). Each barrier materializes only n small rows; in
+    # production the input is a real table, so the barriers are free.
+    df = df.localCheckpoint(eager=False)
     errs = failing_records(df)
     return summarize_errors(errs)
 
@@ -239,8 +244,9 @@ VALIDATION_QUERIES: dict[str, Query] = {
               "Error frequency rollup over the rule engine output."),
         Query("reconcile_error_sets", _reconcile_error_sets, _RECONCILE_SQL,
               "CSV↔DB token-set reconciliation (J3/T1/T2, PIPE:932-967)."),
-        Query("bankdata_validate", _bankdata_validate, None,
-              "Full bank-rule catalog on distributed generated data "
-              "(rows-only check).", bench=True),
+        Query("bankdata_validate", _bankdata_validate, bankdata_oracle_sql(),
+              "Full bank-rule catalog on distributed generated data; the "
+              "oracle independently regenerates + revalidates in DuckDB.",
+              bench=True),
     ]
 }
