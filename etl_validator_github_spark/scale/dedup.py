@@ -242,29 +242,38 @@ def lsh_band_buckets(sig_df: DataFrame, n_bands: int = N_BANDS,
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Distinct candidate near-dup pairs with shared-band counts.
 
-    Self-join note: Spark plans each side independently, so the
-    signature pipeline executes twice here. Measured at bench scale,
-    that recompute is cheaper than materializing (an eager
-    ``localCheckpoint`` of the bucket table costs more than it saves,
-    and a lazy one races — both sides start computing before blocks
-    register). At real scale the calculus flips: persist the bucket
-    table (a few bytes/doc, ~10⁴× smaller than the corpus) before pair
-    generation, or write it to a staging parquet between jobs.
+    Pair generation groups bucket members per (band, band_key) and
+    expands in-bucket combinations with an array transform — NOT a
+    bucket-key self-join. A self-join plans each side independently, so
+    the whole signature pipeline (shingle → md5 → min-agg, the dominant
+    cost) would execute twice; the groupBy form runs it exactly once in
+    a single dataflow and shuffles once on the band key instead of
+    twice. The combination expansion is a per-bucket HOF (interpreted,
+    outside codegen), but buckets are tiny next to the hashing stage.
+    Quadratic blowup inside a degenerate mega-bucket is inherent to LSH
+    banding regardless of pair-generation shape; at 100 TB, cap bucket
+    size upstream (drop or split buckets over ~10⁴ members — they are
+    boilerplate/near-constant text, not meaningful near-dup clusters).
     """
     buckets = lsh_band_buckets(minhash_signatures(docs))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    grouped = (
+        buckets.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # ids is sorted, so pairing each element with its successors yields
+    # every pair once with d1 < d2.
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS d1, y AS d2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2")
+    return pairs.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
