@@ -109,6 +109,43 @@ def test_bucketed_range_join_matches_naive_between(spark):
     assert (3, 1) in got and (3, 2) in got
 
 
+def test_bucketed_range_join_left_join_null_extends(spark):
+    """Left-outer semantics: a point matching no interval survives
+    null-extended exactly once (the BETWEEN is part of the join
+    condition, not a post-join filter that would drop the row)."""
+    import pytest
+
+    from etl_validator_github_spark.plans.range_join import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 500.0)], "pid: long, p: double"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 40.0, 60.0)], "iid: long, lo: double, hi: double"
+    )
+    rows = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_range_join(
+            points, intervals, "p", "lo", "hi", bucket_width=10.0, how="left"
+        ).collect()
+    )
+    assert rows == [(1, 1), (2, 2), (3, None)]
+    semi = bucketed_range_join(
+        points, intervals, "p", "lo", "hi", bucket_width=10.0, how="left_semi"
+    )
+    assert sorted(r.pid for r in semi.collect()) == [1, 2]
+    anti = bucketed_range_join(
+        points, intervals, "p", "lo", "hi", bucket_width=10.0, how="left_anti"
+    )
+    assert [r.pid for r in anti.collect()] == [3]
+    # interval-side outer semantics are refused, not silently wrong
+    for bad in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="bucket-exploded"):
+            bucketed_range_join(
+                points, intervals, "p", "lo", "hi", bucket_width=10.0, how=bad
+            )
+
+
 def test_bucketed_range_join_plans_as_hash_join(spark):
     from etl_validator_github_spark.plans.range_join import bucketed_range_join
 
