@@ -62,8 +62,8 @@ _RELATIONAL_PRIORITY = (
     "skew_salted_rollup",               # skew-salting demo
     "schema_drift",                     # R24 schema validation
     "status_rollup",                    # grouping-sets representative
+    "events_type_pivot",                # pivot operator (sole witness)
     "q5_local_supplier",                # 6-way all-broadcast join shape
-    "events_type_pivot",                # pivot operator
     "order_value_percentiles",          # percentile functions
     "null_safe_tier_join",              # null-safe equality join
     "trailing_30d_window",              # range-frame window

@@ -405,6 +405,118 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the two approximate paths (LSH
+# buckets, IVF probing) against the brute-force exact top-k. Hits are
+# exact integer set-intersection counts, so the whole evaluation is
+# oracle-checkable bit-for-bit. This is the query a pipeline owner runs
+# before trusting an ANN index at scale: recall too low → raise nprobe /
+# add hash tables; recall ≈ k → the approximate path can replace
+# brute force.
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(embeddings: DataFrame, n_queries: int = N_QUERIES,
+               k: int = TOP_K) -> DataFrame:
+    """(method, query_id, hits, k): |approx top-k ∩ exact top-k| per query.
+
+    The LSH path ranks same-bucket candidates by exact cosine and takes
+    its best k; the IVF path is ``ivf_topk`` as shipped. Both are scored
+    against ``cosine_topk`` ground truth with a left join + non-null
+    count, so a query with zero overlap still reports hits=0.
+    """
+    from pyspark.sql import Window
+
+    truth = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(embeddings, n_queries, k).select("query_id", "neighbor_id")
+    pairs = ann_pairs(embeddings)
+    cand = (
+        pairs.select(
+            F.col("v1").alias("query_id"),
+            F.col("v2").alias("neighbor_id"),
+            "cos_sim",
+        )
+        .unionAll(
+            pairs.select(
+                F.col("v2").alias("query_id"),
+                F.col("v1").alias("neighbor_id"),
+                "cos_sim",
+            )
+        )
+        .filter(F.col("query_id") < n_queries)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    lsh = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+    def score(approx: DataFrame, name: str) -> DataFrame:
+        j = truth.join(
+            approx.withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        return j.groupBy("query_id").agg(
+            F.count("__hit").alias("hits")
+        ).select(
+            F.lit(name).alias("method"),
+            "query_id",
+            "hits",
+            F.lit(k).alias("k"),
+        )
+
+    return score(lsh, "lsh").unionAll(score(ivf, "ivf"))
+
+
+def _recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall(load(spark, sf_dir, "embeddings"))
+
+
+def _recall_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_TOPK_SQL}) t
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM ({_ivf_sql()}) t
+),
+lshp AS (
+  SELECT v1, v2, cos_sim FROM ({_ann_sql()}) t
+),
+lshc AS (
+  SELECT v1 AS query_id, v2 AS neighbor_id, cos_sim FROM lshp
+  WHERE v1 < {N_QUERIES}
+  UNION ALL
+  SELECT v2, v1, cos_sim FROM lshp WHERE v2 < {N_QUERIES}
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+    FROM lshc
+  ) r WHERE rnk <= {TOP_K}
+)
+SELECT 'lsh' AS method, t.query_id, CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits,
+       CAST({TOP_K} AS INT) AS k
+FROM truth t LEFT JOIN lsh m
+  ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+GROUP BY t.query_id
+UNION ALL
+SELECT 'ivf', t.query_id, CAST(COUNT(m.neighbor_id) AS BIGINT),
+       CAST({TOP_K} AS INT)
+FROM truth t LEFT JOIN ivf m
+  ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -419,5 +531,8 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "rescoring inside probed cells.", bench=True),
         Query("dedup_embedding_cosine", _near_dup_q, _near_dup_sql(),
               "Embedding-cosine near-dup pairs over LSH buckets."),
+        Query("embed_ann_recall", _recall_q, _recall_sql(),
+              "Recall@k of the LSH and IVF approximate paths vs "
+              "brute-force ground truth (exact integer hit counts)."),
     ]
 }
