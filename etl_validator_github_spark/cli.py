@@ -44,6 +44,22 @@ def _parse_invalid_values(specs: list[str]) -> tuple[dict, dict]:
     return columns, cells
 
 
+def _parse_min_max_limits(specs: list[str]) -> dict[str, tuple[str, str]]:
+    """``Col:MIN:MAX`` → {col: (min, max)} (reference column_limits dict,
+    PIPE:3325). Values stay strings; numeric step-past derivation happens
+    only for true numeric limits passed through the Python API."""
+    limits: dict[str, tuple[str, str]] = {}
+    for spec in specs:
+        col, sep1, rest = spec.partition(":")
+        lo, sep2, hi = rest.partition(":")
+        if not sep1 or not sep2:
+            raise SystemExit(
+                f"bad --min-max-limits spec (need Col:MIN:MAX): {spec!r}"
+            )
+        limits[col] = (lo, hi)
+    return limits
+
+
 def _cmd_generate(args: argparse.Namespace) -> int:
     from etl_validator_github_spark.generator import (
         generate_bankdata,
@@ -102,6 +118,14 @@ def _cmd_mutate(args: argparse.Namespace) -> int:
         df = mutate.drop_rows(df, args.drop_rows, order_by="PayeeID")
     if args.duplicate_payee:
         df = mutate.duplicate_payee_id(df, order_by="PayeeID")
+    if args.extra_columns:
+        df = mutate.add_extra_columns(df, args.extra_columns, order_by="PayeeID")
+    if args.duplicate_row is not None:
+        df = mutate.duplicate_row(df, args.duplicate_row, order_by="PayeeID")
+    if args.min_max_limits:
+        df = mutate.apply_min_max_limits(
+            df, _parse_min_max_limits(args.min_max_limits), order_by="PayeeID"
+        )
     write_bankdata(df, args.output, fmt="parquet")
     print(f"mutated {args.input} -> {args.output}")
     return 0
@@ -136,6 +160,7 @@ def _cmd_scenario(args: argparse.Namespace) -> int:
     res = run_scenario(
         spark, args.work_dir, rows=args.rows, seed=args.seed,
         invalid_values=columns, invalid_cells=cells,
+        extension=args.extension,
     )
     print(res.summary())
     return 0 if res.reconcile_passed else 1
@@ -164,6 +189,13 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="Old:New")
     m.add_argument("--drop-rows", nargs="*", type=int, default=None)
     m.add_argument("--duplicate-payee", action="store_true")
+    m.add_argument("--extra-columns", nargs="*", default=None,
+                   help="extra-column scenario (PIPE:3289-3323)")
+    m.add_argument("--duplicate-row", type=int, default=None, metavar="ROW",
+                   help="append a copy of one row (PIPE:2636-2692)")
+    m.add_argument("--min-max-limits", nargs="*", default=None,
+                   metavar="Col:MIN:MAX",
+                   help="boundary + violation rows (PIPE:3325-3432)")
     m.set_defaults(fn=_cmd_mutate)
 
     v = sub.add_parser("validate", help="run the rule catalog on a file")
@@ -181,6 +213,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=246)
     s.add_argument("--invalid-values", nargs="*", default=None,
                    metavar="Col:Val|Col:row=Val")
+    s.add_argument("--extension", default="parquet",
+                   help="ready-file extension; a non-ingestible one "
+                        "exercises the invalid-extension rejection "
+                        "(PIPE:3040-3073)")
     s.set_defaults(fn=_cmd_scenario)
 
     args = parser.parse_args(argv)

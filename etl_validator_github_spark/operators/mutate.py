@@ -137,6 +137,51 @@ def duplicate_payee_id(df: DataFrame, order_by: str | list[str]) -> DataFrame:
     return out.drop(ROW_ID, "__dup_payee")
 
 
+def apply_min_max_limits(
+    df: DataFrame,
+    column_limits: dict[str, tuple[object, object]],
+    order_by: str | list[str],
+    constraints: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Min/max-limits scenario (PIPE:3325-3432 run_min_max_limits_scenario).
+
+    For each column with a ``(min_val, max_val)`` spec: row 0 gets the min
+    boundary, row 1 the max boundary (both VALID), row 2 an auto-derived
+    below-min violation, row 3 an above-max violation — so a validator run
+    must flag exactly rows 2 and 3 for that column. Violation derivation
+    mirrors the reference: numeric limits step one past the boundary;
+    otherwise the canonical length-constraint table (schema.FIELD_CONSTRAINTS
+    — which wins over the reference's conflicting scenario-local table, see
+    operators/rules.py header) yields ``'X' * (min_len - 1)`` below and
+    ``'A' * (max_len + 5)`` above.
+    """
+    from etl_validator_github_spark.schema import FIELD_CONSTRAINTS
+
+    constraints = FIELD_CONSTRAINTS if constraints is None else constraints
+    out = with_row_index(df, order_by)
+    for col, (min_val, max_val) in column_limits.items():
+        if col not in out.columns:
+            continue
+        lo_len, hi_len = constraints.get(col, (1, 10))
+        if isinstance(min_val, (int, float)) and not isinstance(min_val, bool):
+            below = str(min_val - 1)
+        else:
+            below = "X" * max(0, lo_len - 1)
+        if isinstance(max_val, (int, float)) and not isinstance(max_val, bool):
+            above = str(max_val + 1)
+        else:
+            above = "A" * (hi_len + 5)
+        out = out.withColumn(
+            col,
+            F.when(F.col(ROW_ID) == 0, F.lit(str(min_val)))
+            .when(F.col(ROW_ID) == 1, F.lit(str(max_val)))
+            .when(F.col(ROW_ID) == 2, F.lit(below))
+            .when(F.col(ROW_ID) == 3, F.lit(above))
+            .otherwise(F.col(col).cast("string")),
+        )
+    return out.drop(ROW_ID)
+
+
 def find_duplicate_payees(df: DataFrame) -> DataFrame:
     """Detection side of R23: PayeeIDs appearing on more than one row.
 

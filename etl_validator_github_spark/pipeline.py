@@ -159,6 +159,9 @@ class ScenarioResult:
         # The reference's success criterion, verbatim shape: its tests
         # assert `"Row counts MATCH" in stdout`
         # (tests/test_recordoperation_invalid_z.py:73-76).
+        if self.pipeline.file_level_failure:
+            reason = self.pipeline.details.get("reason", "file-level failure")
+            return f"FILE REJECTED: {reason}"
         verdict = "MATCH" if self.counts_match else "MISMATCH"
         return (f"CSV errors: {self.csv_error_count}, "
                 f"DB errors: {self.db_error_count}. Row counts {verdict}")
@@ -172,6 +175,7 @@ def run_scenario(
     invalid_values: dict[str, str] | None = None,
     invalid_cells: dict[tuple[str, int], str] | None = None,
     env: str = "dev2",
+    extension: str = "parquet",
 ) -> ScenarioResult:
     """The reference's E1 scenario lifecycle in one Spark application:
     generate → inject violations → ready folder → validate → error CSV →
@@ -182,7 +186,12 @@ def run_scenario(
     exercising the sink + parse round-trip) against the rule engine's
     in-memory error records (the reference's SQL-DB side). Matching
     token sets + counts is what the reference calls "Row counts MATCH"
-    (PIPE:1196-1361)."""
+    (PIPE:1196-1361).
+
+    ``extension`` names the ready-file suffix; a non-ingestible one (the
+    reference's invalid-extension scenario, PIPE:3040-3073) makes
+    ``validate_file`` reject the file whole, and the scenario reports
+    the rejection with nothing to reconcile."""
     from etl_validator_github_spark.generator import generate_bankdata
     from etl_validator_github_spark.operators import mutate
     from etl_validator_github_spark.operators.errors import to_error_records
@@ -198,14 +207,21 @@ def run_scenario(
         df = mutate.overwrite_cells(df, invalid_cells, order_by="PayeeID")
 
     ready = os.path.join(work_dir, "ready",
-                         f"mtfdm_{env}_dmbankdata_{ts}.parquet")
-    write_bankdata(df, ready)
+                         f"mtfdm_{env}_dmbankdata_{ts}.{extension}")
+    # Payload is always parquet; the extension is what the file-level
+    # gate judges (mirrors the reference renaming the upload, PIPE:3052).
+    write_bankdata(df, ready, fmt="parquet")
     res = validate_file(
         spark, ready,
         error_dir=os.path.join(work_dir, "error"),
         archive_dir=os.path.join(work_dir, "archive"),
         env=env, now=now,
     )
+    if res.file_level_failure:
+        # Rejected whole (e.g. invalid extension): nothing ran, nothing
+        # to reconcile — the rejection itself is the scenario's outcome.
+        return ScenarioResult(res, 0, 0, counts_match=True,
+                              reconcile_passed=True)
 
     # Independent "DB side": re-derive error records from the archived
     # input through the rule engine (no disk round-trip of the CSV).

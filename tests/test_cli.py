@@ -56,6 +56,72 @@ def test_cli_validate_rejects_schema_drift(spark, tmp_path):
     ]) == 1
 
 
+def test_cli_mutate_extra_columns_and_duplicate_row(spark, tmp_path):
+    out = tmp_path / "bank"
+    main(["generate", "--rows", "10", "--output", str(out)])
+    mutated = tmp_path / "extra.parquet"
+    assert main([
+        "mutate", f"{out}.parquet",
+        "--extra-columns", "BonusCol",
+        "--duplicate-row", "0",
+        "--output", str(mutated),
+    ]) == 0
+    df = spark.read.parquet(str(mutated))
+    assert "BonusCol" in df.columns
+    vals = {r.BonusCol for r in df.select("BonusCol").collect()}
+    assert all(v.startswith("Extra_BonusCol_") for v in vals)
+    assert df.count() == 11  # 10 rows + one duplicated
+    # Extra column is a detail, not a rejection (R24 extra vs missing).
+    assert main([
+        "validate", str(mutated), "--error-dir", str(tmp_path / "err3"),
+    ]) == 0
+
+
+def test_cli_mutate_min_max_limits_row_isolated(spark, tmp_path):
+    """Mirror of the reference min/max scenario (PIPE:3325-3432): rows 0/1
+    get the (valid) boundary values, rows 2/3 auto-derived violations —
+    the validator must flag exactly rows 2 and 3."""
+    out = tmp_path / "bank"
+    main(["generate", "--rows", "10", "--seed", "246", "--output", str(out)])
+    mutated = tmp_path / "mtfdm_dev2_dmbankdata_mm.parquet"
+    assert main([
+        "mutate", f"{out}.parquet",
+        "--min-max-limits", "PostalCode:10000:9999999999",
+        "--output", str(mutated),
+    ]) == 0
+    rows = (
+        spark.read.parquet(str(mutated))
+        .orderBy("PayeeID")
+        .select("PayeeID", "PostalCode")
+        .collect()
+    )
+    assert rows[0].PostalCode == "10000"          # min boundary, valid
+    assert rows[1].PostalCode == "9999999999"     # max boundary, valid
+    assert rows[2].PostalCode == "XXXX"           # below min_length 5
+    assert rows[3].PostalCode == "A" * 15         # above max_length 10
+    assert main([
+        "validate", str(mutated),
+        "--error-dir", str(tmp_path / "errmm"),
+    ]) == 0
+    body = next((tmp_path / "errmm").glob("*.csv")).read_text()
+    postal_lines = [l for l in body.splitlines() if "PostalCode" in l]
+    flagged = {l.split("|")[1] for l in postal_lines}
+    assert flagged == {rows[2].PayeeID, rows[3].PayeeID}
+    for clean in (rows[0].PayeeID, rows[1].PayeeID):
+        assert clean not in flagged
+
+
+def test_cli_scenario_invalid_extension_rejected(spark, tmp_path, capsys):
+    rc = main([
+        "scenario", "--work-dir", str(tmp_path), "--rows", "8",
+        "--extension", "txt",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "FILE REJECTED" in out
+    assert "invalid file extension" in out
+
+
 def test_cli_scenario_mirrors_reference_contract(spark, tmp_path, capsys):
     # The reference's tests spawn the pipeline CLI with --invalid-values
     # and assert exit 0 + "Row counts MATCH" in stdout

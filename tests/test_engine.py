@@ -75,6 +75,24 @@ def test_mutation_operators(spark):
     assert dup.count() == 11
 
 
+def test_min_max_limits_numeric_and_length_branches(spark):
+    """Operator-level mirror of PIPE:3325-3432: numeric limits step one
+    past the boundary; string limits derive from FIELD_CONSTRAINTS."""
+    df = generate_bankdata(spark, 6, seed=1)
+    out = mutate.apply_min_max_limits(
+        df,
+        {"AccountNumber": (10, 99), "State": ("AL", "WY")},
+        order_by="PayeeID",
+    )
+    rows = out.orderBy("PayeeID").select("AccountNumber", "State").collect()
+    assert [r.AccountNumber for r in rows[:4]] == ["10", "99", "9", "100"]
+    # State constraints are (2, 2): below = 'X', above = 'A' * 7.
+    assert [r.State for r in rows[:4]] == ["AL", "WY", "X", "A" * 7]
+    # rows past index 3 untouched
+    base = df.orderBy("PayeeID").select("State").collect()
+    assert [r.State for r in rows[4:]] == [r.State for r in base[4:]]
+
+
 def test_cell_injection_targets_one_row(spark):
     df = generate_bankdata(spark, 10, seed=1)
     out = mutate.overwrite_cells(df, {("PaymentMode", 3): "POP"}, order_by="PayeeID")
