@@ -5,40 +5,24 @@ physical types (DuckDB HUGEINT vs Spark BIGINT) hash-mismatch even
 though a Python ``==`` comparison passes. q12_priority_by_status
 regressed exactly this way in round 1 (uncast ``SUM(CASE…)`` → int128).
 
-This test runs each DuckDB oracle with ``LIMIT 0`` semantics (full
-query at sf0.001 — cheap), pulls the Arrow schema from both engines,
-canonicalizes representation-only differences (large_string vs string,
-large_list vs list, timestamp unit/zone), and asserts column-by-column
-equality. Any oracle whose integer aggregate is left uncast fails here
-before it ever reaches the driver.
+This test executes each DuckDB oracle in full at sf0.001 (cheap at that
+scale), pulls the result's Arrow schema, does the same for the Spark
+plan (schema only — no action), canonicalizes representation-only
+differences (large_string vs string, large_list vs list, timestamp
+unit/zone), and asserts column-by-column equality. Any oracle whose
+integer aggregate is left uncast fails here before it ever reaches the
+driver.
 """
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pyarrow as pa
 import pytest
 from pyspark.sql.pandas.types import to_arrow_type
 
-from etl_validator_github_spark.contract import TABLES
 from etl_validator_github_spark.queries import CATALOG
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-
-ORACLE_NAMES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
-
-
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+from conftest import ORACLE_NAMES, SF_DIR
 
 
 def _canon(t: pa.DataType):

@@ -9,28 +9,12 @@ in CORRECTNESS_r{N}.json, so a failure here predicts a driver failure.
 from __future__ import annotations
 
 import math
-import os
 
-import duckdb
 import pytest
 
 from etl_validator_github_spark.queries import CATALOG
-from etl_validator_github_spark.contract import TABLES
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-
-ORACLE_NAMES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
-
-
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+from conftest import ORACLE_NAMES, SF_DIR
 
 
 def _norm(v):
