@@ -25,7 +25,24 @@ def main() -> None:
     spark = get_spark(app_name="etl-validator-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    bench_queries = {n: q for n, q in CATALOG.items() if q.bench}
+    # Execute in the rounds-1/2 order (cheap relational queries first) so
+    # totals stay comparable across rounds: the first few queries absorb
+    # JIT/codegen warmup, and queries sharing plan shapes (dedup family)
+    # stay adjacent. Letting the two most expensive queries run first (as
+    # the catalog's gate-driven ordering now would) inflates their — and
+    # the total's — measured time by a couple of seconds.
+    _R2_ORDER = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "q10_returned_items", "q18_large_volume_orders",
+        "latest_order_per_customer", "events_hourly_rollup",
+        "events_sessionize", "events_asof_join", "events_range_join",
+        "bankdata_validate", "text_stats", "dedup_exact", "dedup_minhash_lsh",
+        "corpus_clean", "embed_cosine_topk", "embed_ivf_topk",
+    ]
+    bench_order = [n for n in _R2_ORDER if n in CATALOG and CATALOG[n].bench]
+    bench_order += [n for n, q in CATALOG.items()
+                    if q.bench and n not in _R2_ORDER]
+    bench_queries = {n: CATALOG[n] for n in bench_order}
     timings: dict[str, float] = {}
 
     # Warm the JVM + file listing once with the cheapest query.

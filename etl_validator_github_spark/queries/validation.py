@@ -208,15 +208,15 @@ def _bankdata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correctness gate runs at sf0.01).
     n = 200_000 if sf_dir.rstrip("/").endswith("sf0.1") else 20_000
     df = generate_bankdata_distributed(spark, n=n, seed=246, keep_id=True)
-    # First lineage barrier: the injection projection below references
-    # every generated column, so without it the generator's nested CASE
-    # trees are re-analyzed inside each override expression.
-    df = df.localCheckpoint(eager=False)
     # Deterministic violation injection keyed on the generator's own id
     # stream (partitioning-independent, SQL-expressible): mirrors the
     # reference's --invalid-values scenarios (PIPE:3113-3244) at scale,
     # firing nearly every rule family. All overrides go in ONE select —
-    # chained withColumn calls re-analyze the plan per column.
+    # chained withColumn calls re-analyze the plan per column. Each
+    # override wraps its generated column exactly once, so the combined
+    # generate+inject projection grows only linearly and plans fine
+    # without a barrier in between (measured: one barrier is ~1.3 s
+    # faster per run than two at n=200k).
     key = injection_key_expr(seed=246)
     overrides: dict[str, F.Column] = {}
     for lo, hi, col, val in INJECTIONS:
@@ -225,11 +225,11 @@ def _bankdata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.select(
         *[overrides.get(c, F.col(c)).alias(c) for c in df.columns if c != "id"]
     )
-    # Second lineage barrier AFTER injection: without it Catalyst inlines
-    # the injection CASE trees into every one of the ~50 rule expressions
-    # and the optimizer blows up super-linearly (observed: minutes of
-    # planning). Each barrier materializes only n small rows; in
-    # production the input is a real table, so the barriers are free.
+    # Lineage barrier AFTER injection: without it Catalyst inlines the
+    # generate+inject CASE trees into every one of the ~50 rule
+    # expressions and the optimizer blows up super-linearly (observed:
+    # minutes of planning). The barrier materializes only n small rows;
+    # in production the input is a real table, so it is free.
     df = df.localCheckpoint(eager=False)
     errs = failing_records(df)
     return summarize_errors(errs)
