@@ -596,6 +596,159 @@ SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Chunk-level (C4 "line-level") global dedup: hash fixed 20-token chunks
+# of every document, count each chunk hash corpus-wide, and report the
+# fraction of each document made of passages that occur more than once
+# anywhere in the corpus. Two shuffles, both on uniform hash/id keys:
+# (1) hash-agg on chunk_hash (map-side combine — shuffle volume is
+# distinct hashes, not chunk occurrences), (2) the per-doc rollup. The
+# join of chunk occurrences to the global counts co-partitions on
+# chunk_hash with shuffle (1), so AQE reuses that exchange.
+# ---------------------------------------------------------------------------
+
+DEDUP_CHUNK_TOKENS = 20
+#: Keep a doc iff at most this fraction of its chunks is corpus-repeated.
+DEDUP_CHUNK_MAX_SHARED = 0.5
+
+
+def chunk_dedup_stats(docs: DataFrame,
+                      chunk_tokens: int = DEDUP_CHUNK_TOKENS) -> DataFrame:
+    from etl_validator_github_spark.scale.text import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_tokens).select("doc_id", "chunk_hash")
+    counts = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("global_count")
+    )
+    per_doc = (
+        chunks.join(counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum((F.col("global_count") > 1).cast("int")).cast("int")
+            .alias("n_shared_chunks"),
+        )
+    )
+    shared_ratio = F.col("n_shared_chunks") / F.col("n_chunks")
+    return per_doc.select(
+        "doc_id", "n_chunks", "n_shared_chunks",
+        shared_ratio.alias("shared_ratio"),
+        (shared_ratio <= DEDUP_CHUNK_MAX_SHARED).cast("int")
+        .alias("chunk_keep"),
+    )
+
+
+def _chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(toks) / {DEDUP_CHUNK_TOKENS}.0) AS INT)),
+           i -> md5(array_to_string(list_slice(toks,
+                      i * {DEDUP_CHUNK_TOKENS} + 1,
+                      i * {DEDUP_CHUNK_TOKENS} + {DEDUP_CHUNK_TOKENS}), ' '))))
+           AS chunk_hash
+  FROM tok
+), gc AS (
+  SELECT chunk_hash, COUNT(*) AS global_count FROM ch GROUP BY 1
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_chunks,
+         CAST(SUM(CASE WHEN global_count > 1 THEN 1 ELSE 0 END) AS INT)
+           AS n_shared_chunks
+  FROM ch JOIN gc USING (chunk_hash)
+  GROUP BY 1
+)
+SELECT doc_id, n_chunks, n_shared_chunks,
+       n_shared_chunks / n_chunks AS shared_ratio,
+       CAST(n_shared_chunks / n_chunks <= {DEDUP_CHUNK_MAX_SHARED} AS INT)
+         AS chunk_keep
+FROM per_doc
+"""
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: the standard pre-training hygiene pass —
+# find corpus documents sharing word n-grams with a held-out benchmark
+# set (here a deterministic doc_id-keyed slice standing in for an eval
+# suite). The benchmark shingle set is tiny relative to the corpus, so
+# it is broadcast: the corpus side streams map-only through the hash
+# join, and only the (rare) hits shuffle into the per-doc rollup. This
+# is the shape that survives 100 TB — the corpus is never shuffled on
+# shingles.
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 23
+DECON_SHINGLE = 5
+
+_SHINGLES_EXPR = (
+    f"transform(sequence(1, size(__toks) - {DECON_SHINGLE - 1}), "
+    f"          i -> concat_ws(' ', slice(__toks, i, {DECON_SHINGLE})))"
+)
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("__toks") >= DECON_SHINGLE,
+                       F.expr(_SHINGLES_EXPR))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+    )
+
+
+def decontaminate(docs: DataFrame,
+                  bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    shingles = _doc_shingles(docs)
+    bench = (
+        shingles.filter(F.col("doc_id") % bench_mod == 0)
+        .select("shingle").distinct()
+    )
+    corpus = shingles.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("int")
+            .alias("n_overlap_shingles"),
+            F.count(F.lit(1)).cast("int").alias("n_overlap_occurrences"),
+        )
+    )
+
+
+def _decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(load(spark, sf_dir, "documents"))
+
+
+_DECON_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {DECON_SHINGLE - 2}),
+                i -> array_to_string(list_slice(toks, i,
+                       i + {DECON_SHINGLE - 1}), ' '))) AS shingle
+  FROM tok
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT shingle) AS INT) AS n_overlap_shingles,
+       CAST(COUNT(*) AS INT) AS n_overlap_occurrences
+FROM (SELECT * FROM sh WHERE doc_id % {DECON_BENCH_MOD} != 0)
+JOIN bench USING (shingle)
+GROUP BY 1
+"""
+
+
 DEDUP_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -614,5 +767,11 @@ DEDUP_QUERIES: dict[str, Query] = {
         Query("dedup_clusters", _dedup_clusters_q, _clusters_sql(),
               "Connected components over near-dup pairs via iterative "
               "min-label propagation (oracle: recursive CTE closure)."),
+        Query("dedup_chunk_global", _chunk_dedup_q, _CHUNK_DEDUP_SQL,
+              "C4-style chunk-level dedup: per-doc fraction of 20-token "
+              "passages repeated anywhere in the corpus."),
+        Query("decontaminate", _decontaminate_q, _DECON_SQL,
+              "Benchmark decontamination: 5-gram shingle overlap vs a "
+              "broadcast held-out set."),
     ]
 }

@@ -604,6 +604,203 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition/quality filter (Rae et al. 2021 §A1.1): drop
+# documents dominated by a single token or by repeated bigrams. The
+# top-token count is computed with explode → two-level hash aggregate
+# (map-side partial combine; shuffle volume is distinct (doc, token)
+# pairs, far below raw token count), NOT a per-row O(n·distinct) lambda
+# scan — the shape that still works when documents are megabytes. The
+# bigram-repetition ratio is per-row array math (linear in doc length,
+# no shuffle at all).
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 1000
+#: Max fraction of tokens that may be one repeated token (~80th pctile
+#: of the testdata corpus, so the flag splits it non-trivially).
+GOPHER_TOP_TOKEN_MAX = 0.12
+#: Max fraction of bigrams that are repeats of an earlier bigram.
+GOPHER_DUP_BIGRAM_MAX = 0.10
+
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, size(__toks) - 1), "
+    "          i -> concat(element_at(__toks, i), ' ', "
+    "                      element_at(__toks, i + 1)))"
+)
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    base = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("__toks")
+    )
+    top = (
+        base.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("int").alias("top_token_count"))
+    )
+    per_row = base.select(
+        "doc_id",
+        "lang",
+        F.size("__toks").alias("n_tokens"),
+        F.when(F.size("__toks") >= 2, F.expr(_BIGRAMS_EXPR))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__bg"),
+    ).select(
+        "doc_id", "lang", "n_tokens",
+        F.size("__bg").alias("n_bigrams"),
+        (F.size("__bg") - F.size(F.array_distinct("__bg")))
+        .alias("n_dup_bigrams"),
+    )
+    out = per_row.join(top, "doc_id")
+    top_ratio = F.col("top_token_count") / F.col("n_tokens")
+    dup_ratio = F.when(
+        F.col("n_bigrams") > 0, F.col("n_dup_bigrams") / F.col("n_bigrams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id", "lang", "n_tokens", "top_token_count",
+        top_ratio.alias("top_token_ratio"),
+        "n_bigrams", "n_dup_bigrams",
+        dup_ratio.alias("dup_bigram_ratio"),
+        (
+            (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+            & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+            & (top_ratio <= GOPHER_TOP_TOKEN_MAX)
+            & (dup_ratio <= GOPHER_DUP_BIGRAM_MAX)
+        ).cast("int").alias("gopher_keep"),
+    )
+
+
+def _gopher_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality(load(spark, sf_dir, "documents"))
+
+
+_GOPHER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), top AS (
+  SELECT doc_id, CAST(MAX(c) AS INT) AS top_token_count
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+    GROUP BY 1, 2
+  )
+  GROUP BY 1
+), per_row AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INT) AS n_tokens,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM tok
+), stats AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(len(bg) AS INT) AS n_bigrams,
+         CAST(len(bg) - len(list_distinct(bg)) AS INT) AS n_dup_bigrams,
+         top_token_count
+  FROM per_row JOIN top USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, top_token_count,
+       top_token_count / n_tokens AS top_token_ratio,
+       n_bigrams, n_dup_bigrams,
+       CASE WHEN n_bigrams > 0 THEN n_dup_bigrams / n_bigrams
+            ELSE 0.0 END AS dup_bigram_ratio,
+       CAST(n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+            AND top_token_count / n_tokens <= {GOPHER_TOP_TOKEN_MAX}
+            AND (CASE WHEN n_bigrams > 0 THEN n_dup_bigrams / n_bigrams
+                      ELSE 0.0 END) <= {GOPHER_DUP_BIGRAM_MAX}
+            AS INT) AS gopher_keep
+FROM stats
+"""
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails / SSNs / IPv4s, the standard
+# pre-training privacy pass. The testdata corpus is synthetic word soup
+# with no PII, so the query first INJECTS deterministic fake PII into a
+# doc_id-keyed subset (identically on both engines) and then scrubs it —
+# proving the redaction regexes and counting logic end-to-end. Pure
+# per-row regexp_replace/extract_all: map-only, shuffle-free, and the
+# regexes avoid non-RE2 constructs (no backrefs/lookaround) so Java
+# regex (Spark) and RE2 (DuckDB) agree.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_SSN_RE = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+PII_IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def inject_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic fake PII to doc_id-keyed subsets."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"),
+                 F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" ssn 123-45-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                 F.lit(".0."), (did % 100).cast("string")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat("text", email, ssn, ip))
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_SSN_RE, "<SSN>"),
+        PII_IP_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_SSN_RE), 0)).alias("n_ssns"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), 0)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+def _pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_pii(inject_pii(load(spark, sf_dir, "documents")))
+
+
+_PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_SSN_RE}')) AS INT) AS n_ssns,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS INT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_SSN_RE}', '<SSN>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g')) AS scrubbed_hash
+FROM injected
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -632,5 +829,11 @@ TEXT_QUERIES: dict[str, Query] = {
         Query("text_pandas_udf_score", _pandas_udf_q, _PANDAS_UDF_SQL,
               "Arrow-vectorized scalar pandas_udf scoring, oracle-pinned "
               "(integer math crosses the boundary exactly)."),
+        Query("text_gopher_quality", _gopher_q, _GOPHER_SQL,
+              "Gopher-style repetition filter: top-token + duplicate-bigram "
+              "ratios with keep flag."),
+        Query("text_pii_scrub", _pii_scrub_q, _PII_SQL,
+              "Regex PII redaction (email/SSN/IP) over deterministically "
+              "injected fakes; per-doc counts + scrubbed-text hash."),
     ]
 }
