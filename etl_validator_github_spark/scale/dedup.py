@@ -602,9 +602,13 @@ SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY 1
 # fraction of each document made of passages that occur more than once
 # anywhere in the corpus. Two shuffles, both on uniform hash/id keys:
 # (1) hash-agg on chunk_hash (map-side combine — shuffle volume is
-# distinct hashes, not chunk occurrences), (2) the per-doc rollup. The
-# join of chunk occurrences to the global counts co-partitions on
-# chunk_hash with shuffle (1), so AQE reuses that exchange.
+# distinct hashes, not chunk occurrences), (2) the per-doc rollup.
+# Joining occurrences back to the global counts plans as a broadcast of
+# the (much smaller) aggregated side at test scale; the chunk pipeline
+# itself is referenced by both join inputs and, being pure map work
+# (split + md5), recomputing it is cheaper than a barrier here — at
+# 100 TB persist the few-bytes/chunk (doc_id, chunk_hash) table first,
+# exactly like the MinHash fingerprint note below.
 # ---------------------------------------------------------------------------
 
 DEDUP_CHUNK_TOKENS = 20

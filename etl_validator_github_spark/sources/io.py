@@ -58,8 +58,16 @@ def write_bankdata(
         writer.json(path)
     elif fmt == "xlsx":
         # S4: no native Spark xlsx sink; the reference also writes xlsx on a
-        # single node (GEN:563-581). Driver-side via pandas; small files only.
-        df.toPandas().to_excel(path, index=False)
+        # single node (GEN:563-581). Driver-side, small files only; the
+        # stdlib OOXML writer needs no excel engine in the environment.
+        from etl_validator_github_spark.sources.xlsx import write_xlsx
+
+        pdf = df.toPandas()
+        rows = [
+            tuple(None if v is None or v != v else v for v in rec)
+            for rec in pdf.itertuples(index=False, name=None)
+        ]
+        write_xlsx(path, list(pdf.columns), rows)
     else:
         raise ValueError(f"unsupported format: {fmt}")
 

@@ -1,9 +1,9 @@
 """Format-matrix tests for sources/io.py (SURVEY §2.1 S1-S8).
 
-Parquet, CSV (with null token), JSON round-trips; XLSX is skipped when
-no xlsx engine is installed (the write path is driver-side pandas, as in
-the reference). Raw line counting and pipe-CSV error reads are the S7/S8
-operators.
+Parquet, CSV (with null token), JSON round-trips; XLSX round-trips via
+the stdlib OOXML writer in sources/xlsx.py (driver-side, as in the
+reference — no excel engine needed). Raw line counting and pipe-CSV
+error reads are the S7/S8 operators.
 """
 
 from __future__ import annotations
@@ -44,13 +44,28 @@ def test_json_roundtrip(spark, bank, tmp_path):
     assert back.count() == 20
 
 
-def test_xlsx_write(bank, tmp_path):
-    pytest.importorskip("openpyxl")
+def test_xlsx_write_roundtrip(bank, tmp_path):
+    from etl_validator_github_spark.sources.xlsx import read_xlsx_cells
+
     path = str(tmp_path / "bank.xlsx")
     sio.write_bankdata(bank, path, fmt="xlsx")
-    import os
+    cells = read_xlsx_cells(path)
+    assert cells[0] == bank.columns
+    assert len(cells) == bank.count() + 1
+    # Spot-check one data row against the DataFrame.
+    first = bank.limit(1).collect()[0]
+    assert cells[1][bank.columns.index("PayeeID")] == str(first["PayeeID"])
 
-    assert os.path.getsize(path) > 0
+
+def test_xlsx_escapes_markup(tmp_path):
+    from etl_validator_github_spark.sources.xlsx import (
+        read_xlsx_cells,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "esc.xlsx")
+    write_xlsx(path, ["a<b", 'q"&'], [("<tag>&amp;", None)])
+    assert read_xlsx_cells(path) == [["a<b", 'q"&'], ["<tag>&amp;", None]]
 
 
 def test_unsupported_format_raises(bank, tmp_path):

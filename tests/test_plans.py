@@ -72,6 +72,33 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
     assert "codegen id" in p
 
 
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """Regex redaction must stay a pure per-row projection — no Exchange
+    anywhere (the shape that streams through 100 TB without a shuffle)."""
+    p = plan(spark, sf_dir, "text_pii_scrub")
+    assert "Exchange" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """The corpus side must never shuffle on shingles: the (small)
+    benchmark shingle set is broadcast into a hash join."""
+    p = plan(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name", ["text_gopher_quality", "dedup_chunk_global"]
+)
+def test_repetition_stats_use_hash_aggregates(spark, sf_dir, name):
+    """Top-token / chunk-count rollups run as two-level hash aggregates
+    (map-side partial combine) joined back — never nested loops."""
+    p = plan(spark, sf_dir, name)
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "embed_ann_lsh"])
 def test_lsh_paths_avoid_cartesian_products(spark, sf_dir, name):
     """LSH candidate generation must join on bucket keys, never via a

@@ -269,3 +269,104 @@ def test_simhash_segment_blocking_finds_all_pairs(spark):
         .collect()
     )
     assert got == naive
+
+
+def test_gopher_quality_matches_pure_python(spark):
+    from collections import Counter
+
+    from etl_validator_github_spark.scale.text import gopher_quality
+
+    rows = [
+        "a b c d e f g h i j k l m n o p q r s t u v",   # clean, 22 toks
+        "spam " * 30 + "end",                            # one dominant token
+        "x y x y x y x y x y x y x y x y x y x y x y",  # repeated bigrams
+        "tiny doc",                                      # under min tokens
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality(_docs(spark, rows)).collect()
+    }
+    for doc_id, text in enumerate(rows):
+        toks = text.split(" ")
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        exp_top = max(Counter(toks).values())
+        exp_dup = len(bigrams) - len(set(bigrams))
+        row = got[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["top_token_count"] == exp_top
+        assert row["n_dup_bigrams"] == exp_dup
+    assert got[0]["gopher_keep"] == 1
+    assert got[1]["gopher_keep"] == 0        # top-token dominated
+    assert got[2]["gopher_keep"] == 0        # bigram repetition
+    assert got[3]["gopher_keep"] == 0        # too short
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from etl_validator_github_spark.scale.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob@mail.com or sue@corp.io today"),
+            (2, "ssn is 123-45-6789 ip is 10.0.0.1"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ssns"], got[1]["n_ips"]) == (2, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_ssns"], got[2]["n_ips"]) == (0, 1, 1)
+    assert (got[3]["n_emails"], got[3]["n_ssns"], got[3]["n_ips"]) == (0, 0, 0)
+    # The hash is of the REDACTED text: doc 2 scrubbed == hash of the
+    # placeholder form.
+    import hashlib
+
+    exp = hashlib.md5(b"ssn is <SSN> ip is <IP>").hexdigest()
+    assert got[2]["scrubbed_hash"] == exp
+
+
+def test_chunk_dedup_stats_matches_brute_force(spark):
+    from etl_validator_github_spark.scale.dedup import chunk_dedup_stats
+
+    shared = " ".join(f"w{i}" for i in range(20))         # one full chunk
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(7))          # ragged tail
+    rows = [f"{shared} {uniq_a}", f"{shared} {uniq_b}", uniq_b]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in chunk_dedup_stats(_docs(spark, rows)).collect()
+    }
+    # Doc 0: chunks [shared, uniq_a] — shared repeats in doc 1.
+    assert (got[0]["n_chunks"], got[0]["n_shared_chunks"]) == (2, 1)
+    # Doc 1: [shared, uniq_b] — both repeat elsewhere (uniq_b is doc 2).
+    assert (got[1]["n_chunks"], got[1]["n_shared_chunks"]) == (2, 2)
+    assert (got[2]["n_chunks"], got[2]["n_shared_chunks"]) == (1, 1)
+    assert got[0]["chunk_keep"] == 1 and got[1]["chunk_keep"] == 0
+
+
+def test_decontaminate_matches_brute_force(spark):
+    from etl_validator_github_spark.scale.dedup import (
+        DECON_SHINGLE,
+        decontaminate,
+    )
+
+    bench = "one two three four five six seven"           # doc_id 0 → bench
+    hit = "zzz one two three four five six qqq"           # shares 2 shingles
+    clean = "totally different words with no overlap at all"
+    rows = [bench, hit, clean, "short doc"]
+    got = {r["doc_id"]: r for r in decontaminate(_docs(spark, rows)).collect()}
+
+    def shingles(text):
+        t = text.split(" ")
+        return [
+            " ".join(t[i:i + DECON_SHINGLE])
+            for i in range(len(t) - DECON_SHINGLE + 1)
+        ]
+
+    bench_set = set(shingles(bench))
+    exp = {
+        i: sum(1 for s in shingles(rows[i]) if s in bench_set)
+        for i in (1, 2, 3)
+    }
+    exp = {i: n for i, n in exp.items() if n}
+    assert {i: r["n_overlap_occurrences"] for i, r in got.items()} == exp
+    assert got[1]["n_overlap_shingles"] == 2
