@@ -50,6 +50,16 @@ def _sql_count_in(words: tuple[str, ...]) -> str:
 # ---------------------------------------------------------------------------
 
 
+def quality_flag(col: str = "text") -> Column:
+    """The per-row quality gate (length band + stopword ratio) as a pure
+    boolean expression — shared by `text_stats`, `corpus_clean`, and the
+    streaming ingest (identical semantics batch vs stream)."""
+    t = tokens(col)
+    n_tokens = F.size(t)
+    stop_ratio = _count_in(t, _STOPWORDS) / n_tokens
+    return (n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio < 0.5)
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     t = tokens()
     n_chars = F.length("text")
@@ -68,9 +78,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
         ((n_chars - (n_tokens - F.lit(1))) / n_tokens).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         (n_distinct / n_tokens).alias("type_token_ratio"),
-        (
-            (n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio < 0.5)
-        ).cast("int").alias("is_quality"),
+        quality_flag().cast("int").alias("is_quality"),
     )
 
 

@@ -1,0 +1,77 @@
+"""Streaming corpus ingestion: the LLM-training backfill/ingest shape.
+
+File-source document stream → per-row quality gate (the same
+`quality_flag` expression the batch `corpus_clean` pipeline uses) →
+exact content-hash dedup → parquet append sink.
+
+Two dedup modes, chosen by ``watermark``:
+
+- ``watermark=None`` (bounded backfill, ``availableNow``): plain
+  ``dropDuplicates`` on the content hash. State holds one 32-byte hash
+  per distinct document for the run's lifetime — fine for a backfill
+  that ends, wrong for a forever-running ingest.
+- ``watermark="1 hour"`` (continuous ingest): stamp each row with its
+  processing time and use ``dropDuplicatesWithinWatermark`` — state is
+  bounded by (arrival rate × watermark) regardless of stream lifetime,
+  the property that matters on an unbounded 100 TB/day feed. Re-deliveries
+  land within seconds-to-minutes in practice, so a short watermark
+  deduplicates them while old hashes age out.
+
+Everything upstream of the sink is per-row column math (split / size /
+md5) — no shuffle except the dedup's own state exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.scale.text import quality_flag
+
+#: Schema of the documents feed (matches testdata documents.parquet).
+DOC_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def clean_doc_stream(stream: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Quality-gate + content-hash-dedup a (streaming) document frame."""
+    hashed = (
+        stream.filter(quality_flag())
+        .withColumn("content_hash", F.md5("text"))
+    )
+    if watermark is None:
+        return hashed.dropDuplicates(["content_hash"])
+    return (
+        hashed.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("ingest_ts")
+    )
+
+
+def stream_corpus_ingest(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    watermark: str | None = None,
+    available_now: bool = True,
+):
+    """Parquet file-source → clean_doc_stream → parquet append sink."""
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    writer = (
+        clean_doc_stream(stream, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
