@@ -117,3 +117,39 @@ def test_partitioned_error_sink(spark, tmp_path):
         .option("basePath", path).csv(f"{path}/batch_date=2026-08-01")
     )
     assert [r["PayeeId"] for r in back.collect()] == ["P1"]
+
+
+def test_xlsx_roundtrip_property():
+    """Any printable-ish cell content survives the OOXML round-trip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_validator_github_spark.sources.xlsx import (
+        read_xlsx_cells,
+        write_xlsx,
+    )
+
+    # XML 1.0 forbids most control chars; the writer targets text cells.
+    text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=5),
+           st.lists(st.lists(st.one_of(text, st.none()), min_size=1,
+                             max_size=5), max_size=4))
+    def roundtrip(header, rows):
+        import tempfile
+
+        width = len(header)
+        rows = [tuple((r + [None] * width)[:width]) for r in rows]
+        with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+            write_xlsx(f.name, header, rows)
+            cells = read_xlsx_cells(f.name)
+        assert cells[0] == header
+        assert [tuple(r) for r in cells[1:]] == rows
+
+    roundtrip()
