@@ -44,24 +44,42 @@ def main() -> None:
                     if q.bench and n not in _R2_ORDER]
     bench_queries = {n: CATALOG[n] for n in bench_order}
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # Warm the JVM + file listing once with the cheapest query.
-    CATALOG["q1_pricing_summary"].build(spark, sf_dir).count()
+    try:
+        CATALOG["q1_pricing_summary"].build(spark, sf_dir).count()
+    except Exception as exc:  # still bench the rest without warmup
+        errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Per-query failure isolation: one broken query must never cost the
+    # round its entire bench artifact (round 3 lesson — BENCH_r03 was a
+    # crash log with zero timings because of one AnalysisException).
     for name, q in bench_queries.items():
         t0 = time.perf_counter()
-        q.build(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            q.build(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
+    # Exit non-zero only when the artifact is mostly useless (<80% ran).
+    n_target = len(bench_queries)
+    if n_target and len(timings) / n_target < 0.8:
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

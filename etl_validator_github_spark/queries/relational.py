@@ -484,24 +484,34 @@ FROM orders
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as BIGINT epoch-nanoseconds.
+    """events with ``ts`` replaced by canonical ``ts_us`` (BIGINT epoch-µs).
 
-    The testdata events parquet uses TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; reading nanos as long keeps full precision
-    and makes all downstream time math exact integer arithmetic (which is
-    also the cross-engine-deterministic choice).
+    The testdata generator has stored ``ts`` as both TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects unless read as BIGINT nanos
+    via ``nanosAsLong``) and plain timestamp[us] (which loads as
+    TIMESTAMP_NTZ) across regenerations. Both shapes normalize here to
+    ONE integer-microsecond column, so every downstream time expression
+    is exact integer arithmetic on the same basis DuckDB's ``epoch_us``
+    produces — engine-independent and regeneration-proof.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanos-as-long path
+        ts_us = F.expr("ts div 1000")
+    else:
+        # TIMESTAMP_NTZ µs storage: the session is pinned UTC, so the
+        # naive→instant cast matches DuckDB's epoch_us on naive ts.
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us.cast("long")).drop("ts")
 
 
-_NS_PER_HOUR = 3600 * 1_000_000_000
+_US_PER_HOUR = 3600 * 1_000_000
 
 
 def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
-    hour_epoch = (F.expr(f"ts div {_NS_PER_HOUR}") * F.lit(3600)).alias("hour_epoch")
+    hour_epoch = (F.expr(f"ts_us div {_US_PER_HOUR}") * F.lit(3600)).alias("hour_epoch")
     return (
         ev.groupBy(hour_epoch, "event_type")
         .agg(
@@ -513,7 +523,7 @@ def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_ROLLUP_SQL = f"""
-SELECT (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch,
+SELECT (epoch_us(ts) // {_US_PER_HOUR}) * 3600 AS hour_epoch,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_total,
@@ -532,10 +542,10 @@ SESSION_GAP_US = 1800 * 1_000_000
 
 
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Microsecond basis on BOTH sides: the raw nanos carry sub-µs digits
-    # that DuckDB's TIMESTAMP (µs) drops, so comparing at ns precision
-    # would be engine-dependent for gaps within 1µs of the threshold.
-    ev = load_events(spark, sf_dir).withColumn("ts", F.expr("ts div 1000"))
+    # load_events already yields the canonical µs basis both engines
+    # share (sub-µs digits, when present in storage, are floored away
+    # identically on both sides).
+    ev = load_events(spark, sf_dir).withColumnRenamed("ts_us", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.col("ts")).over(w)
     new_session = F.when(
@@ -593,7 +603,7 @@ FROM per_session GROUP BY 1
 
 
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    ev = load_events(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts_us")

@@ -22,8 +22,8 @@ from pyspark.sql.types import (
 )
 
 #: Schema for event rows arriving on the stream (ts in epoch seconds —
-#: streaming sources deliver typed columns, unlike the nanos-parquet
-#: batch path).
+#: streaming sources deliver typed columns; the batch path normalizes
+#: whatever the parquet stores to epoch-µs in load_events).
 EVENT_STREAM_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts_s", LongType()),
