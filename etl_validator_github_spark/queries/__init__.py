@@ -41,15 +41,21 @@ _SCALE: dict[str, Query] = {
 # the gate boundary is the sole (or best) catalog witness for a SURVEY
 # §2 operator family; later names are additional TPC-H shapes whose
 # operator families are already represented above.
+#
+# Gate ROTATION (round 4): queries already green in multiple driver
+# rounds rotate past the gate window in favor of queries that have never
+# received a driver verdict, so the 29 past-the-gate entries accumulate
+# official verdicts over time. r4 swaps: OUT top_customers,
+# customers_without_orders, priorities_per_customer (green r1-r3); IN
+# skew_salted_rollup, schema_drift, events_type_pivot (repo-local parity
+# green, never driver-gated). The events trio stays in-gate this round
+# to prove the ts_us normalization fix under the driver.
 _RELATIONAL_PRIORITY = (
     "q1_pricing_summary",               # flagship scan→agg (A-family)
     "q3_shipping_priority",             # broadcast join + deterministic top-k
-    "top_customers",                    # J1 lookup join / O1 top-k
     "customers_with_high_value_orders", # J2 IN-list semi-join
-    "customers_without_orders",         # anti-join
     "latest_order_per_customer",        # O2 window dedup
     "duplicate_customer_priority",      # J4/R23 duplicate detection
-    "priorities_per_customer",          # A1 collect_list per key
     "q12_priority_by_status",           # A2/A4 conditional counts
     "string_functions",                 # §2.9 string fns + F-filters
     "date_functions",                   # §2.9 date fns
@@ -59,10 +65,13 @@ _RELATIONAL_PRIORITY = (
     "events_range_join",                # custom bucketed range join
     "nation_balance_setops",            # T1-T3 set ops
     "window_functions",                 # window-function family
-    "skew_salted_rollup",               # skew-salting demo
-    "schema_drift",                     # R24 schema validation
+    "skew_salted_rollup",               # skew-salting demo (r4 rotation IN)
+    "schema_drift",                     # R24 schema validation (r4 rotation IN)
+    "events_type_pivot",                # pivot operator (r4 rotation IN)
+    "top_customers",                    # J1 lookup join (r4 rotation OUT)
+    "customers_without_orders",         # anti-join (r4 rotation OUT)
+    "priorities_per_customer",          # A1 collect_list (r4 rotation OUT)
     "status_rollup",                    # grouping-sets representative
-    "events_type_pivot",                # pivot operator (sole witness)
     "q5_local_supplier",                # 6-way all-broadcast join shape
     "order_value_percentiles",          # percentile functions
     "null_safe_tier_join",              # null-safe equality join
