@@ -24,6 +24,7 @@ from etl_validator_github_spark.queries.relational import RELATIONAL_QUERIES
 from etl_validator_github_spark.queries.validation import VALIDATION_QUERIES
 from etl_validator_github_spark.scale.dedup import DEDUP_QUERIES
 from etl_validator_github_spark.scale.multimodal import MULTIMODAL_QUERIES
+from etl_validator_github_spark.scale.packing import PACKING_QUERIES
 from etl_validator_github_spark.scale.similarity import SIMILARITY_QUERIES
 from etl_validator_github_spark.scale.text import TEXT_QUERIES
 
@@ -97,6 +98,7 @@ _RELATIONAL_PRIORITY = (
     "q22_idle_rich_customers",
     "status_priority_cube",
     "rollup_order_counts",
+    "changelog_latest_state",
 )
 
 assert set(_RELATIONAL_PRIORITY) == set(RELATIONAL_QUERIES), (
@@ -107,6 +109,10 @@ assert set(_RELATIONAL_PRIORITY) == set(RELATIONAL_QUERIES), (
 CATALOG: dict[str, Query] = {
     **_SCALE,
     **{name: RELATIONAL_QUERIES[name] for name in _RELATIONAL_PRIORITY},
+    # Round-4 additions land PAST the gate window deliberately (gate
+    # composition stays as rotated above); repo-local parity tests give
+    # them full oracle coverage until they rotate in.
+    **PACKING_QUERIES,
 }
 
 # Every scale query must sit inside the driver's 50-entry gate window.

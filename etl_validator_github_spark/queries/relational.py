@@ -1623,6 +1623,53 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 # ---------------------------------------------------------------------------
+# Changelog compaction: the reference's RecordOperation Add/Change/Delete
+# semantics (GEN:137 'A (Add), C (Change), D (Delete)'; rule R1) applied
+# as a dataflow. The reference only VALIDATES the op column — the
+# downstream system it feeds applies the ops to current state; this
+# operator is that application, CDC-style: latest record per key wins,
+# a trailing delete removes the key. Orders stand in for the changelog
+# (key = o_custkey, version = (o_orderdate, o_orderkey), status 'F' =
+# delete). One shuffle on the key; the window work is in-partition —
+# the shape that compacts a 100 TB changelog.
+# ---------------------------------------------------------------------------
+
+
+def _changelog_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("o_orderstatus") != "F")  # trailing delete drops key
+    )
+    return (
+        latest.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_live_keys"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("live_value"),
+        )
+    )
+
+
+_CHANGELOG_SQL = """
+WITH latest AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_live_keys,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS live_value
+FROM latest
+WHERE rn = 1 AND o_orderstatus <> 'F'
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # Schema-drift detection (R24): compare an arriving frame's columns to an
 # expected contract, reporting ok/missing/extra per column — the file-
 # level validation the reference runs before row rules (PIPE:2279-2408).
@@ -1980,5 +2027,9 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "File-level schema validation: ok/missing/extra columns (R24)."),
         Query("rollup_order_counts", _rollup_order_counts, _ROLLUP_SQL,
               "ROLLUP grouping sets: subtotals + grand total in one pass."),
+        Query("changelog_latest_state", _changelog_latest_state,
+              _CHANGELOG_SQL,
+              "RecordOperation A/C/D applied as CDC compaction: latest "
+              "record per key wins, trailing delete drops the key."),
     ]
 }

@@ -1,0 +1,190 @@
+"""Training-batch construction operators: sequence packing and
+mixture upsampling.
+
+Two ops every pretraining data pipeline runs after cleaning/dedup:
+
+- **Sequence packing** — concatenate documents in a deterministic order
+  and cut the token stream into fixed-budget training sequences. The
+  scalable shape is a windowed running token count inside bounded
+  partitions: packing groups are arbitrary by construction, so the
+  stream is sharded by a hash of the doc id and each (lang, shard)
+  packs independently — partitions stay bounded as the corpus grows
+  (no global sort, no single sequential pass at 100 TB).
+- **Mixture upsampling** — per-source epoch factors (e.g. books 2.5
+  epochs, web 0.25) realized as deterministic row replication: every
+  doc gets floor(w) copies plus one more for the md5-threshold fraction
+  of docs. Map-side explode, no shuffle until the summary agg; the
+  replication decision is a pure function of (doc_id, source) so any
+  engine reproduces it bit-identically.
+
+Both are JVM-side column expressions end-to-end (explode / window /
+hash-agg) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.contract import Query, load
+
+#: Tokens per packed training sequence.
+SEQ_BUDGET = 256
+
+#: Packing shards per language: caps partition size independently of
+#: corpus growth. 8 here; at 100 TB scale this up so each shard's token
+#: stream fits an executor's window pass.
+N_SHARDS = 8
+
+
+def _n_tokens() -> F.Column:
+    return F.size(F.split("text", " "))
+
+
+def pack_sequences(docs: DataFrame, budget: int = SEQ_BUDGET,
+                   n_shards: int = N_SHARDS) -> DataFrame:
+    """(lang, shard, seq_id) -> docs/tokens per packed sequence.
+
+    Documents straddle sequence boundaries (pretraining-style continuous
+    token stream): a doc belongs to the sequence where it STARTS, i.e.
+    seq_id = floor(preceding_tokens / budget) from a running sum over
+    the deterministic (doc_id) order within the shard.
+    """
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard")
+    with_n = docs.select("doc_id", "lang", shard, _n_tokens().alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    seq = with_n.withColumn("seq_id", (start / F.lit(budget)).cast("long"))
+    return (
+        seq.groupBy("lang", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+def _pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, doc_id % {N_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), seq AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
+                                          ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens) / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM seq
+GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# Mixture upsampling.
+# ---------------------------------------------------------------------------
+
+#: Epoch factor per source, derived from the source id so the policy is
+#: a pure expression both engines share: src{K} -> 0.25 + (K % 4) * 0.75
+#: = {0.25, 1.0, 1.75, 2.5}.
+_W_BASE, _W_STEP, _W_MOD = 0.25, 0.75, 4
+
+#: Fractional-copy decision granularity (md5-threshold, like
+#: docs_sample_stratified).
+_FRAC_MOD = 10_000
+
+
+def mixture_upsample(docs: DataFrame) -> DataFrame:
+    """Per-source corpus after epoch-factor replication.
+
+    n_copies(doc) = floor(w) + [h(doc_id) < frac(w)], h = first 8 md5
+    hex digits of the doc id mod 10000 — the deterministic Bernoulli.
+    Replication is explode(sequence(...)) (map-only); the summary agg
+    is the only shuffle.
+    """
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    w = F.lit(_W_BASE) + (src_num % _W_MOD).cast("double") * F.lit(_W_STEP)
+    frac = F.round((w - F.floor(w)) * _FRAC_MOD).cast("long")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) "
+        f"as bigint) % {_FRAC_MOD}L"
+    )
+    n_copies = (F.floor(w).cast("long")
+                + F.when(h < frac, F.lit(1)).otherwise(F.lit(0)))
+    replicated = (
+        docs.select("doc_id", "source", _n_tokens().alias("n_tokens"),
+                    n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"),
+        )
+    )
+    return (
+        replicated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_out"),
+            F.countDistinct("doc_id").alias("n_docs_in"),
+            F.sum("n_tokens").alias("n_tokens_out"),
+        )
+    )
+
+
+def _mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_upsample(load(spark, sf_dir, "documents"))
+
+
+_MIXTURE_SQL = f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         {_W_BASE} + (CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                      % {_W_MOD}) * {_W_STEP} AS w
+  FROM documents
+), copies AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % {_FRAC_MOD}
+                     < CAST(round((w - floor(w)) * {_FRAC_MOD}) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM weighted
+), replicated AS (
+  SELECT doc_id, source, n_tokens
+  FROM copies, UNNEST(generate_series(1, CAST(n_copies AS INT))) AS t(copy_idx)
+  WHERE n_copies > 0
+)
+SELECT source,
+       COUNT(*) AS n_rows_out,
+       COUNT(DISTINCT doc_id) AS n_docs_in,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_out
+FROM replicated
+GROUP BY 1
+"""
+
+
+PACKING_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("pack_sequences", _pack_q, _PACK_SQL,
+              "Sequence packing: sharded running-token-count window cuts "
+              "the corpus into fixed-budget training sequences."),
+        Query("mixture_upsample", _mixture_q, _MIXTURE_SQL,
+              "Training-mixture construction: deterministic per-source "
+              "epoch-factor replication (floor + md5-threshold fraction)."),
+    ]
+}

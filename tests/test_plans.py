@@ -203,3 +203,34 @@ def test_any_violation_gate_stays_in_codegen(spark, sf_dir):
     gated = bank.filter(compile_any_violation(bankdata_rules())).select("PayeeID")
     p = gated._jdf.queryExecution().executedPlan().toString()
     assert "*(1) Filter" in p or "WholeStageCodegen" in p
+
+
+def _n_exchanges(p: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", p))
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing must shuffle ONCE on (lang, shard) — hashpartitioning on
+    (lang, shard) already satisfies the (lang, shard, seq_id) rollup's
+    clustered distribution, so the agg must not add a second Exchange."""
+    p = plan(spark, sf_dir, "pack_sequences")
+    assert _n_exchanges(p) == 1, p
+
+
+def test_mixture_upsample_is_map_then_agg(spark, sf_dir):
+    """Replication (explode) is map-side; shuffles only for the final
+    per-source aggregate (count-distinct expands to two)."""
+    p = plan(spark, sf_dir, "mixture_upsample")
+    assert "Generate" in p
+    assert _n_exchanges(p) <= 2
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_changelog_compaction_single_key_shuffle(spark, sf_dir):
+    """CDC compaction: one shuffle for the key window, one for the small
+    final agg; the latest-record filter stays in-partition."""
+    p = plan(spark, sf_dir, "changelog_latest_state")
+    assert "Window" in p
+    assert _n_exchanges(p) <= 2
