@@ -239,7 +239,17 @@ def lsh_band_buckets(sig_df: DataFrame, n_bands: int = N_BANDS,
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+#: Mega-bucket guard: buckets beyond this size are dropped before pair
+#: expansion. A bucket this large is boilerplate/near-constant text, not
+#: a meaningful near-dup cluster, and expanding it is O(size²) — the one
+#: quadratic failure mode of LSH banding. 10⁴ members ≈ 5·10⁷ pairs per
+#: bucket, the practical ceiling per reducer at the 100 TB design point.
+MAX_BUCKET_SIZE = 10_000
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, max_bucket_size: int | None = MAX_BUCKET_SIZE
+) -> DataFrame:
     """Distinct candidate near-dup pairs with shared-band counts.
 
     Pair generation groups bucket members per (band, band_key) and
@@ -251,15 +261,20 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     twice. The combination expansion is a per-bucket HOF (interpreted,
     outside codegen), but buckets are tiny next to the hashing stage.
     Quadratic blowup inside a degenerate mega-bucket is inherent to LSH
-    banding regardless of pair-generation shape; at 100 TB, cap bucket
-    size upstream (drop or split buckets over ~10⁴ members — they are
-    boilerplate/near-constant text, not meaningful near-dup clusters).
+    banding regardless of pair-generation shape, so buckets beyond
+    ``max_bucket_size`` are dropped before expansion (``None`` disables
+    the guard); the size filter rides the same aggregate — no extra
+    shuffle.
     """
     buckets = lsh_band_buckets(minhash_signatures(docs))
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
+    size_ok = F.size("ids") >= 2
+    if cap is not None:
+        size_ok = size_ok & (F.size("ids") <= cap)
     grouped = (
         buckets.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(size_ok)
     )
     # ids is sorted, so pairing each element with its successors yields
     # every pair once with d1 < d2.
@@ -320,10 +335,17 @@ sigs AS (
 ),
 buckets AS (
 {band_rows}
+),
+bucket_sizes AS (
+  SELECT band, band_key, COUNT(*) AS n FROM buckets GROUP BY 1, 2
 )
 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
-FROM buckets a JOIN buckets b
+FROM buckets a
+JOIN buckets b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+JOIN bucket_sizes s
+  ON a.band = s.band AND a.band_key = s.band_key
+     AND s.n <= {MAX_BUCKET_SIZE}
 GROUP BY 1, 2
 """
 

@@ -59,6 +59,20 @@ def test_minhash_skips_short_docs(spark):
     assert [r["doc_id"] for r in df.collect()] == [1]
 
 
+def test_minhash_mega_bucket_guard_drops_degenerate_buckets(spark):
+    """The max_bucket_size guard: a 20-member boilerplate bucket is
+    dropped before O(size²) pair expansion while a genuine 2-doc
+    near-dup pair in the same corpus survives."""
+    boiler = "terms of service apply to all users of this site always"
+    pair = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [boiler] * 20 + [pair, pair])
+    capped = dedup.minhash_candidate_pairs(docs, max_bucket_size=10).collect()
+    assert {(p["d1"], p["d2"]) for p in capped} == {(20, 21)}
+    # Guard disabled: the boilerplate bucket expands (190 pairs) + 1.
+    uncapped = dedup.minhash_candidate_pairs(docs, max_bucket_size=None)
+    assert uncapped.count() == 20 * 19 // 2 + 1
+
+
 def test_simhash_identical_distance_zero(spark):
     text = "spark scales out not up across many machines"
     out = dedup.simhash_pairs(_docs(spark, [text, text]))
