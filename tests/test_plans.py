@@ -234,3 +234,42 @@ def test_changelog_compaction_single_key_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "changelog_latest_state")
     assert "Window" in p
     assert _n_exchanges(p) <= 2
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Scale evidence: the session's AQE skew-join config actually
+    splits a hot-key partition at runtime (SortMergeJoin(skew=true)).
+    At 100 TB this is the safety net under every fact-fact join; the
+    thresholds are lowered here only to reproduce the behavior at test
+    scale."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # 80% of rows share one key; the rest spread over 10k keys.
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(7))
+            .otherwise(F.col("id") % 10_000).alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k").select(F.length("pad").alias("n"))
+        assert len(j.collect()) == 200_000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
