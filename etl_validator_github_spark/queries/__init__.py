@@ -26,7 +26,7 @@ from etl_validator_github_spark.scale.dedup import DEDUP_QUERIES
 from etl_validator_github_spark.scale.multimodal import MULTIMODAL_QUERIES
 from etl_validator_github_spark.scale.packing import PACKING_QUERIES
 from etl_validator_github_spark.scale.similarity import SIMILARITY_QUERIES
-from etl_validator_github_spark.scale.text import TEXT_QUERIES
+from etl_validator_github_spark.scale.text import TEXT_EXTRA_QUERIES, TEXT_QUERIES
 
 _DRIVER_GATE = 50
 
@@ -113,6 +113,7 @@ CATALOG: dict[str, Query] = {
     # composition stays as rotated above); repo-local parity tests give
     # them full oracle coverage until they rotate in.
     **PACKING_QUERIES,
+    **TEXT_EXTRA_QUERIES,
 }
 
 # Every scale query must sit inside the driver's 50-entry gate window.

@@ -845,3 +845,81 @@ TEXT_QUERIES: dict[str, Query] = {
               "injected fakes; per-doc counts + scrubbed-text hash."),
     ]
 }
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style perplexity filtering, made
+# integer-exact). The corpus's own token frequencies are the language
+# model: per-doc score = mean floor(log2(corpus_count(token))) over the
+# doc's tokens, OOV (outside the top-V vocab) scoring 0 — frequent-token
+# prose scores high, gibberish scores low. floor-log2 is computed as
+# length(bin(count)) - 1, EXACT integer arithmetic in any engine (a
+# float log2 differs by 1 ulp across libm implementations and flips
+# floor at powers of two). The dataflow shape is the scale-relevant
+# part: corpus stats aggregated once, top-V selected via TakeOrdered
+# (no global sort), broadcast back over the token stream.
+# ---------------------------------------------------------------------------
+
+#: Vocabulary cap: bounds the broadcast no matter how large the corpus
+#: grows. The synthetic corpus has 31 distinct tokens, so 20 keeps the
+#: OOV path genuinely exercised (11 tokens score 0); at 100 TB this is
+#: the usual 10^5-10^6 heavy-hitter vocab.
+LM_VOCAB_SIZE = 20
+
+
+def unigram_lm_score(docs: DataFrame, vocab_size: int = LM_VOCAB_SIZE) -> DataFrame:
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # Global top-V with deterministic tie-break -> TakeOrdered, then
+    # broadcast: the vocab is bounded by construction.
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+    fl2 = (F.length(F.bin("c")) - F.lit(1)).cast("long")
+    scored = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        F.coalesce(fl2, F.lit(0)).alias("fl2"),
+        F.col("c").isNull().cast("int").alias("oov"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round((F.sum("fl2") / F.count(F.lit(1))) * 1000).cast("long")
+        .alias("score_milli"),
+    )
+
+
+def _lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+_LM_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {LM_VOCAB_SIZE}
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN v.tok IS NULL THEN 0
+              ELSE length(bin(v.c)) - 1 END AS fl2,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(round((SUM(fl2) / COUNT(*)) * 1000) AS BIGINT) AS score_milli
+FROM scored
+GROUP BY 1
+"""
+
+
+TEXT_EXTRA_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("text_unigram_lm_score", _lm_score_q, _LM_SCORE_SQL,
+              "CCNet-style unigram-LM quality score: corpus-frequency "
+              "floor-log2 mean per doc, top-V broadcast vocab, "
+              "integer-exact across engines."),
+    ]
+}
