@@ -19,7 +19,7 @@ from etl_validator_github_spark.plans.session import get_spark
 from etl_validator_github_spark.queries import CATALOG
 
 
-def main() -> None:
+def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="etl-validator-bench")

@@ -116,7 +116,10 @@ CATALOG: dict[str, Query] = {
     **TEXT_EXTRA_QUERIES,
 }
 
-# Every scale query must sit inside the driver's 50-entry gate window.
-assert len(_SCALE) <= _DRIVER_GATE, "scale queries overflow the driver gate"
+# The _SCALE block (validation/text/dedup/similarity/multimodal) must fit
+# the driver's 50-entry gate window so the gate composition stays as
+# documented above. PACKING/TEXT_EXTRA additions are intentionally PAST
+# the gate (see the CATALOG comment) and are excluded from this invariant.
+assert len(_SCALE) <= _DRIVER_GATE, "_SCALE block overflows the driver gate"
 
 __all__ = ["CATALOG", "Query", "catalog_to_oracles", "catalog_to_queries"]

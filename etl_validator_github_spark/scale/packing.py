@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_validator_github_spark.contract import Query, load
+from etl_validator_github_spark.scale.text import tokens
 
 #: Tokens per packed training sequence.
 SEQ_BUDGET = 256
@@ -38,7 +39,9 @@ N_SHARDS = 8
 
 
 def _n_tokens() -> F.Column:
-    return F.size(F.split("text", " "))
+    # Same tokenization as every scale/text.py operator — one source of
+    # truth for what a "token" is across the engine.
+    return F.size(tokens())
 
 
 def pack_sequences(docs: DataFrame, budget: int = SEQ_BUDGET,
@@ -116,7 +119,13 @@ def mixture_upsample(docs: DataFrame) -> DataFrame:
     Replication is explode(sequence(...)) (map-only); the summary agg
     is the only shuffle.
     """
-    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # Digit-free source values weight as src0 (0 is extracted as the
+    # default) instead of silently dropping rows — guarded identically
+    # in the SQL oracle below.
+    src_num = F.coalesce(
+        F.nullif(F.regexp_extract("source", r"(\d+)", 1), F.lit("")),
+        F.lit("0"),
+    ).cast("int")
     w = F.lit(_W_BASE) + (src_num % _W_MOD).cast("double") * F.lit(_W_STEP)
     frac = F.round((w - F.floor(w)) * _FRAC_MOD).cast("long")
     h = F.expr(
@@ -152,7 +161,7 @@ _MIXTURE_SQL = f"""
 WITH weighted AS (
   SELECT doc_id, source,
          len(string_split(text, ' ')) AS n_tokens,
-         {_W_BASE} + (CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+         {_W_BASE} + (CAST(COALESCE(NULLIF(regexp_extract(source, '(\\d+)', 1), ''), '0') AS INT)
                       % {_W_MOD}) * {_W_STEP} AS w
   FROM documents
 ), copies AS (

@@ -49,17 +49,35 @@ def test_pack_sequences_are_contiguous_per_shard(spark, docs):
     assert bad.isEmpty(), bad.collect()
 
 
-def test_pack_respects_budget_on_sequence_starts(spark, docs):
-    """Every sequence's docs START inside its budget window: a sequence
-    accumulates at most budget tokens of *preceding* starts, so any
-    sequence with >1 doc must have begun under the budget."""
-    # Documents longer than the budget would straddle; the testdata docs
-    # are all far below SEQ_BUDGET, so each sequence's token total minus
-    # its last doc must be < budget.
-    max_doc = docs.select(
-        F.max(F.size(F.split("text", " ")))
-    ).first()[0]
-    assert max_doc <= SEQ_BUDGET, "testdata assumption: docs fit the budget"
+def test_pack_matches_independent_python_recomputation(spark, docs):
+    """seq_id assignment recomputed in plain Python from the raw docs:
+    per (lang, shard) in doc_id order, a doc belongs to the sequence
+    where it STARTS (preceding-token running sum // budget). Catches
+    off-by-one variants (inclusive running sum, wrong divisor) that the
+    conservation/contiguity properties cannot see."""
+    from collections import defaultdict
+
+    raw = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n")
+    ).collect()
+    expected = defaultdict(lambda: [0, 0, None])  # n_docs, n_tokens, first
+    running: dict = defaultdict(int)
+    for r in sorted(raw, key=lambda r: r["doc_id"]):
+        shard = r["doc_id"] % 8
+        key = (r["lang"], shard)
+        seq = running[key] // SEQ_BUDGET
+        running[key] += r["n"]
+        slot = expected[(r["lang"], shard, seq)]
+        slot[0] += 1
+        slot[1] += r["n"]
+        slot[2] = r["doc_id"] if slot[2] is None else min(slot[2], r["doc_id"])
+
+    got = {
+        (r["lang"], r["shard"], r["seq_id"]):
+            [r["n_docs"], r["n_tokens"], r["first_doc_id"]]
+        for r in pack_sequences(docs).collect()
+    }
+    assert got == dict(expected)
 
 
 def test_mixture_rows_match_copy_counts(spark, docs):

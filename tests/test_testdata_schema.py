@@ -55,7 +55,11 @@ EXPECTED: dict[str, dict[str, set[str]]] = {
         "o_custkey": {"int64"},
         "o_orderstatus": {"string"},
         "o_totalprice": {"double"},
-        "o_orderdate": {"timestamp[us]", "timestamp[ns]"},
+        # µs ONLY: there is no load-path normalization for date columns
+        # (unlike events.ts) — nanos storage would load as BIGINT under
+        # the session's nanosAsLong flag and break every to_date().
+        # If regeneration changes this, it must fail HERE, loudly.
+        "o_orderdate": {"timestamp[us]"},
         "o_orderpriority": {"string"},
     },
     "lineitem": {
@@ -69,7 +73,7 @@ EXPECTED: dict[str, dict[str, set[str]]] = {
         "l_tax": {"double"},
         "l_returnflag": {"string"},
         "l_linestatus": {"string"},
-        "l_shipdate": {"timestamp[us]", "timestamp[ns]"},
+        "l_shipdate": {"timestamp[us]"},  # µs ONLY — see o_orderdate
     },
     "events": {
         "event_id": {"int64"},
