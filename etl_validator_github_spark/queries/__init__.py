@@ -22,7 +22,7 @@ from etl_validator_github_spark.contract import (
 )
 from etl_validator_github_spark.queries.relational import RELATIONAL_QUERIES
 from etl_validator_github_spark.queries.validation import VALIDATION_QUERIES
-from etl_validator_github_spark.scale.dedup import DEDUP_QUERIES
+from etl_validator_github_spark.scale.dedup import DEDUP_EXTRA_QUERIES, DEDUP_QUERIES
 from etl_validator_github_spark.scale.multimodal import MULTIMODAL_QUERIES
 from etl_validator_github_spark.scale.packing import PACKING_QUERIES
 from etl_validator_github_spark.scale.similarity import SIMILARITY_QUERIES
@@ -114,6 +114,7 @@ CATALOG: dict[str, Query] = {
     # them full oracle coverage until they rotate in.
     **PACKING_QUERIES,
     **TEXT_EXTRA_QUERIES,
+    **DEDUP_EXTRA_QUERIES,
 }
 
 # The _SCALE block (validation/text/dedup/similarity/multimodal) must fit
