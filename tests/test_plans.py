@@ -273,3 +273,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """Lake layout evidence: writing partitionBy(lang) and filtering on
+    lang must prune partitions at the scan (PartitionFilters), reading
+    only the matching directory — the layout that turns a 100 TB scan
+    into a per-language one."""
+    from etl_validator_github_spark.contract import load
+
+    out = str(tmp_path / "docs_by_lang")
+    load(spark, sf_dir, "documents").write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    p = explain_str(df)
+    pf = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "lang" in pf and "en" in pf, pf
+    n_en = df.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_en < n_all
