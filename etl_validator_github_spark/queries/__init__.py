@@ -43,15 +43,19 @@ _SCALE: dict[str, Query] = {
 # §2 operator family; later names are additional TPC-H shapes whose
 # operator families are already represented above.
 #
-# Gate ROTATION (round 4): queries already green in multiple driver
-# rounds rotate past the gate window in favor of queries that have never
-# received a driver verdict, so the 29 past-the-gate entries accumulate
-# official verdicts over time. r4 swaps: OUT top_customers,
-# customers_without_orders, priorities_per_customer (green r1-r3); IN
-# skew_salted_rollup, schema_drift, events_type_pivot (repo-local parity
-# green, never driver-gated). The events trio stays in-gate this round
-# to prove the ts_us normalization fix under the driver.
+# Gate ROTATION (round 5): the five catalog queries that have never had
+# a green driver verdict (pack_sequences, mixture_upsample,
+# text_unigram_lm_score, dedup_incremental — all landed past the gate in
+# r4 — plus changelog_latest_state, which sat last in this list every
+# round) move INSIDE the window: the four r4 modules now register right
+# after _SCALE, and changelog_latest_state leads this list. The three
+# operators reworked this round (dedup_ngram_jaccard, dedup_simhash,
+# dedup_embedding_cosine) stay in-gate via _SCALE so their new shapes
+# get official verdicts. Rotated OUT to make room (all driver-green in
+# r4): nation_balance_setops, window_functions, skew_salted_rollup,
+# schema_drift, events_type_pivot.
 _RELATIONAL_PRIORITY = (
+    "changelog_latest_state",           # CDC compaction (r5 rotation IN)
     "q1_pricing_summary",               # flagship scan→agg (A-family)
     "q3_shipping_priority",             # broadcast join + deterministic top-k
     "customers_with_high_value_orders", # J2 IN-list semi-join
@@ -64,14 +68,14 @@ _RELATIONAL_PRIORITY = (
     "events_sessionize",                # custom sessionize operator
     "events_asof_join",                 # custom as-of join operator
     "events_range_join",                # custom bucketed range join
-    "nation_balance_setops",            # T1-T3 set ops
-    "window_functions",                 # window-function family
-    "skew_salted_rollup",               # skew-salting demo (r4 rotation IN)
-    "schema_drift",                     # R24 schema validation (r4 rotation IN)
-    "events_type_pivot",                # pivot operator (r4 rotation IN)
-    "top_customers",                    # J1 lookup join (r4 rotation OUT)
-    "customers_without_orders",         # anti-join (r4 rotation OUT)
-    "priorities_per_customer",          # A1 collect_list (r4 rotation OUT)
+    "nation_balance_setops",            # T1-T3 set ops (r5 rotation OUT)
+    "window_functions",                 # window family (r5 rotation OUT)
+    "skew_salted_rollup",               # skew-salting (r5 rotation OUT)
+    "schema_drift",                     # R24 schema check (r5 rotation OUT)
+    "events_type_pivot",                # pivot operator (r5 rotation OUT)
+    "top_customers",                    # J1 lookup join
+    "customers_without_orders",         # anti-join
+    "priorities_per_customer",          # A1 collect_list
     "status_rollup",                    # grouping-sets representative
     "q5_local_supplier",                # 6-way all-broadcast join shape
     "order_value_percentiles",          # percentile functions
@@ -98,7 +102,6 @@ _RELATIONAL_PRIORITY = (
     "q22_idle_rich_customers",
     "status_priority_cube",
     "rollup_order_counts",
-    "changelog_latest_state",
 )
 
 assert set(_RELATIONAL_PRIORITY) == set(RELATIONAL_QUERIES), (
@@ -108,13 +111,12 @@ assert set(_RELATIONAL_PRIORITY) == set(RELATIONAL_QUERIES), (
 
 CATALOG: dict[str, Query] = {
     **_SCALE,
-    **{name: RELATIONAL_QUERIES[name] for name in _RELATIONAL_PRIORITY},
-    # Round-4 additions land PAST the gate window deliberately (gate
-    # composition stays as rotated above); repo-local parity tests give
-    # them full oracle coverage until they rotate in.
+    # r5 rotation IN: the four r4 modules register directly after _SCALE
+    # so they sit inside the driver's 50-entry window this round.
     **PACKING_QUERIES,
     **TEXT_EXTRA_QUERIES,
     **DEDUP_EXTRA_QUERIES,
+    **{name: RELATIONAL_QUERIES[name] for name in _RELATIONAL_PRIORITY},
 }
 
 # The _SCALE block (validation/text/dedup/similarity/multimodal) must fit
