@@ -296,7 +296,10 @@ def _dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(with_copies(load(spark, sf_dir, "documents")))
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
+    """DuckDB oracle for ``minhash_candidate_pairs``; the bucket cap is
+    generated from the same parameter so a non-default call site can
+    build a matching oracle (``None`` disables the guard)."""
     sig_exprs = ",\n         ".join(
         "list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {p}), 'min') AS sig_{i}".format(
             a=_minhash_ab(i)[0], b=_minhash_ab(i)[1], p=MINHASH_P, i=i
@@ -308,6 +311,9 @@ def _minhash_sql() -> str:
         % (b, ", ".join(f"CAST(sig_{b * ROWS_PER_BAND + r} AS VARCHAR)"
                         for r in range(ROWS_PER_BAND)))
         for b in range(N_BANDS)
+    )
+    cap_pred = (
+        f"AND s.n <= {max_bucket_size}" if max_bucket_size is not None else ""
     )
     return f"""
 WITH all_docs AS ({_COPIES_SQL}),
@@ -345,7 +351,7 @@ JOIN buckets b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 JOIN bucket_sizes s
   ON a.band = s.band AND a.band_key = s.band_key
-     AND s.n <= {MAX_BUCKET_SIZE}
+     {cap_pred}
 GROUP BY 1, 2
 """
 
@@ -843,13 +849,10 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
         ).otherwise(F.col("text")),
     )
 
-    # Exact index: distinct content hashes of the corpus.
+    # Exact index: distinct content hashes of the corpus; batch docs
+    # whose hash hits the index are flagged via a semi-join.
     c_hash = corpus.select(F.md5("text").alias("h")).distinct()
     b_hash = batch.select("doc_id", F.md5("text").alias("h"))
-    exact = b_hash.join(c_hash, "h", "left").select(
-        "doc_id", F.col("h").isNotNull().cast("int").alias("probe")
-    )
-    # (left join keeps h from batch side non-null always; flag via semi)
     exact_ids = b_hash.join(c_hash, "h", "left_semi").select("doc_id")
 
     # Near index: distinct (band, band_key) of the corpus vs the batch's

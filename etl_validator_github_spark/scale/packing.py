@@ -60,8 +60,13 @@ def pack_sequences(docs: DataFrame, budget: int = SEQ_BUDGET,
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Integer division (div), not float: a shard's running token sum can
+    # exceed 2^53 at the 100 TB design point, where double division
+    # would round seq_id — `div` stays exact at any scale.
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    seq = with_n.withColumn("seq_id", (start / F.lit(budget)).cast("long"))
+    seq = with_n.withColumn("__start", start).withColumn(
+        "seq_id", F.expr(f"__start div {budget}")
+    )
     return (
         seq.groupBy("lang", "shard", "seq_id")
         .agg(
@@ -83,10 +88,10 @@ WITH toks AS (
   FROM documents
 ), seq AS (
   SELECT lang, shard, doc_id, n_tokens,
-         CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
-                                          ORDER BY doc_id
-                                          ROWS UNBOUNDED PRECEDING)
-                      - n_tokens) / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+         CAST((SUM(n_tokens) OVER (PARTITION BY lang, shard
+                                   ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+               - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS seq_id
   FROM toks
 )
 SELECT lang, CAST(shard AS BIGINT) AS shard, seq_id,
