@@ -4,10 +4,12 @@ Scale design (the 100 TB point):
 
 - **Exact** dedup is a hash-groupBy — one shuffle on a 128-bit content
   hash, map-side partial agg, no skew (hashes are uniform).
-- **Jaccard** never runs all-pairs: candidate pairs come from blocking
-  (lang × length-bucket) or LSH band buckets, so the join fans out only
-  within buckets. All-pairs at 100 TB is impossible; bucketed self-joins
-  shuffle once on the bucket key.
+- **Jaccard** never runs all-pairs: candidate pairs come from the
+  MinHash LSH band buckets (bounded by the mega-bucket cap), and exact
+  token-set Jaccard runs only on candidates as the verify step. All-pairs
+  at 100 TB is impossible; bucket populations under length/lang blocking
+  grow with the corpus, so LSH banding is the only blocking that stays
+  bounded.
 - **MinHash** signatures use ``min(md5(seed || shingle))`` over fixed-width
   hex strings: the lexicographic min equals the numeric min, every engine
   with md5 agrees on it, and signatures are order/partitioning-independent.
@@ -88,34 +90,47 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
-# N-gram (token-set) Jaccard near-dup with blocking. Jaccard is computed
-# from exact integer intersection/union sizes → the double ratio is a
-# single IEEE division, identical across engines.
+# N-gram (token-set) Jaccard near-dup: LSH candidates → exact verify.
+# Candidate pairs come from the MinHash band buckets (below), so the
+# quadratic pair expansion is bounded by bucket sizes regardless of
+# corpus growth; exact token-set Jaccard then runs ONLY on candidates
+# as the verify step. (The previous (lang, length-bucket) blocking
+# self-join grew bucket populations linearly with the corpus — an
+# O(corpus²/buckets) scale-killer at 100 TB.) Jaccard is computed from
+# exact integer intersection/union sizes → the double ratio is a single
+# IEEE division, identical across engines.
 # ---------------------------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.96
 
 
 def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs (shared ≥1 LSH band) whose exact token-set
+    Jaccard clears ``threshold``.
+
+    Shape at scale: the candidate set is |pairs from bounded buckets|;
+    joining it back to the token sets is two equi-joins on doc_id — a
+    uniform key, one shuffle each, never an all-pairs or length-bucket
+    self-join. Docs under 3 tokens have no shingles, so they cannot be
+    candidates (they were equally invisible to the old length blocking
+    at any realistic threshold).
+    """
+    cands = minhash_candidate_pairs(docs).select("d1", "d2")
     toks = docs.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(F.split("text", " ")).alias("ts"),
-        F.size(F.split("text", " ")).alias("nt"),
-    ).withColumn("bucket", F.floor(F.col("nt") / F.lit(10)))
-    a, b = toks.alias("a"), toks.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
     )
-    inter = F.size(F.array_intersect("a.ts", "b.ts"))
-    union = F.size(F.array_union("a.ts", "b.ts"))
+    pairs = (
+        cands.join(toks.select(F.col("doc_id").alias("d1"),
+                               F.col("ts").alias("ts1")), "d1")
+        .join(toks.select(F.col("doc_id").alias("d2"),
+                          F.col("ts").alias("ts2")), "d2")
+    )
+    inter = F.size(F.array_intersect("ts1", "ts2"))
+    union = F.size(F.array_union("ts1", "ts2"))
     return (
         pairs.select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
+            "d1",
+            "d2",
             inter.alias("n_common"),
             union.alias("n_union"),
             (inter / union).alias("jaccard"),
@@ -129,22 +144,24 @@ def _dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           JACCARD_THRESHOLD)
 
 
-_JACCARD_SQL = f"""
-WITH all_docs AS ({_COPIES_SQL}),
+def _jaccard_sql() -> str:
+    # _minhash_sql is defined below; this function is only invoked at
+    # catalog-registration time (module bottom), after it exists.
+    return f"""
+WITH cand AS ({_minhash_sql()}),
+all_docs AS ({_COPIES_SQL}),
 tok AS (
-  SELECT doc_id, lang,
-         list_distinct(string_split(text, ' ')) AS ts,
-         len(string_split(text, ' ')) AS nt,
-         CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bucket
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
   FROM all_docs
 )
-SELECT a.doc_id AS d1, b.doc_id AS d2,
+SELECT c.d1, c.d2,
        CAST(len(list_intersect(a.ts, b.ts)) AS INT) AS n_common,
        CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) AS n_union,
        CAST(len(list_intersect(a.ts, b.ts)) AS INT)
          / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) AS jaccard
-FROM tok a JOIN tok b
-  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+FROM cand c
+JOIN tok a ON a.doc_id = c.d1
+JOIN tok b ON b.doc_id = c.d2
 WHERE CAST(len(list_intersect(a.ts, b.ts)) AS INT)
         / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) >= {JACCARD_THRESHOLD}
 """
@@ -787,8 +804,9 @@ DEDUP_QUERIES: dict[str, Query] = {
         Query("dedup_exact", _dedup_exact_q, _EXACT_SQL,
               "Exact dedup via content-hash groupBy (keep min doc_id).",
               bench=True),
-        Query("dedup_ngram_jaccard", _dedup_jaccard_q, _JACCARD_SQL,
-              "Blocked token-set Jaccard near-dup pairs (exact int ratio)."),
+        Query("dedup_ngram_jaccard", _dedup_jaccard_q, _jaccard_sql(),
+              "Token-set Jaccard near-dup pairs: LSH band candidates → "
+              "exact-Jaccard verify (exact int ratio)."),
         Query("dedup_minhash_lsh", _dedup_minhash_q, _minhash_sql(),
               "MinHash signatures + LSH banding candidate pairs.", bench=True),
         Query("dedup_simhash", _dedup_simhash_q, _simhash_sql(),

@@ -108,6 +108,21 @@ def test_lsh_paths_avoid_cartesian_products(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_jaccard_candidates_come_from_lsh_not_length_buckets(spark, sf_dir):
+    """dedup_ngram_jaccard takes candidates from the MinHash band buckets
+    and verifies with exact Jaccard — the (lang, length-bucket) self-join
+    (whose bucket populations grow linearly with the corpus) must be gone
+    from the plan."""
+    p = plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # The old blocking joined on a `bucket` column derived from
+    # floor(n_tokens / 10); neither may appear anywhere in the plan.
+    assert "bucket#" not in p, "length-bucket blocking column resurfaced"
+    # The LSH band pipeline (band_key hash-agg) must feed the candidates.
+    assert "band_key" in p
+
+
 def test_bucketed_range_join_matches_naive_between(spark):
     from etl_validator_github_spark.plans.range_join import bucketed_range_join
 

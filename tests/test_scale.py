@@ -73,6 +73,31 @@ def test_minhash_mega_bucket_guard_drops_degenerate_buckets(spark):
     assert uncapped.count() == 20 * 19 // 2 + 1
 
 
+def test_jaccard_verifies_lsh_candidates_exactly(spark):
+    """The LSH-candidates → exact-verify path: an exact copy pair (all
+    bands shared, Jaccard 1.0) survives, a moderately similar pair that
+    LSH surfaces is rejected by the exact threshold, and the reported
+    intersection/union sizes match a pure-Python recompute."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"       # high shingle overlap → LSH candidate
+    other = "completely different words in this document right here now"
+    docs = _docs(spark, [base, base, near, other])
+    got = {(r.d1, r.d2): r for r in
+           dedup._jaccard_pairs(docs, dedup.JACCARD_THRESHOLD).collect()}
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    assert (r.n_common, r.n_union, r.jaccard) == (10, 10, 1.0)
+    # Lower threshold: the near pair passes exact verification too, with
+    # set sizes matching Python's set algebra.
+    loose = {(r.d1, r.d2): r for r in
+             dedup._jaccard_pairs(docs, 0.5).collect()}
+    for d1, d2 in [(0, 2), (1, 2)]:
+        s1, s2 = set(base.split()), set(near.split())
+        r = loose[(d1, d2)]
+        assert r.n_common == len(s1 & s2)
+        assert r.n_union == len(s1 | s2)
+
+
 def test_simhash_identical_distance_zero(spark):
     text = "spark scales out not up across many machines"
     out = dedup.simhash_pairs(_docs(spark, [text, text]))
