@@ -13,8 +13,9 @@ Scale design (the 100 TB point):
 - **MinHash** signatures use ``min(md5(seed || shingle))`` over fixed-width
   hex strings: the lexicographic min equals the numeric min, every engine
   with md5 agrees on it, and signatures are order/partitioning-independent.
-- **SimHash** packs 32 md5-derived bits into a BIGINT; near-dup candidates
-  are pairs with small Hamming distance (bit_count(xor)) inside a block.
+- **SimHash** packs 64 md5-derived bits into a signed BIGINT (bit 63 via
+  two's complement); near-dup candidates are pairs with small Hamming
+  distance (bit_count(xor)) sharing a 16-bit pigeonhole segment.
 
 The testdata corpus has no exact duplicates, so dedup queries run over
 ``documents ∪ (documents with shifted doc_id)`` — every doc then has
@@ -374,31 +375,57 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 32 bits from md5(token) prefixes, weighted by occurrence;
-# near-dups = small Hamming distance within a lang block.
+# SimHash: 64 bits from two md5(token) 32-bit halves, weighted by
+# occurrence; near-dups = small Hamming distance within a lang block.
+# 64 bits matter for the BLOCKING, not just the fingerprint quality:
+# with max_hamming=3 the pigeonhole split is 4 segments, and 16-bit
+# segments give 65,536 bucket values per (lang, segment) — a 32-bit
+# fingerprint's 8-bit segments (256 values) would make bucket
+# populations grow linearly with the corpus.
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 HAMMING_THRESHOLD = 3
+
+#: Bit 63 in two's complement: setting the top bit of a signed BIGINT
+#: means adding -(2^63), on both engines.
+_TOP_BIT = -(1 << 63)
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """doc_id, lang, simhash BIGINT from token md5 bit votes."""
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    """doc_id, lang, simhash BIGINT from token md5 bit votes.
+
+    The 64 hash bits come from two 32-bit md5 prefix halves (hex chars
+    1-8 → bits 0-31, chars 9-16 → bits 32-63): each half fits a signed
+    BIGINT in every engine, avoiding the unsigned-64 overflow a single
+    16-hex-char parse would hit. Bit 63 packs as -(2^63) — the two's
+    complement top bit — so the packed sum stays in signed-64 range.
+    """
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .withColumn("__m", F.md5("tok"))
+        .withColumn("h_lo", F.conv(F.substring("__m", 1, 8), 16, 10).cast("long"))
+        .withColumn("h_hi", F.conv(F.substring("__m", 9, 8), 16, 10).cast("long"))
     )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    F.col("h_lo") if j < 32 else F.col("h_hi"), j % 32
+                ).bitwiseAND(1)
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"c{j}")
         for j in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id", "lang").agg(*votes)
     packed = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        val = _TOP_BIT if j == 63 else (1 << j)
+        bit = F.when(F.col(f"c{j}") > 0, F.lit(val)).otherwise(F.lit(0))
         packed = bit if packed is None else packed + bit
     return agg.select("doc_id", "lang", packed.cast("long").alias("simhash"))
 
@@ -407,13 +434,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> Data
     """Near-dup pairs with Hamming distance <= ``max_hamming``.
 
     Candidate generation uses pigeonhole segment blocking, not
-    all-pairs: the 32-bit fingerprint splits into ``max_hamming + 1``
-    segments, and any pair within the threshold must agree on at least
-    one whole segment — so an equi-join on (lang, segment_index,
-    segment_value) finds every qualifying pair while only comparing
-    within segment buckets (the same bucket-key shuffle shape as the
-    MinHash band join). The result set is exactly the all-pairs +
-    filter answer; only the candidate set shrinks.
+    all-pairs: the 64-bit fingerprint splits into ``max_hamming + 1``
+    segments (16 bits each at the default threshold → 65,536 bucket
+    values per lang, keeping buckets bounded as the corpus grows), and
+    any pair within the threshold must agree on at least one whole
+    segment — so an equi-join on (lang, segment_index, segment_value)
+    finds every qualifying pair while only comparing within segment
+    buckets (the same bucket-key shuffle shape as the MinHash band
+    join). The result set is exactly the all-pairs + filter answer;
+    only the candidate set shrinks.
     """
     n_seg = max_hamming + 1
     seg_bits = SIMHASH_BITS // n_seg
@@ -457,11 +486,17 @@ def _dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql() -> str:
     votes = ",\n         ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        "SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}".format(
+            h="h_lo" if j < 32 else "h_hi", b=j % 32, j=j
+        )
         for j in range(SIMHASH_BITS)
     )
+    # Bit 63 = -(2^63): the two's complement top bit of a signed BIGINT.
     packed = " + ".join(
-        f"(CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        "(CASE WHEN c{j} > 0 THEN {v} ELSE 0 END)".format(
+            j=j, v="(-9223372036854775807 - 1)" if j == 63 else (1 << j)
+        )
+        for j in range(SIMHASH_BITS)
     )
     return f"""
 WITH all_docs AS ({_COPIES_SQL}),
@@ -470,7 +505,8 @@ tok AS (
 ),
 hashed AS (
   SELECT doc_id, lang,
-         CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+         CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h_lo,
+         CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT) AS h_hi
   FROM tok
 ),
 votes AS (

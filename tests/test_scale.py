@@ -109,10 +109,14 @@ def test_simhash_identical_distance_zero(spark):
 def _py_simhash(text: str) -> int:
     votes = [0] * dedup.SIMHASH_BITS
     for tok in text.split(" "):
-        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        h_lo, h_hi = int(hx[:8], 16), int(hx[8:16], 16)
         for j in range(dedup.SIMHASH_BITS):
-            votes[j] += 1 if (h >> j) & 1 else -1
-    return sum(1 << j for j, v in enumerate(votes) if v > 0)
+            bit = (h_lo >> j) & 1 if j < 32 else (h_hi >> (j - 32)) & 1
+            votes[j] += 1 if bit else -1
+    packed = sum(1 << j for j, v in enumerate(votes) if v > 0)
+    # Signed two's complement, as both engines store it in a BIGINT.
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
 
 
 def test_simhash_matches_pure_python(spark):
