@@ -163,6 +163,60 @@ def _ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: is safe cross-engine because cos_sim derives from identical integers.
 NEAR_DUP_COS = 0.9
 
+#: vec_id offset for the seeded near-dup copies (mirrors dedup.COPY_OFFSET).
+VEC_COPY_OFFSET = 1_000_000
+
+#: Seeded-copy selection strides: every 25th vector gets an exact copy
+#: (cos exactly 1.0 — guaranteed above threshold, same LSH bucket), the
+#: next residue gets a +0.01 jitter (near but not exact), the next a
+#: reversed-component copy (a decoy far below the threshold).
+_VEC_COPY_MOD = 25
+
+
+def with_vector_copies(embeddings: DataFrame) -> DataFrame:
+    """embeddings ∪ seeded duplicate/decoy copies, so the near-dup query
+    has a non-vacuous witness: the sf fixtures contain no natural vector
+    pair above cos 0.9, and a 0-row == 0-row parity check proves
+    nothing.
+
+    The jitter adds 0.01 in DOUBLE and rounds once to FLOAT — both
+    engines perform the identical IEEE double add and double→float
+    rounding, so the copies are bit-identical cross-engine. The reversed
+    copy needs no float math at all.
+    """
+    base = embeddings.select("vec_id", "embedding")
+    mod = F.col("vec_id") % _VEC_COPY_MOD
+    exact = embeddings.filter(mod == 0).select(
+        (F.col("vec_id") + VEC_COPY_OFFSET).alias("vec_id"), "embedding"
+    )
+    near = embeddings.filter(mod == 1).select(
+        (F.col("vec_id") + 2 * VEC_COPY_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(cast(x as double) + 0.01d as float))"
+        ).alias("embedding"),
+    )
+    far = embeddings.filter(mod == 2).select(
+        (F.col("vec_id") + 3 * VEC_COPY_OFFSET).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    return base.unionAll(exact).unionAll(near).unionAll(far)
+
+
+_VEC_COPIES_SQL = f"""
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {VEC_COPY_OFFSET}, embedding
+  FROM embeddings WHERE vec_id % {_VEC_COPY_MOD} = 0
+  UNION ALL
+  SELECT vec_id + {2 * VEC_COPY_OFFSET},
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))
+  FROM embeddings WHERE vec_id % {_VEC_COPY_MOD} = 1
+  UNION ALL
+  SELECT vec_id + {3 * VEC_COPY_OFFSET}, list_reverse(embedding)
+  FROM embeddings WHERE vec_id % {_VEC_COPY_MOD} = 2
+"""
+
 
 def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates whose
@@ -174,18 +228,22 @@ def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
 
 
 def _near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dups(load(spark, sf_dir, "embeddings"))
-
-
-def _near_dup_sql() -> str:
-    base = _ann_sql()
-    return (
-        "SELECT v1, v2, cos_sim FROM (" + base.replace(">= 0.0", f">= {NEAR_DUP_COS}")
-        + ") t"
+    return embedding_near_dups(
+        with_vector_copies(load(spark, sf_dir, "embeddings"))
     )
 
 
-def _ann_sql() -> str:
+def _near_dup_sql() -> str:
+    base = _ann_sql(
+        source="emb_aug",
+        prelude=f"emb_aug AS ({_VEC_COPIES_SQL}),",
+        min_cos=NEAR_DUP_COS,
+    )
+    return "SELECT v1, v2, cos_sim FROM (" + base + ") t"
+
+
+def _ann_sql(source: str = "embeddings", prelude: str = "",
+             min_cos: float = 0.0) -> str:
     signs = _plane_signs()
     bits = []
     for p in range(N_PLANES):
@@ -195,10 +253,11 @@ def _ann_sql() -> str:
         bits.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
     bucket = "concat(%s)" % ", ".join(bits)
     return f"""
-WITH vecs AS (
+WITH {prelude}
+vecs AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM {source}
 ), with_norm AS (
   SELECT vec_id, qv,
          CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS norm2,
@@ -211,7 +270,7 @@ SELECT a.vec_id AS v1, c.vec_id AS v2, a.bucket AS bucket,
 FROM with_norm a JOIN with_norm c
   ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[i])) AS BIGINT)
-        / (sqrt(a.norm2) * sqrt(c.norm2)) >= 0.0
+        / (sqrt(a.norm2) * sqrt(c.norm2)) >= {min_cos}
 """
 
 

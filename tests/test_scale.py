@@ -150,6 +150,35 @@ def test_cosine_topk_self_similarity(spark):
     assert all(abs(r["cos_sim"] - 1.0) < 1e-12 for r in out)
 
 
+def test_embedding_near_dups_finds_seeded_copies(spark):
+    """with_vector_copies must make the near-dup query non-vacuous: the
+    exact copy scores cos 1.0 (found), the +0.01 jitter scores just
+    under 1.0 (found), and the reversed decoy never clears 0.9."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(similarity.EMBED_DIM)])
+        for i in range(75)  # covers residues 0, 1, 2 of the mod-25 stride
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    aug = similarity.with_vector_copies(df)
+    assert aug.count() == 75 + 3 + 3 + 3
+    out = {(r.v1, r.v2): r.cos_sim
+           for r in similarity.embedding_near_dups(aug).collect()}
+    assert out, "seeded copies must produce at least one near-dup pair"
+    off = similarity.VEC_COPY_OFFSET
+    # Exact copies: cos 1.0 up to the sqrt(n)*sqrt(n) != n ulp wobble.
+    for vid in (0, 25, 50):
+        assert abs(out[(vid, vid + off)] - 1.0) < 1e-12
+    for vid in (1, 26, 51):            # jittered copies: near but found
+        cos = out[(vid, vid + 2 * off)]
+        assert 0.9 <= cos <= 1.0 and cos != out[(vid - 1, vid - 1 + off)]
+    # Reversed decoys never clear the threshold against their source.
+    for vid in (2, 27, 52):
+        assert (vid, vid + 3 * off) not in out
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
