@@ -52,6 +52,38 @@ def default_end_date_for_deactivated(
     )
 
 
+def find_unexpected_error_parquet_files(
+    error_dir: str, min_modified_epoch: float | None = None
+) -> list[str]:
+    """Non-CSV invariant scan of the error folder (the local-FS analogue
+    of the reference's S3 prefix scan, DM_bankfile_validate_pipeline.py:
+    1027-1061): the error folder must only ever contain the pipe-CSV
+    error files, and a ``.parquet`` appearing there means a sink wrote
+    raw data where the error report belongs.
+
+    ``min_modified_epoch`` restricts to files modified at/after the run
+    start (the reference's LastModified window); ``None`` flags any
+    parquet present — the stricter contract for a folder the pipeline
+    owns outright.
+    """
+    offenders: list[str] = []
+    if not os.path.isdir(error_dir):
+        return offenders
+    for root, _dirs, files in os.walk(error_dir):
+        for name in files:
+            if not name.lower().endswith(".parquet"):
+                continue
+            path = os.path.join(root, name)
+            if min_modified_epoch is not None:
+                try:
+                    if os.path.getmtime(path) < min_modified_epoch:
+                        continue
+                except OSError:
+                    continue
+            offenders.append(path)
+    return sorted(offenders)
+
+
 @dataclass
 class PipelineResult:
     input_path: str
@@ -117,6 +149,21 @@ def validate_file(
             ) if single_file else _write_dir(errors, error_dir, ts, env)
     finally:
         errors.unpersist()
+
+    # Error-folder invariant (reference PIPE:1079-1093, run-level rule at
+    # PIPE:2170): a parquet artifact in the error folder fails the run —
+    # it means raw data was written where the CSV error report belongs.
+    unexpected_parquet = find_unexpected_error_parquet_files(error_dir)
+    if unexpected_parquet:
+        return PipelineResult(
+            input_path, issues, error_count, error_file, None,
+            file_level_failure=True,
+            details={
+                "reason": "unexpected parquet in error folder "
+                          "(expected CSV only)",
+                "unexpected_parquet_files": unexpected_parquet,
+            },
+        )
 
     archived_to = None
     if archive_dir is not None and (
@@ -218,6 +265,12 @@ def run_scenario(
         env=env, now=now,
     )
     if res.file_level_failure:
+        if "unexpected_parquet_files" in res.details:
+            # Error-folder invariant breach: unlike an expected rejection
+            # (bad extension), this is a RUN failure — the sink miswrote
+            # (reference PIPE:2170-2174 fails the step on it).
+            return ScenarioResult(res, 0, 0, counts_match=False,
+                                  reconcile_passed=False)
         # Rejected whole (e.g. invalid extension): nothing ran, nothing
         # to reconcile — the rejection itself is the scenario's outcome.
         return ScenarioResult(res, 0, 0, counts_match=True,

@@ -250,3 +250,54 @@ def test_run_scenario_valid_data_no_error_file(spark, tmp_path):
     assert res.pipeline.error_file is None
     assert res.csv_error_count == 0 and res.db_error_count == 0
     assert res.counts_match and res.reconcile_passed
+
+
+def test_error_folder_parquet_fails_the_run(spark, tmp_path):
+    """Reference PIPE:1079-1093 / 2170: a parquet artifact in the error
+    folder (where only pipe-CSV error files belong) fails the run."""
+    from etl_validator_github_spark.pipeline import (
+        find_unexpected_error_parquet_files,
+        run_scenario,
+    )
+
+    error_dir = tmp_path / "error"
+    error_dir.mkdir(parents=True)
+    planted = error_dir / "sneaky_raw_dump.parquet"
+    planted.write_bytes(b"PAR1 not really parquet PAR1")
+    assert find_unexpected_error_parquet_files(str(error_dir)) == [str(planted)]
+
+    res = run_scenario(
+        spark, str(tmp_path), rows=20, seed=246,
+        invalid_values={"RoutingTransitNumber": "BAD123"},
+    )
+    assert res.pipeline.file_level_failure
+    assert res.pipeline.details["unexpected_parquet_files"] == [str(planted)]
+    assert not res.counts_match and not res.reconcile_passed
+    # The error CSV itself was still written before the invariant check —
+    # only the run verdict fails.
+    assert res.pipeline.error_file and os.path.exists(res.pipeline.error_file)
+
+
+def test_error_folder_window_ignores_preexisting_parquet(tmp_path):
+    """The min_modified_epoch window (the reference's LastModified
+    filter) must exclude artifacts older than the run start."""
+    import time as _time
+
+    from etl_validator_github_spark.pipeline import (
+        find_unexpected_error_parquet_files,
+    )
+
+    error_dir = tmp_path / "error"
+    error_dir.mkdir(parents=True)
+    old = error_dir / "leftover.parquet"
+    old.write_bytes(b"old")
+    os.utime(old, (1_000_000, 1_000_000))
+    new = error_dir / "fresh.parquet"
+    new.write_bytes(b"new")
+    cutoff = _time.time() - 3600
+    assert find_unexpected_error_parquet_files(
+        str(error_dir), min_modified_epoch=cutoff
+    ) == [str(new)]
+    assert find_unexpected_error_parquet_files(str(error_dir)) == sorted(
+        [str(old), str(new)]
+    )
