@@ -11,6 +11,9 @@ stop semantics; omit it for a resident watcher.
 
 from __future__ import annotations
 
+import datetime as dt
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +26,85 @@ from etl_validator_github_spark.operators.validate import ERRORS_COL, with_error
 from etl_validator_github_spark.schema import bankdata_schema
 
 
+class BatchGuard:
+    """Two-strikes circuit breaker for the streaming sink — the Spark
+    analogue of the reference's pre-upload gate guard
+    (DM_bankfile_validate_pipeline.py:93-176): consecutive downstream
+    failures accumulate in a JSON state file; at ``threshold`` strikes a
+    STOP flag file is written and every later batch is refused until an
+    operator clears it (or a batch succeeds after a manual reset).
+
+    File-based on purpose: the flag survives driver restarts (like the
+    reference's flag surviving test-runner restarts) and is visible to
+    operators as a plain file. With foreachBatch + checkpointing, a
+    refused batch is NOT committed, so processing resumes exactly there
+    once the flag is cleared — no data loss, exactly-once preserved.
+    """
+
+    def __init__(self, guard_dir: str, threshold: int = 2) -> None:
+        self.guard_dir = guard_dir
+        self.threshold = threshold
+        self.state_file = os.path.join(guard_dir, "batch_guard_state.json")
+        self.stop_file = os.path.join(guard_dir, "STOP_PROCESSING.flag")
+
+    def tripped(self) -> bool:
+        return os.path.exists(self.stop_file)
+
+    def _read(self) -> dict:
+        state = {"consecutive_failures": 0, "last_reason": "", "updated_at": ""}
+        try:
+            with open(self.state_file, encoding="utf-8") as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                state.update(loaded)
+        except (OSError, ValueError):
+            pass
+        return state
+
+    def _write(self, state: dict) -> None:
+        os.makedirs(self.guard_dir, exist_ok=True)
+        with open(self.state_file, "w", encoding="utf-8") as f:
+            json.dump(state, f, indent=2)
+
+    def record_success(self) -> None:
+        self._write({
+            "consecutive_failures": 0,
+            "last_reason": "",
+            "updated_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        })
+        if os.path.exists(self.stop_file):
+            os.remove(self.stop_file)
+
+    def record_failure(self, reason: str) -> int:
+        state = self._read()
+        consecutive = int(state.get("consecutive_failures", 0)) + 1
+        now_iso = dt.datetime.now(dt.timezone.utc).isoformat()
+        state.update({
+            "consecutive_failures": consecutive,
+            "last_reason": str(reason),
+            "updated_at": now_iso,
+        })
+        self._write(state)
+        if consecutive >= self.threshold:
+            os.makedirs(self.guard_dir, exist_ok=True)
+            with open(self.stop_file, "w", encoding="utf-8") as f:
+                f.write(
+                    f"{consecutive} consecutive batch failures; refusing "
+                    f"further batches. Last reason: {reason}\n"
+                    f"UpdatedAtUtc: {now_iso}\n"
+                )
+        return consecutive
+
+    def refuse_if_tripped(self) -> None:
+        if self.tripped():
+            with open(self.stop_file, encoding="utf-8") as f:
+                detail = f.read().strip()
+            raise RuntimeError(
+                f"batch refused: circuit breaker tripped ({self.stop_file}). "
+                f"{detail}"
+            )
+
+
 def stream_validate(
     spark: SparkSession,
     ready_dir: str,
@@ -32,6 +114,8 @@ def stream_validate(
     schema=None,
     available_now: bool = True,
     on_batch: Callable[[DataFrame, int], None] | None = None,
+    guard: BatchGuard | None = None,
+    reconcile: Callable[[DataFrame, int], bool] | None = None,
 ) -> StreamingQuery:
     """Watch ``ready_dir`` for parquet bank files; emit pipe-CSV errors.
 
@@ -40,6 +124,13 @@ def stream_validate(
     map-only, and the error sink appends partitioned CSV. The checkpoint
     directory provides exactly-once file processing — the durable
     equivalent of the reference's ready-folder bookkeeping.
+
+    ``guard``/``reconcile`` wire in the two-strikes circuit breaker
+    (reference PIPE:93-176): each batch's outputs are checked by
+    ``reconcile`` (return False = unreconciled); after ``threshold``
+    consecutive failures the guard trips and the NEXT batch is refused
+    before any write happens — the streaming equivalent of the
+    reference's stop-testing flag halting uploads.
     """
     stream = (
         spark.readStream.schema(schema or bankdata_schema(dates_as_strings=True))
@@ -55,11 +146,18 @@ def stream_validate(
     errors = to_error_records(failing)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if guard is not None:
+            guard.refuse_if_tripped()
         batch_df.write.mode("append").option("header", True).option("sep", "|").csv(
             error_dir
         )
         if on_batch is not None:
             on_batch(batch_df, batch_id)
+        if guard is not None and reconcile is not None:
+            if reconcile(batch_df, batch_id):
+                guard.record_success()
+            else:
+                guard.record_failure(f"batch {batch_id} unreconciled")
 
     writer = errors.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from etl_validator_github_spark.generator import generate_bankdata
 from etl_validator_github_spark.operators import mutate
-from etl_validator_github_spark.streaming.pipeline import stream_validate
+from etl_validator_github_spark.streaming.pipeline import BatchGuard, stream_validate
 
 
 def _read_error_csvs(spark, error_dir):
@@ -66,3 +66,80 @@ def test_stream_validate_available_now(spark, tmp_path):
     assert (
         out3.filter(F.col("ERROR_DESC").contains("RecordOperation")).count() == 1
     )
+
+
+def test_batch_guard_state_machine(tmp_path):
+    """Two strikes trip the breaker; success resets and clears the flag
+    (reference PIPE:136-176 gate-guard semantics)."""
+    import pytest
+
+    g = BatchGuard(str(tmp_path / "guard"))
+    assert not g.tripped()
+    assert g.record_failure("reconcile mismatch") == 1
+    assert not g.tripped()                      # one strike: still open
+    assert g.record_failure("reconcile mismatch") == 2
+    assert g.tripped()                          # two strikes: STOP flag
+    with pytest.raises(RuntimeError, match="circuit breaker tripped"):
+        g.refuse_if_tripped()
+    g.record_success()
+    assert not g.tripped()                      # operator-visible reset
+    assert g.record_failure("again") == 1       # counter restarted
+
+
+def test_stream_validate_refuses_batch_after_two_failed_reconciles(
+    spark, tmp_path
+):
+    """E2E breaker: two batches whose reconcile reports failure trip the
+    guard; the third batch is refused BEFORE writing (its errors never
+    reach the sink), and clearing via record_success lets it through."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    ready = str(tmp_path / "ready")
+    errors = str(tmp_path / "errors")
+    ckpt = str(tmp_path / "ckpt")
+    guard = BatchGuard(str(tmp_path / "guard"))
+
+    df = generate_bankdata(spark, 10, seed=246)
+    bad = mutate.overwrite_cells(
+        df, {("PostalCode", 0): "123"}, order_by="PayeeID"
+    )
+
+    def run_one(idx):
+        q = stream_validate(
+            spark, ready, errors, ckpt, available_now=True,
+            guard=guard, reconcile=lambda bdf, bid: False,
+        )
+        q.awaitTermination(120)
+
+    bad.write.parquet(f"{ready}/mtfdm_dev2_dmbankdata_0001.parquet")
+    run_one(1)                                  # strike 1 (batch written)
+    bad.write.parquet(f"{ready}/mtfdm_dev2_dmbankdata_0002.parquet")
+    run_one(2)                                  # strike 2 → STOP flag
+    assert guard.tripped()
+    n_before = _read_error_csvs(spark, errors).count()
+
+    bad.write.parquet(f"{ready}/mtfdm_dev2_dmbankdata_0003.parquet")
+    q = stream_validate(
+        spark, ready, errors, ckpt, available_now=True,
+        guard=guard, reconcile=lambda bdf, bid: False,
+    )
+    try:
+        q.awaitTermination(120)
+        raised = False
+    except StreamingQueryException as exc:
+        raised = True
+        assert "batch refused" in str(exc)
+    assert raised, "third batch must be refused while the breaker is tripped"
+    # Refused before the write: the sink gained nothing.
+    assert _read_error_csvs(spark, errors).count() == n_before
+
+    # Operator clears the breaker → the SAME (uncommitted) batch replays
+    # from the checkpoint and lands exactly once.
+    guard.record_success()
+    q2 = stream_validate(
+        spark, ready, errors, ckpt, available_now=True,
+        guard=guard, reconcile=lambda bdf, bid: True,
+    )
+    q2.awaitTermination(120)
+    assert _read_error_csvs(spark, errors).count() == n_before + 1
+    assert not guard.tripped()
