@@ -1013,8 +1013,71 @@ WHERE d.is_batch
 """
 
 
-#: Round-4 additions, registered PAST the driver gate window (see
-#: queries/__init__.py) — repo-local parity covers them until rotation.
+# ---------------------------------------------------------------------------
+# End-to-end fuzzy dedup pass — the composed operator a corpus-cleaning
+# job actually ships: LSH band candidates → exact-Jaccard verify →
+# connected components over verified pairs → keep the min doc_id per
+# cluster. Every stage is the scale-safe variant proven above; the final
+# keep-list join is a left join of the (tiny: only docs with a verified
+# near-dup) cluster table against the corpus ids — broadcast-able at any
+# corpus size because cluster membership, not corpus size, bounds it.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_dedup_keep(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, keep) for the whole corpus.
+
+    ``cluster_id`` is the min doc_id of the doc's verified near-dup
+    component (its own id if it has none); ``keep`` marks the one
+    canonical survivor per cluster. Filtering ``keep = 1`` IS the
+    deduplicated corpus — the composition of minhash_candidate_pairs,
+    _jaccard_pairs, and duplicate_clusters in one dataflow.
+    """
+    pairs = _jaccard_pairs(docs, JACCARD_THRESHOLD).select("d1", "d2")
+    clusters = duplicate_clusters(pairs)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "keep", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+    )
+
+
+def _fuzzy_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_dedup_keep(with_copies(load(spark, sf_dir, "documents")))
+
+
+def _fuzzy_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE jp AS ({_jaccard_sql()}),
+sym AS (
+  SELECT d1 AS src, d2 AS dst FROM jp
+  UNION
+  SELECT d2, d1 FROM jp
+),
+reach(v, u) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+),
+clusters AS (
+  SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY 1
+),
+all_docs AS ({_COPIES_SQL})
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS INT) AS keep
+FROM all_docs d LEFT JOIN clusters c USING (doc_id)
+"""
+
+
+#: Round-4/5 additions, registered directly after the scale block in
+#: queries/__init__.py (inside the driver gate as of the r5 rotation).
 DEDUP_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1022,5 +1085,9 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "Incremental dedup: delta batch probes the corpus's exact-"
               "hash + LSH-band index via semi-joins — work scales with "
               "|batch| + |index|, never a corpus re-scan."),
+        Query("dedup_fuzzy_keep", _fuzzy_keep_q, _fuzzy_keep_sql(),
+              "End-to-end fuzzy dedup pass: LSH candidates → exact-"
+              "Jaccard verify → connected components → per-cluster "
+              "canonical keep-list over the full corpus."),
     ]
 }

@@ -98,6 +98,23 @@ def test_jaccard_verifies_lsh_candidates_exactly(spark):
         assert r.n_union == len(s1 | s2)
 
 
+def test_fuzzy_dedup_keep_end_to_end(spark):
+    """The composed pass: exact copies + a one-token-appended near-dup
+    form one cluster keeping the min id; the unrelated doc keeps
+    itself."""
+    base = " ".join(f"w{i}" for i in range(30))      # 30 distinct tokens
+    near = base + " w30"                             # jaccard 30/31 ≈ 0.968
+    other = "totally different content in this unrelated document here"
+    docs = _docs(spark, [base, base, near, other])
+    got = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup.fuzzy_dedup_keep(docs).collect()}
+    assert got[0] == (0, 1)          # canonical survivor
+    assert got[1] == (0, 0)          # exact copy: dropped
+    assert got[2] == (0, 0)          # verified near-dup: dropped
+    assert got[3] == (3, 1)          # singleton: kept
+    assert len(got) == 4             # full corpus, not just cluster members
+
+
 def test_simhash_identical_distance_zero(spark):
     text = "spark scales out not up across many machines"
     out = dedup.simhash_pairs(_docs(spark, [text, text]))
