@@ -34,6 +34,9 @@ def _trailing_medians(sf) -> dict[str, float]:
                 doc = json.load(f)
         except (OSError, ValueError):
             continue
+        # Driver artifacts wrap bench.py's JSON line under "parsed".
+        if isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]
         if doc.get("sf") != sf:
             continue
         for name, sec in (doc.get("queries") or {}).items():
