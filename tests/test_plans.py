@@ -99,7 +99,11 @@ def test_repetition_stats_use_hash_aggregates(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "embed_ann_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "embed_ann_lsh", "dedup_simhash",
+     "dedup_fuzzy_keep", "dedup_embedding_cosine"],
+)
 def test_lsh_paths_avoid_cartesian_products(spark, sf_dir, name):
     """LSH candidate generation must join on bucket keys, never via a
     nested-loop over all pairs."""
