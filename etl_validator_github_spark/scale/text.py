@@ -914,6 +914,96 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget curation: keep the highest-quality docs per language up
+# to a fixed token budget — the selection step after cleaning/dedup
+# when assembling a training mixture. The NAIVE shape (window-sort all
+# docs per lang by quality, running-sum cutoff) funnels each language
+# through ONE reducer's sort — a scale-killer when one lang is most of
+# a 100 TB corpus. This implementation never sorts documents:
+#   1. histogram — one corpus shuffle onto (lang, score) with map-side
+#      combine; key space is langs × distinct scores (tiny),
+#   2. cumulative tokens over the HISTOGRAM (a few thousand rows — the
+#      window runs anywhere),
+#   3. per-lang score cutoff = min score whose best-first running total
+#      fits the budget, broadcast back,
+#   4. map-only filter score >= cutoff.
+# Whole-bucket semantics (a score bucket is kept or dropped atomically)
+# keep the result deterministic and order-independent — no tie-breaking
+# inside a bucket, so any partitioning yields the same corpus.
+# ---------------------------------------------------------------------------
+
+#: Per-language token budget for the curation query (fits the sf0.01
+#: fixture so the cutoff actually bites; at production scale this is
+#: the mixture spec's per-language token count).
+TOKEN_BUDGET = 10_000
+
+
+def quality_budget_select(docs: DataFrame,
+                          budget: int = TOKEN_BUDGET) -> DataFrame:
+    """(doc_id, lang, score, n_tokens) of docs kept under the budget.
+
+    ``score`` is distinct-token count (vocabulary richness) — any
+    deterministic integer quality score slots in. A language whose
+    single best score bucket already exceeds the budget keeps nothing
+    (no partial-bucket selection; see the whole-bucket note above).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens()
+    scored = docs.select(
+        "doc_id", "lang",
+        F.size(F.array_distinct(toks)).alias("score"),
+        F.size(toks).alias("n_tokens"),
+    )
+    hist = scored.groupBy("lang", "score").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+    cutoffs = (
+        cum.filter(F.col("cum_tokens") <= budget)
+        .groupBy("lang")
+        .agg(F.min("score").alias("cutoff"))
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), "lang")
+        .filter(F.col("score") >= F.col("cutoff"))
+        .select("doc_id", "lang", "score", "n_tokens")
+    )
+
+
+def _budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_budget_select(load(spark, sf_dir, "documents"))
+
+
+_BUDGET_SELECT_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS score,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+), hist AS (
+  SELECT lang, score, SUM(n_tokens) AS bucket_tokens
+  FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT lang, score,
+         SUM(bucket_tokens) OVER (PARTITION BY lang ORDER BY score DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM hist
+), cutoffs AS (
+  SELECT lang, MIN(score) AS cutoff
+  FROM cum WHERE cum_tokens <= {TOKEN_BUDGET} GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.score, s.n_tokens
+FROM scored s JOIN cutoffs c ON s.lang = c.lang AND s.score >= c.cutoff
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -921,5 +1011,9 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "CCNet-style unigram-LM quality score: corpus-frequency "
               "floor-log2 mean per doc, top-V broadcast vocab, "
               "integer-exact across engines."),
+        Query("docs_token_budget_select", _budget_select_q,
+              _BUDGET_SELECT_SQL,
+              "Token-budget curation: per-lang quality histogram → "
+              "cutoff → map-only filter (no per-lang document sort)."),
     ]
 }

@@ -360,7 +360,29 @@ def test_simhash_segment_blocking_finds_all_pairs(spark):
     assert got == naive
 
 
-def test_gopher_quality_matches_pure_python(spark):
+def test_quality_budget_select_histogram_cutoff(spark):
+    """Whole-bucket budget semantics: best-score buckets accumulate
+    until the budget; the first bucket that would overflow is dropped
+    atomically, and a lang whose best bucket alone overflows keeps
+    nothing."""
+    from etl_validator_github_spark.scale.text import quality_budget_select
+
+    def doc(i, lang, n_distinct, n_total):
+        # n_distinct unique tokens padded to n_total with repeats.
+        toks = [f"{lang}{i}w{j}" for j in range(n_distinct)]
+        toks += [toks[0]] * (n_total - n_distinct)
+        return (i, " ".join(toks), lang)
+
+    rows = [
+        doc(0, "en", 30, 40),   # score 30, 40 tokens  -> kept (cum 40)
+        doc(1, "en", 20, 50),   # score 20, 50 tokens  -> kept (cum 90)
+        doc(2, "en", 10, 30),   # score 10, 30 tokens  -> dropped (cum 120)
+        doc(3, "de", 25, 200),  # best de bucket overflows alone -> nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    got = {r.doc_id: (r.score, r.n_tokens)
+           for r in quality_budget_select(df, budget=100).collect()}
+    assert got == {0: (30, 40), 1: (20, 50)}
     from collections import Counter
 
     from etl_validator_github_spark.scale.text import gopher_quality
