@@ -114,7 +114,11 @@ def _jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     uniform key, one shuffle each, never an all-pairs or length-bucket
     self-join. Docs under 3 tokens have no shingles, so they cannot be
     candidates (they were equally invisible to the old length blocking
-    at any realistic threshold).
+    at any realistic threshold). Declared as one dataflow, the corpus
+    is scanned for the signature pipeline and once per token-set join;
+    at the 100 TB point persist the (doc_id, ts) projection first so
+    the text is tokenized once — same note as the MinHash fingerprint
+    table in SCALE.md.
     """
     cands = minhash_candidate_pairs(docs).select("d1", "d2")
     toks = docs.select(
