@@ -883,6 +883,48 @@ DEDUP_QUERIES: dict[str, Query] = {
 _BATCH_MOD, _BATCH_REM = 7, 3
 
 
+def build_dedup_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(exact content hashes, distinct LSH band keys) of a corpus — the
+    precomputed index a delta batch probes. At 100 TB this pair is a
+    few bytes per document, persisted once and appended per ingest."""
+    hashes = corpus.select(F.md5("text").alias("h")).distinct()
+    bands = (
+        lsh_band_buckets(minhash_signatures(corpus))
+        .select("band", "band_key")
+        .distinct()
+    )
+    return hashes, bands
+
+
+def probe_dedup_index(
+    batch: DataFrame, corpus_hashes: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """(doc_id, is_exact_dup, n_corpus_band_hits) per batch doc.
+
+    Two semi-joins against the index — work scales with
+    |batch| + |index|, and the corpus text is never re-scanned.
+    """
+    b_hash = batch.select("doc_id", F.md5("text").alias("h"))
+    exact_ids = b_hash.join(corpus_hashes, "h", "left_semi").select("doc_id")
+    b_bands = lsh_band_buckets(minhash_signatures(batch))
+    hits = (
+        b_bands.join(corpus_bands, ["band", "band_key"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_corpus_band_hits"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("e"), F.lit(0)).alias("is_exact_dup"),
+            F.coalesce(F.col("n_corpus_band_hits"), F.lit(0)).cast("long")
+            .alias("n_corpus_band_hits"),
+        )
+    )
+
+
 def incremental_dedup(docs: DataFrame) -> DataFrame:
     """Per new-batch doc: exact-dup flag + count of corpus band hits.
 
@@ -907,35 +949,8 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
         ).otherwise(F.col("text")),
     )
 
-    # Exact index: distinct content hashes of the corpus; batch docs
-    # whose hash hits the index are flagged via a semi-join.
-    c_hash = corpus.select(F.md5("text").alias("h")).distinct()
-    b_hash = batch.select("doc_id", F.md5("text").alias("h"))
-    exact_ids = b_hash.join(c_hash, "h", "left_semi").select("doc_id")
-
-    # Near index: distinct (band, band_key) of the corpus vs the batch's
-    # band keys — one aggregate per side, one equi-join on the key.
-    c_bands = lsh_band_buckets(minhash_signatures(corpus)).select(
-        "band", "band_key"
-    ).distinct()
-    b_bands = lsh_band_buckets(minhash_signatures(batch))
-    hits = (
-        b_bands.join(c_bands, ["band", "band_key"], "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_corpus_band_hits"))
-    )
-
-    base = batch.select("doc_id")
-    return (
-        base.join(exact_ids.withColumn("e", F.lit(1)), "doc_id", "left")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("e"), F.lit(0)).alias("is_exact_dup"),
-            F.coalesce(F.col("n_corpus_band_hits"), F.lit(0)).cast("long")
-            .alias("n_corpus_band_hits"),
-        )
-    )
+    c_hash, c_bands = build_dedup_index(corpus)
+    return probe_dedup_index(batch, c_hash, c_bands)
 
 
 def _incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,3 +75,47 @@ def stream_corpus_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_dedup(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    available_now: bool = True,
+):
+    """Streaming form of the incremental-dedup probe (scale/dedup.py):
+    newly landed document files are flagged per micro-batch against a
+    PRECOMPUTED corpus index — (content hashes, LSH band keys), built
+    once via ``build_dedup_index`` — and the flags append to a parquet
+    sink alongside doc_id.
+
+    This is the daily-ingest shape at 100 TB: the index is a static
+    few-bytes/doc table (batch side of the foreachBatch joins), the
+    per-batch work is |batch| signature hashing + two semi-joins, and
+    the corpus text is never touched. foreachBatch is required because
+    stream-static SEMI joins + aggregation in one pass exceed what the
+    continuous planner allows; the batch inside is plain batch Spark.
+    """
+    from etl_validator_github_spark.scale.dedup import probe_dedup_index
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        probe_dedup_index(batch_df, corpus_hashes, corpus_bands).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = stream.writeStream.foreachBatch(_probe).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -54,3 +54,51 @@ def test_corpus_ingest_watermarked_mode(spark, tmp_path):
     assert sorted(r["text"] for r in out.collect()) == sorted([GOOD, GOOD2])
     assert "ingest_ts" not in out.columns
     assert "content_hash" in out.columns
+
+
+def test_stream_incremental_dedup_probes_static_index(spark, tmp_path):
+    """Streaming delta files flagged against a precomputed corpus index:
+    an exact re-send flags is_exact_dup with all bands hitting; a near
+    variant hits bands without the exact flag; a novel doc hits nothing.
+    A second availableNow run picks up only the newly landed file."""
+    from etl_validator_github_spark.scale.dedup import (
+        N_BANDS,
+        build_dedup_index,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        stream_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, GOOD, "en"), (1, GOOD2, "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    hashes, bands = build_dedup_index(corpus)
+
+    src = tmp_path / "isrc"
+    sink, ckpt = tmp_path / "isink", tmp_path / "ickpt"
+    near = GOOD + " extra0 extra1"                 # shares most shingles
+    novel = " ".join(f"fresh{i}" for i in range(20))
+    _write_docs(spark, str(src / "d1.parquet"),
+                [(100, GOOD), (101, near), (102, novel)])
+
+    q = stream_incremental_dedup(
+        spark, str(src), str(sink), str(ckpt), hashes, bands
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.is_exact_dup, r.n_corpus_band_hits)
+           for r in spark.read.parquet(str(sink)).collect()}
+    assert got[100] == (1, N_BANDS)                # exact re-send
+    assert got[101][0] == 0 and got[101][1] >= 1   # near-dup suspect
+    assert got[102] == (0, 0)                      # genuinely novel
+
+    # Incremental: a later file is probed in its own micro-batch.
+    _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD2)])
+    q2 = stream_incremental_dedup(
+        spark, str(src), str(sink), str(ckpt), hashes, bands
+    )
+    q2.awaitTermination(120)
+    got2 = {r.doc_id: (r.is_exact_dup, r.n_corpus_band_hits)
+            for r in spark.read.parquet(str(sink)).collect()}
+    assert len(got2) == 4
+    assert got2[200] == (1, N_BANDS)
