@@ -151,6 +151,52 @@ def _cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedup(args: argparse.Namespace) -> int:
+    """Corpus dedup over a documents parquet (doc_id, text, lang...).
+
+    ``--mode exact`` labels by content hash; ``--mode fuzzy`` runs the
+    full LSH → Jaccard-verify → connected-components pass
+    (scale/dedup.py). Writes the (doc_id, cluster_id, keep) keep-list,
+    or the surviving documents themselves with ``--write-docs``.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.scale.dedup import fuzzy_dedup_keep
+
+    spark = get_spark(app_name="corpus-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    if args.mode == "fuzzy":
+        labeled = fuzzy_dedup_keep(docs)
+    else:
+        groups = docs.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("cluster_id")
+        )
+        labeled = (
+            docs.select("doc_id", F.md5("text").alias("h"))
+            .join(groups, "h")
+            .select(
+                "doc_id", "cluster_id",
+                (F.col("doc_id") == F.col("cluster_id")).cast("int")
+                .alias("keep"),
+            )
+        )
+    if args.write_docs:
+        out = docs.join(
+            labeled.filter(F.col("keep") == 1).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = docs.count(), out.count()
+    else:
+        labeled.write.mode("overwrite").parquet(args.output)
+        n_in = labeled.count()
+        n_out = labeled.filter(F.col("keep") == 1).count()
+    print(f"{args.mode} dedup: {n_in} docs -> {n_out} kept "
+          f"({n_in - n_out} dropped) -> {args.output}")
+    return 0
+
+
 def _cmd_scenario(args: argparse.Namespace) -> int:
     from etl_validator_github_spark.pipeline import run_scenario
 
@@ -218,6 +264,19 @@ def main(argv: list[str] | None = None) -> int:
                         "exercises the invalid-extension rejection "
                         "(PIPE:3040-3073)")
     s.set_defaults(fn=_cmd_scenario)
+
+    d = sub.add_parser(
+        "dedup",
+        help="corpus dedup keep-list (exact content-hash or fuzzy "
+             "LSH+Jaccard+components) over a documents parquet",
+    )
+    d.add_argument("input")
+    d.add_argument("--output", required=True)
+    d.add_argument("--mode", choices=("exact", "fuzzy"), default="exact")
+    d.add_argument("--write-docs", action="store_true",
+                   help="write surviving documents instead of the "
+                        "(doc_id, cluster_id, keep) keep-list")
+    d.set_defaults(fn=_cmd_dedup)
 
     args = parser.parse_args(argv)
     return args.fn(args)

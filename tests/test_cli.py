@@ -133,3 +133,31 @@ def test_cli_scenario_mirrors_reference_contract(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Row counts MATCH" in out
+
+
+def test_cli_dedup_exact_and_fuzzy(spark, tmp_path, capsys):
+    """The dedup subcommand: exact mode drops a content-identical copy;
+    --write-docs emits the surviving documents; fuzzy mode runs the
+    full LSH pass."""
+    src = tmp_path / "docs.parquet"
+    text = " ".join(f"w{i}" for i in range(25))
+    other = "entirely different document body with its own words here"
+    spark.createDataFrame(
+        [(0, text, "en"), (1, text, "en"), (2, other, "en")],
+        "doc_id: long, text: string, lang: string",
+    ).write.parquet(str(src))
+
+    keep_out = tmp_path / "keep.parquet"
+    assert main(["dedup", str(src), "--output", str(keep_out)]) == 0
+    keep = {r.doc_id: (r.cluster_id, r.keep)
+            for r in spark.read.parquet(str(keep_out)).collect()}
+    assert keep == {0: (0, 1), 1: (0, 0), 2: (2, 1)}
+    assert "3 docs -> 2 kept (1 dropped)" in capsys.readouterr().out
+
+    docs_out = tmp_path / "clean.parquet"
+    assert main(["dedup", str(src), "--output", str(docs_out),
+                 "--mode", "fuzzy", "--write-docs"]) == 0
+    survivors = sorted(
+        r.doc_id for r in spark.read.parquet(str(docs_out)).collect()
+    )
+    assert survivors == [0, 2]
