@@ -360,6 +360,52 @@ def test_simhash_segment_blocking_finds_all_pairs(spark):
     assert got == naive
 
 
+def test_fuzzy_dedup_keep_matches_union_find(spark):
+    """Invariant check on a collision-heavy random corpus: the Spark
+    keep-list must equal a pure-Python union-find over the SAME verified
+    pairs — every doc labeled, cluster label = component min, exactly
+    one keep per cluster."""
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(12)]          # tiny vocab → collisions
+    rows = []
+    for i in range(60):
+        n = rng.randint(8, 14)
+        rows.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    # Seed guaranteed clusters: exact copies and near-copies.
+    rows[50] = rows[0]
+    rows[51] = rows[0]
+    rows[52] = rows[1] + " " + vocab[0]
+    docs = _docs(spark, rows)
+
+    pairs = [(r.d1, r.d2) for r in
+             dedup._jaccard_pairs(docs, dedup.JACCARD_THRESHOLD)
+             .select("d1", "d2").collect()]
+    parent = list(range(len(rows)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(len(rows))}
+
+    got = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup.fuzzy_dedup_keep(docs).collect()}
+    assert len(got) == len(rows)
+    for i in range(len(rows)):
+        assert got[i][0] == expected[i], f"doc {i}"
+        assert got[i][1] == int(i == expected[i])
+    # The seeded group actually formed one cluster.
+    assert expected[50] == expected[51] == expected[0] == 0
+
+
 def test_quality_budget_select_histogram_cutoff(spark):
     """Whole-bucket budget semantics: best-score buckets accumulate
     until the budget; the first bucket that would overflow is dropped
