@@ -319,9 +319,21 @@ def _dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
-    """DuckDB oracle for ``minhash_candidate_pairs``; the bucket cap is
-    generated from the same parameter so a non-default call site can
-    build a matching oracle (``None`` disables the guard)."""
+    """DuckDB oracle for ``minhash_candidate_pairs`` over the standard
+    with_copies corpus; see ``_minhash_sql_for`` for an arbitrary
+    source relation."""
+    return (
+        f"WITH all_docs AS ({_COPIES_SQL})\n"
+        f"SELECT * FROM ({_minhash_sql_for('all_docs', max_bucket_size)}) mh"
+    )
+
+
+def _minhash_sql_for(source: str,
+                     max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
+    """Band-candidate SQL parameterized by the source relation; the
+    bucket cap is generated from the same parameter as the Python
+    function so a non-default call site can build a matching oracle
+    (``None`` disables the guard)."""
     sig_exprs = ",\n         ".join(
         "list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {p}), 'min') AS sig_{i}".format(
             a=_minhash_ab(i)[0], b=_minhash_ab(i)[1], p=MINHASH_P, i=i
@@ -338,9 +350,8 @@ def _minhash_sql(max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
         f"AND s.n <= {max_bucket_size}" if max_bucket_size is not None else ""
     )
     return f"""
-WITH all_docs AS ({_COPIES_SQL}),
-tok AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {source}
 ),
 sh AS (
   SELECT doc_id,
@@ -1095,6 +1106,118 @@ FROM all_docs d LEFT JOIN clusters c USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH banding quality evaluation — the query a pipeline owner runs
+# before trusting the (n_hashes, n_bands) parameters at scale: candidate
+# recall of the band buckets against the TRUE thresholded-Jaccard pairs
+# on a bounded eval slice. Ground truth needs all-pairs exact Jaccard,
+# so it runs on a deterministic doc_id-bounded subset (all-pairs over
+# the full corpus is exactly what LSH exists to avoid); the candidate
+# side is the production banding pipeline restricted to the same slice.
+# Hits are exact integer set intersections — oracle-checkable.
+# ---------------------------------------------------------------------------
+
+#: Eval slice bound and the truth threshold. Truth is SHINGLE-set
+#: Jaccard — the similarity MinHash actually approximates — at 0.95,
+#: inside the band scheme's design range (theory: P(candidate) =
+#: 1-(1-s^4)^4 ≈ 0.999 at s=0.95), so the expected recall is ~1000‰ and
+#: a banding regression craters it. Token-SET Jaccard truth would be
+#: the wrong yardstick: docs can share 95% of their vocabulary with
+#: completely different token order, which sequence-shingle banding
+#: deliberately does not treat as near-duplicate.
+LSH_EVAL_MAX_ID = 100
+LSH_EVAL_THRESHOLD = 0.95
+
+
+def lsh_banding_recall(docs: DataFrame,
+                       max_id: int = LSH_EVAL_MAX_ID,
+                       threshold: float = LSH_EVAL_THRESHOLD) -> DataFrame:
+    """One row: (n_truth, n_cand, n_hit, recall_milli) for the eval
+    slice ``doc_id < max_id`` ∪ its injected copies."""
+    eval_ids = (F.col("doc_id") < max_id) | (
+        (F.col("doc_id") >= COPY_OFFSET)
+        & (F.col("doc_id") < COPY_OFFSET + max_id)
+    )
+    sub = docs.filter(eval_ids)
+    toks = (
+        sub.withColumn("__toks", F.split("text", " "))
+        .select("doc_id", F.array_distinct(_shingles()).alias("ts"))
+        .filter(F.size("ts") > 0)
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.ts", "b.ts"))
+        / F.size(F.array_union("a.ts", "b.ts"))
+    )
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .select("d1", "d2")
+    )
+    cand = minhash_candidate_pairs(sub).select("d1", "d2")
+    hit = truth.join(cand, ["d1", "d2"], "left_semi")
+    n_truth = truth.count()
+    n_hit = hit.count()
+    recall_milli = (1000 * n_hit) // n_truth if n_truth else 1000
+    return truth.sparkSession.createDataFrame(
+        [(n_truth, cand.count(), n_hit, recall_milli)],
+        "n_truth: long, n_cand: long, n_hit: long, recall_milli: long",
+    )
+
+
+def _lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_banding_recall(with_copies(load(spark, sf_dir, "documents")))
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH all0 AS ({_COPIES_SQL}),
+sub AS (
+  SELECT * FROM all0
+  WHERE doc_id < {LSH_EVAL_MAX_ID}
+     OR (doc_id >= {COPY_OFFSET} AND doc_id < {COPY_OFFSET + LSH_EVAL_MAX_ID})
+),
+tok0 AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM sub
+),
+tok AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3 THEN
+             list_transform(range(1, len(toks) - 1),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           ELSE [] END) AS ts
+  FROM tok0
+),
+truth AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+  WHERE len(a.ts) > 0 AND len(b.ts) > 0
+    AND CAST(len(list_intersect(a.ts, b.ts)) AS INT)
+          / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT)
+        >= {LSH_EVAL_THRESHOLD}
+),
+cand AS (
+  SELECT d1, d2 FROM ({_minhash_sql_for("sub")}) c
+),
+hit AS (
+  SELECT t.d1, t.d2 FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.d1 = t.d1 AND c.d2 = t.d2)
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1000
+            ELSE (1000 * (SELECT COUNT(*) FROM hit))
+                 // (SELECT COUNT(*) FROM truth) END AS recall_milli
+"""
+
+
 #: Round-4/5 additions, registered directly after the scale block in
 #: queries/__init__.py (inside the driver gate as of the r5 rotation).
 DEDUP_EXTRA_QUERIES: dict[str, Query] = {
@@ -1108,5 +1231,9 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "End-to-end fuzzy dedup pass: LSH candidates → exact-"
               "Jaccard verify → connected components → per-cluster "
               "canonical keep-list over the full corpus."),
+        Query("dedup_lsh_recall", _lsh_recall_q, _lsh_recall_sql(),
+              "Banding-quality eval: candidate recall of the LSH band "
+              "buckets vs true thresholded-Jaccard pairs on a bounded "
+              "eval slice (exact integer hits)."),
     ]
 }

@@ -360,6 +360,20 @@ def test_simhash_segment_blocking_finds_all_pairs(spark):
     assert got == naive
 
 
+def test_lsh_banding_recall_catches_exact_pairs(spark):
+    """Exact-copy pairs are truth AND candidates (all bands shared), so
+    recall is 1000‰; unrelated docs contribute to neither side."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten"
+    other = "completely different words living in this document body"
+    docs = _docs(spark, [t1, t1, t2, t2, other])
+    row = dedup.lsh_banding_recall(docs, max_id=10).collect()[0]
+    assert row.n_truth == 2          # the two identical pairs
+    assert row.n_hit == 2
+    assert row.recall_milli == 1000
+    assert row.n_cand >= 2
+
+
 def test_fuzzy_dedup_keep_matches_union_find(spark):
     """Invariant check on a collision-heavy random corpus: the Spark
     keep-list must equal a pure-Python union-find over the SAME verified
