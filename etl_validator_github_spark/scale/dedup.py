@@ -1161,12 +1161,17 @@ def lsh_banding_recall(docs: DataFrame,
     )
     cand = minhash_candidate_pairs(sub).select("d1", "d2")
     hit = truth.join(cand, ["d1", "d2"], "left_semi")
-    n_truth = truth.count()
-    n_hit = hit.count()
-    recall_milli = (1000 * n_hit) // n_truth if n_truth else 1000
-    return truth.sparkSession.createDataFrame(
-        [(n_truth, cand.count(), n_hit, recall_milli)],
-        "n_truth: long, n_cand: long, n_hit: long, recall_milli: long",
+    # Entirely in-plan: three 1-row aggregates cross-joined, no driver
+    # counts (the metric row is computed where the data lives).
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return nt.crossJoin(nc).crossJoin(nh).select(
+        "n_truth", "n_cand", "n_hit",
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN 1000L "
+            "ELSE (1000L * n_hit) div n_truth END"
+        ).alias("recall_milli"),
     )
 
 
