@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 )
 
 from etl_validator_github_spark.contract import Query, load
+from etl_validator_github_spark.scale.dedup import COPY_OFFSET
 
 PAYLOAD_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -180,6 +181,32 @@ def sample_frames(features: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     ).mapInPandas(frames, FRAME_SCHEMA)
 
 
+def frame_dedup_stats(frames: DataFrame) -> DataFrame:
+    """Cross-video frame dedup: per video, how many of its sampled
+    frames occur in ANY other video — the video counterpart of
+    chunk-level text dedup (shared intros/outros/stock footage at
+    production scale). Same two uniform-hash-key shuffles as
+    ``chunk_dedup_stats``: a frame-hash count with map-side combine,
+    then the per-video rollup.
+    """
+    counts = frames.groupBy("frame_hash").agg(
+        F.count(F.lit(1)).alias("global_count")
+    )
+    per_video = (
+        frames.join(counts, "frame_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum((F.col("global_count") > 1).cast("int")).cast("int")
+            .alias("n_shared_frames"),
+        )
+    )
+    return per_video.select(
+        "doc_id", "n_frames", "n_shared_frames",
+        (F.col("n_shared_frames") / F.col("n_frames")).alias("shared_ratio"),
+    )
+
+
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
@@ -193,6 +220,20 @@ def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return sample_frames(extract_features(attach_payload(docs)))
+
+
+def _frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partial copy injection: every 5th payload gets a duplicate, so the
+    # fixture (which has no naturally identical videos) exercises BOTH
+    # branches — copied videos share every frame, the rest share none.
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text"
+    )
+    docs = base.unionAll(copies)
+    return frame_dedup_stats(
+        sample_frames(extract_features(attach_payload(docs)))
+    )
 
 
 # The oracle reproduces the fake decoder arithmetic in SQL: payload is
@@ -248,6 +289,38 @@ SELECT doc_id,
 FROM meta, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(i)
 """
 
+_FRAME_DEDUP_SQL = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+), h AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM all_docs
+), meta AS (
+  SELECT doc_id, content_hash, CAST(1 + h32 % 16 AS INT) AS n_frames
+  FROM h
+), fr AS (
+  SELECT doc_id,
+         md5(concat(content_hash, '|', CAST(i AS VARCHAR))) AS frame_hash
+  FROM meta, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(i)
+), gc AS (
+  SELECT frame_hash, COUNT(*) AS global_count FROM fr GROUP BY 1
+), per_video AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_frames,
+         CAST(SUM(CASE WHEN global_count > 1 THEN 1 ELSE 0 END) AS INT)
+           AS n_shared_frames
+  FROM fr JOIN gc USING (frame_hash)
+  GROUP BY 1
+)
+SELECT doc_id, n_frames, n_shared_frames,
+       n_shared_frames / n_frames AS shared_ratio
+FROM per_video
+"""
+
 
 MULTIMODAL_QUERIES: dict[str, Query] = {
     q.name: q
@@ -262,5 +335,9 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
         Query("multimodal_frame_sample", _frames_q, _FRAMES_SQL,
               "Strided video-frame sampling fan-out inside Arrow batches "
               "(no shuffle)."),
+        Query("multimodal_frame_dedup", _frame_dedup_q, _FRAME_DEDUP_SQL,
+              "Cross-video frame-hash dedup: per-video fraction of "
+              "sampled frames repeated anywhere in the corpus (chunk-"
+              "dedup shape on the frame stream)."),
     ]
 }

@@ -297,6 +297,26 @@ def test_resize_preserves_aspect_and_caps_edge(spark):
         assert (r.scale_num, r.scale_den) == (multimodal.TARGET_EDGE, long_edge)
 
 
+def test_frame_dedup_stats_flags_copied_videos(spark):
+    """Two payload-identical videos share every sampled frame; a unique
+    video shares none."""
+    docs = spark.createDataFrame(
+        [(0, "shared video payload text", "en"),
+         (1, "shared video payload text", "en"),
+         (2, "a completely different clip", "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    frames = multimodal.sample_frames(
+        multimodal.extract_features(multimodal.attach_payload(docs))
+    )
+    got = {r.doc_id: r for r in
+           multimodal.frame_dedup_stats(frames).collect()}
+    assert got[0].n_shared_frames == got[0].n_frames > 0
+    assert got[1].n_shared_frames == got[1].n_frames
+    assert got[0].shared_ratio == 1.0
+    assert got[2].n_shared_frames == 0 and got[2].shared_ratio == 0.0
+
+
 def test_sample_frames_stride_and_hashes(spark):
     import hashlib as hl
 
