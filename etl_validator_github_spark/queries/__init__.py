@@ -59,6 +59,7 @@ _SCALE: dict[str, Query] = {
 # quartet (hourly_rollup/sessionize/asof_join/range_join).
 _RELATIONAL_PRIORITY = (
     "changelog_latest_state",           # CDC compaction (r5 rotation IN)
+    "events_funnel",                    # staged funnel (new in r5)
     "q1_pricing_summary",               # flagship scan→agg (A-family)
     "q3_shipping_priority",             # broadcast join + deterministic top-k
     "customers_with_high_value_orders", # J2 IN-list semi-join

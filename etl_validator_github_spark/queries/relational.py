@@ -1914,6 +1914,86 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Events: ordered funnel analysis — per-user staged conversion through
+# view → click → purchase, each stage strictly after the previous one
+# AND within the conversion window (funnels without a window are
+# vacuous on long-lived users: given enough time everyone "converts").
+# Three conditional min-aggregations chained by joins, all keyed on the
+# uniform user_id (AQE coalesces the small exchanges); the per-user
+# event history never needs to be collected or sorted whole. The
+# single-groupBy sorted-array-fold alternative saves two shuffles but
+# drags every event row's payload through one aggregate — the 3-join
+# form shuffles only (user_id, ts) pairs per stage.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+#: Conversion window per stage transition: next stage within 24 h.
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    a, b, c = _FUNNEL_STAGES
+    s1 = (
+        ev.filter(F.col("event_type") == a)
+        .groupBy("user_id").agg(F.min("ts_us").alias("t1_us"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == b)
+        .join(s1, "user_id")
+        .filter((F.col("ts_us") > F.col("t1_us"))
+                & (F.col("ts_us") <= F.col("t1_us") + FUNNEL_WINDOW_US))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t2_us"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == c)
+        .join(s2, "user_id")
+        .filter((F.col("ts_us") > F.col("t2_us"))
+                & (F.col("ts_us") <= F.col("t2_us") + FUNNEL_WINDOW_US))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t3_us"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t2_us").isNotNull().cast("int")
+        + F.col("t3_us").isNotNull().cast("int")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1_us", "t2_us", "t3_us", stage.alias("stage"))
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_us) AS t1_us FROM ev
+  WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t2_us
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STAGES[1]}' AND e.ts_us > s1.t1_us
+    AND e.ts_us <= s1.t1_us + {FUNNEL_WINDOW_US}
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t3_us
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STAGES[2]}' AND e.ts_us > s2.t2_us
+    AND e.ts_us <= s2.t2_us + {FUNNEL_WINDOW_US}
+  GROUP BY 1
+)
+SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+       CAST(1 + (CASE WHEN s2.t2_us IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s3.t3_us IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS stage
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1967,6 +2047,10 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("events_range_join", _events_range_join, _RANGE_JOIN_SQL,
               "Grid-bucketed range join (equi-join on bucket key instead "
               "of nested-loop BETWEEN).", bench=True),
+        Query("events_funnel", _events_funnel, _FUNNEL_SQL,
+              "Ordered funnel conversion: per-user staged min-timestamps "
+              "(view → click → purchase, strictly increasing) via "
+              "chained conditional aggregations on the user key."),
         Query("min_balance_suppliers", _min_balance_suppliers, _MIN_BAL_SQL,
               "Correlated min subquery decorrelated to a window (TPC-H Q2 "
               "essence)."),

@@ -1,0 +1,56 @@
+"""Ordered-funnel semantics (queries/relational.py::_events_funnel):
+stage timestamps must be strictly increasing AND inside the conversion
+window, and users stall at the stage where either condition fails."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_validator_github_spark.queries.relational import (
+    FUNNEL_WINDOW_US,
+    _events_funnel,
+)
+
+_HOUR_US = 3600 * 1_000_000
+
+
+def _events(spark, tmp_path, rows):
+    # (user_id, event_type, hours_offset)
+    base = 1_700_000_000_000_000  # µs epoch, arbitrary
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime(
+            [base + h * _HOUR_US for _, _, h in rows], unit="us"
+        ),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [t for _, t, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ['{"k": 1}'] * len(rows),
+    })
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    return str(tmp_path)
+
+
+def test_funnel_window_and_order(spark, tmp_path):
+    window_h = FUNNEL_WINDOW_US // _HOUR_US
+    rows = [
+        # user 1: full conversion inside the window at every step.
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+        # user 2: clicks BEFORE viewing → stalls at stage 1.
+        (2, "click", 0), (2, "view", 1),
+        # user 3: click arrives after the window → stage 1 only.
+        (3, "view", 0), (3, "click", window_h + 1),
+        # user 4: converts to click; purchase outside ITS window.
+        (4, "view", 0), (4, "click", 2), (4, "purchase", 2 + window_h + 1),
+        # user 5: never views → not in the funnel at all.
+        (5, "purchase", 0),
+    ]
+    sf_dir = _events(spark, tmp_path, rows)
+    got = {r.user_id: r for r in _events_funnel(spark, sf_dir).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].stage == 3
+    assert (got[1].t2_us - got[1].t1_us) == _HOUR_US
+    assert got[2].stage == 1 and got[2].t2_us is None
+    assert got[3].stage == 1
+    assert got[4].stage == 2 and got[4].t3_us is None
