@@ -161,7 +161,10 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     """
     from pyspark.sql import functions as F
 
-    from etl_validator_github_spark.scale.dedup import fuzzy_dedup_keep
+    from etl_validator_github_spark.scale.dedup import (
+        exact_dedup_groups,
+        fuzzy_dedup_keep,
+    )
 
     spark = get_spark(app_name="corpus-dedup")
     spark.sparkContext.setLogLevel("ERROR")
@@ -169,8 +172,11 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     if args.mode == "fuzzy":
         labeled = fuzzy_dedup_keep(docs)
     else:
-        groups = docs.groupBy(F.md5("text").alias("h")).agg(
-            F.min("doc_id").alias("cluster_id")
+        # Reuse the library's exact-dedup definition (one source of
+        # truth for the content hash and keep rule).
+        groups = exact_dedup_groups(docs).select(
+            F.col("content_hash").alias("h"),
+            F.col("keep_id").alias("cluster_id"),
         )
         labeled = (
             docs.select("doc_id", F.md5("text").alias("h"))
@@ -187,11 +193,15 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
             "doc_id", "left_semi",
         )
         out.write.mode("overwrite").parquet(args.output)
-        n_in, n_out = docs.count(), out.count()
+        # Count the parquet just written, not a re-execution of the
+        # dedup pipeline (its join stages are the expensive part).
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.output).count()
     else:
         labeled.write.mode("overwrite").parquet(args.output)
-        n_in = labeled.count()
-        n_out = labeled.filter(F.col("keep") == 1).count()
+        written = spark.read.parquet(args.output)
+        n_in = written.count()
+        n_out = written.filter(F.col("keep") == 1).count()
     print(f"{args.mode} dedup: {n_in} docs -> {n_out} kept "
           f"({n_in - n_out} dropped) -> {args.output}")
     return 0

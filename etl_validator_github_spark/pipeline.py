@@ -104,6 +104,7 @@ def validate_file(
     env: str = "dev2",
     now: dt.datetime | None = None,
     single_file: bool = True,
+    error_window_start: float | None = None,
 ) -> PipelineResult:
     """Validate one bank file end-to-end.
 
@@ -153,7 +154,13 @@ def validate_file(
     # Error-folder invariant (reference PIPE:1079-1093, run-level rule at
     # PIPE:2170): a parquet artifact in the error folder fails the run —
     # it means raw data was written where the CSV error report belongs.
-    unexpected_parquet = find_unexpected_error_parquet_files(error_dir)
+    # ``error_window_start`` scopes the check to artifacts modified
+    # during this run (the reference's LastModified window, so a stale
+    # leftover can't permanently fail every later run); ``None`` keeps
+    # the strict folder-wide check for standalone calls.
+    unexpected_parquet = find_unexpected_error_parquet_files(
+        error_dir, min_modified_epoch=error_window_start
+    )
     if unexpected_parquet:
         return PipelineResult(
             input_path, issues, error_count, error_file, None,
@@ -263,6 +270,9 @@ def run_scenario(
         error_dir=os.path.join(work_dir, "error"),
         archive_dir=os.path.join(work_dir, "archive"),
         env=env, now=now,
+        # Run-level parquet rule scoped to THIS run's window (the
+        # reference's upload_started_epoch, PIPE:2169-2174).
+        error_window_start=now.timestamp(),
     )
     if res.file_level_failure:
         if "unexpected_parquet_files" in res.details:

@@ -53,10 +53,12 @@ _SCALE: dict[str, Query] = {
 # dedup_embedding_cosine) stay in-gate via _SCALE so their new shapes
 # get official verdicts, and the new r5 operators (dedup_fuzzy_keep,
 # dedup_lsh_recall, docs_token_budget_select, multimodal_frame_dedup)
-# register with _SCALE/extras. Rotated OUT to make room (all
+# register with _SCALE/extras (events_funnel, also new, slots in right
+# after changelog_latest_state). Rotated OUT to make room (all
 # driver-green in r4): nation_balance_setops, window_functions,
-# skew_salted_rollup, schema_drift, events_type_pivot, and the events
-# quartet (hourly_rollup/sessionize/asof_join/range_join).
+# skew_salted_rollup, schema_drift, events_type_pivot, date_functions,
+# and the events quartet (hourly_rollup/sessionize/asof_join/
+# range_join).
 _RELATIONAL_PRIORITY = (
     "changelog_latest_state",           # CDC compaction (r5 rotation IN)
     "events_funnel",                    # staged funnel (new in r5)

@@ -1919,6 +1919,11 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 # view → click → purchase, each stage strictly after the previous one
 # AND within the conversion window (funnels without a window are
 # vacuous on long-lived users: given enough time everyone "converts").
+# FIRST-TOUCH semantics, the common product-analytics convention: each
+# stage anchors to the EARLIEST qualifying event, so a user whose first
+# in-window click leads nowhere counts as stalled even if a later
+# click→purchase chain would have qualified (any-path attribution is a
+# different, strictly more expensive operator — per-user sequence scan).
 # Three conditional min-aggregations chained by joins, all keyed on the
 # uniform user_id (AQE coalesces the small exchanges); the per-user
 # event history never needs to be collected or sorted whole. The

@@ -101,6 +101,13 @@ def stream_incremental_dedup(
     """
     from etl_validator_github_spark.scale.dedup import probe_dedup_index
 
+    # The index DataFrames are lazy plans over the full corpus; without
+    # a persist every micro-batch would re-scan and re-hash the corpus
+    # (O(|corpus|) per batch instead of O(|batch| + |index|)). Persist
+    # once here so only the first batch pays the build.
+    corpus_hashes = corpus_hashes.persist()
+    corpus_bands = corpus_bands.persist()
+
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
         .option("recursiveFileLookup", "true")

@@ -55,16 +55,29 @@ class BatchGuard:
         try:
             with open(self.state_file, encoding="utf-8") as f:
                 loaded = json.load(f)
-            if isinstance(loaded, dict):
-                state.update(loaded)
-        except (OSError, ValueError):
-            pass
+        except FileNotFoundError:
+            return state
+        except ValueError as exc:
+            # Fail CLOSED: corrupt strike state must not silently reset
+            # the counter (that would let a crashed guard forget a
+            # strike and never trip at the documented threshold).
+            raise RuntimeError(
+                f"corrupt batch-guard state at {self.state_file}; "
+                "refusing to guess the strike count — repair or delete "
+                "the file"
+            ) from exc
+        if isinstance(loaded, dict):
+            state.update(loaded)
         return state
 
     def _write(self, state: dict) -> None:
+        # Atomic replace: a crash mid-write must never leave a
+        # truncated state file (see the fail-closed read above).
         os.makedirs(self.guard_dir, exist_ok=True)
-        with open(self.state_file, "w", encoding="utf-8") as f:
+        tmp = self.state_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(state, f, indent=2)
+        os.replace(tmp, self.state_file)
 
     def record_success(self) -> None:
         self._write({
@@ -96,13 +109,18 @@ class BatchGuard:
         return consecutive
 
     def refuse_if_tripped(self) -> None:
-        if self.tripped():
+        # Read-then-raise tolerates an operator clearing the flag
+        # between the exists() check and the open (the refusal must not
+        # turn into a FileNotFoundError).
+        try:
             with open(self.stop_file, encoding="utf-8") as f:
                 detail = f.read().strip()
-            raise RuntimeError(
-                f"batch refused: circuit breaker tripped ({self.stop_file}). "
-                f"{detail}"
-            )
+        except FileNotFoundError:
+            return
+        raise RuntimeError(
+            f"batch refused: circuit breaker tripped ({self.stop_file}). "
+            f"{detail}"
+        )
 
 
 def stream_validate(

@@ -253,8 +253,12 @@ def test_run_scenario_valid_data_no_error_file(spark, tmp_path):
 
 
 def test_error_folder_parquet_fails_the_run(spark, tmp_path):
-    """Reference PIPE:1079-1093 / 2170: a parquet artifact in the error
-    folder (where only pipe-CSV error files belong) fails the run."""
+    """Reference PIPE:1079-1093 / 2170: a parquet artifact appearing in
+    the error folder DURING the run window (where only pipe-CSV error
+    files belong) fails the run; a stale leftover from before the run
+    does not (the LastModified window)."""
+    import time as _time
+
     from etl_validator_github_spark.pipeline import (
         find_unexpected_error_parquet_files,
         run_scenario,
@@ -264,6 +268,9 @@ def test_error_folder_parquet_fails_the_run(spark, tmp_path):
     error_dir.mkdir(parents=True)
     planted = error_dir / "sneaky_raw_dump.parquet"
     planted.write_bytes(b"PAR1 not really parquet PAR1")
+    # Bump mtime into the run window (planting precedes the run start).
+    future = _time.time() + 3600
+    os.utime(planted, (future, future))
     assert find_unexpected_error_parquet_files(str(error_dir)) == [str(planted)]
 
     res = run_scenario(
@@ -276,6 +283,17 @@ def test_error_folder_parquet_fails_the_run(spark, tmp_path):
     # The error CSV itself was still written before the invariant check —
     # only the run verdict fails.
     assert res.pipeline.error_file and os.path.exists(res.pipeline.error_file)
+
+    # Stale leftover (mtime before the next run's window): the next run
+    # must NOT be permanently poisoned by it.
+    past = _time.time() - 3600
+    os.utime(planted, (past, past))
+    res2 = run_scenario(
+        spark, str(tmp_path), rows=20, seed=246,
+        invalid_values={"RoutingTransitNumber": "BAD123"},
+    )
+    assert not res2.pipeline.file_level_failure
+    assert res2.counts_match and res2.reconcile_passed
 
 
 def test_error_folder_window_ignores_preexisting_parquet(tmp_path):

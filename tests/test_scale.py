@@ -463,6 +463,9 @@ def test_quality_budget_select_histogram_cutoff(spark):
     got = {r.doc_id: (r.score, r.n_tokens)
            for r in quality_budget_select(df, budget=100).collect()}
     assert got == {0: (30, 40), 1: (20, 50)}
+
+
+def test_gopher_quality_matches_pure_python(spark):
     from collections import Counter
 
     from etl_validator_github_spark.scale.text import gopher_quality
