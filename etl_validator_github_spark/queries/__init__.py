@@ -127,8 +127,23 @@ CATALOG: dict[str, Query] = {
 
 # The _SCALE block (validation/text/dedup/similarity/multimodal) must fit
 # the driver's 50-entry gate window so the gate composition stays as
-# documented above. PACKING/TEXT_EXTRA additions are intentionally PAST
-# the gate (see the CATALOG comment) and are excluded from this invariant.
+# documented above.
 assert len(_SCALE) <= _DRIVER_GATE, "_SCALE block overflows the driver gate"
+
+# The r5 rotation's whole point: every query that has never received a
+# green driver verdict, plus every operator reworked or added this
+# round, must sit INSIDE the gate window. A reordering that silently
+# pushes one past the boundary defeats the rotation — fail loudly.
+_R5_MUST_GATE = {
+    "changelog_latest_state", "pack_sequences", "mixture_upsample",
+    "text_unigram_lm_score", "dedup_incremental",            # never green
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_fuzzy_keep", "dedup_lsh_recall", "docs_token_budget_select",
+    "multimodal_frame_dedup", "events_funnel",               # r5 work
+}
+_GATE = set(list(CATALOG)[:_DRIVER_GATE])
+assert _R5_MUST_GATE <= _GATE, (
+    f"r5 rotation targets fell out of the gate: {_R5_MUST_GATE - _GATE}"
+)
 
 __all__ = ["CATALOG", "Query", "catalog_to_oracles", "catalog_to_queries"]
