@@ -465,6 +465,51 @@ def test_quality_budget_select_histogram_cutoff(spark):
     assert got == {0: (30, 40), 1: (20, 50)}
 
 
+def test_quality_budget_select_matches_brute_force(spark):
+    """Random corpus: the histogram-cutoff selection equals a plain
+    Python recompute of the whole-bucket budget rule per language."""
+    import random
+    from collections import defaultdict
+
+    from etl_validator_github_spark.scale.text import quality_budget_select
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(40):
+        lang = rng.choice(["en", "de"])
+        n_distinct = rng.randint(3, 15)
+        n_total = n_distinct + rng.randint(0, 10)
+        toks = [f"{lang}{i}w{j}" for j in range(n_distinct)]
+        toks += [toks[0]] * (n_total - n_distinct)
+        rows.append((i, " ".join(toks), lang))
+    budget = 150
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+
+    # Brute force: per lang, bucket tokens by score, walk buckets
+    # best-first, keep whole buckets while the running total fits.
+    buckets = defaultdict(lambda: defaultdict(int))
+    docs_by_key = defaultdict(list)
+    for i, text, lang in rows:
+        toks = text.split(" ")
+        score, n = len(set(toks)), len(toks)
+        buckets[lang][score] += n
+        docs_by_key[(lang, score)].append((i, n))
+    expected = {}
+    for lang, by_score in buckets.items():
+        cum = 0
+        for score in sorted(by_score, reverse=True):
+            cum += by_score[score]
+            if cum > budget:
+                break
+            for i, n in docs_by_key[(lang, score)]:
+                expected[i] = (score, n)
+
+    got = {r.doc_id: (r.score, r.n_tokens)
+           for r in quality_budget_select(df, budget=budget).collect()}
+    assert got == expected
+    assert expected, "fixture must select at least one doc"
+
+
 def test_gopher_quality_matches_pure_python(spark):
     from collections import Counter
 
