@@ -26,6 +26,7 @@ from etl_validator_github_spark.scale.dedup import DEDUP_EXTRA_QUERIES, DEDUP_QU
 from etl_validator_github_spark.scale.multimodal import MULTIMODAL_QUERIES
 from etl_validator_github_spark.scale.packing import PACKING_QUERIES
 from etl_validator_github_spark.scale.similarity import SIMILARITY_QUERIES
+from etl_validator_github_spark.scale.snapshots import SNAPSHOT_QUERIES
 from etl_validator_github_spark.scale.text import TEXT_EXTRA_QUERIES, TEXT_QUERIES
 
 _DRIVER_GATE = 50
@@ -117,11 +118,13 @@ assert set(_RELATIONAL_PRIORITY) == set(RELATIONAL_QUERIES), (
 
 CATALOG: dict[str, Query] = {
     **_SCALE,
-    # r5 rotation IN: the four r4 modules register directly after _SCALE
-    # so they sit inside the driver's 50-entry window this round.
+    # r5 rotation IN: the r4 modules and the new r5 operators register
+    # directly after _SCALE so they sit inside the driver's 50-entry
+    # window this round.
     **PACKING_QUERIES,
     **TEXT_EXTRA_QUERIES,
     **DEDUP_EXTRA_QUERIES,
+    **SNAPSHOT_QUERIES,
     **{name: RELATIONAL_QUERIES[name] for name in _RELATIONAL_PRIORITY},
 }
 
@@ -139,7 +142,8 @@ _R5_MUST_GATE = {
     "text_unigram_lm_score", "dedup_incremental",            # never green
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_fuzzy_keep", "dedup_lsh_recall", "docs_token_budget_select",
-    "multimodal_frame_dedup", "events_funnel",               # r5 work
+    "multimodal_frame_dedup", "events_funnel",
+    "corpus_snapshot_diff", "docs_split_assign",             # r5 work
 }
 _GATE = set(list(CATALOG)[:_DRIVER_GATE])
 assert _R5_MUST_GATE <= _GATE, (

@@ -1,0 +1,165 @@
+"""Corpus lifecycle operators: snapshot diffing and split assignment.
+
+Two operations every managed training corpus needs beyond cleaning:
+
+- **Snapshot diff** — given two corpus versions, classify every doc_id
+  as added / removed / changed / unchanged by comparing content hashes.
+  The 100 TB shape: ONE full-outer join on the uniform doc_id key where
+  each side carries only (doc_id, md5) — document text never moves
+  through the join, so the diff costs two map passes + one hash-keyed
+  shuffle regardless of document sizes.
+- **Train/val/test split** — deterministic md5-threshold assignment per
+  document (the same portable-hash Bernoulli used by
+  ``docs_sample_stratified`` and ``mixture_upsample``): any engine, any
+  partitioning, any rerun produces the identical split, which is what
+  makes a split reproducible across a pipeline rebuild. Map-only until
+  the per-(lang, source, split) summary aggregation.
+
+Both are pure column math over md5 — no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.contract import Query, load
+
+# ---------------------------------------------------------------------------
+# Snapshot diff. The catalog query derives both versions deterministically
+# from the fixture so every status class is populated: the "old" version
+# drops doc_id % 11 == 5 (→ added in new), the "new" version drops
+# doc_id % 13 == 7 (→ removed), and doc_id % 17 == 3 docs get an edit
+# suffix in the new version (→ changed).
+# ---------------------------------------------------------------------------
+
+_OLD_DROP_MOD, _OLD_DROP_REM = 11, 5
+_NEW_DROP_MOD, _NEW_DROP_REM = 13, 7
+_EDIT_MOD, _EDIT_REM = 17, 3
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, status) for every doc in either version; status in
+    added / removed / changed (unchanged rows are dropped — at scale
+    they are the overwhelming majority and carry no information)."""
+    o = old.select("doc_id", F.md5("text").alias("old_hash"))
+    n = new.select("doc_id", F.md5("text").alias("new_hash"))
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select("doc_id", status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+def _diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(
+        F.pmod("doc_id", F.lit(_OLD_DROP_MOD)) != _OLD_DROP_REM
+    ).select("doc_id", "text")
+    new = docs.filter(
+        F.pmod("doc_id", F.lit(_NEW_DROP_MOD)) != _NEW_DROP_REM
+    ).select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(_EDIT_MOD)) == _EDIT_REM,
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_hash FROM documents
+  WHERE doc_id % {_OLD_DROP_MOD} != {_OLD_DROP_REM}
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {_EDIT_MOD} = {_EDIT_REM}
+                  THEN text || ' edited' ELSE text END) AS new_hash
+  FROM documents
+  WHERE doc_id % {_NEW_DROP_MOD} != {_NEW_DROP_REM}
+)
+SELECT doc_id, status FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.old_hash IS NULL THEN 'added'
+              WHEN n.new_hash IS NULL THEN 'removed'
+              WHEN o.old_hash != n.new_hash THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+) t WHERE status != 'unchanged'
+"""
+
+# ---------------------------------------------------------------------------
+# Train/val/test split assignment.
+# ---------------------------------------------------------------------------
+
+#: md5-threshold boundaries out of 10,000: 90% train, 5% val, 5% test.
+SPLIT_TRAIN, SPLIT_VAL = 9000, 9500
+_SPLIT_MOD = 10_000
+
+
+def assign_splits(docs: DataFrame) -> DataFrame:
+    """Per (lang, source, split): doc and token counts under the
+    deterministic md5-threshold split."""
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) "
+        f"as bigint) % {_SPLIT_MOD}L"
+    )
+    split = (
+        F.when(h < SPLIT_TRAIN, F.lit("train"))
+        .when(h < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            "lang", "source", split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def _splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_splits(load(spark, sf_dir, "documents"))
+
+
+_SPLITS_SQL = f"""
+WITH assigned AS (
+  SELECT lang, source,
+         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {_SPLIT_MOD} < {SPLIT_TRAIN} THEN 'train'
+              WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {_SPLIT_MOD} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT lang, source, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
+SNAPSHOT_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("corpus_snapshot_diff", _diff_q, _DIFF_SQL,
+              "Corpus version diff: hash-only full-outer join classifies "
+              "every doc as added/removed/changed."),
+        Query("docs_split_assign", _splits_q, _SPLITS_SQL,
+              "Deterministic md5-threshold train/val/test split with "
+              "per-(lang, source, split) doc/token rollup."),
+    ]
+}

@@ -609,3 +609,40 @@ def test_decontaminate_matches_brute_force(spark):
     exp = {i: n for i, n in exp.items() if n}
     assert {i: r["n_overlap_occurrences"] for i, r in got.items()} == exp
     assert got[1]["n_overlap_shingles"] == 2
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    from etl_validator_github_spark.scale.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed text"), (4, "brand new doc")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    # Unchanged doc 1 is dropped; every other class is reported.
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from etl_validator_github_spark.scale.snapshots import assign_splits
+
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2}", "en", f"src{i % 3}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string"
+    )
+    out1 = sorted(map(tuple, assign_splits(df).collect()))
+    out2 = sorted(map(tuple, assign_splits(df).collect()))
+    assert out1 == out2                      # rerun-identical
+    totals = {}
+    for lang, source, split, n_docs, n_tokens in out1:
+        totals[split] = totals.get(split, 0) + n_docs
+        assert n_tokens == n_docs * 3        # 3 tokens per fixture doc
+    assert sum(totals.values()) == 200       # every doc assigned once
+    # ~90/5/5 split: train dominates, both holdouts non-empty.
+    assert totals["train"] > totals.get("val", 0) + totals.get("test", 0)
+    assert totals.get("val", 0) > 0 and totals.get("test", 0) > 0
