@@ -112,6 +112,36 @@ def test_lsh_paths_avoid_cartesian_products(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_split_assign_single_shuffle(spark, sf_dir):
+    """Split assignment is map-only until the (lang, source, split)
+    rollup — exactly one exchange."""
+    p = plan(spark, sf_dir, "docs_split_assign")
+    assert _n_exchanges(p) == 1, p
+
+
+def test_snapshot_diff_joins_hashes_not_text(spark, sf_dir):
+    """The version diff shuffles only (doc_id, md5) pairs: the full-outer
+    join's exchanges carry the hash projection, never document text, and
+    nothing plans as a nested loop."""
+    p = plan(spark, sf_dir, "corpus_snapshot_diff")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # One join → at most two exchanges (one per side).
+    assert _n_exchanges(p) <= 2, p
+
+
+def test_events_funnel_joins_on_user_key(spark, sf_dir):
+    p = plan(spark, sf_dir, "events_funnel")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_budget_select_broadcasts_cutoffs(spark, sf_dir):
+    """Curation must stay histogram-shaped: the per-lang cutoff table
+    broadcasts back (no corpus re-shuffle for the final filter)."""
+    p = plan(spark, sf_dir, "docs_token_budget_select")
+    assert "BroadcastHashJoin" in p
+    assert _n_exchanges(p) <= 2, p
+
+
 def test_jaccard_candidates_come_from_lsh_not_length_buckets(spark, sf_dir):
     """dedup_ngram_jaccard takes candidates from the MinHash band buckets
     and verifies with exact Jaccard — the (lang, length-bucket) self-join
