@@ -33,6 +33,10 @@ def read_bankdata(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.option("header", True).csv(path)
     if lower.endswith(".json"):
         return spark.read.json(path)
+    if lower.endswith(".orc"):
+        # Beyond the reference's matrix: ORC ships in Spark and is the
+        # other columnar lake format users migrate from.
+        return spark.read.orc(path)
     raise ValueError(f"unsupported bank-file extension: {path}")
 
 
@@ -56,6 +60,8 @@ def write_bankdata(
         ).csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "xlsx":
         # S4: no native Spark xlsx sink; the reference also writes xlsx on a
         # single node (GEN:563-581). Driver-side, small files only; the

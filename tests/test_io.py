@@ -28,6 +28,18 @@ def test_parquet_roundtrip(spark, bank, tmp_path):
     assert back.columns == bank.columns
 
 
+def test_orc_roundtrip(spark, bank, tmp_path):
+    path = str(tmp_path / "bank.orc")
+    sio.write_bankdata(bank, path, fmt="orc")
+    back = sio.read_bankdata(spark, path)
+    assert back.count() == 20
+    assert back.columns == bank.columns
+    # Values survive byte-for-byte (columnar round trip, no coercion).
+    key = bank.columns[0]
+    assert (sorted(map(tuple, back.orderBy(key).collect()))
+            == sorted(map(tuple, bank.orderBy(key).collect())))
+
+
 def test_csv_roundtrip_with_null_token(spark, bank, tmp_path):
     path = str(tmp_path / "bank.csv")
     sio.write_bankdata(bank, path, fmt="csv", null_display="NULL")
