@@ -162,13 +162,29 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from etl_validator_github_spark.scale.dedup import (
+        build_dedup_index,
         exact_dedup_groups,
         fuzzy_dedup_keep,
+        probe_dedup_index,
     )
 
     spark = get_spark(app_name="corpus-dedup")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
+    if args.mode == "incremental":
+        if not args.corpus:
+            raise SystemExit("--mode incremental requires --corpus")
+        hashes, bands = build_dedup_index(spark.read.parquet(args.corpus))
+        flags = probe_dedup_index(docs, hashes, bands)
+        flags.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n_in = written.count()
+        n_dup = written.filter(
+            (F.col("is_exact_dup") == 1) | (F.col("n_corpus_band_hits") > 0)
+        ).count()
+        print(f"incremental dedup: {n_in} batch docs, {n_dup} flagged "
+              f"against corpus index -> {args.output}")
+        return 0
     if args.mode == "fuzzy":
         labeled = fuzzy_dedup_keep(docs)
     else:
@@ -282,7 +298,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("input")
     d.add_argument("--output", required=True)
-    d.add_argument("--mode", choices=("exact", "fuzzy"), default="exact")
+    d.add_argument("--mode", choices=("exact", "fuzzy", "incremental"),
+                   default="exact")
+    d.add_argument("--corpus", default=None,
+                   help="incremental mode: parquet of the already-"
+                        "ingested corpus whose index the input probes")
     d.add_argument("--write-docs", action="store_true",
                    help="write surviving documents instead of the "
                         "(doc_id, cluster_id, keep) keep-list")

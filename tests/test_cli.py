@@ -161,3 +161,28 @@ def test_cli_dedup_exact_and_fuzzy(spark, tmp_path, capsys):
         r.doc_id for r in spark.read.parquet(str(docs_out)).collect()
     )
     assert survivors == [0, 2]
+
+
+def test_cli_dedup_incremental_mode(spark, tmp_path, capsys):
+    """Incremental mode: batch docs probe the corpus index; an exact
+    re-send and a fresh doc are flagged correctly."""
+    text = " ".join(f"w{i}" for i in range(25))
+    novel = " ".join(f"n{i}" for i in range(25))
+    corpus = tmp_path / "corpus.parquet"
+    batch = tmp_path / "batch.parquet"
+    spark.createDataFrame(
+        [(0, text, "en")], "doc_id: long, text: string, lang: string"
+    ).write.parquet(str(corpus))
+    spark.createDataFrame(
+        [(10, text, "en"), (11, novel, "en")],
+        "doc_id: long, text: string, lang: string",
+    ).write.parquet(str(batch))
+
+    out = tmp_path / "flags.parquet"
+    assert main(["dedup", str(batch), "--mode", "incremental",
+                 "--corpus", str(corpus), "--output", str(out)]) == 0
+    flags = {r.doc_id: (r.is_exact_dup, r.n_corpus_band_hits)
+             for r in spark.read.parquet(str(out)).collect()}
+    assert flags[10][0] == 1 and flags[10][1] > 0
+    assert flags[11] == (0, 0)
+    assert "2 batch docs, 1 flagged" in capsys.readouterr().out
