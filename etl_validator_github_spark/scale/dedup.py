@@ -1223,6 +1223,31 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
 """
 
 
+def _cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the MinHash candidate components —
+    how many clusters of each size the corpus contains. Two cheap
+    hash-aggregation levels on top of the component labels (sizes are
+    bounded by cluster membership, a tiny table at any corpus size)."""
+    docs = with_copies(load(spark, sf_dir, "documents"))
+    clusters = duplicate_clusters(minhash_candidate_pairs(docs))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    return f"""
+WITH clusters AS ({_clusters_sql()}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+)
+SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
+"""
+
+
 #: Round-4/5 additions, registered directly after the scale block in
 #: queries/__init__.py (inside the driver gate as of the r5 rotation).
 DEDUP_EXTRA_QUERIES: dict[str, Query] = {
@@ -1240,5 +1265,9 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "Banding-quality eval: candidate recall of the LSH band "
               "buckets vs true thresholded-Jaccard pairs on a bounded "
               "eval slice (exact integer hits)."),
+        Query("dedup_cluster_sizes", _cluster_sizes_q, _cluster_sizes_sql(),
+              "Dup-cluster size histogram: the report a pipeline owner "
+              "reads to judge duplication structure (two hash-agg "
+              "levels over the component labels)."),
     ]
 }

@@ -1004,6 +1004,71 @@ FROM scored s JOIN cutoffs c ON s.lang = c.lang AND s.score >= c.cutoff
 """
 
 
+# ---------------------------------------------------------------------------
+# Text normalization: the canonicalization pass that runs before exact
+# dedup in real pipelines (casing/punctuation variants of the same
+# document must collapse to one content hash). Pure map-only column
+# math — lower → punctuation strip → whitespace collapse — using only
+# RE2-safe ASCII character classes so Spark and DuckDB produce the
+# byte-identical normal form (full Unicode NFC needs ICU, which the
+# engines implement differently; the ASCII pipeline is the portable
+# core and the structure is identical once ICU is available).
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_col(col: str = "text") -> Column:
+    lowered = F.lower(F.col(col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def normalize_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_hash, n_tokens_norm, changed): canonical-form hash
+    + whether normalization altered the document."""
+    norm = normalize_text_col()
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.size(F.split(norm, " ")).alias("n_tokens_norm"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+def _normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inject casing/punctuation variants for every 9th doc so the
+    # 'changed' branch (and the collapse-to-same-hash property the
+    # operator exists for) is exercised on the fixture.
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(9)) == 4,
+            F.concat(F.upper(F.col("text")), F.lit("!!")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_docs(docs)
+
+
+_NORMALIZE_SQL = """
+WITH varied AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 4 THEN upper(text) || '!!'
+              ELSE text END AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS n
+  FROM varied
+)
+SELECT doc_id,
+       md5(n) AS norm_hash,
+       CAST(len(string_split(n, ' ')) AS INT) AS n_tokens_norm,
+       CAST(n != text AS INT) AS changed
+FROM norm
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1015,5 +1080,9 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               _BUDGET_SELECT_SQL,
               "Token-budget curation: per-lang quality histogram → "
               "cutoff → map-only filter (no per-lang document sort)."),
+        Query("text_normalize", _normalize_q, _NORMALIZE_SQL,
+              "Canonicalization pass before exact dedup: lower + "
+              "punctuation strip + whitespace collapse, map-only, "
+              "RE2-safe cross-engine."),
     ]
 }

@@ -646,3 +646,23 @@ def test_split_assign_deterministic_and_complete(spark):
     # ~90/5/5 split: train dominates, both holdouts non-empty.
     assert totals["train"] > totals.get("val", 0) + totals.get("test", 0)
     assert totals.get("val", 0) > 0 and totals.get("test", 0) > 0
+
+
+def test_normalize_collapses_case_and_punct_variants(spark):
+    """The property normalization exists for: casing/punctuation
+    variants of the same document collapse to ONE canonical hash."""
+    from etl_validator_github_spark.scale.text import normalize_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello, World!  This is   FINE."),
+            (1, "hello world this is fine"),
+            (2, "a different document entirely"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in normalize_docs(docs).collect()}
+    assert got[0].norm_hash == got[1].norm_hash   # variants collapse
+    assert got[0].changed == 1 and got[1].changed == 0
+    assert got[0].n_tokens_norm == 5
+    assert got[2].norm_hash != got[0].norm_hash
