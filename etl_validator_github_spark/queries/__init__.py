@@ -143,7 +143,8 @@ _R5_MUST_GATE = {
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_fuzzy_keep", "dedup_lsh_recall", "docs_token_budget_select",
     "multimodal_frame_dedup", "events_funnel",
-    "corpus_snapshot_diff", "docs_split_assign",             # r5 work
+    "corpus_snapshot_diff", "docs_split_assign",
+    "text_normalize", "dedup_cluster_sizes",                 # r5 work
 }
 _GATE = set(list(CATALOG)[:_DRIVER_GATE])
 assert _R5_MUST_GATE <= _GATE, (
