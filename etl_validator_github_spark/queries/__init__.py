@@ -144,7 +144,8 @@ _R5_MUST_GATE = {
     "dedup_fuzzy_keep", "dedup_lsh_recall", "docs_token_budget_select",
     "multimodal_frame_dedup", "events_funnel",
     "corpus_snapshot_diff", "docs_split_assign",
-    "text_normalize", "dedup_cluster_sizes",                 # r5 work
+    "text_normalize", "dedup_cluster_sizes",
+    "embed_quantize_int8",                                   # r5 work
 }
 _GATE = set(list(CATALOG)[:_DRIVER_GATE])
 assert _R5_MUST_GATE <= _GATE, (

@@ -275,6 +275,95 @@ WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[
 
 
 # ---------------------------------------------------------------------------
+# Int8 scalar quantization report — the vector-compression step before
+# shipping an ANN index (4x smaller than float32, 8x than float64).
+# Everything is exact integer arithmetic on the micros grid: per-dim
+# global min/max (tiny 64-row table, broadcast back), code = linear map
+# onto 0..254 via integer division, reconstruction error measured
+# exactly in micros. Both engines floor identical non-negative integer
+# divisions, so the report is bit-identical — no float rounding anywhere.
+# At 100 TB: one posexplode pass + a 64-row broadcast + one per-dim
+# rollup; the corpus shuffles only (dim, err) pairs.
+# ---------------------------------------------------------------------------
+
+INT8_LEVELS = 254
+
+
+def quantize_int8_report(embeddings: DataFrame) -> DataFrame:
+    """Per-dim quantization-error report: (dim, min_us, max_us,
+    max_abs_err_us, sum_abs_err_us, n_vals)."""
+    vecs = quantized(embeddings).select("vec_id", "qv")
+    dims = vecs.select("vec_id", F.posexplode("qv").alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    rng = F.col("mx") - F.col("mn")
+    coded = (
+        dims.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "q",
+            F.when(rng == 0, F.lit(0)).otherwise(
+                F.expr(f"((x - mn) * {INT8_LEVELS}) div (mx - mn)")
+            ),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("mn")
+                + F.expr(f"(q * (mx - mn)) div {INT8_LEVELS}")
+                - F.col("x")
+            ),
+        )
+    )
+    return (
+        coded.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.min("mn").alias("min_us"),
+            F.max("mx").alias("max_us"),
+            F.max("err").alias("max_abs_err_us"),
+            F.sum("err").alias("sum_abs_err_us"),
+            F.count(F.lit(1)).alias("n_vals"),
+        )
+    )
+
+
+def _quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_int8_report(load(spark, sf_dir, "embeddings"))
+
+
+_QUANTIZE_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), vals AS (
+  SELECT dim, qv[dim] AS x FROM vecs CROSS JOIN dims
+), stats AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM vals GROUP BY 1
+), coded AS (
+  SELECT v.dim, v.x, s.mn, s.mx,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE ((v.x - s.mn) * {INT8_LEVELS}) // (s.mx - s.mn) END AS q
+  FROM vals v JOIN stats s USING (dim)
+), errs AS (
+  SELECT dim, mn, mx,
+         abs(mn + (q * (mx - mn)) // {INT8_LEVELS} - x) AS err
+  FROM coded
+)
+SELECT CAST(dim AS INT) AS dim,
+       MIN(mn) AS min_us,
+       MAX(mx) AS max_us,
+       CAST(MAX(err) AS BIGINT) AS max_abs_err_us,
+       CAST(SUM(err) AS BIGINT) AS sum_abs_err_us,
+       COUNT(*) AS n_vals
+FROM errs
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label centroid build — the IVF coarse-quantizer building block.
 # posexplode → (label, dim) partial sums: one shuffle on a tiny key
 # space; means are exact-int sums divided once (cross-engine identical).
@@ -593,5 +682,9 @@ SIMILARITY_QUERIES: dict[str, Query] = {
         Query("embed_ann_recall", _recall_q, _recall_sql(),
               "Recall@k of the LSH and IVF approximate paths vs "
               "brute-force ground truth (exact integer hit counts)."),
+        Query("embed_quantize_int8", _quantize_q, _QUANTIZE_SQL,
+              "Int8 scalar-quantization error report: exact-integer "
+              "per-dim min/max coding + reconstruction error in "
+              "micros."),
     ]
 }

@@ -666,3 +666,32 @@ def test_normalize_collapses_case_and_punct_variants(spark):
     assert got[0].changed == 1 and got[1].changed == 0
     assert got[0].n_tokens_norm == 5
     assert got[2].norm_hash != got[0].norm_hash
+
+
+def test_quantize_int8_exact_math(spark):
+    """Hand-computed check: floor coding + reconstruction on the micros
+    grid, with a constant dimension (range 0) coding to q=0, err=0."""
+    rows = [
+        (0, [0.0, 1.0, 0.5]),
+        (1, [1.0, 1.0, 0.75]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {r.dim: r for r in similarity.quantize_int8_report(df).collect()}
+    # dim 1: x in {0, 1_000_000}; endpoints restore exactly.
+    assert (got[1].min_us, got[1].max_us) == (0, 1_000_000)
+    assert got[1].max_abs_err_us == 0
+    # dim 2: constant → range 0 → q=0 → zero error.
+    assert got[2].max_abs_err_us == 0 and got[2].sum_abs_err_us == 0
+    # dim 3: x in {500000, 750000}; endpoints of the range also restore
+    # exactly (q=0 and q=254 are always error-free).
+    assert got[3].max_abs_err_us == 0
+    # A midpoint that does NOT sit on the 254-level grid has the exact
+    # floor error: range [0, 1e6], x=333333 -> q = 84, restored =
+    # 84 * 1e6 // 254 = 330708, err = 2625.
+    df2 = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0]), (2, [0.333333])],
+        "vec_id: long, embedding: array<float>",
+    )
+    row = similarity.quantize_int8_report(df2).collect()[0]
+    assert row.max_abs_err_us == 2625
+    assert row.n_vals == 3
