@@ -174,6 +174,13 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     if args.mode == "incremental":
         if not args.corpus:
             raise SystemExit("--mode incremental requires --corpus")
+        if args.write_docs:
+            # Incremental probing FLAGS suspects; it does not decide
+            # keep/drop, so there is no "surviving documents" output.
+            raise SystemExit(
+                "--write-docs is not supported with --mode incremental "
+                "(the output is the per-doc flags table)"
+            )
         hashes, bands = build_dedup_index(spark.read.parquet(args.corpus))
         flags = probe_dedup_index(docs, hashes, bands)
         flags.write.mode("overwrite").parquet(args.output)

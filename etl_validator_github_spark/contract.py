@@ -51,6 +51,20 @@ def micros(c) -> F.Column:
     return F.round(col.cast("double") * F.lit(1000000)).cast("long")
 
 
+def md5_mod(col: str, mod: int | None = None) -> F.Column:
+    """The engine-portable deterministic hash every sampling/splitting
+    operator shares: first 8 md5 hex digits of the column's string form
+    as a BIGINT, optionally reduced mod ``mod``. Reproducible under any
+    partitioning and in any engine with md5 — change it HERE and every
+    dependent operator (stratified sampling, mixture upsampling, split
+    assignment) moves together."""
+    expr = (f"cast(conv(substring(md5(cast({col} as string)), 1, 8), "
+            "16, 10) as bigint)")
+    if mod is not None:
+        expr += f" % {mod}L"
+    return F.expr(expr)
+
+
 @dataclass(frozen=True)
 class Query:
     """One driver-contract query.

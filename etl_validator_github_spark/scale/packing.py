@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_validator_github_spark.contract import Query, load
+from etl_validator_github_spark.contract import Query, load, md5_mod
 from etl_validator_github_spark.scale.text import tokens
 
 #: Tokens per packed training sequence.
@@ -133,10 +133,7 @@ def mixture_upsample(docs: DataFrame) -> DataFrame:
     ).cast("int")
     w = F.lit(_W_BASE) + (src_num % _W_MOD).cast("double") * F.lit(_W_STEP)
     frac = F.round((w - F.floor(w)) * _FRAC_MOD).cast("long")
-    h = F.expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) "
-        f"as bigint) % {_FRAC_MOD}L"
-    )
+    h = md5_mod("doc_id", _FRAC_MOD)
     n_copies = (F.floor(w).cast("long")
                 + F.when(h < frac, F.lit(1)).otherwise(F.lit(0)))
     replicated = (

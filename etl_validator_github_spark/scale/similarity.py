@@ -282,8 +282,11 @@ WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[
 # onto 0..254 via integer division, reconstruction error measured
 # exactly in micros. Both engines floor identical non-negative integer
 # divisions, so the report is bit-identical — no float rounding anywhere.
-# At 100 TB: one posexplode pass + a 64-row broadcast + one per-dim
-# rollup; the corpus shuffles only (dim, err) pairs.
+# At 100 TB: the declarative plan explodes the corpus twice (once into
+# the per-dim min/max aggregate, once into the broadcast-join probe) —
+# persist the exploded (pos, x) projection first so the corpus explodes
+# once, exactly like the MinHash fingerprint-table note in SCALE.md.
+# Either way the corpus shuffles only (dim, err) pairs.
 # ---------------------------------------------------------------------------
 
 INT8_LEVELS = 254

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_validator_github_spark.contract import Query, load
+from etl_validator_github_spark.contract import Query, load, md5_mod
 
 # ---------------------------------------------------------------------------
 # Snapshot diff. The catalog query derives both versions deterministically
@@ -107,10 +107,7 @@ _SPLIT_MOD = 10_000
 def assign_splits(docs: DataFrame) -> DataFrame:
     """Per (lang, source, split): doc and token counts under the
     deterministic md5-threshold split."""
-    h = F.expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) "
-        f"as bigint) % {_SPLIT_MOD}L"
-    )
+    h = md5_mod("doc_id", _SPLIT_MOD)
     split = (
         F.when(h < SPLIT_TRAIN, F.lit("train"))
         .when(h < SPLIT_VAL, F.lit("val"))
@@ -134,15 +131,19 @@ def _splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPLITS_SQL = f"""
-WITH assigned AS (
+WITH hashed AS (
   SELECT lang, source,
-         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                   % {_SPLIT_MOD} < {SPLIT_TRAIN} THEN 'train'
-              WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                   % {_SPLIT_MOD} < {SPLIT_VAL} THEN 'val'
-              ELSE 'test' END AS split,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_SPLIT_MOD} AS h,
          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
   FROM documents
+), assigned AS (
+  SELECT lang, source,
+         CASE WHEN h < {SPLIT_TRAIN} THEN 'train'
+              WHEN h < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         n_tokens
+  FROM hashed
 )
 SELECT lang, source, split,
        COUNT(*) AS n_docs,

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 import pandas as pd
 
-from etl_validator_github_spark.contract import Query, load
+from etl_validator_github_spark.contract import Query, load, md5_mod
 
 #: Stopword markers per language. The testdata corpus shares one
 #: vocabulary across langs, so this demonstrates the scoring mechanism
@@ -438,8 +438,7 @@ _H32 = 4294967296  # 2^32
 
 
 def sample_documents(docs: DataFrame) -> DataFrame:
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-               ).cast("long")
+    h = md5_mod("doc_id")
     expr = None
     for lang, rate in SAMPLE_RATES.items():
         t = int(rate * _H32)
@@ -1017,7 +1016,10 @@ FROM scored s JOIN cutoffs c ON s.lang = c.lang AND s.score >= c.cutoff
 
 
 def normalize_text_col(col: str = "text") -> Column:
-    lowered = F.lower(F.col(col))
+    # NULL text normalizes to '' (instead of propagating NULL into the
+    # hash, where a downstream groupBy would lump all NULL-text docs
+    # into one NULL-hash cluster and 0/1 flags would go NULL).
+    lowered = F.lower(F.coalesce(F.col(col), F.lit("")))
     stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
     collapsed = F.regexp_replace(stripped, " +", " ")
     return F.trim(collapsed)
@@ -1031,7 +1033,8 @@ def normalize_docs(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("norm_hash"),
         F.size(F.split(norm, " ")).alias("n_tokens_norm"),
-        (norm != F.col("text")).cast("int").alias("changed"),
+        (norm != F.coalesce(F.col("text"), F.lit("")))
+        .cast("int").alias("changed"),
     )
 
 
@@ -1056,8 +1059,8 @@ WITH varied AS (
               ELSE text END AS text
   FROM documents
 ), norm AS (
-  SELECT doc_id, text,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+  SELECT doc_id, COALESCE(text, '') AS text,
+         trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9 ]', ' ', 'g'),
                              ' +', ' ', 'g')) AS n
   FROM varied
 )

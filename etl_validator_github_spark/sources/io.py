@@ -20,7 +20,7 @@ from etl_validator_github_spark.schema import bankdata_schema
 
 
 def read_bankdata(spark: SparkSession, path: str) -> DataFrame:
-    """S6: read a bank-data file by extension (parquet/csv/json).
+    """S6: read a bank-data file by extension (parquet/csv/json/orc).
 
     The canonical schema is enforced for flat formats so blank dates and
     string columns survive exactly; extra/missing columns intentionally

@@ -123,10 +123,20 @@ def test_snapshot_diff_joins_hashes_not_text(spark, sf_dir):
     """The version diff shuffles only (doc_id, md5) pairs: the full-outer
     join's exchanges carry the hash projection, never document text, and
     nothing plans as a nested loop."""
+    import re
+
     p = plan(spark, sf_dir, "corpus_snapshot_diff")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # One join → at most two exchanges (one per side).
     assert _n_exchanges(p) <= 2, p
+    # The load-bearing property: no Exchange carries the text column.
+    # Formatted explain lists each node's detail section; split on node
+    # headers and inspect the Exchange sections' Input/Output columns.
+    sections = re.split(r"\n(?=\(\d+\) )", p)
+    exchange_sections = [s for s in sections if re.match(r"\(\d+\) Exchange", s)]
+    assert exchange_sections, "expected Exchange detail sections in the plan"
+    for s in exchange_sections:
+        assert "text#" not in s, f"document text shuffled through:\n{s}"
 
 
 def test_events_funnel_joins_on_user_key(spark, sf_dir):
