@@ -143,3 +143,22 @@ def test_stream_validate_refuses_batch_after_two_failed_reconciles(
     q2.awaitTermination(120)
     assert _read_error_csvs(spark, errors).count() == n_before + 1
     assert not guard.tripped()
+
+
+def test_batch_guard_state_survives_restart(tmp_path):
+    """A NEW BatchGuard instance over the same guard dir (a restarted
+    driver) sees the prior strikes and the tripped flag — the file-based
+    state is the restart-durability contract."""
+    import pytest
+
+    d = str(tmp_path / "guard")
+    g1 = BatchGuard(d)
+    g1.record_failure("first strike")
+    g2 = BatchGuard(d)                  # "restarted" process
+    assert g2.record_failure("second strike") == 2
+    assert g2.tripped()
+    g3 = BatchGuard(d)
+    with pytest.raises(RuntimeError, match="circuit breaker tripped"):
+        g3.refuse_if_tripped()
+    g3.record_success()
+    assert not BatchGuard(d).tripped()

@@ -102,3 +102,36 @@ def test_stream_incremental_dedup_probes_static_index(spark, tmp_path):
             for r in spark.read.parquet(str(sink)).collect()}
     assert len(got2) == 4
     assert got2[200] == (1, N_BANDS)
+
+
+def test_stream_incremental_dedup_exactly_once_across_restarts(spark, tmp_path):
+    """The checkpoint makes file processing exactly-once across stream
+    restarts: re-running over the same source adds nothing; a file
+    landing between runs is probed exactly once."""
+    from etl_validator_github_spark.scale.dedup import build_dedup_index
+    from etl_validator_github_spark.streaming.corpus import (
+        stream_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, GOOD, "en")], "doc_id: long, text: string, lang: string"
+    )
+    hashes, bands = build_dedup_index(corpus)
+    src = tmp_path / "rsrc"
+    sink, ckpt = tmp_path / "rsink", tmp_path / "rckpt"
+    _write_docs(spark, str(src / "d1.parquet"), [(100, GOOD)])
+
+    for _ in range(2):   # second run must be a no-op (checkpointed)
+        q = stream_incremental_dedup(
+            spark, str(src), str(sink), str(ckpt), hashes, bands
+        )
+        q.awaitTermination(120)
+    assert spark.read.parquet(str(sink)).count() == 1
+
+    _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD2)])
+    q = stream_incremental_dedup(
+        spark, str(src), str(sink), str(ckpt), hashes, bands
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(sink)).collect()
+    assert sorted(r.doc_id for r in rows) == [100, 200]
