@@ -20,7 +20,10 @@ from etl_validator_github_spark.contract import (
     catalog_to_oracles,
     catalog_to_queries,
 )
-from etl_validator_github_spark.queries.relational import RELATIONAL_QUERIES
+from etl_validator_github_spark.queries.relational import (
+    RELATIONAL_EXTRA_QUERIES,
+    RELATIONAL_QUERIES,
+)
 from etl_validator_github_spark.queries.validation import VALIDATION_QUERIES
 from etl_validator_github_spark.scale.dedup import DEDUP_EXTRA_QUERIES, DEDUP_QUERIES
 from etl_validator_github_spark.scale.multimodal import MULTIMODAL_QUERIES
@@ -126,6 +129,9 @@ CATALOG: dict[str, Query] = {
     **DEDUP_EXTRA_QUERIES,
     **SNAPSHOT_QUERIES,
     **{name: RELATIONAL_QUERIES[name] for name in _RELATIONAL_PRIORITY},
+    # Past-gate additions: registered LAST so the 50-entry gate window
+    # composition above is untouched.
+    **RELATIONAL_EXTRA_QUERIES,
 }
 
 # The _SCALE block (validation/text/dedup/similarity/multimodal) must fit

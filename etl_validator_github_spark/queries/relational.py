@@ -2122,3 +2122,82 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               "record per key wins, trailing delete drops the key."),
     ]
 }
+
+
+# ---------------------------------------------------------------------------
+# Events: cohort retention — the weekly retention triangle. Users are
+# cohorted by the week of their first event; each (cohort_week,
+# week_offset) cell counts distinct users active that many weeks later.
+# Two uniform-key shuffles (user_id for the cohort min + the distinct
+# activity weeks, then the tiny (cohort, offset) rollup); the per-user
+# event history is never collected. Weeks are integer epoch-week
+# numbers, so every value is exact cross-engine.
+# ---------------------------------------------------------------------------
+
+_US_PER_WEEK = 7 * 24 * 3600 * 1_000_000
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us")
+    # Deterministic onboarding stagger: the fixture's users all start in
+    # the same week, which would collapse the triangle to one cohort.
+    # Treating events before a (user_id % 4)-week per-user "signup" as
+    # pre-onboarding spreads users over four cohorts — mirrored in the
+    # oracle, and exactly the filter a real pipeline applies with true
+    # signup dates.
+    gmin = ev.agg(F.min("ts_us").alias("__g"))
+    ev = (
+        ev.crossJoin(F.broadcast(gmin))
+        .filter(
+            F.col("ts_us")
+            >= F.col("__g") + (F.col("user_id") % 4) * F.lit(_US_PER_WEEK)
+        )
+        .select("user_id", "ts_us")
+    )
+    week = F.expr(f"ts_us div {_US_PER_WEEK}")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = f"""
+WITH raw AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), ev AS (
+  SELECT user_id, ts_us // {_US_PER_WEEK} AS week
+  FROM raw
+  WHERE ts_us >= (SELECT MIN(ts_us) FROM raw)
+                 + (user_id % 4) * {_US_PER_WEEK}
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, week FROM ev
+)
+SELECT c.cohort_week,
+       a.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+#: Past-gate additions (registered AFTER the relational priority list in
+#: queries/__init__.py): repo-local parity covers them until a future
+#: rotation brings them into the driver window.
+RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("events_retention", _events_retention, _RETENTION_SQL,
+              "Weekly cohort-retention triangle: distinct active users "
+              "per (first-event-week cohort, week offset)."),
+    ]
+}
