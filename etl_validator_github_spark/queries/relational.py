@@ -2190,6 +2190,54 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Events: type-transition matrix — counts of consecutive event-type
+# pairs per user stream (the input to Markov-chain/session-model
+# analyses). One shuffle on user_id for the lag window (ties broken by
+# event_id, so the sequence is total and engine-independent), then the
+# tiny (from_type, to_type) rollup. Probabilities are exact integer
+# ratios quantized to milli — cross-engine identical.
+# ---------------------------------------------------------------------------
+
+
+def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "event_id",
+                                           "event_type", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.expr("(1000 * n) div sum(n) over (partition by from_type)")
+        .alias("p_milli"),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS next_type
+  FROM ev
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       (1000 * n) // SUM(n) OVER (PARTITION BY from_type) AS p_milli
+FROM pairs
+"""
+
+
 #: Past-gate additions (registered AFTER the relational priority list in
 #: queries/__init__.py): repo-local parity covers them until a future
 #: rotation brings them into the driver window.
@@ -2199,5 +2247,8 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
         Query("events_retention", _events_retention, _RETENTION_SQL,
               "Weekly cohort-retention triangle: distinct active users "
               "per (first-event-week cohort, week offset)."),
+        Query("events_transitions", _events_transitions, _TRANSITIONS_SQL,
+              "Event-type transition matrix: consecutive-pair counts per "
+              "user stream + exact milli-probabilities."),
     ]
 }
