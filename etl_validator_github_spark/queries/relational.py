@@ -2233,7 +2233,8 @@ WITH ev AS (
   GROUP BY 1, 2
 )
 SELECT from_type, to_type, n,
-       (1000 * n) // SUM(n) OVER (PARTITION BY from_type) AS p_milli
+       CAST((1000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+            AS BIGINT) AS p_milli
 FROM pairs
 """
 
