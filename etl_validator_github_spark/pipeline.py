@@ -117,7 +117,7 @@ def validate_file(
     ts = now.strftime("%Y%m%d_%H%M%S")
     basename = os.path.basename(input_path)
 
-    if not input_path.lower().endswith((".parquet", ".csv", ".json")):
+    if not input_path.lower().endswith((".parquet", ".csv", ".json", ".orc")):
         return PipelineResult(
             input_path, {"missing": [], "extra": []}, 0, None, None,
             file_level_failure=True,

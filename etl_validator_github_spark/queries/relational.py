@@ -2211,7 +2211,6 @@ def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("next_type").alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w_from = Window.partitionBy("from_type")
     return pairs.select(
         "from_type", "to_type", "n",
         F.expr("(1000 * n) div sum(n) over (partition by from_type)")

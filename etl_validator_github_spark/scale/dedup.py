@@ -1127,6 +1127,12 @@ FROM all_docs d LEFT JOIN clusters c USING (doc_id)
 #: deliberately does not treat as near-duplicate.
 LSH_EVAL_MAX_ID = 100
 LSH_EVAL_THRESHOLD = 0.95
+#: Hard ceiling on the eval slice: the truth side below is an all-pairs
+#: join (quadratic by design — that cost IS what the metric measures LSH
+#: against), so a parameter bump must not be able to quietly turn the
+#: eval into an all-pairs scan of the corpus. 2,000 docs ≈ 2M pairs,
+#: still a sub-second bounded job; anything larger fails loudly here.
+LSH_EVAL_ID_CEILING = 2_000
 
 
 def lsh_banding_recall(docs: DataFrame,
@@ -1134,6 +1140,13 @@ def lsh_banding_recall(docs: DataFrame,
                        threshold: float = LSH_EVAL_THRESHOLD) -> DataFrame:
     """One row: (n_truth, n_cand, n_hit, recall_milli) for the eval
     slice ``doc_id < max_id`` ∪ its injected copies."""
+    if max_id > LSH_EVAL_ID_CEILING:
+        raise ValueError(
+            f"lsh_banding_recall eval slice max_id={max_id} exceeds the "
+            f"ceiling {LSH_EVAL_ID_CEILING}: the ground-truth side is an "
+            "all-pairs exact-Jaccard join, quadratic in the slice size. "
+            "Evaluate banding parameters on a bounded sample, not the corpus."
+        )
     eval_ids = (F.col("doc_id") < max_id) | (
         (F.col("doc_id") >= COPY_OFFSET)
         & (F.col("doc_id") < COPY_OFFSET + max_id)

@@ -101,12 +101,15 @@ def stream_incremental_dedup(
     """
     from etl_validator_github_spark.scale.dedup import probe_dedup_index
 
-    # The index DataFrames are lazy plans over the full corpus; without
-    # a persist every micro-batch would re-scan and re-hash the corpus
-    # (O(|corpus|) per batch instead of O(|batch| + |index|)). Persist
-    # once here so only the first batch pays the build.
-    corpus_hashes = corpus_hashes.persist()
-    corpus_bands = corpus_bands.persist()
+    # CALLER owns the index lifetime: pass corpus_hashes/corpus_bands
+    # already ``.persist()``-ed (and unpersist them after the query
+    # terminates). Without a persist every micro-batch re-scans and
+    # re-hashes the corpus (O(|corpus|) per batch instead of
+    # O(|batch| + |index|)). Persisting here instead would leak cached
+    # copies for the SparkSession lifetime across the restart pattern
+    # (this function is re-invoked with the same index on every restart,
+    # and a StreamingQuery has no reliable termination hook to release
+    # them from).
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)

@@ -202,6 +202,29 @@ def test_pipeline_rejects_bad_extension(spark, tmp_path):
     assert res.file_level_failure
 
 
+def test_pipeline_accepts_orc_end_to_end(spark, tmp_path):
+    # ORC is part of read_bankdata's format matrix; the file-level
+    # extension gate must let .orc bank files flow through the full
+    # validate -> error CSV -> archive path, not just the io layer.
+    from etl_validator_github_spark.sources.io import write_bankdata
+
+    df = generate_bankdata(spark, 20, seed=246)
+    df = mutate.overwrite_column(df, "RoutingTransitNumber", "BAD123")
+    input_path = str(tmp_path / "ready" / "mtfdm_dev2_dmbankdata_x.orc")
+    write_bankdata(df, input_path, fmt="orc")
+
+    res = validate_file(
+        spark,
+        input_path,
+        error_dir=str(tmp_path / "error"),
+        archive_dir=str(tmp_path / "archive"),
+    )
+    assert not res.file_level_failure
+    assert res.error_count > 0
+    assert res.error_file and os.path.exists(res.error_file)
+    assert res.archived_to and os.path.exists(res.archived_to)
+
+
 def test_clear_r_columns(spark):
     df = make_df(spark, [{**VALID_M_EFT, "OrganizationCode": "R"}])
     out = mutate.clear_r_columns(df, keep=R_KEEP_FIELDS)

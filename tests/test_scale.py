@@ -394,6 +394,16 @@ def test_lsh_banding_recall_catches_exact_pairs(spark):
     assert row.n_cand >= 2
 
 
+def test_lsh_banding_recall_rejects_oversized_slice(spark):
+    """The quadratic all-pairs truth join is bounded by a hard ceiling:
+    a parameter bump past it must fail loudly, before any join runs."""
+    import pytest
+
+    docs = _docs(spark, ["a b c d e f"])
+    with pytest.raises(ValueError, match="exceeds the ceiling"):
+        dedup.lsh_banding_recall(docs, max_id=dedup.LSH_EVAL_ID_CEILING + 1)
+
+
 def test_fuzzy_dedup_keep_matches_union_find(spark):
     """Invariant check on a collision-heavy random corpus: the Spark
     keep-list must equal a pure-Python union-find over the SAME verified

@@ -73,35 +73,41 @@ def test_stream_incremental_dedup_probes_static_index(spark, tmp_path):
         [(0, GOOD, "en"), (1, GOOD2, "en")],
         "doc_id: long, text: string, lang: string",
     )
+    # Caller owns the index lifetime (see stream_incremental_dedup):
+    # persist once, reuse across both runs, unpersist at the end.
     hashes, bands = build_dedup_index(corpus)
+    hashes, bands = hashes.persist(), bands.persist()
+    try:
+        src = tmp_path / "isrc"
+        sink, ckpt = tmp_path / "isink", tmp_path / "ickpt"
+        near = GOOD + " extra0 extra1"                 # shares most shingles
+        novel = " ".join(f"fresh{i}" for i in range(20))
+        _write_docs(spark, str(src / "d1.parquet"),
+                    [(100, GOOD), (101, near), (102, novel)])
 
-    src = tmp_path / "isrc"
-    sink, ckpt = tmp_path / "isink", tmp_path / "ickpt"
-    near = GOOD + " extra0 extra1"                 # shares most shingles
-    novel = " ".join(f"fresh{i}" for i in range(20))
-    _write_docs(spark, str(src / "d1.parquet"),
-                [(100, GOOD), (101, near), (102, novel)])
+        q = stream_incremental_dedup(
+            spark, str(src), str(sink), str(ckpt), hashes, bands
+        )
+        q.awaitTermination(120)
+        got = {r.doc_id: (r.is_exact_dup, r.n_corpus_band_hits)
+               for r in spark.read.parquet(str(sink)).collect()}
+        assert got[100] == (1, N_BANDS)                # exact re-send
+        assert got[101][0] == 0 and got[101][1] >= 1   # near-dup suspect
+        assert got[102] == (0, 0)                      # genuinely novel
 
-    q = stream_incremental_dedup(
-        spark, str(src), str(sink), str(ckpt), hashes, bands
-    )
-    q.awaitTermination(120)
-    got = {r.doc_id: (r.is_exact_dup, r.n_corpus_band_hits)
-           for r in spark.read.parquet(str(sink)).collect()}
-    assert got[100] == (1, N_BANDS)                # exact re-send
-    assert got[101][0] == 0 and got[101][1] >= 1   # near-dup suspect
-    assert got[102] == (0, 0)                      # genuinely novel
-
-    # Incremental: a later file is probed in its own micro-batch.
-    _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD2)])
-    q2 = stream_incremental_dedup(
-        spark, str(src), str(sink), str(ckpt), hashes, bands
-    )
-    q2.awaitTermination(120)
-    got2 = {r.doc_id: (r.is_exact_dup, r.n_corpus_band_hits)
-            for r in spark.read.parquet(str(sink)).collect()}
-    assert len(got2) == 4
-    assert got2[200] == (1, N_BANDS)
+        # Incremental: a later file is probed in its own micro-batch.
+        _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD2)])
+        q2 = stream_incremental_dedup(
+            spark, str(src), str(sink), str(ckpt), hashes, bands
+        )
+        q2.awaitTermination(120)
+        got2 = {r.doc_id: (r.is_exact_dup, r.n_corpus_band_hits)
+                for r in spark.read.parquet(str(sink)).collect()}
+        assert len(got2) == 4
+        assert got2[200] == (1, N_BANDS)
+    finally:
+        hashes.unpersist()
+        bands.unpersist()
 
 
 def test_stream_incremental_dedup_exactly_once_across_restarts(spark, tmp_path):
@@ -117,21 +123,26 @@ def test_stream_incremental_dedup_exactly_once_across_restarts(spark, tmp_path):
         [(0, GOOD, "en")], "doc_id: long, text: string, lang: string"
     )
     hashes, bands = build_dedup_index(corpus)
-    src = tmp_path / "rsrc"
-    sink, ckpt = tmp_path / "rsink", tmp_path / "rckpt"
-    _write_docs(spark, str(src / "d1.parquet"), [(100, GOOD)])
+    hashes, bands = hashes.persist(), bands.persist()
+    try:
+        src = tmp_path / "rsrc"
+        sink, ckpt = tmp_path / "rsink", tmp_path / "rckpt"
+        _write_docs(spark, str(src / "d1.parquet"), [(100, GOOD)])
 
-    for _ in range(2):   # second run must be a no-op (checkpointed)
+        for _ in range(2):   # second run must be a no-op (checkpointed)
+            q = stream_incremental_dedup(
+                spark, str(src), str(sink), str(ckpt), hashes, bands
+            )
+            q.awaitTermination(120)
+        assert spark.read.parquet(str(sink)).count() == 1
+
+        _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD2)])
         q = stream_incremental_dedup(
             spark, str(src), str(sink), str(ckpt), hashes, bands
         )
         q.awaitTermination(120)
-    assert spark.read.parquet(str(sink)).count() == 1
-
-    _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD2)])
-    q = stream_incremental_dedup(
-        spark, str(src), str(sink), str(ckpt), hashes, bands
-    )
-    q.awaitTermination(120)
-    rows = spark.read.parquet(str(sink)).collect()
-    assert sorted(r.doc_id for r in rows) == [100, 200]
+        rows = spark.read.parquet(str(sink)).collect()
+        assert sorted(r.doc_id for r in rows) == [100, 200]
+    finally:
+        hashes.unpersist()
+        bands.unpersist()
