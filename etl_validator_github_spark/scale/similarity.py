@@ -417,9 +417,12 @@ GROUP BY 1, 2
 # inside the probed cells. Cosine is scale-invariant, so the per-label
 # SUM vector works as the cell direction with exact BIGINT math — no
 # mean division, no float accumulation. At 100 TB: the assignment is a
-# broadcast of K tiny centroids against the corpus (one map pass), and
-# candidate generation shuffles on the cell id — work is corpus/K per
-# probe instead of all-pairs.
+# broadcast of K tiny centroids against the corpus (ONE map pass — the
+# centroid table folds into a single broadcast array row and every
+# vector scores all cells in-row via transform + array_sort + slice, so
+# no exchange ever touches the corpus × n_cells expansion), and
+# candidate generation broadcasts the probes — the only shuffle in the
+# whole query is the final per-query top-k over the candidate rows.
 # ---------------------------------------------------------------------------
 
 N_PROBE = 2
@@ -451,33 +454,55 @@ def ivf_cells(embeddings: DataFrame) -> DataFrame:
     return cells.withColumn("cnorm2", F.expr(_DOT.format(a="cv", b="cv")))
 
 
+def ivf_assignments(embeddings: DataFrame,
+                    nprobe: int = N_PROBE) -> DataFrame:
+    """Per-vector nearest-cell list, computed entirely map-side.
+
+    The centroid table (one row per label — tiny by construction) folds
+    into a single array-of-structs row that broadcasts onto the corpus;
+    each vector then scores every cell in-row (``transform``), orders by
+    (cos desc, label asc) via ``array_sort`` on a (negated-cos, label)
+    struct, and keeps the best ``nprobe`` with ``slice``. No Window, no
+    Exchange keyed on vec_id: at 100 TB the corpus × n_cells expansion
+    never leaves the map stage (round-5 verdict finding; the previous
+    shape shuffled N×L rows through a vec_id window just to rank cells).
+
+    Returns vec_id, qv, norm2, top_cells (array<struct<negcos,label>>,
+    strongest cell first).
+    """
+    vecs = quantized(embeddings)
+    cells_one = ivf_cells(embeddings).agg(
+        F.collect_list(F.struct("label", "cv", "cnorm2")).alias("cells")
+    )
+    dot = _DOT.format(a="qv", b="c.cv")
+    return (
+        vecs.crossJoin(F.broadcast(cells_one))
+        .withColumn(
+            "top_cells",
+            F.expr(
+                f"slice(array_sort(transform(cells, c -> struct("
+                f"-({dot} / (sqrt(norm2) * sqrt(c.cnorm2))) AS negcos, "
+                f"c.label AS label))), 1, {nprobe})"
+            ),
+        )
+        .drop("cells")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
              k: int = TOP_K, nprobe: int = N_PROBE) -> DataFrame:
     """Approximate top-k neighbors via IVF cell probing."""
     from pyspark.sql import Window
 
-    vecs = quantized(embeddings)
-    cells = ivf_cells(embeddings)
-    cell_cos = (
-        F.expr(_DOT.format(a="qv", b="cv"))
-        / (F.sqrt("norm2") * F.sqrt("cnorm2"))
+    assigned = ivf_assignments(embeddings, nprobe=nprobe)
+    assign = assigned.select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cell_cos"), F.asc("label")
-    )
-    ranked = (
-        vecs.crossJoin(F.broadcast(cells))
-        .withColumn("cell_cos", cell_cos)
-        .withColumn("cell_rank", F.row_number().over(w_assign))
-    )
-    assign = ranked.filter(F.col("cell_rank") == 1).select(
-        "vec_id", F.col("label").alias("cell"), "qv", "norm2"
-    )
-    probes = ranked.filter(
-        (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= nprobe)
-    ).select(
+    probes = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("label").alias("cell"),
+        F.explode(F.expr("transform(top_cells, t -> t.label)")).alias("cell"),
         F.col("qv").alias("q_qv"),
         F.col("norm2").alias("q_norm2"),
     )

@@ -112,6 +112,21 @@ def test_lsh_paths_avoid_cartesian_products(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    """IVF cell assignment must never shuffle the corpus: the centroid
+    table folds to one broadcast row and each vector ranks its cells
+    in-row, so no Exchange is keyed on vec_id and the only Window is the
+    final per-query top-k. (Round-5 verdict: the old shape exchanged the
+    corpus × n_cells expansion through a vec_id window.)"""
+    import re
+
+    p = plan(spark, sf_dir, "embed_ivf_topk")
+    assert "hashpartitioning(vec_id" not in p, p
+    assert "cell_rank" not in p, "per-vector ranking window resurfaced"
+    # \b excludes WindowGroupLimit (the top-k pushdown of the same window)
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
+
+
 def test_split_assign_single_shuffle(spark, sf_dir):
     """Split assignment is map-only until the (lang, source, split)
     rollup — exactly one exchange."""
