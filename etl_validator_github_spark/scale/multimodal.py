@@ -6,13 +6,19 @@ extraction as Arrow-batched pandas functions over ``mapInPandas`` —
 Python touches each batch once, the plan stays distributed, and the
 binary bytes never hit the driver.
 
-This container has no image/audio libraries, so the actual decode step
-is a clearly-marked stub (``decode_image`` raises NotImplementedError)
-plus a deterministic fake feature extractor whose outputs are pure
-functions of the payload's md5 — which makes the whole pipeline
-oracle-checkable end-to-end even though the "decoder" is fake. The
-Spark-side plumbing (schema, Arrow batch shape, UDF signatures,
-partition behavior) is real and tested.
+Decode is REAL for the netpbm binary formats (PPM ``P6`` / PGM ``P5``):
+``decode_ppm`` is a pure-stdlib parser (magic, comment/whitespace
+grammar, maxval, raster validation), so ``image_pixel_stats`` computes
+true pixel statistics from decoded bytes — that path is the production
+shape with the codec swapped for one that needs no native libraries.
+Formats that DO need codec libraries (PNG/JPEG/video containers) still
+raise NotImplementedError from ``decode_image``: this container has
+none, and on a real cluster that branch is where PIL/libvips/ffmpeg
+plug in. The video-frame operators run on md5-derived fake metadata
+(``extract_features``) for the same reason — their outputs are pure
+functions of the payload hash, keeping the pipeline oracle-checkable
+end-to-end while the Spark-side plumbing (schema, Arrow batch shape,
+UDF signatures, partition behavior) stays real and tested.
 """
 
 from __future__ import annotations
@@ -50,14 +56,201 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """Decode an image payload to pixels.
+# ---------------------------------------------------------------------------
+# Real decode path: pure-Python netpbm (PPM P6 / PGM P5) codec. No
+# native libraries required — the binary netpbm grammar is simple enough
+# to parse with the stdlib, which makes it the honest de-stubbed decoder
+# for this environment: real header grammar (arbitrary whitespace,
+# '#' comments), real raster validation, real pixel bytes out.
+# ---------------------------------------------------------------------------
 
-    STUB: no image codec libraries exist in this environment. On a real
-    cluster this is where PIL/libvips/ffmpeg decode one Arrow batch of
-    payloads; the surrounding mapInPandas plumbing is identical.
+
+def encode_ppm(width: int, height: int, pixels: bytes,
+               channels: int = 3) -> bytes:
+    """Binary netpbm writer (P6 for RGB, P5 for grayscale) — the fixture
+    generator for the decode path, and a usable sink in its own right."""
+    if channels not in (1, 3):
+        raise ValueError(f"netpbm supports 1 or 3 channels, got {channels}")
+    expected = width * height * channels
+    if len(pixels) != expected:
+        raise ValueError(
+            f"raster length {len(pixels)} != {width}x{height}x{channels}"
+        )
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def _ppm_token(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Next header token, skipping netpbm whitespace and '#' comments."""
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < n and data[pos] != ord("\n"):
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and data[pos] not in b" \t\r\n":
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated netpbm header")
+    return data[start:pos], pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode binary netpbm: returns (width, height, channels, raster).
+
+    Accepts the full header grammar (whitespace runs, '#' comments
+    anywhere between tokens), requires maxval <= 255 (1 byte/sample),
+    and validates the raster length exactly.
     """
-    raise NotImplementedError("image decoding requires codec libraries")
+    data = bytes(payload)
+    magic, pos = _ppm_token(data, 0)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload: magic {magic!r}")
+    channels = 3 if magic == b"P6" else 1
+    w_tok, pos = _ppm_token(data, pos)
+    h_tok, pos = _ppm_token(data, pos)
+    max_tok, pos = _ppm_token(data, pos)
+    width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported maxval {maxval} (need 1 byte/sample)")
+    # Exactly ONE whitespace byte separates maxval from the raster.
+    if pos >= len(data) or data[pos] not in b" \t\r\n":
+        raise ValueError("missing raster separator after maxval")
+    pos += 1
+    raster = data[pos:pos + width * height * channels]
+    if len(raster) != width * height * channels:
+        raise ValueError(
+            f"truncated raster: have {len(raster)} bytes, "
+            f"need {width * height * channels}"
+        )
+    return width, height, channels, raster
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to (width, height, channels, pixel bytes).
+
+    Native (pure-Python) decode for binary netpbm (PPM P6 / PGM P5).
+    Compressed formats require codec libraries this container doesn't
+    ship — on a real cluster this branch dispatches to PIL/libvips;
+    the surrounding mapInPandas plumbing is identical.
+    """
+    head = bytes(payload[:2])
+    if head in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"no codec for image format {head!r}: only binary netpbm "
+        "(P6/P5) decodes natively; PNG/JPEG/... require codec libraries"
+    )
+
+
+#: Synthetic image geometry: dims and pixel bytes are pure functions of
+#: md5(text), so the DuckDB oracle regenerates the identical image and
+#: the decoded statistics are exact-integer comparable. Kept small (at
+#: most 16x12 RGB = 576 raster bytes) so the oracle's per-byte unnest
+#: stays trivial at sf0.1.
+IMG_W_MOD = 16
+IMG_H_MOD = 12
+PIXEL_STRIDE = 7
+
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+    StructField("min_byte", IntegerType()),
+    StructField("max_byte", IntegerType()),
+    StructField("mean_luma_milli", LongType()),
+])
+
+
+def attach_image_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL P6 PPM image per doc.
+
+    Fixture synthesis for the decode path: width = 1 + h32 % {W},
+    height = 1 + h32 % {H}, raster byte i = (h32 + {S}*i) % 256, where
+    h32 is the first 8 hex chars of md5(text) — deterministic, so the
+    oracle regenerates the same image without ever seeing the bytes.
+    Encoded through ``encode_ppm``, decoded back by ``decode_ppm``: the
+    bytes on the wire are genuine netpbm files.
+    """
+
+    def to_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8], 16)
+                w = 1 + h32 % IMG_W_MOD
+                h = 1 + h32 % IMG_H_MOD
+                raster = bytes(
+                    (h32 + PIXEL_STRIDE * i) % 256 for i in range(w * h * 3)
+                )
+                payloads.append(encode_ppm(w, h, raster))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_ppm, PAYLOAD_SCHEMA)
+
+
+def image_pixel_stats(payloads: DataFrame) -> DataFrame:
+    """Binary image payload → true pixel statistics via the real decoder.
+
+    Per image: dimensions from the decoded header, exact per-channel
+    integer sums, byte min/max, and mean luma in exact milli units
+    ((1000 * channel total) div (channels * n_pixels)). Arrow-batched
+    mapInPandas; numpy does the per-image channel folds.
+    """
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PIXEL_STATS_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nch, raster = decode_image(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                if nch == 3:
+                    sums = (int(a[0::3].sum()), int(a[1::3].sum()),
+                            int(a[2::3].sum()))
+                else:
+                    s = int(a.sum())
+                    sums = (s, s, s)
+                n_px = w * h
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n_px)
+                out["sum_r"].append(sums[0])
+                out["sum_g"].append(sums[1])
+                out["sum_b"].append(sums[2])
+                out["min_byte"].append(int(a.min()))
+                out["max_byte"].append(int(a.max()))
+                out["mean_luma_milli"].append(
+                    (1000 * sum(sums)) // (3 * n_px)
+                )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                "min_byte": pd.Series(out["min_byte"], dtype="int32"),
+                "max_byte": pd.Series(out["max_byte"], dtype="int32"),
+                "mean_luma_milli": pd.Series(
+                    out["mean_luma_milli"], dtype="int64"
+                ),
+            })
+
+    return payloads.mapInPandas(stats, PIXEL_STATS_SCHEMA)
 
 
 def attach_payload(docs: DataFrame) -> DataFrame:
@@ -112,20 +305,20 @@ TARGET_EDGE = 256
 
 
 def resize_images(features: DataFrame, target_edge: int = TARGET_EDGE) -> DataFrame:
-    """Aspect-preserving resize metadata (longest edge → target).
+    """Aspect-preserving resize geometry (longest edge → target) over the
+    REAL decoded dimensions from ``image_pixel_stats``.
 
-    STUB decode: real pixel resampling needs codec libraries; here the
-    stage computes the exact output geometry a resizer would use, as
-    integer arithmetic (floor(dim * target / long_edge)), batch-wise
-    over Arrow. The geometry math IS the production logic — only the
-    pixel pass is fake. Scale is carried as an exact rational
-    (target/long_edge) so downstream stays engine-exact.
+    Computes the exact output geometry a resampler uses, as integer
+    arithmetic (floor(dim * target / long_edge)), batch-wise over Arrow.
+    The pixel resampling pass itself would slot in beside this math once
+    a codec/resampler library exists; scale is carried as an exact
+    rational (target/long_edge) so downstream stays engine-exact.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w = pdf["fake_width"].astype("int64")
-            h = pdf["fake_height"].astype("int64")
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
             long_edge = w.combine(h, max)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -136,7 +329,7 @@ def resize_images(features: DataFrame, target_edge: int = TARGET_EDGE) -> DataFr
             })
 
     return features.select(
-        "doc_id", "fake_width", "fake_height"
+        "doc_id", "width", "height"
     ).mapInPandas(resize, RESIZED_SCHEMA)
 
 
@@ -209,12 +402,12 @@ def frame_dedup_stats(frames: DataFrame) -> DataFrame:
 
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return extract_features(attach_payload(docs))
+    return image_pixel_stats(attach_image_payload(docs))
 
 
 def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return resize_images(extract_features(attach_payload(docs)))
+    return resize_images(image_pixel_stats(attach_image_payload(docs)))
 
 
 def _frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,22 +429,46 @@ def _frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The oracle reproduces the fake decoder arithmetic in SQL: payload is
-# the UTF-8 text (ASCII corpus → n_bytes == n_chars) and every feature is
-# a pure function of md5(text).
-_MULTIMODAL_SQL = """
+# The oracle regenerates the synthetic image arithmetic in SQL (dims
+# and raster bytes are pure functions of md5(text)) and re-derives the
+# pixel statistics per raster byte — so a decoder bug on the Spark side
+# (wrong header parse, wrong channel stride, truncated raster) breaks
+# the hash match even though the oracle never touches the binary.
+_MULTIMODAL_SQL = f"""
 WITH h AS (
   SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_bytes,
-         md5(text) AS content_hash,
          CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
   FROM documents
+), dims AS (
+  SELECT doc_id, h32,
+         CAST(1 + h32 % {IMG_W_MOD} AS BIGINT) AS w,
+         CAST(1 + h32 % {IMG_H_MOD} AS BIGINT) AS h
+  FROM h
+), px AS (
+  SELECT doc_id, w, h,
+         (h32 + {PIXEL_STRIDE} * i) % 256 AS b,
+         i % 3 AS ch
+  FROM dims, unnest(range(0, w * h * 3)) AS t(i)
+), agg AS (
+  SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+         SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS sum_r,
+         SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS sum_g,
+         SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS sum_b,
+         MIN(b) AS min_byte, MAX(b) AS max_byte
+  FROM px GROUP BY 1
 )
-SELECT doc_id, n_bytes, content_hash,
-       CAST(1 + h32 % 1920 AS INT) AS fake_width,
-       CAST(1 + h32 % 1080 AS INT) AS fake_height,
-       CAST(1 + h32 % 16 AS INT) AS fake_n_frames
-FROM h
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       CAST(min_byte AS INT) AS min_byte,
+       CAST(max_byte AS INT) AS max_byte,
+       CAST((1000 * (sum_r + sum_g + sum_b)) // (3 * w * h) AS BIGINT)
+         AS mean_luma_milli
+FROM agg
 """
 
 
@@ -262,8 +479,8 @@ WITH h AS (
   FROM documents
 ), dims AS (
   SELECT doc_id,
-         CAST(1 + h32 % 1920 AS BIGINT) AS w,
-         CAST(1 + h32 % 1080 AS BIGINT) AS h
+         CAST(1 + h32 % {IMG_W_MOD} AS BIGINT) AS w,
+         CAST(1 + h32 % {IMG_H_MOD} AS BIGINT) AS h
   FROM h
 )
 SELECT doc_id,
@@ -326,12 +543,12 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("multimodal_features", _multimodal_q, _MULTIMODAL_SQL,
-              "Arrow-batched mapInPandas binary plumbing with md5-derived "
-              "fake decoder features (decode stubbed; no codecs in "
-              "container)."),
+              "True pixel statistics from REAL decode: synthetic P6 PPM "
+              "payloads parsed by the pure-Python netpbm codec inside "
+              "Arrow-batched mapInPandas; exact-integer channel sums."),
         Query("multimodal_resize", _resize_q, _RESIZE_SQL,
-              "Aspect-preserving resize geometry over mapInPandas (pixel "
-              "pass stubbed; integer geometry exact)."),
+              "Aspect-preserving resize geometry over the real decoded "
+              "dimensions (mapInPandas; integer geometry exact)."),
         Query("multimodal_frame_sample", _frames_q, _FRAMES_SQL,
               "Strided video-frame sampling fan-out inside Arrow batches "
               "(no shuffle)."),

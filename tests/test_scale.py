@@ -196,9 +196,63 @@ def test_embedding_near_dups_finds_seeded_copies(spark):
         assert (vid, vid + 3 * off) not in out
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_rejects_codec_formats():
+    # PNG/JPEG need codec libraries the container doesn't ship; only
+    # binary netpbm decodes natively.
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
+
+
+def test_ppm_decode_hand_computed():
+    # 2x1 RGB image, hand-assembled bytes.
+    raster = bytes([10, 20, 30, 40, 50, 60])
+    payload = multimodal.encode_ppm(2, 1, raster)
+    assert payload == b"P6\n2 1\n255\n" + raster
+    w, h, nch, out = multimodal.decode_image(payload)
+    assert (w, h, nch, out) == (2, 1, 3, raster)
+
+
+def test_ppm_decoder_handles_comments_and_whitespace():
+    raster = bytes([7, 8, 9])
+    payload = b"P6 # magic comment\n# full line\n 1\t1 # dims\n255\n" + raster
+    assert multimodal.decode_ppm(payload) == (1, 1, 3, raster)
+    # P5 grayscale.
+    g = multimodal.encode_ppm(2, 2, bytes([1, 2, 3, 4]), channels=1)
+    assert multimodal.decode_ppm(g) == (2, 2, 1, bytes([1, 2, 3, 4]))
+
+
+def test_ppm_decoder_rejects_malformed():
+    ok = multimodal.encode_ppm(2, 2, bytes(range(12)))
+    with pytest.raises(ValueError, match="truncated raster"):
+        multimodal.decode_ppm(ok[:-1])
+    with pytest.raises(ValueError, match="not a binary netpbm"):
+        multimodal.decode_ppm(b"P3\n1 1\n255\n1 2 3")  # ASCII ppm
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    with pytest.raises(ValueError):
+        multimodal.encode_ppm(2, 2, bytes(5))  # wrong raster length
+
+
+def test_image_pixel_stats_hand_computed(spark):
+    """End-to-end through Spark: the decoded stats must equal a pure
+    Python recomputation from the md5-derived synthesis formula."""
+    text = "hello world of binary payloads"
+    docs = _docs(spark, [text])
+    row = multimodal.image_pixel_stats(
+        multimodal.attach_image_payload(docs)
+    ).collect()[0]
+    h32 = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+    w = 1 + h32 % multimodal.IMG_W_MOD
+    h = 1 + h32 % multimodal.IMG_H_MOD
+    px = [(h32 + multimodal.PIXEL_STRIDE * i) % 256 for i in range(w * h * 3)]
+    assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+    assert row.sum_r == sum(px[0::3])
+    assert row.sum_g == sum(px[1::3])
+    assert row.sum_b == sum(px[2::3])
+    assert (row.min_byte, row.max_byte) == (min(px), max(px))
+    assert row.mean_luma_milli == (1000 * sum(px)) // (3 * w * h)
 
 
 def test_multimodal_features_match_hashlib(spark):
@@ -285,11 +339,11 @@ def test_chunk_documents_edges(spark):
 
 def test_resize_preserves_aspect_and_caps_edge(spark):
     docs = _docs(spark, ["wide payload text here", "another doc body"])
-    feats = multimodal.extract_features(multimodal.attach_payload(docs))
+    feats = multimodal.image_pixel_stats(multimodal.attach_image_payload(docs))
     out = {r.doc_id: r for r in multimodal.resize_images(feats).collect()}
     src = {r.doc_id: r for r in feats.collect()}
     for doc_id, r in out.items():
-        w, h = src[doc_id].fake_width, src[doc_id].fake_height
+        w, h = src[doc_id].width, src[doc_id].height
         long_edge = max(w, h)
         assert max(r.out_width, r.out_height) == multimodal.TARGET_EDGE * max(w, h) // long_edge
         assert r.out_width == w * multimodal.TARGET_EDGE // long_edge
