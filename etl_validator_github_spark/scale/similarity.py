@@ -454,29 +454,30 @@ def ivf_cells(embeddings: DataFrame) -> DataFrame:
     return cells.withColumn("cnorm2", F.expr(_DOT.format(a="cv", b="cv")))
 
 
-def ivf_assignments(embeddings: DataFrame,
-                    nprobe: int = N_PROBE) -> DataFrame:
+def cell_assignments(vectors: DataFrame, cells: DataFrame,
+                     nprobe: int = N_PROBE) -> DataFrame:
     """Per-vector nearest-cell list, computed entirely map-side.
 
-    The centroid table (one row per label — tiny by construction) folds
-    into a single array-of-structs row that broadcasts onto the corpus;
-    each vector then scores every cell in-row (``transform``), orders by
-    (cos desc, label asc) via ``array_sort`` on a (negated-cos, label)
-    struct, and keeps the best ``nprobe`` with ``slice``. No Window, no
-    Exchange keyed on vec_id: at 100 TB the corpus × n_cells expansion
-    never leaves the map stage (round-5 verdict finding; the previous
-    shape shuffled N×L rows through a vec_id window just to rank cells).
+    ``vectors`` is the output of ``quantized`` (vec_id, qv, norm2);
+    ``cells`` the output of ``ivf_cells``. The centroid table (one row
+    per label — tiny by construction) folds into a single
+    array-of-structs row that broadcasts onto the corpus; each vector
+    then scores every cell in-row (``transform``), orders by (cos desc,
+    label asc) via ``array_sort`` on a (negated-cos, label) struct, and
+    keeps the best ``nprobe`` with ``slice``. No Window, no Exchange
+    keyed on vec_id: at 100 TB the corpus × n_cells expansion never
+    leaves the map stage (round-5 verdict finding; the previous shape
+    shuffled N×L rows through a vec_id window just to rank cells).
 
     Returns vec_id, qv, norm2, top_cells (array<struct<negcos,label>>,
     strongest cell first).
     """
-    vecs = quantized(embeddings)
-    cells_one = ivf_cells(embeddings).agg(
+    cells_one = cells.agg(
         F.collect_list(F.struct("label", "cv", "cnorm2")).alias("cells")
     )
     dot = _DOT.format(a="qv", b="c.cv")
     return (
-        vecs.crossJoin(F.broadcast(cells_one))
+        vectors.crossJoin(F.broadcast(cells_one))
         .withColumn(
             "top_cells",
             F.expr(
@@ -486,6 +487,14 @@ def ivf_assignments(embeddings: DataFrame,
             ),
         )
         .drop("cells")
+    )
+
+
+def ivf_assignments(embeddings: DataFrame,
+                    nprobe: int = N_PROBE) -> DataFrame:
+    """Nearest-cell list against centroids built from the same corpus."""
+    return cell_assignments(
+        quantized(embeddings), ivf_cells(embeddings), nprobe
     )
 
 
@@ -578,6 +587,113 @@ SELECT query_id, neighbor_id,
        cos_sim
 FROM cand
 QUALIFY rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 — public
+# method): coarse-cluster the corpus with the IVF cells, compare
+# embeddings ONLY within a cluster, and drop every vector whose cosine
+# to a lower-id vector in the same cell clears the threshold (the
+# deterministic greedy: cluster representatives are the lowest ids).
+# The family of dedup the shingle/MinHash pipelines can't express —
+# paraphrases with disjoint token sets but near-identical embeddings.
+# At 100 TB: assignment is the map-side broadcast pass above; the pair
+# join shuffles on the cell id, and K (n_cells) is chosen ∝ corpus size
+# so per-cell populations stay bounded — the within-cell quadratic is
+# the SemDeDup design cost, bounded by K, never corpus-global.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
+                        threshold: float = NEAR_DUP_COS) -> DataFrame:
+    """(vec_id, cell, keep) for every corpus vector.
+
+    ``centroid_source`` supplies the labeled vectors the IVF cells are
+    built from (the coarse quantizer); ``corpus`` is what gets assigned
+    and deduplicated — so an augmented/unlabeled delta can be deduped
+    against centroids trained on the base corpus.
+    """
+    assigned = cell_assignments(
+        quantized(corpus), ivf_cells(centroid_source), nprobe=1
+    ).select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (
+        F.expr(_DOT.format(a="a.qv", b="b.qv"))
+        / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        drops.withColumn("__drop", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.when(F.col("__drop").isNotNull(), F.lit(0))
+        .otherwise(F.lit(1)).cast("int").alias("keep"),
+    )
+
+
+def _semantic_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(with_vector_copies(base), base)
+
+
+def _semantic_keep_sql() -> str:
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    dot_ab = _SQL_DOT.format(a="a.qv", b="b.qv")
+    return f"""
+WITH emb_aug AS ({_VEC_COPIES_SQL}),
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM emb_aug
+), with_norm AS (
+  SELECT vec_id, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2 FROM vecs
+), base_vecs AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM base_vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), ranked AS (
+  SELECT v.vec_id, v.qv, v.norm2, c.label,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS rnk
+  FROM with_norm v CROSS JOIN cells c
+), assign AS (
+  SELECT vec_id, label AS cell, qv, norm2 FROM ranked WHERE rnk = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2)) >= {NEAR_DUP_COS}
+)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
 """
 
 
@@ -710,6 +826,11 @@ SIMILARITY_QUERIES: dict[str, Query] = {
         Query("embed_ann_recall", _recall_q, _recall_sql(),
               "Recall@k of the LSH and IVF approximate paths vs "
               "brute-force ground truth (exact integer hit counts)."),
+        Query("dedup_semantic_keep", _semantic_keep_q, _semantic_keep_sql(),
+              "SemDeDup-style semantic dedup: IVF-cell clustering, "
+              "within-cell cosine threshold, lowest-id representative "
+              "keep-list (catches paraphrase near-dups with disjoint "
+              "token sets)."),
         Query("embed_quantize_int8", _quantize_q, _QUANTIZE_SQL,
               "Int8 scalar-quantization error report: exact-integer "
               "per-dim min/max coding + reconstruction error in "

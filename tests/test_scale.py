@@ -306,6 +306,32 @@ def test_ivf_topk_finds_exact_neighbor_in_probed_cell(spark):
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in out)
 
 
+def test_semantic_dedup_keeps_lowest_id_per_near_dup_group(spark):
+    """Within-cell near-dups drop to the lowest id; near-identical
+    vectors in DIFFERENT cells both survive (the SemDeDup contract:
+    comparisons never cross a cluster boundary)."""
+    # Two well-separated directions -> two cells (labels 0 / 1).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),      # exact dup of 0 -> dropped
+        (2, [0.99, 0.01, 0.0, 0.0], 0),    # near-dup of 0 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.99, 0.1, 0.0], 1),     # near-dup of 3 -> dropped
+        (5, [0.5, 0.0, 0.8, 0.0], 0),      # same cell, below threshold
+    ]
+    df = _vecs(spark, rows)
+    out = {r.vec_id: (r.cell, r.keep)
+           for r in similarity.semantic_dedup_keep(df, df).collect()}
+    assert len(out) == 6
+    assert out[0][1] == 1 and out[1][1] == 0 and out[2][1] == 0
+    assert out[3][1] == 1 and out[4][1] == 0
+    assert out[5][1] == 1
+    # Exact dup pair split across cells is kept on both sides when the
+    # centroids separate them: vectors 0 and 1 share cell, so same-cell
+    # grouping was the only reason 1 dropped.
+    assert out[0][0] == out[1][0]
+
+
 def test_ivf_assignment_is_deterministic_and_total(spark):
     rows = [(i, [float((i * 7 + d) % 5) for d in range(4)], i % 3)
             for i in range(12)]
