@@ -1072,9 +1072,89 @@ FROM norm
 """
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer-fertility / length-distribution report per (lang, source) —
+# the routine curation read-out before committing a corpus mix: how long
+# documents are in tokens (exact integer deciles of per-doc counts, the
+# order_value_percentiles pattern) and how the BPE-ish subword proxy
+# inflates them (fertility = word pieces per whitespace token, and
+# chars per word piece — both exact milli-integer ratios of exact
+# sums). One hash-aggregation on the tiny (lang, source) key space;
+# everything upstream is a map-only projection, so the report is a
+# single scan + one small shuffle at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def token_fertility_report(docs: DataFrame) -> DataFrame:
+    t = tokens()
+    per_doc = docs.select(
+        "lang", "source",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        # Same subword proxy text_stats uses (<=3-char greedy pieces).
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,3}"), 0)
+        ).alias("n_pieces"),
+    )
+    pct = lambda p: F.round(  # noqa: E731
+        F.percentile("n_tokens", F.lit(p))
+    ).cast("bigint")
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_pieces").alias("total_pieces"),
+            pct(0.1).alias("tok_p10"),
+            pct(0.25).alias("tok_p25"),
+            pct(0.5).alias("tok_median"),
+            pct(0.75).alias("tok_p75"),
+            pct(0.9).alias("tok_p90"),
+            F.expr("(1000 * sum(n_pieces)) div sum(n_tokens)")
+            .alias("fertility_milli"),
+            F.expr("(1000 * sum(n_chars)) div sum(n_pieces)")
+            .alias("chars_per_piece_milli"),
+        )
+    )
+
+
+def _fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_fertility_report(load(spark, sf_dir, "documents"))
+
+
+_FERTILITY_SQL = """
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]{1,3}')) AS INT) AS n_pieces
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(round(quantile_cont(n_tokens, 0.1)) AS BIGINT) AS tok_p10,
+       CAST(round(quantile_cont(n_tokens, 0.25)) AS BIGINT) AS tok_p25,
+       CAST(round(quantile_cont(n_tokens, 0.5)) AS BIGINT) AS tok_median,
+       CAST(round(quantile_cont(n_tokens, 0.75)) AS BIGINT) AS tok_p75,
+       CAST(round(quantile_cont(n_tokens, 0.9)) AS BIGINT) AS tok_p90,
+       (1000 * CAST(SUM(n_pieces) AS BIGINT)) // CAST(SUM(n_tokens) AS BIGINT)
+         AS fertility_milli,
+       (1000 * CAST(SUM(n_chars) AS BIGINT)) // CAST(SUM(n_pieces) AS BIGINT)
+         AS chars_per_piece_milli
+FROM per_doc
+GROUP BY 1, 2
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("text_token_fertility", _fertility_q, _FERTILITY_SQL,
+              "Tokenizer-fertility / length-distribution report per "
+              "(lang, source): exact integer token-count deciles, "
+              "pieces-per-token and chars-per-piece milli ratios."),
         Query("text_unigram_lm_score", _lm_score_q, _LM_SCORE_SQL,
               "CCNet-style unigram-LM quality score: corpus-frequency "
               "floor-log2 mean per doc, top-V broadcast vocab, "
