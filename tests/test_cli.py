@@ -4,6 +4,8 @@ the Spark engine, run in-process against the shared session."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_validator_github_spark.cli import _parse_invalid_values, main
 
 
@@ -133,6 +135,131 @@ def test_cli_scenario_mirrors_reference_contract(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Row counts MATCH" in out
+
+
+# ---------------------------------------------------------------------------
+# Flag-family parity sweep over the reference pipeline CLI
+# (DM_bankfile_validate_pipeline.py:3516-3767): one parametrized case
+# per LIVE mutation flag family, asserting the validator catches (or
+# deliberately tolerates) each. Two declared reference flags are dead
+# code there and intentionally absent here: --invalid-mfr-ein-ssn
+# forwards a flag newaugsver_clean.py's argparse does not accept
+# (PIPE:3075-3091 vs GEN:596-606, subprocess would exit 2), and
+# --min-max-all-columns is parsed (PIPE:3542) but never dispatched.
+# The live TIN-type family (--invalid-tin-type Q, PIPE:3670-3680) is
+# sugar for invalid-values on OrganizationTINType, exercised as such.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def base_bank(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_sweep") / "bank"
+    assert main([
+        "generate", "--rows", "12", "--seed", "246", "--output", str(out),
+    ]) == 0
+    return f"{out}.parquet"
+
+
+def _run_case(tmp_path, base, mutate_flags, name):
+    mutated = tmp_path / f"mtfdm_dev2_dmbankdata_{name}.parquet"
+    assert main(["mutate", base, "--output", str(mutated), *mutate_flags]) == 0
+    rc = main([
+        "validate", str(mutated), "--error-dir", str(tmp_path / "err"),
+    ])
+    csvs = list((tmp_path / "err").glob("*.csv"))
+    body = csvs[0].read_text() if csvs else ""
+    return rc, body
+
+
+@pytest.mark.parametrize(
+    "name,flags,expect_rc,expect_in_errors",
+    [
+        # --missing-column: structural rejection (R24).
+        ("missing_one", ["--drop-columns", "ContactEmail"], 1, None),
+        # --missing-columns (plural form).
+        ("missing_many",
+         ["--drop-columns", "ContactEmail", "ContactFax", "State"], 1, None),
+        # --rename-column: old name missing + new name extra -> reject.
+        ("rename_one", ["--rename-columns", "PayeeID:PayeeIdentifier"],
+         1, None),
+        # --rename-columns (plural form).
+        ("rename_many", ["--rename-columns", "State:St", "City:Town"],
+         1, None),
+        # --invalid-values Col:Val (whole column).
+        ("invalid_column", ["--invalid-values", "RoutingTransitNumber:BAD99"],
+         0, "RoutingTransitNumber"),
+        # --invalid-values Col:row=Val (single cell).
+        ("invalid_cell", ["--invalid-values", "RecordOperation:3=Z"],
+         0, "RecordOperation"),
+        # --invalid-tin-type Q == invalid-values OrganizationTINType:Q.
+        # (the evidence string's casing is the reference's verbatim
+        # "OrganizationTinType", not the column name's)
+        ("invalid_tin_type", ["--invalid-values", "OrganizationTINType:Q"],
+         0, "Invalid OrganizationTinType"),
+        # --extra-columns: reported detail, never a rejection.
+        ("extra_columns", ["--extra-columns", "Bonus1", "Bonus2"], 0, None),
+    ],
+)
+def test_cli_flag_family_sweep(spark, tmp_path, base_bank, name, flags,
+                               expect_rc, expect_in_errors):
+    rc, errors = _run_case(tmp_path, base_bank, flags, name)
+    assert rc == expect_rc
+    if expect_in_errors is not None:
+        assert expect_in_errors in errors, errors
+
+
+def test_cli_sweep_drop_rows_and_duplicate_row_counts(spark, tmp_path,
+                                                      base_bank):
+    """--drop-rows removes exactly the named rows (the missing-row
+    scenario — a count change, not a rule violation); --duplicate-row
+    appends one copy whose PayeeID then trips duplicate detection."""
+    from etl_validator_github_spark.operators.mutate import (
+        find_duplicate_payees,
+    )
+
+    dropped = tmp_path / "dropped.parquet"
+    assert main(["mutate", base_bank, "--drop-rows", "0", "3",
+                 "--output", str(dropped)]) == 0
+    assert spark.read.parquet(str(dropped)).count() == 10
+
+    duped = tmp_path / "duped.parquet"
+    assert main(["mutate", base_bank, "--duplicate-row", "2",
+                 "--output", str(duped)]) == 0
+    df = spark.read.parquet(str(duped))
+    assert df.count() == 13
+    assert find_duplicate_payees(df).count() == 1
+
+
+def test_cli_sweep_duplicate_payee_id(spark, tmp_path, base_bank):
+    """--duplicate-payee (reference --duplicate-payee-id): two distinct
+    rows end up sharing a PayeeID; detection is the R23 query side, not
+    a row-local rule, so validation itself must still pass."""
+    from etl_validator_github_spark.operators.mutate import (
+        find_duplicate_payees,
+    )
+
+    duped = tmp_path / "payee_dup.parquet"
+    assert main(["mutate", base_bank, "--duplicate-payee",
+                 "--output", str(duped)]) == 0
+    df = spark.read.parquet(str(duped))
+    assert df.count() == 12                      # same row count
+    assert find_duplicate_payees(df).count() == 1
+
+
+def test_cli_generate_formats_family(spark, tmp_path):
+    """--formats csv,parquet,json,xlsx in one run (GEN:599): every
+    sidecar lands, mirroring the reference's multi-format output."""
+    out = tmp_path / "multi"
+    assert main([
+        "generate", "--rows", "6", "--output", str(out),
+        "--formats", "parquet,csv,json,xlsx",
+    ]) == 0
+    assert spark.read.parquet(f"{out}.parquet").count() == 6
+    assert spark.read.option("header", True).csv(f"{out}.csv").count() == 6
+    assert spark.read.json(f"{out}.json").count() == 6
+    import os
+
+    assert os.path.getsize(f"{out}.xlsx") > 0
 
 
 def test_cli_dedup_exact_and_fuzzy(spark, tmp_path, capsys):
