@@ -14,11 +14,13 @@ Rotation policy (highest priority first):
 
 Round-6 window under that policy: the two r5 stragglers
 (events_retention / events_transitions — the only catalog entries never
-driver-checked), the two new r6 queries (dedup_semantic_keep,
-text_token_fertility), the three whose plan or oracle changed this round
-(embed_ivf_topk map-side assignment; multimodal_features /
-multimodal_resize real netpbm decode), then every query whose last green
-verdict is r2 (26) or r3 (3), and 14 of the 15 r4-verdict queries.
+driver-checked), the four new r6 queries (dedup_semantic_keep,
+dedup_semantic_incremental, text_token_fertility,
+corpus_quality_drift), the three whose plan or oracle changed this
+round (embed_ivf_topk map-side assignment; multimodal_features /
+multimodal_resize real netpbm decode), then every query whose last
+green verdict is r2 (26) or r3 (3), and 12 of the 15 r4-verdict
+queries.
 Everything rotated out carries a green r5 verdict and stays covered by
 the repo-local parity mirror (tests/test_oracle_parity.py,
 tests/test_oracle_dtypes.py) over the FULL catalog.
@@ -67,7 +69,9 @@ _R6_GATE = (
     "events_transitions",
     # -- new in r6
     "dedup_semantic_keep",
+    "dedup_semantic_incremental",
     "text_token_fertility",
+    "corpus_quality_drift",
     # -- plan/oracle changed in r6
     "embed_ivf_topk",
     "multimodal_features",
@@ -103,9 +107,10 @@ _R6_GATE = (
     "top_customers",
     "customers_without_orders",
     "priorities_per_customer",
-    # -- last green verdict r4 (14 of 15; q12_priority_by_status sits
-    #    past the gate — its conditional-count family is the best-
-    #    represented in the window already)
+    # -- last green verdict r4 (12 of 15 — the newest verdicts are the
+    #    displacement pool: q12_priority_by_status, skew_salted_rollup
+    #    and schema_drift sit past the gate, their operator families
+    #    already well-represented in-window)
     "customers_with_high_value_orders",
     "latest_order_per_customer",
     "duplicate_customer_priority",
@@ -118,8 +123,6 @@ _R6_GATE = (
     "events_type_pivot",
     "nation_balance_setops",
     "window_functions",
-    "skew_salted_rollup",
-    "schema_drift",
 )
 
 assert len(_R6_GATE) == _DRIVER_GATE, (

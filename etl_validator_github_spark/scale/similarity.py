@@ -698,6 +698,129 @@ FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Incremental semantic dedup — the daily-ingest shape for SemDeDup,
+# completing the incremental family (exact hashes + LSH bands in
+# scale/dedup.py, embeddings here): a delta batch is assigned to the
+# BASE corpus's cells and compared only against base vectors in the same
+# cell. Work ∝ |delta| × per-cell population (bounded by choosing K ∝
+# corpus size); the base side is the same per-cell index a production
+# deployment persists once and appends per ingest. The base corpus is
+# never pairwise-compared with itself.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_incremental(delta: DataFrame, base: DataFrame,
+                               threshold: float = NEAR_DUP_COS) -> DataFrame:
+    """(vec_id, cell, n_base_near_dups, is_semantic_dup) per delta vector.
+
+    Cells are built from ``base`` (the coarse quantizer a deployment
+    trains once); both sides are assigned map-side; the probe joins on
+    the cell id with the cosine threshold inside the join condition, so
+    clean delta vectors survive the left join with a zero count.
+    """
+    cells = ivf_cells(base)
+    b = cell_assignments(quantized(base), cells, nprobe=1).select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("top_cells")[0]["label"].alias("b_cell"),
+        F.col("qv").alias("b_qv"),
+        F.col("norm2").alias("b_norm2"),
+    )
+    d = cell_assignments(quantized(delta), cells, nprobe=1).select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    )
+    cos = (
+        F.expr(_DOT.format(a="qv", b="b_qv"))
+        / (F.sqrt("norm2") * F.sqrt("b_norm2"))
+    )
+    return (
+        d.join(b, (F.col("cell") == F.col("b_cell")) & (cos >= threshold),
+               "left")
+        .groupBy("vec_id", "cell")
+        .agg(F.count("b_vec_id").alias("n_base_near_dups"))
+        .select(
+            "vec_id", "cell", "n_base_near_dups",
+            (F.col("n_base_near_dups") > 0).cast("int")
+            .alias("is_semantic_dup"),
+        )
+    )
+
+
+def _semantic_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta fixture: the seeded copies (exact / jittered / reversed) —
+    # exactly the three outcomes an ingest probe must separate.
+    base = load(spark, sf_dir, "embeddings")
+    delta = with_vector_copies(base).filter(
+        F.col("vec_id") >= VEC_COPY_OFFSET
+    )
+    return semantic_dedup_incremental(delta, base)
+
+
+def _semantic_incr_sql() -> str:
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    dot_db = _SQL_DOT.format(a="d.qv", b="b.qv")
+    return f"""
+WITH emb_aug AS ({_VEC_COPIES_SQL}),
+delta AS (
+  SELECT vec_id, embedding FROM emb_aug WHERE vec_id >= {VEC_COPY_OFFSET}
+),
+base_vecs AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM base_vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), base_q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), delta_q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM delta
+), base_n AS (
+  SELECT vec_id, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2 FROM base_q
+), delta_n AS (
+  SELECT vec_id, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2 FROM delta_q
+), base_ranked AS (
+  SELECT v.vec_id, v.qv, v.norm2, c.label,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS rnk
+  FROM base_n v CROSS JOIN cells c
+), delta_ranked AS (
+  SELECT v.vec_id, v.qv, v.norm2, c.label,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS rnk
+  FROM delta_n v CROSS JOIN cells c
+), base_assign AS (
+  SELECT vec_id, label AS cell, qv, norm2 FROM base_ranked WHERE rnk = 1
+), delta_assign AS (
+  SELECT vec_id, label AS cell, qv, norm2 FROM delta_ranked WHERE rnk = 1
+)
+SELECT d.vec_id, CAST(d.cell AS INT) AS cell,
+       CAST(COUNT(b.vec_id) AS BIGINT) AS n_base_near_dups,
+       CAST(COUNT(b.vec_id) > 0 AS INT) AS is_semantic_dup
+FROM delta_assign d LEFT JOIN base_assign b
+  ON d.cell = b.cell
+ AND {dot_db} / (sqrt(d.norm2) * sqrt(b.norm2)) >= {NEAR_DUP_COS}
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@k of the two approximate paths (LSH
 # buckets, IVF probing) against the brute-force exact top-k. Hits are
 # exact integer set-intersection counts, so the whole evaluation is
@@ -831,6 +954,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "within-cell cosine threshold, lowest-id representative "
               "keep-list (catches paraphrase near-dups with disjoint "
               "token sets)."),
+        Query("dedup_semantic_incremental", _semantic_incr_q,
+              _semantic_incr_sql(),
+              "Incremental SemDeDup probe: delta batch assigned to "
+              "base-corpus cells, within-cell cosine flags vs the base "
+              "index only — work scales with the batch, never "
+              "base-pairwise."),
         Query("embed_quantize_int8", _quantize_q, _QUANTIZE_SQL,
               "Int8 scalar-quantization error report: exact-integer "
               "per-dim min/max coding + reconstruction error in "

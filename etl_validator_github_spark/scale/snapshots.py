@@ -153,12 +153,144 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-drift report between two corpus versions — the monitoring
+# read-out a pipeline owner checks after every rebuild: per language,
+# did the doc count, document length, or quality-gate pass rate move?
+# Shape at 100 TB: both versions stream through the same map-only
+# per-row projection (version tag + token count + quality flag), then
+# ONE hash-aggregation on the tiny lang key with conditional sums — no
+# join between versions, no second corpus pass. All outputs are exact
+# integers (milli ratios of exact sums), so drift is bit-comparable
+# across engines and across reruns.
+# ---------------------------------------------------------------------------
+
+
+def quality_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per lang: doc counts, tokens/doc, and quality-gate pass rates of
+    both versions plus the quality drift (new - old) in exact milli."""
+    from etl_validator_github_spark.scale.text import quality_flag
+
+    def tagged(df: DataFrame, version: str) -> DataFrame:
+        return df.select(
+            "lang",
+            F.lit(version).alias("version"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            quality_flag().cast("long").alias("is_quality"),
+        )
+
+    both = tagged(old, "old").unionAll(tagged(new, "new"))
+    n_old = F.sum((F.col("version") == "old").cast("long"))
+    n_new = F.sum((F.col("version") == "new").cast("long"))
+    s = lambda col, v: F.sum(  # noqa: E731
+        F.when(F.col("version") == v, F.col(col)).otherwise(F.lit(0))
+    )
+    return (
+        both.groupBy("lang")
+        .agg(
+            n_old.alias("n_docs_old"),
+            n_new.alias("n_docs_new"),
+            s("n_tokens", "old").alias("tok_old"),
+            s("n_tokens", "new").alias("tok_new"),
+            s("is_quality", "old").alias("q_old"),
+            s("is_quality", "new").alias("q_new"),
+        )
+        .select(
+            "lang", "n_docs_old", "n_docs_new",
+            F.expr("(1000 * tok_old) div n_docs_old")
+            .alias("tokens_per_doc_milli_old"),
+            F.expr("(1000 * tok_new) div n_docs_new")
+            .alias("tokens_per_doc_milli_new"),
+            F.expr("(1000 * q_old) div n_docs_old")
+            .alias("quality_milli_old"),
+            F.expr("(1000 * q_new) div n_docs_new")
+            .alias("quality_milli_new"),
+            F.expr("(1000 * q_new) div n_docs_new "
+                   "- (1000 * q_old) div n_docs_old")
+            .alias("quality_drift_milli"),
+        )
+    )
+
+
+def _drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same deterministic old/new derivation the snapshot diff uses, so
+    # the two monitoring queries describe the same rebuild.
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(
+        F.pmod("doc_id", F.lit(_OLD_DROP_MOD)) != _OLD_DROP_REM
+    ).select("lang", "text")
+    new = docs.filter(
+        F.pmod("doc_id", F.lit(_NEW_DROP_MOD)) != _NEW_DROP_REM
+    ).select(
+        "lang",
+        F.when(
+            F.pmod("doc_id", F.lit(_EDIT_MOD)) == _EDIT_REM,
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return quality_drift(old, new)
+
+
+_DRIFT_QUALITY_SQL = f"""
+WITH old_docs AS (
+  SELECT lang, text FROM documents
+  WHERE doc_id % {_OLD_DROP_MOD} != {_OLD_DROP_REM}
+), new_docs AS (
+  SELECT lang,
+         CASE WHEN doc_id % {_EDIT_MOD} = {_EDIT_REM}
+              THEN text || ' edited' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {_NEW_DROP_MOD} != {_NEW_DROP_REM}
+), tagged AS (
+  SELECT lang, 'old' AS version, text FROM old_docs
+  UNION ALL
+  SELECT lang, 'new' AS version, text FROM new_docs
+), scored AS (
+  SELECT lang, version,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(toks) >= 20 AND len(toks) <= 1000
+              AND (len(list_filter(toks, t -> t IN
+                     ('the', 'a', 'of', 'and', 'in', 'to')))
+                   / CAST(len(toks) AS INT)) < 0.5 AS BIGINT) AS is_quality
+  FROM (SELECT lang, version, string_split(text, ' ') AS toks FROM tagged)
+), agg AS (
+  SELECT lang,
+         SUM(CASE WHEN version = 'old' THEN 1 ELSE 0 END) AS n_docs_old,
+         SUM(CASE WHEN version = 'new' THEN 1 ELSE 0 END) AS n_docs_new,
+         SUM(CASE WHEN version = 'old' THEN n_tokens ELSE 0 END) AS tok_old,
+         SUM(CASE WHEN version = 'new' THEN n_tokens ELSE 0 END) AS tok_new,
+         SUM(CASE WHEN version = 'old' THEN is_quality ELSE 0 END) AS q_old,
+         SUM(CASE WHEN version = 'new' THEN is_quality ELSE 0 END) AS q_new
+  FROM scored GROUP BY 1
+)
+SELECT lang,
+       CAST(n_docs_old AS BIGINT) AS n_docs_old,
+       CAST(n_docs_new AS BIGINT) AS n_docs_new,
+       (1000 * CAST(tok_old AS BIGINT)) // CAST(n_docs_old AS BIGINT)
+         AS tokens_per_doc_milli_old,
+       (1000 * CAST(tok_new AS BIGINT)) // CAST(n_docs_new AS BIGINT)
+         AS tokens_per_doc_milli_new,
+       (1000 * CAST(q_old AS BIGINT)) // CAST(n_docs_old AS BIGINT)
+         AS quality_milli_old,
+       (1000 * CAST(q_new AS BIGINT)) // CAST(n_docs_new AS BIGINT)
+         AS quality_milli_new,
+       (1000 * CAST(q_new AS BIGINT)) // CAST(n_docs_new AS BIGINT)
+         - (1000 * CAST(q_old AS BIGINT)) // CAST(n_docs_old AS BIGINT)
+         AS quality_drift_milli
+FROM agg
+"""
+
+
 SNAPSHOT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("corpus_snapshot_diff", _diff_q, _DIFF_SQL,
               "Corpus version diff: hash-only full-outer join classifies "
               "every doc as added/removed/changed."),
+        Query("corpus_quality_drift", _drift_q, _DRIFT_QUALITY_SQL,
+              "Per-lang quality-drift report between two corpus "
+              "versions: doc counts, tokens/doc and quality-gate rates "
+              "as exact milli integers, single conditional hash-agg."),
         Query("docs_split_assign", _splits_q, _SPLITS_SQL,
               "Deterministic md5-threshold train/val/test split with "
               "per-(lang, source, split) doc/token rollup."),

@@ -332,6 +332,46 @@ def test_semantic_dedup_keeps_lowest_id_per_near_dup_group(spark):
     assert out[0][0] == out[1][0]
 
 
+def test_semantic_dedup_incremental_flags_only_delta(spark):
+    """The probe reports delta vectors only: an exact re-send and a
+    jittered copy flag against the base; a novel direction does not —
+    and base vectors are never pairwise-compared with themselves."""
+    base = _vecs(spark, [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 1),
+    ])
+    delta = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0, 0.0]),      # exact re-send of 0
+            (101, [0.99, 0.05, 0.0, 0.0]),    # near-dup of 0
+            (102, [0.0, 0.0, 1.0, 0.0]),      # novel direction
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    out = {r.vec_id: (r.n_base_near_dups, r.is_semantic_dup)
+           for r in similarity.semantic_dedup_incremental(
+               delta, base).collect()}
+    assert set(out) == {100, 101, 102}          # delta rows only
+    assert out[100] == (1, 1)
+    assert out[101] == (1, 1)
+    assert out[102][1] == 0
+
+
+def test_quality_drift_exact_milli(spark):
+    from etl_validator_github_spark.scale.snapshots import quality_drift
+
+    good = " ".join(f"tok{i}" for i in range(30))
+    short = "too short"
+    old = _docs(spark, [good, good, short])          # 2/3 quality
+    new = _docs(spark, [good, short, short, short])  # 1/4 quality
+    row = quality_drift(old, new).collect()[0]
+    assert (row.n_docs_old, row.n_docs_new) == (3, 4)
+    assert row.quality_milli_old == 2000 // 3        # 666
+    assert row.quality_milli_new == 1000 // 4        # 250
+    assert row.quality_drift_milli == 250 - 666
+    assert row.tokens_per_doc_milli_old == (1000 * (30 + 30 + 2)) // 3
+
+
 def test_ivf_assignment_is_deterministic_and_total(spark):
     rows = [(i, [float((i * 7 + d) % 5) for d in range(4)], i % 3)
             for i in range(12)]
