@@ -613,6 +613,13 @@ def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
     built from (the coarse quantizer); ``corpus`` is what gets assigned
     and deduplicated — so an augmented/unlabeled delta can be deduped
     against centroids trained on the base corpus.
+
+    Plan note: the assignment subtree is referenced three times (pair
+    left side, pair right side, keep-list output) and Spark does not
+    reuse common subplans, so the corpus takes three MAP passes — no
+    extra shuffles. A production caller at 100 TB persists (or writes
+    out) the assignment first; here the gated fixture run stays
+    materialization-free by design.
     """
     assigned = cell_assignments(
         quantized(corpus), ivf_cells(centroid_source), nprobe=1

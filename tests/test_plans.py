@@ -127,6 +127,19 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
 
 
+@pytest.mark.parametrize(
+    "name", ["dedup_semantic_keep", "dedup_semantic_incremental"]
+)
+def test_semantic_dedup_pairs_join_on_cell_key(spark, sf_dir, name):
+    """SemDeDup candidate generation must join on the cell id (hash or
+    sort-merge on a key), never as an all-pairs nested loop; the only
+    nested-loop joins in the plan are the single-row broadcast centroid
+    folds of the map-side assignment."""
+    p = plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(cell" in p or "BroadcastHashJoin" in p, p
+
+
 def test_split_assign_single_shuffle(spark, sf_dir):
     """Split assignment is map-only until the (lang, source, split)
     rollup — exactly one exchange."""

@@ -235,6 +235,41 @@ def test_ppm_decoder_rejects_malformed():
         multimodal.encode_ppm(2, 2, bytes(5))  # wrong raster length
 
 
+def test_ppm_roundtrip_property():
+    """Property fuzz: encode→decode is the identity for every valid
+    (w, h, raster, channels), and junk prefixes never mis-decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        channels=st.sampled_from([1, 3]),
+        data=st.data(),
+    )
+    def roundtrip(w, h, channels, data):
+        raster = bytes(
+            data.draw(st.lists(st.integers(0, 255),
+                               min_size=w * h * channels,
+                               max_size=w * h * channels))
+        )
+        payload = multimodal.encode_ppm(w, h, raster, channels=channels)
+        assert multimodal.decode_ppm(payload) == (w, h, channels, raster)
+
+    roundtrip()
+
+    @settings(max_examples=40, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=64))
+    def junk_never_misdecodes(junk):
+        if junk[:2] in (b"P6", b"P5"):
+            return  # may legitimately parse
+        with pytest.raises((NotImplementedError, ValueError)):
+            multimodal.decode_image(junk)
+
+    junk_never_misdecodes()
+
+
 def test_image_pixel_stats_hand_computed(spark):
     """End-to-end through Spark: the decoded stats must equal a pure
     Python recomputation from the md5-derived synthesis formula."""
