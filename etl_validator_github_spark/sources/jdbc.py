@@ -95,3 +95,50 @@ def read_jdbc(spark: SparkSession, url: str, **kwargs) -> DataFrame:
     """S11: ``spark.read`` over JDBC with the options from
     :func:`jdbc_options`. Lazy — no connection until an action runs."""
     return spark.read.format("jdbc").options(**jdbc_options(url, **kwargs)).load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    create_table_column_types: str | None = None,
+) -> None:
+    """S11 write side: the reference's Glue job loads error rows into
+    ``[MTFDM_STG].[PAYEE_ERROR_STG]`` (PIPE:853-929 reads them back);
+    Spark-native that load is ``df.write.jdbc``.
+
+    Scale knobs: ``batchsize`` batches INSERTs per round-trip (JDBC
+    defaults are OLTP-sized), ``num_partitions`` caps concurrent
+    connections — every task opens one, so an uncapped 2000-partition
+    error frame would open 2000 sessions against the database.
+    ``create_table_column_types`` overrides Spark's default DDL mapping
+    (e.g. string→CLOB on some dialects, which breaks predicate pushdown
+    on the read-back; VARCHAR widths keep the table queryable).
+    """
+    out = df
+    if num_partitions is not None:
+        out = out.coalesce(num_partitions)
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    if create_table_column_types is not None:
+        writer = writer.option(
+            "createTableColumnTypes", create_table_column_types
+        )
+    writer.mode(mode).save()

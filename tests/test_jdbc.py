@@ -128,6 +128,59 @@ def test_jdbc_partitioned_read_against_live_derby(spark):
     assert "ReadSchema: struct<PAYEE_ID:int>" in p, p
 
 
+def test_jdbc_error_table_roundtrip_closes_reconciliation(spark, tmp_path):
+    """The reference's E3 loop with a REAL database side: rule engine →
+    error CSV sink AND error rows written to a live Derby table over
+    JDBC (the Glue→PAYEE_ERROR_STG load) → both sides read back and
+    reconciled. 'Row counts MATCH' against an actual DB round-trip, not
+    an in-memory re-derivation."""
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.generator import generate_bankdata
+    from etl_validator_github_spark.operators import mutate
+    from etl_validator_github_spark.operators.errors import to_error_records
+    from etl_validator_github_spark.operators.reconcile import reconcile_errors
+    from etl_validator_github_spark.operators.validate import failing_records
+    from etl_validator_github_spark.sources.io import (
+        read_error_csv,
+        write_single_csv,
+    )
+    from etl_validator_github_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    df = mutate.overwrite_column(
+        generate_bankdata(spark, 20, seed=246), "RoutingTransitNumber", "BAD1"
+    )
+    errors = to_error_records(failing_records(df), filename="f.parquet")
+
+    csv_path = write_single_csv(errors, str(tmp_path), "errs.csv")
+    url = "jdbc:derby:memory:errdb;create=true"
+    write_jdbc(
+        errors.select(
+            F.col("PayeeId").alias("PAYEE_ID"), "ERROR_DESC"
+        ),
+        url, "PAYEE_ERROR_STG",
+        mode="overwrite",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        num_partitions=2,
+        # Without the override Spark maps string→CLOB on Derby, which
+        # is unfilterable; VARCHAR keeps the staging table queryable.
+        create_table_column_types=(
+            "PAYEE_ID VARCHAR(40), ERROR_DESC VARCHAR(1000)"
+        ),
+    )
+
+    csv_side = read_error_csv(spark, csv_path)
+    db_side = read_jdbc(
+        spark, url, table="PAYEE_ERROR_STG",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    rec = reconcile_errors(csv_side, db_side)
+    assert rec.counts_match and rec.passed
+    assert rec.csv_count == rec.db_count > 0
+    # And the DB side is genuinely queryable (pushdown works post-VARCHAR).
+    assert db_side.filter(F.col("PAYEE_ID").isNotNull()).count() == rec.db_count
+
+
 def test_jdbc_query_read_against_live_derby(spark):
     from etl_validator_github_spark.sources.jdbc import read_jdbc
 
