@@ -129,3 +129,52 @@ def stream_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: Schema of an embeddings feed (matches testdata embeddings.parquet,
+#: minus the label column a delta feed does not have).
+VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def stream_semantic_dedup(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    base: "DataFrame",
+    available_now: bool = True,
+):
+    """Streaming form of ``semantic_dedup_incremental``
+    (scale/similarity.py): newly landed embedding files are probed per
+    micro-batch against the BASE corpus's IVF cells, appending
+    (vec_id, cell, n_base_near_dups, is_semantic_dup) to a parquet sink.
+
+    CALLER owns the ``base`` lifetime (same contract as
+    ``stream_incremental_dedup``): pass it ``.persist()``-ed, or each
+    micro-batch re-scans the base corpus. At 100 TB the per-cell base
+    index (assignment + quantized vectors) is a precomputed table; the
+    per-batch work is |batch| map-side assignment + the cell-key probe
+    join.
+    """
+    from etl_validator_github_spark.scale.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    stream = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        semantic_dedup_incremental(batch_df, base).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = stream.writeStream.foreachBatch(_probe).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -110,6 +110,49 @@ def test_stream_incremental_dedup_probes_static_index(spark, tmp_path):
         bands.unpersist()
 
 
+def test_stream_semantic_dedup_probes_base_cells(spark, tmp_path):
+    """Embedding delta files probed per micro-batch against the base
+    corpus's IVF cells: an exact re-send flags, a novel direction does
+    not, and a later file lands in its own micro-batch."""
+    from etl_validator_github_spark.streaming.corpus import (
+        stream_semantic_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id: long, embedding: array<float>, label: int",
+    ).persist()
+    try:
+        src = tmp_path / "vsrc"
+        sink, ckpt = tmp_path / "vsink", tmp_path / "vckpt"
+        spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0, 0.0])],
+            "vec_id: long, embedding: array<float>",
+        ).coalesce(1).write.parquet(str(src / "d1.parquet"))
+
+        q = stream_semantic_dedup(
+            spark, str(src), str(sink), str(ckpt), base
+        )
+        q.awaitTermination(120)
+        got = {r.vec_id: r.is_semantic_dup
+               for r in spark.read.parquet(str(sink)).collect()}
+        assert got == {100: 1, 101: 0}
+
+        spark.createDataFrame(
+            [(200, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id: long, embedding: array<float>",
+        ).coalesce(1).write.parquet(str(src / "d2.parquet"))
+        q = stream_semantic_dedup(
+            spark, str(src), str(sink), str(ckpt), base
+        )
+        q.awaitTermination(120)
+        got = {r.vec_id: r.is_semantic_dup
+               for r in spark.read.parquet(str(sink)).collect()}
+        assert got == {100: 1, 101: 0, 200: 1}
+    finally:
+        base.unpersist()
+
+
 def test_stream_incremental_dedup_exactly_once_across_restarts(spark, tmp_path):
     """The checkpoint makes file processing exactly-once across stream
     restarts: re-running over the same source adds nothing; a file
