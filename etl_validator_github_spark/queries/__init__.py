@@ -63,6 +63,18 @@ _ALL: dict[str, Query] = {
 
 #: The round-6 driver gate window, in gate-priority order (see module
 #: docstring for the rotation rationale of each block).
+# A name collision between module dicts would silently drop a query in
+# the merge above — fail loudly instead.
+_MODULE_DICTS = (
+    VALIDATION_QUERIES, TEXT_QUERIES, DEDUP_QUERIES, SIMILARITY_QUERIES,
+    MULTIMODAL_QUERIES, PACKING_QUERIES, TEXT_EXTRA_QUERIES,
+    DEDUP_EXTRA_QUERIES, SNAPSHOT_QUERIES, RELATIONAL_QUERIES,
+    RELATIONAL_EXTRA_QUERIES,
+)
+assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
+    "duplicate query name across module catalogs"
+)
+
 _R6_GATE = (
     # -- never driver-checked (added past the gate late in r5)
     "events_retention",
