@@ -14,12 +14,12 @@ Rotation policy (highest priority first):
 
 Round-6 window under that policy: the two r5 stragglers
 (events_retention / events_transitions — the only catalog entries never
-driver-checked), the four new r6 queries (dedup_semantic_keep,
-dedup_semantic_incremental, text_token_fertility,
+driver-checked), the five new r6 queries (dedup_semantic_keep,
+dedup_semantic_incremental, embed_kmeans, text_token_fertility,
 corpus_quality_drift), the three whose plan or oracle changed this
 round (embed_ivf_topk map-side assignment; multimodal_features /
 multimodal_resize real netpbm decode), then every query whose last
-green verdict is r2 (26) or r3 (3), and 12 of the 15 r4-verdict
+green verdict is r2 (26) or r3 (3), and 11 of the 15 r4-verdict
 queries.
 Everything rotated out carries a green r5 verdict and stays covered by
 the repo-local parity mirror (tests/test_oracle_parity.py,
@@ -82,6 +82,7 @@ _R6_GATE = (
     # -- new in r6
     "dedup_semantic_keep",
     "dedup_semantic_incremental",
+    "embed_kmeans",
     "text_token_fertility",
     "corpus_quality_drift",
     # -- plan/oracle changed in r6
@@ -119,10 +120,10 @@ _R6_GATE = (
     "top_customers",
     "customers_without_orders",
     "priorities_per_customer",
-    # -- last green verdict r4 (12 of 15 — the newest verdicts are the
-    #    displacement pool: q12_priority_by_status, skew_salted_rollup
-    #    and schema_drift sit past the gate, their operator families
-    #    already well-represented in-window)
+    # -- last green verdict r4 (11 of 15 — the newest verdicts are the
+    #    displacement pool: q12_priority_by_status, skew_salted_rollup,
+    #    schema_drift and window_functions sit past the gate, their
+    #    operator families already well-represented in-window)
     "customers_with_high_value_orders",
     "latest_order_per_customer",
     "duplicate_customer_priority",
@@ -134,7 +135,6 @@ _R6_GATE = (
     "events_range_join",
     "events_type_pivot",
     "nation_balance_setops",
-    "window_functions",
 )
 
 assert len(_R6_GATE) == _DRIVER_GATE, (

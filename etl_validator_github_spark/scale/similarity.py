@@ -705,6 +705,134 @@ FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means — the iterative-algorithm representative,
+# with FULL oracle parity: a fixed iteration count unrolls into plain
+# SQL, so DuckDB recomputes the identical clustering (seeds are the
+# first K vectors, assignment ranks by the same cos-desc/label-asc
+# order every other cell pass uses, and centroids stay (sum, count)
+# pairs in exact BIGINTs — no mean division ever happens, cosine being
+# scale-invariant). Per iteration at 100 TB: one map-side broadcast
+# assignment pass over the corpus + one (cell, dim) partial-sum shuffle
+# on a K×64 key space. Empty clusters simply drop out (deterministic in
+# both engines).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _centroids_from(assigned: DataFrame) -> DataFrame:
+    """(label, cv, cnorm2) summed-direction centroids from an
+    assignment frame (vec_id, cell, qv, norm2)."""
+    partial = (
+        assigned.select("cell", F.posexplode("qv").alias("pos", "q"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("q").alias("s"))
+    )
+    cells = partial.groupBy(F.col("cell").alias("label")).agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+        .alias("cv")
+    )
+    return cells.withColumn("cnorm2", F.expr(_DOT.format(a="cv", b="cv")))
+
+
+def _nearest_cell(vectors_q: DataFrame, cells: DataFrame) -> DataFrame:
+    return cell_assignments(vectors_q, cells, nprobe=1).select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    )
+
+
+def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
+                    n_iters: int = KMEANS_ITERS) -> DataFrame:
+    """(cell, n_vecs, dim, sum_q) after ``n_iters`` Lloyd iterations —
+    the exploded exact-integer centroid table (sum per dimension plus
+    member count; consumers divide once if they want means)."""
+    vecs = quantized(embeddings)
+    # Deterministic seeding: the first k vectors ARE the initial
+    # centroids (their own label = vec_id).
+    cells = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("label"),
+        F.col("qv").alias("cv"),
+        F.col("norm2").alias("cnorm2"),
+    )
+    assigned = None
+    for _ in range(n_iters):
+        assigned = _nearest_cell(vecs, cells)
+        cells = _centroids_from(assigned)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(
+            assigned.select("cell", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cell", (F.col("pos") + 1).alias("dim"))
+            .agg(F.sum("q").alias("sum_q")),
+            "cell",
+        )
+        .select("cell", "n_vecs", F.col("dim").cast("int").alias("dim"),
+                "sum_q")
+    )
+
+
+def _kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_clusters(load(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_sql() -> str:
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+
+    def assign(vec_cte: str, cell_cte: str, out: str) -> str:
+        return f"""{out}_r AS (
+  SELECT v.vec_id, v.qv, v.norm2, c.label,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS rnk
+  FROM {vec_cte} v CROSS JOIN {cell_cte} c
+), {out} AS (
+  SELECT vec_id, qv, norm2, label AS cell FROM {out}_r WHERE rnk = 1
+)"""
+
+    def centroids(assign_cte: str, out: str) -> str:
+        return f"""{out}_p AS (
+  SELECT cell, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM {assign_cte} CROSS JOIN dims
+  GROUP BY 1, 2
+), {out}_0 AS (
+  SELECT cell AS label, list(s ORDER BY dim) AS cv FROM {out}_p GROUP BY 1
+), {out} AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2
+  FROM {out}_0
+)"""
+
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), with_norm AS (
+  SELECT vec_id, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2 FROM vecs
+), dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), seeds AS (
+  SELECT CAST(vec_id AS INT) AS label, qv AS cv, norm2 AS cnorm2
+  FROM with_norm WHERE vec_id < {KMEANS_K}
+),
+{assign("with_norm", "seeds", "a1")},
+{centroids("a1", "c1")},
+{assign("with_norm", "c1", "a2")}
+SELECT a.cell, n.n_vecs, CAST(d.dim AS INT) AS dim,
+       CAST(SUM(a.qv[d.dim]) AS BIGINT) AS sum_q
+FROM a2 a
+JOIN (SELECT cell, COUNT(*) AS n_vecs FROM a2 GROUP BY 1) n
+  ON a.cell = n.cell
+CROSS JOIN dims d
+GROUP BY a.cell, n.n_vecs, d.dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Incremental semantic dedup — the daily-ingest shape for SemDeDup,
 # completing the incremental family (exact hashes + LSH bands in
 # scale/dedup.py, embeddings here): a delta batch is assigned to the
@@ -961,6 +1089,11 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "within-cell cosine threshold, lowest-id representative "
               "keep-list (catches paraphrase near-dups with disjoint "
               "token sets)."),
+        Query("embed_kmeans", _kmeans_q, _kmeans_sql(),
+              "Deterministic Lloyd k-means (2 iterations, first-K "
+              "seeding): exact-integer (sum, count) centroid table — "
+              "the iterative algorithm unrolled into the oracle for "
+              "full cross-engine parity."),
         Query("dedup_semantic_incremental", _semantic_incr_q,
               _semantic_incr_sql(),
               "Incremental SemDeDup probe: delta batch assigned to "

@@ -367,6 +367,52 @@ def test_semantic_dedup_keeps_lowest_id_per_near_dup_group(spark):
     assert out[0][0] == out[1][0]
 
 
+def test_kmeans_matches_pure_python_lloyd(spark):
+    """The 2-iteration Lloyd clustering must equal a pure-Python mirror
+    (same quantization, same first-K seeding, same cos-desc/label-asc
+    assignment order, integer (sum, count) centroids)."""
+    import math
+
+    rows = [(i, [float((i * 3 + d * 7) % 11) / 10 for d in range(4)], 0)
+            for i in range(10)]
+    k, iters = 3, 2
+    out = similarity.kmeans_clusters(_vecs(spark, rows), k=k, n_iters=iters)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.cell, {})[r.dim] = (r.n_vecs, r.sum_q)
+
+    # Pure-Python mirror.
+    qv = {i: [round(x * 1_000_000) for x in emb] for i, emb, _ in rows}
+    norm = {i: sum(x * x for x in v) for i, v in qv.items()}
+    cells = {i: (qv[i], norm[i]) for i in range(k)}
+    assign = {}
+    for _ in range(iters):
+        assign = {}
+        for i, v in qv.items():
+            best = min(
+                cells.items(),
+                key=lambda kv: (
+                    -sum(a * b for a, b in zip(v, kv[1][0]))
+                    / (math.sqrt(norm[i]) * math.sqrt(kv[1][1])),
+                    kv[0],
+                ),
+            )[0]
+            assign[i] = best
+        cells = {}
+        for c in set(assign.values()):
+            members = [qv[i] for i in assign if assign[i] == c]
+            cv = [sum(col) for col in zip(*members)]
+            cells[c] = (cv, sum(x * x for x in cv))
+    expect = {}
+    for c in set(assign.values()):
+        members = [qv[i] for i in assign if assign[i] == c]
+        for d in range(4):
+            expect.setdefault(c, {})[d + 1] = (
+                len(members), sum(v[d] for v in members)
+            )
+    assert got == expect
+
+
 def test_semantic_dedup_incremental_flags_only_delta(spark):
     """The probe reports delta vectors only: an exact re-send and a
     jittered copy flag against the base; a novel direction does not —
