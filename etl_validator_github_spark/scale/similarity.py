@@ -605,14 +605,37 @@ QUALIFY rank <= {TOP_K}
 # ---------------------------------------------------------------------------
 
 
+#: Mega-cell cap (the `MAX_BUCKET_SIZE` precedent from the LSH path,
+#: dedup.py): a cell whose population exceeds this contributes NO pairs
+#: — the within-cell quadratic is SemDeDup's design cost only while
+#: per-cell populations stay bounded, and a degenerate quantizer (or a
+#: corpus of near-identical vectors) must degrade to "flag nothing for
+#: this cell" rather than an O(cell²) blowup. Mirrored in the oracles,
+#: never triggered by the fixtures.
+MAX_CELL_PAIR_POP = 10_000
+
+
+def _pairable_cells(assigned: DataFrame,
+                    max_pop: int) -> DataFrame:
+    """Cells whose population permits pairwise comparison."""
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__pop"))
+        .filter(F.col("__pop") <= max_pop)
+        .select("cell")
+    )
+
+
 def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
-                        threshold: float = NEAR_DUP_COS) -> DataFrame:
+                        threshold: float = NEAR_DUP_COS,
+                        max_cell_pop: int = MAX_CELL_PAIR_POP) -> DataFrame:
     """(vec_id, cell, keep) for every corpus vector.
 
     ``centroid_source`` supplies the labeled vectors the IVF cells are
     built from (the coarse quantizer); ``corpus`` is what gets assigned
     and deduplicated — so an augmented/unlabeled delta can be deduped
-    against centroids trained on the base corpus.
+    against centroids trained on the base corpus. Cells above
+    ``max_cell_pop`` are excluded from pairing (their vectors all keep).
 
     Plan note: the assignment subtree is referenced three times (pair
     left side, pair right side, keep-list output) and Spark does not
@@ -628,7 +651,10 @@ def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
         F.col("top_cells")[0]["label"].alias("cell"),
         "qv", "norm2",
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    pairable = assigned.join(
+        F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
+    )
+    a, b = pairable.alias("a"), pairable.alias("b")
     cos = (
         F.expr(_DOT.format(a="a.qv", b="b.qv"))
         / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
@@ -692,10 +718,15 @@ vecs AS (
   FROM with_norm v CROSS JOIN cells c
 ), assign AS (
   SELECT vec_id, label AS cell, qv, norm2 FROM ranked WHERE rnk = 1
+), pop AS (
+  SELECT cell, COUNT(*) AS n FROM assign GROUP BY 1
+), small AS (
+  SELECT cell FROM pop WHERE n <= {MAX_CELL_PAIR_POP}
 ), drops AS (
   SELECT DISTINCT b.vec_id
-  FROM assign a JOIN assign b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM assign a
+  JOIN small sc ON a.cell = sc.cell
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE {dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2)) >= {NEAR_DUP_COS}
 )
 SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
@@ -845,18 +876,28 @@ GROUP BY a.cell, n.n_vecs, d.dim
 
 
 def semantic_dedup_incremental(delta: DataFrame, base: DataFrame,
-                               threshold: float = NEAR_DUP_COS) -> DataFrame:
+                               threshold: float = NEAR_DUP_COS,
+                               max_cell_pop: int = MAX_CELL_PAIR_POP,
+                               ) -> DataFrame:
     """(vec_id, cell, n_base_near_dups, is_semantic_dup) per delta vector.
 
     Cells are built from ``base`` (the coarse quantizer a deployment
     trains once); both sides are assigned map-side; the probe joins on
     the cell id with the cosine threshold inside the join condition, so
-    clean delta vectors survive the left join with a zero count.
+    clean delta vectors survive the left join with a zero count. Base
+    cells above ``max_cell_pop`` contribute no hits (mega-cell cap).
     """
     cells = ivf_cells(base)
-    b = cell_assignments(quantized(base), cells, nprobe=1).select(
+    b_assigned = cell_assignments(quantized(base), cells, nprobe=1).select(
+        F.col("vec_id"),
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    )
+    b = b_assigned.join(
+        F.broadcast(_pairable_cells(b_assigned, max_cell_pop)), "cell"
+    ).select(
         F.col("vec_id").alias("b_vec_id"),
-        F.col("top_cells")[0]["label"].alias("b_cell"),
+        F.col("cell").alias("b_cell"),
         F.col("qv").alias("b_qv"),
         F.col("norm2").alias("b_norm2"),
     )
@@ -940,8 +981,13 @@ base_vecs AS (
            ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
                     c.label ASC) AS rnk
   FROM delta_n v CROSS JOIN cells c
-), base_assign AS (
+), base_assign0 AS (
   SELECT vec_id, label AS cell, qv, norm2 FROM base_ranked WHERE rnk = 1
+), base_pop AS (
+  SELECT cell, COUNT(*) AS n FROM base_assign0 GROUP BY 1
+), base_assign AS (
+  SELECT a.* FROM base_assign0 a
+  JOIN base_pop p ON a.cell = p.cell AND p.n <= {MAX_CELL_PAIR_POP}
 ), delta_assign AS (
   SELECT vec_id, label AS cell, qv, norm2 FROM delta_ranked WHERE rnk = 1
 )

@@ -413,6 +413,34 @@ def test_kmeans_matches_pure_python_lloyd(spark):
     assert got == expect
 
 
+def test_semantic_dedup_mega_cell_cap(spark):
+    """A cell whose population exceeds max_cell_pop contributes no
+    pairs: its vectors all keep (and an incremental probe into it finds
+    no hits), while normal cells still deduplicate."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),      # hot cell: 3 exact copies
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),      # normal cell: 1 dup pair
+    ]
+    df = _vecs(spark, rows)
+    out = {r.vec_id: r.keep
+           for r in similarity.semantic_dedup_keep(
+               df, df, max_cell_pop=2).collect()}
+    assert out[0] == out[1] == out[2] == 1     # capped cell: no drops
+    assert out[3] == 1 and out[4] == 0         # normal cell still dedups
+
+    delta = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    inc = {r.vec_id: r.is_semantic_dup
+           for r in similarity.semantic_dedup_incremental(
+               delta, df, max_cell_pop=2).collect()}
+    assert inc == {100: 0, 101: 1}             # capped base cell: no hits
+
+
 def test_semantic_dedup_incremental_flags_only_delta(spark):
     """The probe reports delta vectors only: an exact re-send and a
     jittered copy flag against the base; a novel direction does not —
