@@ -14,13 +14,13 @@ Rotation policy (highest priority first):
 
 Round-6 window under that policy: the two r5 stragglers
 (events_retention / events_transitions — the only catalog entries never
-driver-checked), the five new r6 queries (dedup_semantic_keep,
+driver-checked), the six new r6 queries (dedup_semantic_keep,
 dedup_semantic_incremental, embed_kmeans, text_token_fertility,
-corpus_quality_drift), the three whose plan or oracle changed this
-round (embed_ivf_topk map-side assignment; multimodal_features /
-multimodal_resize real netpbm decode), then every query whose last
-green verdict is r2 (26) or r3 (3), and 11 of the 15 r4-verdict
-queries.
+corpus_quality_drift, events_hourly_anomalies), the three whose plan
+or oracle changed this round (embed_ivf_topk map-side assignment;
+multimodal_features / multimodal_resize real netpbm decode), then
+every query whose last green verdict is r2 (26) or r3 (3), and 10 of
+the 15 r4-verdict queries.
 Everything rotated out carries a green r5 verdict and stays covered by
 the repo-local parity mirror (tests/test_oracle_parity.py,
 tests/test_oracle_dtypes.py) over the FULL catalog.
@@ -85,6 +85,7 @@ _R6_GATE = (
     "embed_kmeans",
     "text_token_fertility",
     "corpus_quality_drift",
+    "events_hourly_anomalies",
     # -- plan/oracle changed in r6
     "embed_ivf_topk",
     "multimodal_features",
@@ -120,10 +121,11 @@ _R6_GATE = (
     "top_customers",
     "customers_without_orders",
     "priorities_per_customer",
-    # -- last green verdict r4 (11 of 15 — the newest verdicts are the
+    # -- last green verdict r4 (10 of 15 — the newest verdicts are the
     #    displacement pool: q12_priority_by_status, skew_salted_rollup,
-    #    schema_drift and window_functions sit past the gate, their
-    #    operator families already well-represented in-window)
+    #    schema_drift, window_functions and nation_balance_setops sit
+    #    past the gate, their operator families already
+    #    well-represented in-window)
     "customers_with_high_value_orders",
     "latest_order_per_customer",
     "duplicate_customer_priority",
@@ -134,7 +136,6 @@ _R6_GATE = (
     "events_asof_join",
     "events_range_join",
     "events_type_pivot",
-    "nation_balance_setops",
 )
 
 assert len(_R6_GATE) == _DRIVER_GATE, (

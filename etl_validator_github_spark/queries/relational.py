@@ -2238,6 +2238,80 @@ FROM pairs
 """
 
 
+# ---------------------------------------------------------------------------
+# Events: hourly anomaly detection — the alerting read-out over the
+# rollup stream. The 2σ rule evaluated in EXACT integers: with N hours,
+# S = Σn and Q = Σn² per event type, |n − μ| > 2σ multiplies out to
+# (N·n − S)² > 4·(N·Q − S²), so the flag is bit-identical in any engine
+# — no float mean, no float variance, no sqrt. Two tiny shuffles: the
+# (type, hour) rollup, then the per-type stats broadcast back onto the
+# hourly rows. At 100 TB the hourly table is already minute compared to
+# the event stream; everything after the first rollup is negligible.
+# ---------------------------------------------------------------------------
+
+
+def hourly_anomalies(ev: DataFrame) -> DataFrame:
+    """Anomalous (event_type, hour) cells of an events frame carrying
+    ``event_type`` and ``ts_us`` columns."""
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"ts_us div {_US_PER_HOUR}").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s_tot"),
+        F.sum(F.col("n") * F.col("n")).alias("q_tot"),
+    )
+    dev = F.col("n_hours") * F.col("n") - F.col("s_tot")
+    var4 = 4 * (F.col("n_hours") * F.col("q_tot")
+                - F.col("s_tot") * F.col("s_tot"))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > var4)
+        .select(
+            "event_type",
+            (F.col("hour") * F.lit(3600)).alias("hour_epoch"),
+            F.col("n").alias("n_events"),
+            "n_hours",
+            F.expr("(1000 * s_tot) div n_hours").alias("mean_milli"),
+            F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1))
+            .cast("int").alias("dev_sign"),
+        )
+    )
+
+
+def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_anomalies(load_events(spark, sf_dir))
+
+
+_ANOMALIES_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n) AS BIGINT) AS s_tot,
+         CAST(SUM(n * n) AS BIGINT) AS q_tot
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type,
+       h.hour * 3600 AS hour_epoch,
+       h.n AS n_events,
+       s.n_hours,
+       (1000 * s.s_tot) // s.n_hours AS mean_milli,
+       CAST(CASE WHEN s.n_hours * h.n - s.s_tot > 0 THEN 1 ELSE -1 END AS INT)
+         AS dev_sign
+FROM hourly h JOIN stats s USING (event_type)
+WHERE (s.n_hours * h.n - s.s_tot) * (s.n_hours * h.n - s.s_tot)
+      > 4 * (s.n_hours * s.q_tot - s.s_tot * s.s_tot)
+"""
+
+
 #: Past-gate additions (registered AFTER the relational priority list in
 #: queries/__init__.py): repo-local parity covers them until a future
 #: rotation brings them into the driver window.
@@ -2250,5 +2324,10 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
         Query("events_transitions", _events_transitions, _TRANSITIONS_SQL,
               "Event-type transition matrix: consecutive-pair counts per "
               "user stream + exact milli-probabilities."),
+        Query("events_hourly_anomalies", _events_anomalies, _ANOMALIES_SQL,
+              "Hourly volume anomalies per event type: the 2-sigma rule "
+              "multiplied out to exact integers ((N*n - S)^2 > "
+              "4*(N*Q - S^2)) — bit-identical cross-engine, no float "
+              "stats."),
     ]
 }

@@ -54,3 +54,33 @@ def test_funnel_window_and_order(spark, tmp_path):
     assert got[2].stage == 1 and got[2].t2_us is None
     assert got[3].stage == 1
     assert got[4].stage == 2 and got[4].t3_us is None
+
+
+def test_hourly_anomalies_exact_two_sigma(spark):
+    """Hand-computed 2σ flag: nine quiet hours of 10 events and one
+    spike hour of 60. N=10, S=150, Q=4500: spike dev = 10·60−150 = 450,
+    450² = 202500 > 4·(10·4500−150²) = 90000 → flagged; quiet hours
+    dev = −50, 2500 < 90000 → not flagged. A perfectly uniform type
+    produces no rows (variance 0 with a strict > comparison)."""
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.queries.relational import (
+        hourly_anomalies,
+    )
+
+    _H = 3600 * 1_000_000
+    rows = []
+    for h in range(9):
+        rows += [("spiky", h)] * 10
+    rows += [("spiky", 9)] * 60
+    for h in range(10):
+        rows += [("flat", h)] * 7
+    ev = spark.createDataFrame(
+        [(t, h * _H) for t, h in rows], "event_type: string, ts_us: long"
+    )
+    out = hourly_anomalies(ev).collect()
+    assert [(r.event_type, r.hour_epoch // 3600, r.dev_sign, r.n_events)
+            for r in out] == [("spiky", 9, 1, 60)]
+    r = out[0]
+    assert r.n_hours == 10
+    assert r.mean_milli == (1000 * 150) // 10   # 15000
