@@ -156,8 +156,10 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
 
     ``--mode exact`` labels by content hash; ``--mode fuzzy`` runs the
     full LSH → Jaccard-verify → connected-components pass
-    (scale/dedup.py). Writes the (doc_id, cluster_id, keep) keep-list,
-    or the surviving documents themselves with ``--write-docs``.
+    (scale/dedup.py); ``--mode semantic`` runs the SemDeDup pass over an
+    EMBEDDINGS parquet (vec_id, embedding, label — labels seed the IVF
+    cells). Writes the keep-list, or the surviving rows themselves with
+    ``--write-docs``.
     """
     from pyspark.sql import functions as F
 
@@ -171,6 +173,28 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corpus-dedup")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
+    if args.mode == "semantic":
+        from etl_validator_github_spark.scale.similarity import (
+            semantic_dedup_keep,
+        )
+
+        keep = semantic_dedup_keep(docs, docs)
+        if args.write_docs:
+            out = docs.join(
+                keep.filter(F.col("keep") == 1).select("vec_id"),
+                "vec_id", "left_semi",
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+        else:
+            keep.write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            n_in = written.count()
+            n_out = written.filter(F.col("keep") == 1).count()
+        print(f"semantic dedup: {n_in} vectors -> {n_out} kept "
+              f"({n_in - n_out} dropped) -> {args.output}")
+        return 0
     if args.mode == "incremental":
         if not args.corpus:
             raise SystemExit("--mode incremental requires --corpus")
@@ -305,7 +329,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("input")
     d.add_argument("--output", required=True)
-    d.add_argument("--mode", choices=("exact", "fuzzy", "incremental"),
+    d.add_argument("--mode",
+                   choices=("exact", "fuzzy", "incremental", "semantic"),
                    default="exact")
     d.add_argument("--corpus", default=None,
                    help="incremental mode: parquet of the already-"

@@ -290,6 +290,35 @@ def test_cli_dedup_exact_and_fuzzy(spark, tmp_path, capsys):
     assert survivors == [0, 2]
 
 
+def test_cli_dedup_semantic_mode(spark, tmp_path, capsys):
+    """Semantic mode over an embeddings parquet: the exact-copy vector
+    drops to the lowest id in its cell; --write-docs keeps survivors."""
+    src = tmp_path / "vecs.parquet"
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0, 0.0], 0),     # exact dup -> dropped
+            (2, [0.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id: long, embedding: array<float>, label: int",
+    ).write.parquet(str(src))
+
+    keep_out = tmp_path / "vkeep.parquet"
+    assert main(["dedup", str(src), "--mode", "semantic",
+                 "--output", str(keep_out)]) == 0
+    keep = {r.vec_id: r.keep
+            for r in spark.read.parquet(str(keep_out)).collect()}
+    assert keep == {0: 1, 1: 0, 2: 1}
+    assert "3 vectors -> 2 kept (1 dropped)" in capsys.readouterr().out
+
+    docs_out = tmp_path / "vdocs.parquet"
+    assert main(["dedup", str(src), "--mode", "semantic", "--write-docs",
+                 "--output", str(docs_out)]) == 0
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(str(docs_out)).collect()
+    ) == [0, 2]
+
+
 def test_cli_dedup_incremental_mode(spark, tmp_path, capsys):
     """Incremental mode: batch docs probe the corpus index; an exact
     re-send and a fresh doc are flagged correctly."""
