@@ -153,6 +153,28 @@ GROUP BY 1, 2, 3
 """
 
 
+def snapshot_schema_drift(old: DataFrame, new: DataFrame) -> dict[str, list]:
+    """Schema-level diff between two corpus versions — the lake-scale
+    analogue of the bank pipeline's R24 file check (schema.py): columns
+    added / removed / type-changed between rebuilds. Metadata only
+    (``df.schema``) — no data is read, so it costs nothing at any scale
+    and belongs at the front of every rebuild validation, before a
+    single row moves.
+
+    Returns {"added": [name], "removed": [name],
+    "type_changed": [(name, old_type, new_type)]}.
+    """
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    return {
+        "added": sorted(set(n) - set(o)),
+        "removed": sorted(set(o) - set(n)),
+        "type_changed": sorted(
+            (c, o[c], n[c]) for c in set(o) & set(n) if o[c] != n[c]
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Quality-drift report between two corpus versions — the monitoring
 # read-out a pipeline owner checks after every rebuild: per language,

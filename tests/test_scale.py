@@ -466,6 +466,31 @@ def test_semantic_dedup_incremental_flags_only_delta(spark):
     assert out[102][1] == 0
 
 
+def test_snapshot_schema_drift_detects_all_classes(spark):
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.scale.snapshots import (
+        snapshot_schema_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0)], "doc_id: long, text: string, score: double"
+    )
+    new = (
+        old.drop("score")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("doc_id", F.col("doc_id").cast("int"))
+    )
+    drift = snapshot_schema_drift(old, new)
+    assert drift == {
+        "added": ["lang"],
+        "removed": ["score"],
+        "type_changed": [("doc_id", "bigint", "int")],
+    }
+    same = snapshot_schema_drift(old, old)
+    assert same == {"added": [], "removed": [], "type_changed": []}
+
+
 def test_quality_drift_exact_milli(spark):
     from etl_validator_github_spark.scale.snapshots import quality_drift
 
