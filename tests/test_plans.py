@@ -140,6 +140,31 @@ def test_semantic_dedup_pairs_join_on_cell_key(spark, sf_dir, name):
     assert "hashpartitioning(cell" in p or "BroadcastHashJoin" in p, p
 
 
+def test_token_fertility_single_shuffle(spark, sf_dir):
+    """The fertility report is a map-only projection into ONE hash-agg
+    on the tiny (lang, source) key space — exactly one exchange."""
+    p = plan(spark, sf_dir, "text_token_fertility")
+    assert _n_exchanges(p) == 1, p
+    assert "Join" not in p
+
+
+def test_quality_drift_has_no_join_between_versions(spark, sf_dir):
+    """Both corpus versions stream through one conditional hash-agg —
+    a version-keyed join (the naive diff shape) must never appear."""
+    p = plan(spark, sf_dir, "corpus_quality_drift")
+    assert "Join" not in p, p
+    assert "Union" in p
+    assert _n_exchanges(p) == 1, p
+
+
+def test_hourly_anomalies_broadcasts_stats(spark, sf_dir):
+    """Per-type stats broadcast back onto the hourly rows: the hourly
+    table never re-shuffles for the flag join."""
+    p = plan(spark, sf_dir, "events_hourly_anomalies")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_split_assign_single_shuffle(spark, sf_dir):
     """Split assignment is map-only until the (lang, source, split)
     rollup — exactly one exchange."""
