@@ -779,7 +779,16 @@ def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
                     n_iters: int = KMEANS_ITERS) -> DataFrame:
     """(cell, n_vecs, dim, sum_q) after ``n_iters`` Lloyd iterations —
     the exploded exact-integer centroid table (sum per dimension plus
-    member count; consumers divide once if they want means)."""
+    member count; consumers divide once if they want means).
+
+    Plan note: the unrolled lineage nests each iteration's centroid
+    build inside the next assignment, and the final output references
+    the last assignment twice, so the corpus takes O(n_iters) map
+    passes per output reference. A production run at 100 TB persists
+    (or writes) each iteration's assignment — standard for iterative
+    algorithms on Spark; the fixture-scale catalog query stays
+    materialization-free so the oracle comparison sees one pure plan.
+    """
     vecs = quantized(embeddings)
     # Deterministic seeding: the first k vectors ARE the initial
     # centroids (their own label = vec_id).

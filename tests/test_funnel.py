@@ -1,6 +1,8 @@
-"""Ordered-funnel semantics (queries/relational.py::_events_funnel):
-stage timestamps must be strictly increasing AND inside the conversion
-window, and users stall at the stage where either condition fails."""
+"""Events analytics semantics: the ordered funnel
+(queries/relational.py::_events_funnel — stage timestamps must be
+strictly increasing AND inside the conversion window, users stall at
+the stage where either condition fails) and the exact-integer hourly
+anomaly flag (hourly_anomalies)."""
 
 from __future__ import annotations
 
