@@ -16,6 +16,12 @@ order-insensitive value hash), so every query here is engineered for
   by a key column), so both engines select the same row set.
 - Timestamps are cast to DATE (or epoch seconds) before output; the
   Spark session runs in UTC to match DuckDB's naive timestamps.
+- Iterative algorithms are oracle-checkable by fixing the iteration
+  count and unrolling it into the SQL (``embed_kmeans``: each Lloyd
+  pass is one assignment CTE + one centroid CTE). Statistical
+  comparisons multiply out to pure integers instead of computing float
+  moments (``events_hourly_anomalies``: the 2σ band as
+  (N·n−S)² > 4·(N·Q−S²)).
 """
 
 from __future__ import annotations
