@@ -175,9 +175,27 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     docs = spark.read.parquet(args.input)
     if args.mode == "semantic":
         from etl_validator_github_spark.scale.similarity import (
+            semantic_dedup_incremental,
             semantic_dedup_keep,
         )
 
+        if args.corpus:
+            # Incremental probe: flag input vectors against the BASE
+            # corpus's cells only (labels come from the base).
+            if args.write_docs:
+                raise SystemExit(
+                    "--write-docs is not supported with --mode semantic "
+                    "--corpus (the output is the per-vector flags table)"
+                )
+            base = spark.read.parquet(args.corpus)
+            flags = semantic_dedup_incremental(docs, base)
+            flags.write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            n_in = written.count()
+            n_dup = written.filter(F.col("is_semantic_dup") == 1).count()
+            print(f"semantic dedup: {n_in} batch vectors, {n_dup} flagged "
+                  f"against corpus cells -> {args.output}")
+            return 0
         keep = semantic_dedup_keep(docs, docs)
         if args.write_docs:
             out = docs.join(

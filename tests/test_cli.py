@@ -319,6 +319,36 @@ def test_cli_dedup_semantic_mode(spark, tmp_path, capsys):
     ) == [0, 2]
 
 
+def test_cli_dedup_semantic_incremental(spark, tmp_path, capsys):
+    """--mode semantic --corpus: delta vectors flagged against the base
+    corpus's cells; --write-docs is refused (output is flags)."""
+    import pytest
+
+    base = tmp_path / "vbase.parquet"
+    delta = tmp_path / "vdelta.parquet"
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id: long, embedding: array<float>, label: int",
+    ).write.parquet(str(base))
+    spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id: long, embedding: array<float>",
+    ).write.parquet(str(delta))
+
+    out = tmp_path / "vflags.parquet"
+    assert main(["dedup", str(delta), "--mode", "semantic",
+                 "--corpus", str(base), "--output", str(out)]) == 0
+    flags = {r.vec_id: r.is_semantic_dup
+             for r in spark.read.parquet(str(out)).collect()}
+    assert flags == {100: 1, 101: 0}
+    assert "2 batch vectors, 1 flagged" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="not supported"):
+        main(["dedup", str(delta), "--mode", "semantic",
+              "--corpus", str(base), "--write-docs",
+              "--output", str(tmp_path / "x.parquet")])
+
+
 def test_cli_dedup_incremental_mode(spark, tmp_path, capsys):
     """Incremental mode: batch docs probe the corpus index; an exact
     re-send and a fresh doc are flagged correctly."""
