@@ -86,3 +86,41 @@ def test_hourly_anomalies_exact_two_sigma(spark):
     r = out[0]
     assert r.n_hours == 10
     assert r.mean_milli == (1000 * 150) // 10   # 15000
+
+
+def test_hourly_anomalies_property_matches_pure_python(spark):
+    """Property fuzz: for random small hourly tables, the Spark flags
+    equal an exact pure-Python recomputation of
+    (N·n−S)² > 4·(N·Q−S²)."""
+    import random
+
+    from etl_validator_github_spark.queries.relational import (
+        hourly_anomalies,
+    )
+
+    _H = 3600 * 1_000_000
+    rng = random.Random(11)
+    for trial in range(6):
+        cells = {}
+        for t in ("a", "b", "c")[: rng.randint(1, 3)]:
+            for h in range(rng.randint(1, 8)):
+                cells[(t, h)] = rng.randint(1, 9)
+        rows = [(t, h * _H) for (t, h), n in cells.items()
+                for _ in range(n)]
+        ev = spark.createDataFrame(
+            rows, "event_type: string, ts_us: long"
+        )
+        got = {(r.event_type, r.hour_epoch // 3600): r.dev_sign
+               for r in hourly_anomalies(ev).collect()}
+
+        expect = {}
+        for t in {t for t, _ in cells}:
+            ns = [n for (tt, _), n in cells.items() if tt == t]
+            N, S, Q = len(ns), sum(ns), sum(n * n for n in ns)
+            for (tt, h), n in cells.items():
+                if tt != t:
+                    continue
+                dev = N * n - S
+                if dev * dev > 4 * (N * Q - S * S):
+                    expect[(t, h)] = 1 if dev > 0 else -1
+        assert got == expect, f"trial {trial}: {got} != {expect}"
