@@ -301,18 +301,30 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+# Every fixture customer has at least one order, so an unrestricted anti
+# join is vacuously empty at every SF (VERDICT r6 finding #2). Restricting
+# the order side to "recent" orders preserves the left_anti / NOT EXISTS
+# shape while giving the operator real rows to negate: 14 / 135 / 1355
+# idle customers at sf0.001 / 0.01 / 0.1.
+_ANTI_CUTOFF = "2000-01-01"
+
+
 def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ANTI_CUTOFF
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
 
 
-_ANTI_SQL = """
+_ANTI_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '{_ANTI_CUTOFF}')
 """
 
 # ---------------------------------------------------------------------------
@@ -957,9 +969,19 @@ WHERE p_brand = 'Brand#23'
 # ---------------------------------------------------------------------------
 
 
+# "Idle" = no order since the cutoff. The fixture has no order-less
+# customer at all, so TPC-H's literal "no orders in 7 years" filter was
+# vacuous here (VERDICT r6 finding #2); the recent-order restriction
+# keeps the scalar-subquery + anti-join shape and yields 5 / 5 segment
+# rows at sf0.001 / sf0.01.
+_Q22_CUTOFF = "2000-01-01"
+
+
 def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _Q22_CUTOFF
+    )
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
         .agg((F.sum(cents("c_acctbal")) / F.count(F.lit(1))).alias("avg_cents"))
@@ -968,7 +990,7 @@ def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(cents("c_acctbal") > F.col("avg_cents"))
     )
-    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return (
         idle.groupBy("c_mktsegment")
         .agg(
@@ -979,7 +1001,7 @@ def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q22_SQL = """
+_Q22_SQL = f"""
 WITH avg_bal AS (
   SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / COUNT(*) AS avg_cents
   FROM customer WHERE c_acctbal > 0
@@ -989,7 +1011,9 @@ SELECT c_mktsegment,
        CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_balance
 FROM customer, avg_bal
 WHERE CAST(round(c_acctbal * 100) AS BIGINT) > avg_cents
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '{_Q22_CUTOFF}')
 GROUP BY 1
 ORDER BY 1
 """
@@ -1120,8 +1144,13 @@ ORDER BY s_suppkey
 # one final IEEE division.
 # ---------------------------------------------------------------------------
 
+# NATION_3 sits in EUROPE in the fixture (region names are continent-style
+# AFRICA/AMERICA/ASIA/EUROPE/MIDDLE EAST; nations are NATION_n). The region
+# MUST be the one containing the target nation or the share is trivially 0;
+# pre-r7 this was "REGION_1", which matched no fixture row and left the
+# whole 6-table join vacuously green (VERDICT r6 finding #1).
 _Q8_NATION = "NATION_3"
-_Q8_REGION = "REGION_1"
+_Q8_REGION = "EUROPE"
 
 
 def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,6 +61,22 @@ def test_rows_only_queries_run(spark):
             assert df.count() >= 0, name
 
 
+# Queries that were once vacuously green (both engines returned 0 rows, so
+# the hash match proved nothing — VERDICT r6). Pin non-emptiness so a
+# fixture or constant drift can't silently re-vacuate them.
+_MUST_BE_NONEMPTY = [
+    "q8_market_share",
+    "q22_idle_rich_customers",
+    "customers_without_orders",
+]
+
+
+@pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
+def test_devacuated_queries_return_rows(spark, name):
+    df = CATALOG[name].build(spark, SF_DIR)
+    assert df.count() > 0, f"{name} is vacuous again (0 rows at sf0.001)"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 
