@@ -1261,6 +1261,151 @@ SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Substring-level (sliding-window) exact dedup — the Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499) span family: duplicated ≥k-token SPANS, not whole
+# docs (dedup_exact) or fixed-boundary chunks (chunk_dedup_stats, the
+# k-aligned special case of this operator). Every k-token sliding
+# window is hashed; a window whose hash occurs more than once anywhere
+# in the corpus is a duplicated span, and per doc we report how many
+# token positions fall inside at least one duplicated span.
+#
+# Scale shape (100 TB): (1) windowing is map-only (split + slice + md5
+# inside one projection — a doc with n tokens emits n-k+1 hashes);
+# (2) ONE hash-agg on the window hash with map-side combine — shuffle
+# volume is distinct hashes, not occurrences; (3) occurrences join back
+# to the counts on the hash key (same documented shape as
+# chunk_dedup_stats above); (4) the per-doc interval-union runs only
+# over DUPLICATED windows — a tiny fraction of the corpus — partitioned
+# by doc_id (uniform keys, no skew). Because all windows share length
+# k, the union of [pos, pos+k-1] over sorted starts is exactly
+# sum(min(k, pos - lag(pos))) with k for the first span — no interval
+# merge state, just one lag() pass.
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 20
+#: Keep a doc iff at most this per-mille of its tokens sit in
+#: duplicated spans.
+SPAN_MAX_COVERAGE_MILLI = 500
+
+
+def substring_span_stats(docs: DataFrame,
+                         span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Per-doc duplicated-span report: window counts, duplicated-window
+    counts, exact token positions covered by duplicated spans, and a
+    keep flag (coverage ≤ SPAN_MAX_COVERAGE_MILLI ‰)."""
+    from pyspark.sql import Window
+
+    k = int(span_tokens)
+    base = (
+        docs.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select("doc_id", F.size("__toks").cast("int").alias("n_tokens"),
+                "__toks")
+    )
+    # sequence(1, stop) DESCENDS when stop < 1 — short docs must take
+    # the empty-array branch, not a reversed sequence.
+    hashes = F.expr(
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', slice(__toks, i, {k}))))"
+    )
+    wins = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.when(F.col("n_tokens") >= k, hashes)
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("idx", "h"),
+        )
+        # 1-based window start so Spark and the oracle agree on `pos`.
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+    )
+    gc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("global_count"))
+    dup = (
+        wins.join(gc.filter(F.col("global_count") > 1), "h")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    seg = (
+        F.when(prev.isNull(), F.lit(k))
+        .otherwise(F.least(F.lit(k), F.col("pos") - prev))
+    )
+    per = (
+        dup.withColumn("__seg", seg)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dup_windows"),
+            F.sum("__seg").cast("int").alias("covered_tokens"),
+        )
+    )
+    joined = base.select("doc_id", "n_tokens").join(per, "doc_id", "left")
+    covered = F.coalesce("covered_tokens", F.lit(0))
+    # Exact integer per-mille — `div` keeps the compare engine-portable
+    # (all values non-negative, so truncation == floor on both sides).
+    milli = F.expr("div(1000 * coalesce(covered_tokens, 0), n_tokens)") \
+        .cast("int")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(0))
+        .cast("int").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        covered.cast("int").alias("covered_tokens"),
+        milli.alias("coverage_milli"),
+        (milli <= F.lit(SPAN_MAX_COVERAGE_MILLI)).cast("int")
+        .alias("span_keep"),
+    )
+
+
+def _substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_span_stats(load(spark, sf_dir, "documents"))
+
+
+_K = SPAN_TOKENS
+_SUBSTRING_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, t FROM tok
+), w AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(n_tokens - {_K - 1}, 0) + 1)) AS pos,
+         unnest(list_transform(range(1, greatest(n_tokens - {_K - 1}, 0) + 1),
+                i -> md5(array_to_string(list_slice(t, i, i + {_K - 1}), ' '))))
+           AS h
+  FROM base
+), gc AS (
+  SELECT h, COUNT(*) AS global_count FROM w GROUP BY 1
+), dup AS (
+  SELECT doc_id, pos FROM w JOIN gc USING (h) WHERE global_count > 1
+), seg AS (
+  SELECT doc_id,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              THEN {_K}
+              ELSE least({_K},
+                         pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos))
+         END AS seg
+  FROM dup
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_windows,
+         CAST(SUM(seg) AS INT) AS covered_tokens
+  FROM seg GROUP BY 1
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       CAST(greatest(b.n_tokens - {_K - 1}, 0) AS INT) AS n_windows,
+       coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       CAST((1000 * coalesce(p.covered_tokens, 0)) // b.n_tokens AS INT)
+         AS coverage_milli,
+       CAST((1000 * coalesce(p.covered_tokens, 0)) // b.n_tokens
+            <= {SPAN_MAX_COVERAGE_MILLI} AS INT) AS span_keep
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+
 #: Round-4/5 additions, registered directly after the scale block in
 #: queries/__init__.py (inside the driver gate as of the r5 rotation).
 DEDUP_EXTRA_QUERIES: dict[str, Query] = {
@@ -1282,5 +1427,11 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "Dup-cluster size histogram: the report a pipeline owner "
               "reads to judge duplication structure (two hash-agg "
               "levels over the component labels)."),
+        Query("dedup_substring_spans", _substring_spans_q,
+              _SUBSTRING_SPANS_SQL,
+              "Sliding-window substring dedup (Lee et al. 2022): per-doc "
+              "duplicated k-token span counts and exact token coverage "
+              "via a same-length interval union (one lag pass over the "
+              "duplicated windows only)."),
     ]
 }

@@ -348,6 +348,17 @@ def test_changelog_compaction_single_key_shuffle(spark, sf_dir):
     assert _n_exchanges(p) <= 2
 
 
+def test_substring_spans_two_real_shuffles(spark, sf_dir):
+    """Sliding-window span dedup: windowing is map-only, so the only
+    real Exchanges are the hash-agg on the window hash and the per-doc
+    interval-union window. Count-side and per-doc joins broadcast at
+    test scale; no all-pairs fallback may appear."""
+    p = plan(spark, sf_dir, "dedup_substring_spans")
+    assert _n_exchanges(p) <= 2, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "Window" in p
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale evidence: the session's AQE skew-join config actually
     splits a hot-key partition at runtime (SortMergeJoin(skew=true)).

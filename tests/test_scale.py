@@ -846,6 +846,37 @@ def test_chunk_dedup_stats_matches_brute_force(spark):
     assert got[0]["chunk_keep"] == 1 and got[1]["chunk_keep"] == 0
 
 
+def test_substring_span_stats_hand_computed(spark):
+    """Coverage is an exact interval union: overlapping duplicated
+    windows must not double-count token positions, and gaps must split
+    the union (doc 3 covers [1-10] ∪ [11-14] = 14 of 14 tokens)."""
+    from etl_validator_github_spark.scale.dedup import substring_span_stats
+
+    rows = [
+        "a b c d e f g h",                    # 'a b c d' at pos 1
+        "x y a b c d z w",                    # 'a b c d' at pos 3
+        "p q r",                              # shorter than one window
+        "a b c d q q q q q q a b c d",        # dup at 1, 5-7, 11
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in substring_span_stats(_docs(spark, rows),
+                                      span_tokens=4).collect()
+    }
+    assert (got[0]["n_windows"], got[0]["n_dup_windows"],
+            got[0]["covered_tokens"]) == (5, 1, 4)
+    assert got[0]["coverage_milli"] == 500 and got[0]["span_keep"] == 1
+    assert (got[1]["n_dup_windows"], got[1]["covered_tokens"]) == (1, 4)
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"],
+            got[2]["covered_tokens"], got[2]["span_keep"]) == (0, 0, 0, 1)
+    # doc 3: dup starts {1, 5, 6, 7, 11}; 'q q q q' repeats INSIDE the
+    # doc (starts 5-7), overlapping by 3 — union must count 14, not
+    # 5 windows * 4 tokens = 20.
+    assert (got[3]["n_windows"], got[3]["n_dup_windows"],
+            got[3]["covered_tokens"]) == (11, 5, 14)
+    assert got[3]["coverage_milli"] == 1000 and got[3]["span_keep"] == 0
+
+
 def test_decontaminate_matches_brute_force(spark):
     from etl_validator_github_spark.scale.dedup import (
         DECON_SHINGLE,
