@@ -1148,6 +1148,201 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling", arXiv:2302.03169 —
+# public method). Select raw-corpus docs that look like a target
+# domain: hashed n-gram bag-of-words features, per-feature importance
+# log-ratio between a target-domain sample and the raw corpus, per-doc
+# weight = mean feature log-ratio, then a deterministic md5-threshold
+# acceptance whose probability scales with the weight (the
+# mixture_upsample Bernoulli, so resampling is reproducible under any
+# partitioning).
+#
+# Integer-exact adaptation (contract.py determinism rules): the log is
+# floor-log2 of the add-one-smoothed bucket count (length(bin(c+1))-1
+# — exact in any engine), and the per-doc normalization divides the
+# two NON-NEGATIVE floor-log2 sums separately so `div` truncation and
+# `//` floor agree (negative integer division truncates toward zero in
+# Spark but floors in DuckDB — never divide a possibly-negative sum).
+#
+# Scale shape (100 TB): feature hashing is map-only (unigrams +
+# bigrams → md5 mod B); BOTH distributions aggregate to at most
+# B = 64 buckets (two hash-aggs whose output is bounded by B no matter
+# the corpus size) and broadcast back over the feature stream; the only
+# corpus-sized shuffle is the per-doc weight rollup on doc_id (uniform
+# keys). The target sample is a deterministic doc_id-keyed slice
+# standing in for a real target corpus, same convention as
+# decontaminate's benchmark slice.
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature bucket count (the DSIR paper uses 10^4; 64 keeps
+#: every bucket populated at fixture scale while bounding both
+#: distribution tables by construction).
+DSIR_BUCKETS = 64
+#: docs with doc_id % mod == 0 form the target-domain sample.
+DSIR_TARGET_MOD = 13
+#: acceptance granularity (per-mille, shared md5-Bernoulli convention).
+DSIR_ACCEPT_MOD = 1000
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket): hashed unigram + bigram features, map-only."""
+    toks = tokens()
+    grams = F.concat(
+        toks,
+        F.when(
+            F.size(toks) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", md5_mod("gram", DSIR_BUCKETS).alias("bucket"))
+    )
+
+
+def importance_resample(docs: DataFrame,
+                        target_mod: int = DSIR_TARGET_MOD) -> DataFrame:
+    """Per-doc DSIR report: feature count, target/raw floor-log2 score
+    sums, milli importance weight, acceptance probability (per-mille)
+    and the deterministic accept flag."""
+    feats = _dsir_features(docs)
+    fl2 = (F.length(F.bin(F.col("c") + F.lit(1))) - F.lit(1)).cast("long")
+    target_counts = (
+        feats.filter(F.col("doc_id") % target_mod == 0)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        .select("bucket", fl2.alias("t_fl2"))
+    )
+    raw_counts = (
+        feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        .select("bucket", fl2.alias("r_fl2"))
+    )
+    per_doc = (
+        feats
+        .join(F.broadcast(target_counts), "bucket", "left")
+        .join(F.broadcast(raw_counts), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum(F.coalesce("t_fl2", F.lit(0))).cast("long")
+            .alias("t_score"),
+            F.sum(F.coalesce("r_fl2", F.lit(0))).cast("long")
+            .alias("r_score"),
+        )
+    )
+    # Both operands of each div are non-negative — truncation == floor.
+    w_milli = (
+        F.expr("div(1000 * t_score, n_feats)")
+        - F.expr("div(1000 * r_score, n_feats)")
+    ).cast("long")
+    weighted = per_doc.select(
+        "doc_id", "n_feats", "t_score", "r_score",
+        w_milli.alias("weight_milli"),
+    )
+    # Self-normalization: raw weights carry a constant ≈ -log2(|corpus|/
+    # |target slice|) offset (the unnormalized-count ratio), so
+    # acceptance centers on the corpus MEAN weight — the integer form of
+    # dividing by the geometric-mean importance weight, which is what
+    # makes self-normalized importance resampling scale-free. (A
+    # bucket-total constant fl2(R)-fl2(T) would avoid this second pass
+    # but quantizes to whole bits — up to 1000 milli off-center, enough
+    # to clamp every doc to accept 0 or 1000.) One scalar agg, broadcast
+    # back (the q22 avg_bal shape). floor() on the double quotient (not
+    # integer div) because sum_w may be negative and Spark's div
+    # truncates where DuckDB's // floors.
+    #
+    # NOTE (scale): the unpersisted `weighted` subtree is referenced by
+    # both the output and the stats scalar, so the declarative plan
+    # recomputes the per-doc rollup twice. In a production run persist
+    # `weighted` first (a few ints per doc — the same note as
+    # similarity.py's semantic-dedup assignment); the oracle and the
+    # result are unaffected.
+    stats = weighted.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("weight_milli").cast("long").alias("__sum_w"),
+    )
+    mean_w = F.floor(
+        F.col("__sum_w").cast("double") / F.col("__n_docs")
+    ).cast("long")
+    accept_milli = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(DSIR_ACCEPT_MOD).cast("long"),
+                F.lit(500) + F.col("weight_milli") - mean_w),
+    )
+    return weighted.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "n_feats", "t_score", "r_score", "weight_milli",
+        accept_milli.alias("accept_milli"),
+        (md5_mod("doc_id", DSIR_ACCEPT_MOD) < accept_milli).cast("int")
+        .alias("accepted"),
+    )
+
+
+def _dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance_resample(load(spark, sf_dir, "documents"))
+
+
+_DSIR_MD5 = ("CAST(concat('0x', substring(md5(CAST({col} AS VARCHAR)), 1, 8)) "
+             "AS BIGINT)")
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                ELSE [] END)) AS gram
+  FROM tok
+), feats AS (
+  SELECT doc_id,
+         {_DSIR_MD5.format(col='gram')} % {DSIR_BUCKETS} AS bucket
+  FROM grams
+), target_counts AS (
+  SELECT bucket, length(bin(COUNT(*) + 1)) - 1 AS t_fl2
+  FROM feats WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY 1
+), raw_counts AS (
+  SELECT bucket, length(bin(COUNT(*) + 1)) - 1 AS r_fl2
+  FROM feats GROUP BY 1
+), per_doc AS (
+  SELECT f.doc_id,
+         COUNT(*) AS n_feats,
+         CAST(SUM(coalesce(tc.t_fl2, 0)) AS BIGINT) AS t_score,
+         CAST(SUM(coalesce(rc.r_fl2, 0)) AS BIGINT) AS r_score
+  FROM feats f
+  LEFT JOIN target_counts tc USING (bucket)
+  LEFT JOIN raw_counts rc USING (bucket)
+  GROUP BY 1
+), weighted AS (
+  SELECT doc_id, n_feats, t_score, r_score,
+         CAST((1000 * t_score) // n_feats
+              - (1000 * r_score) // n_feats AS BIGINT) AS weight_milli
+  FROM per_doc
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(weight_milli) AS BIGINT) AS sum_w
+  FROM weighted
+), centered AS (
+  SELECT doc_id, n_feats, t_score, r_score, weight_milli,
+         greatest(0, least({DSIR_ACCEPT_MOD},
+           500 + weight_milli
+               - CAST(floor(CAST(sum_w AS DOUBLE) / n_docs) AS BIGINT)))
+           AS accept_milli
+  FROM weighted, stats
+)
+SELECT doc_id, n_feats, t_score, r_score, weight_milli, accept_milli,
+       CAST({_DSIR_MD5.format(col='doc_id')} % {DSIR_ACCEPT_MOD}
+            < accept_milli AS INT) AS accepted
+FROM centered
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1167,5 +1362,9 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "Canonicalization pass before exact dedup: lower + "
               "punctuation strip + whitespace collapse, map-only, "
               "RE2-safe cross-engine."),
+        Query("docs_importance_resample", _dsir_q, _DSIR_SQL,
+              "DSIR-style importance resampling: hashed n-gram bucket "
+              "log-ratios vs a target-domain slice, exact-integer "
+              "floor-log2 weights, deterministic md5-threshold accept."),
     ]
 }

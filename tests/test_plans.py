@@ -359,6 +359,20 @@ def test_substring_spans_two_real_shuffles(spark, sf_dir):
     assert "Window" in p
 
 
+def test_importance_resample_bucket_tables_broadcast(spark, sf_dir):
+    """DSIR: both hashed-bucket distribution tables are bounded by
+    DSIR_BUCKETS, so they must broadcast — the corpus-sized feature
+    stream is never shuffled on bucket. The 1-row stats fold joins as a
+    BNLJ by design (the semantic-dedup convention); no CartesianProduct
+    may appear."""
+    p = plan(spark, sf_dir, "docs_importance_resample")
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p
+    # Two per-doc rollups (output + stats scalar — documented recompute)
+    # plus two B-bounded bucket aggs per subtree and the scalar fold.
+    assert _n_exchanges(p) <= 7, p
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale evidence: the session's AQE skew-join config actually
     splits a hot-key partition at runtime (SortMergeJoin(skew=true)).

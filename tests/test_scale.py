@@ -877,6 +877,33 @@ def test_substring_span_stats_hand_computed(spark):
     assert got[3]["coverage_milli"] == 1000 and got[3]["span_keep"] == 0
 
 
+def test_importance_resample_prefers_target_like_docs(spark):
+    """DSIR weights: a doc sharing the target slice's vocabulary must
+    outweigh one with disjoint vocabulary, and acceptance must stay a
+    valid per-mille probability."""
+    from etl_validator_github_spark.scale.text import importance_resample
+
+    rows = [
+        "apple banana apple banana cherry date",   # doc 0: the target slice
+        "apple banana cherry date apple banana",   # target-like
+        "zebra yak xylo walrus viper umbra",       # disjoint
+        "apple banana zebra yak cherry viper",     # mixed
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in importance_resample(_docs(spark, rows)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[1]["weight_milli"] > got[2]["weight_milli"]
+    assert (got[1]["weight_milli"] >= got[3]["weight_milli"]
+            >= got[2]["weight_milli"])
+    for r in got.values():
+        assert 0 <= r["accept_milli"] <= 1000
+        assert r["accepted"] in (0, 1)
+        # 11 features per 6-token doc: 6 unigrams + 5 bigrams.
+        assert r["n_feats"] == 11
+
+
 def test_decontaminate_matches_brute_force(spark):
     from etl_validator_github_spark.scale.dedup import (
         DECON_SHINGLE,
