@@ -173,7 +173,7 @@ PIXEL_STATS_SCHEMA = StructType([
 ])
 
 
-def attach_image_payload(docs: DataFrame) -> DataFrame:
+def attach_image_payload(docs: DataFrame, brighten: int = 0) -> DataFrame:
     """documents → (doc_id, payload binary): a REAL P6 PPM image per doc.
 
     Fixture synthesis for the decode path: width = 1 + h32 % {W},
@@ -182,6 +182,11 @@ def attach_image_payload(docs: DataFrame) -> DataFrame:
     oracle regenerates the same image without ever seeing the bytes.
     Encoded through ``encode_ppm``, decoded back by ``decode_ppm``: the
     bytes on the wire are genuine netpbm files.
+
+    ``brighten`` adds a saturating (min(b + Δ, 255)) per-byte brightness
+    shift — the deterministic stand-in for a re-encode: content hash
+    changes, perceptual structure survives (used by the dHash near-dup
+    fixture below).
     """
 
     def to_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -192,7 +197,8 @@ def attach_image_payload(docs: DataFrame) -> DataFrame:
                 w = 1 + h32 % IMG_W_MOD
                 h = 1 + h32 % IMG_H_MOD
                 raster = bytes(
-                    (h32 + PIXEL_STRIDE * i) % 256 for i in range(w * h * 3)
+                    min((h32 + PIXEL_STRIDE * i) % 256 + brighten, 255)
+                    for i in range(w * h * 3)
                 )
                 payloads.append(encode_ppm(w, h, raster))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -400,6 +406,154 @@ def frame_dedup_stats(frames: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: dHash (difference hash, the public
+# perceptual-hash family — 9×8 luma downsample, row-wise gradient sign
+# bits) over the REAL netpbm decoder. Catches re-encoded / brightness-
+# shifted duplicates whose content hash differs — the case
+# frame_dedup_stats' exact hashing cannot see.
+#
+# Scale shape (100 TB): hashing is Arrow-batched mapInPandas (decode +
+# downsample + 64-bit pack, map-only); candidate generation reuses the
+# SimHash pigeonhole blocking — any pair within Hamming ≤ 3 must agree
+# on one of four 16-bit fingerprint segments, so the join key is
+# (segment, value) with bounded buckets, never an image all-pairs.
+# The downsample is nearest-neighbor point sampling (x = gx·w/9,
+# y = gy·h/8, integer floor) — exact-integer, so the DuckDB oracle
+# regenerates the identical hash from the fixture-image arithmetic
+# without touching the binary (same re-derivation contract as
+# multimodal_features).
+# ---------------------------------------------------------------------------
+
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+DHASH_HAMMING = 3
+#: Saturating brightness shift for the injected near-dup copies —
+#: divisible by 3, so unsaturated luma shifts uniformly and gradient
+#: signs survive (only pixels clipped at 255 can flip bits).
+DHASH_BRIGHTEN = 6
+#: Every DHASH_COPY_MOD-th doc gets a brightened copy.
+DHASH_COPY_MOD = 5
+
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dhash", LongType()),
+    StructField("content_hash", StringType()),
+])
+
+
+def image_dhash(payloads: DataFrame) -> DataFrame:
+    """Binary image payload → 64-bit dHash (signed BIGINT, bit 63 via
+    two's complement like simhash) + payload content hash.
+
+    bit[gy*8+gx] = 1 iff luma(gy, gx+1) > luma(gy, gx) on the 9×8
+    point-sampled integer luma grid (luma = (r+g+b)//3).
+    """
+    import numpy as np
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, chashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h, nch, raster = decode_image(data)
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                if nch == 3:
+                    luma = (a[0::3] + a[1::3] + a[2::3]) // 3
+                else:
+                    luma = a
+                xs = [gx * w // DHASH_GRID_W for gx in range(DHASH_GRID_W)]
+                ys = [gy * h // DHASH_GRID_H for gy in range(DHASH_GRID_H)]
+                grid = [[int(luma[y * w + x]) for x in xs] for y in ys]
+                d = 0
+                for gy in range(DHASH_GRID_H):
+                    for gx in range(DHASH_GRID_W - 1):
+                        if grid[gy][gx + 1] > grid[gy][gx]:
+                            d |= 1 << (gy * 8 + gx)
+                if d >= 1 << 63:
+                    d -= 1 << 64
+                ids.append(doc_id)
+                hashes.append(d)
+                chashes.append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "dhash": pd.Series(hashes, dtype="int64"),
+                "content_hash": pd.Series(chashes, dtype="object"),
+            })
+
+    return payloads.mapInPandas(dh, DHASH_SCHEMA)
+
+
+#: Segment buckets beyond this population are dropped before pair
+#: expansion (the MinHash MAX_BUCKET_SIZE convention): a degenerate
+#: perceptual bucket — flat or near-flat images all hashing alike, the
+#: fixture's 1-pixel-wide images being the in-repo example — would
+#: otherwise expand quadratically. Mirrored exactly in the oracle.
+DHASH_MAX_BUCKET = 10_000
+
+
+def dhash_neardup_pairs(docs: DataFrame,
+                        max_hamming: int = DHASH_HAMMING,
+                        max_bucket_size: int = DHASH_MAX_BUCKET) -> DataFrame:
+    """(d1, d2, hamming) image near-dup pairs via segment-blocked dHash.
+
+    Fixture: base corpus ∪ brightness-shifted copies of every
+    DHASH_COPY_MOD-th doc — re-encodes with a DIFFERENT content hash
+    that dHash must still pair with the original. Blocking is the
+    simhash pigeonhole (Hamming ≤ 3 ⇒ one of four 16-bit segments
+    equal); pair generation groups bucket members and expands in-bucket
+    combinations (the minhash_candidate_pairs shape), so the decode +
+    hash pipeline — the dominant cost — runs ONCE in a single dataflow
+    with one shuffle on the bucket key, not once per self-join side.
+    Within the bucket cap the result equals all-pairs + filter exactly.
+    """
+    base = docs.select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % DHASH_COPY_MOD == 0).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text"
+    )
+    sigs = image_dhash(attach_image_payload(base)).unionAll(
+        image_dhash(attach_image_payload(copies, brighten=DHASH_BRIGHTEN))
+    )
+    n_seg = max_hamming + 1
+    seg_bits = 64 // n_seg
+    mask = (1 << seg_bits) - 1
+    segs = F.array(*[
+        F.struct(
+            F.lit(s).alias("seg"),
+            F.shiftright(F.col("dhash"), s * seg_bits)
+            .bitwiseAND(mask).alias("seg_val"),
+        )
+        for s in range(n_seg)
+    ])
+    grouped = (
+        sigs.select("doc_id", "dhash", F.explode(segs).alias("b"))
+        .groupBy(F.col("b.seg").alias("seg"),
+                 F.col("b.seg_val").alias("seg_val"))
+        .agg(F.sort_array(
+            F.collect_list(F.struct("doc_id", "dhash"))).alias("ids"))
+        .filter((F.size("ids") >= 2)
+                & (F.size("ids") <= F.lit(max_bucket_size)))
+    )
+    # ids is doc_id-sorted, so successor pairing yields d1 < d2 once
+    # per bucket; distinct collapses pairs sharing several segments.
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x.doc_id AS d1, y.doc_id AS d2, "
+                "x.dhash AS h1, y.dhash AS h2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2", "p.h1", "p.h2")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        pairs.select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return image_pixel_stats(attach_image_payload(docs))
@@ -427,6 +581,79 @@ def _frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_dedup_stats(
         sample_frames(extract_features(attach_payload(docs)))
     )
+
+
+def _dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dhash_neardup_pairs(load(spark, sf_dir, "documents"))
+
+
+# dHash oracle: regenerates the 9×8 point-sampled luma grid from the
+# fixture-image arithmetic (including the saturating brighten of the
+# injected copies), packs the 64 gradient bits identically, and then
+# mirrors the SEGMENT BLOCKING + bucket cap (not blocking-free
+# all-pairs): within the cap the result equals all-pairs + filter, and
+# mirroring the cap keeps the oracle exact at any corpus size where a
+# degenerate bucket overflows (the minhash_candidate_pairs convention).
+_DHASH_SQL = f"""
+WITH all_docs AS (
+  SELECT doc_id, text, 0 AS bright FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, text, {DHASH_BRIGHTEN} AS bright
+  FROM documents WHERE doc_id % {DHASH_COPY_MOD} = 0
+), dims AS (
+  SELECT doc_id, bright,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32,
+         1 + CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)
+             % {IMG_W_MOD} AS w,
+         1 + CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)
+             % {IMG_H_MOD} AS h
+  FROM all_docs
+), px AS (
+  SELECT doc_id, bright, h32, tgy.gy AS gy, tgx.gx AS gx,
+         3 * (((tgy.gy * h) // {DHASH_GRID_H}) * w
+              + ((tgx.gx * w) // {DHASH_GRID_W})) AS bi
+  FROM dims,
+       range(0, {DHASH_GRID_H}) AS tgy(gy),
+       range(0, {DHASH_GRID_W}) AS tgx(gx)
+), grid AS (
+  SELECT doc_id, gy, gx,
+         (least((h32 + {PIXEL_STRIDE} * (bi + 0)) % 256 + bright, 255)
+        + least((h32 + {PIXEL_STRIDE} * (bi + 1)) % 256 + bright, 255)
+        + least((h32 + {PIXEL_STRIDE} * (bi + 2)) % 256 + bright, 255))
+         // 3 AS luma
+  FROM px
+), bits AS (
+  SELECT l.doc_id, l.gy * 8 + l.gx AS j,
+         CASE WHEN r.luma > l.luma THEN 1 ELSE 0 END AS bit
+  FROM grid l JOIN grid r
+    ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+  WHERE l.gx < {DHASH_GRID_W - 1}
+), packed AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bit = 1 AND j = 63
+                       THEN (-9223372036854775807 - 1)
+                       WHEN bit = 1 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits GROUP BY 1
+), segs AS (
+  SELECT doc_id, dhash, ts.seg AS seg,
+         (dhash >> (ts.seg * 16)) & 65535 AS seg_val
+  FROM packed, range(0, {DHASH_HAMMING + 1}) AS ts(seg)
+), buckets AS (
+  SELECT seg, seg_val, COUNT(*) AS n FROM segs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         a.dhash AS h1, b.dhash AS h2
+  FROM segs a
+  JOIN segs b ON a.seg = b.seg AND a.seg_val = b.seg_val
+             AND a.doc_id < b.doc_id
+  JOIN buckets s ON s.seg = a.seg AND s.seg_val = a.seg_val
+  WHERE s.n <= {DHASH_MAX_BUCKET}
+)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {DHASH_HAMMING}
+"""
 
 
 # The oracle regenerates the synthetic image arithmetic in SQL (dims
@@ -556,5 +783,9 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "Cross-video frame-hash dedup: per-video fraction of "
               "sampled frames repeated anywhere in the corpus (chunk-"
               "dedup shape on the frame stream)."),
+        Query("multimodal_dhash_neardup", _dhash_q, _DHASH_SQL,
+              "Perceptual image near-dup: 64-bit dHash over the real "
+              "netpbm decoder, simhash pigeonhole blocking — pairs "
+              "brightness-shifted re-encodes exact hashing misses."),
     ]
 }

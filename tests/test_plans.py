@@ -373,6 +373,20 @@ def test_importance_resample_bucket_tables_broadcast(spark, sf_dir):
     assert _n_exchanges(p) <= 7, p
 
 
+def test_dhash_pipeline_runs_once_and_stays_blocked(spark, sf_dir):
+    """dHash near-dup: the groupBy-bucket pair expansion must keep the
+    decode+hash pipeline to ONE execution per corpus branch (4
+    MapInPandas: payload+hash for base and for copies — a bucket
+    self-join would double that), with only the bucket-key shuffle and
+    the distinct; never a cartesian fallback."""
+    import re
+
+    p = plan(spark, sf_dir, "multimodal_dhash_neardup")
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 4, p
+    assert _n_exchanges(p) <= 2, p
+    assert "CartesianProduct" not in p
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale evidence: the session's AQE skew-join config actually
     splits a hot-key partition at runtime (SortMergeJoin(skew=true)).

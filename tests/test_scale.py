@@ -537,6 +537,59 @@ def test_chunk_documents_edges(spark):
     assert sorted(by_doc[2]) == [(0, 50), (1, 50), (2, 1)]
 
 
+def test_dhash_pairs_brightened_reencode_despite_hash_change(spark):
+    """The dHash headline claim: a brightness-shifted re-encode has a
+    DIFFERENT content hash (exact dedup is blind to it) but must still
+    pair with its original within the Hamming threshold."""
+    from etl_validator_github_spark.scale import dedup as ddp
+    from etl_validator_github_spark.scale.multimodal import (
+        DHASH_BRIGHTEN,
+        DHASH_HAMMING,
+        attach_image_payload,
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    rows = ["alpha beta gamma delta", "wholly different text content",
+            "third unrelated doc body", "fourth document words here"]
+    docs = _docs(spark, rows)
+    pairs = {(r.d1, r.d2): r.hamming
+             for r in dhash_neardup_pairs(docs).collect()}
+    # doc 0 is the only doc_id % 5 == 0 → exactly its copy-pair must be
+    # found (plus any accidental base-base near-collisions).
+    copy_pair = (0, ddp.COPY_OFFSET)
+    assert copy_pair in pairs
+    assert pairs[copy_pair] <= DHASH_HAMMING
+    # …and the content hashes of the two payloads genuinely differ.
+    orig = {r.doc_id: r.content_hash
+            for r in image_dhash(attach_image_payload(docs)).collect()}
+    bright = {r.doc_id: r.content_hash
+              for r in image_dhash(
+                  attach_image_payload(docs, brighten=DHASH_BRIGHTEN)
+              ).collect()}
+    assert orig[0] != bright[0]
+
+
+def test_dhash_invariant_under_unsaturated_brighten(spark):
+    """Brightening by a multiple of 3 shifts every unsaturated luma
+    uniformly, so the gradient-sign bits — the hash — are unchanged
+    when no byte clips at 255."""
+    from etl_validator_github_spark.scale.multimodal import (
+        attach_image_payload,
+        image_dhash,
+    )
+
+    docs = _docs(spark, ["some doc text for a dark image fixture"])
+    h0 = image_dhash(attach_image_payload(docs)).collect()[0]
+    h6 = image_dhash(
+        attach_image_payload(docs, brighten=6)
+    ).collect()[0]
+    # This fixture image has no byte ≥ 250 on the sampled grid — if it
+    # did, pick different text; determinism makes the check stable.
+    assert bin(h0.dhash ^ h6.dhash).count("1") <= 3
+    assert h0.content_hash != h6.content_hash
+
+
 def test_resize_preserves_aspect_and_caps_edge(spark):
     docs = _docs(spark, ["wide payload text here", "another doc body"])
     feats = multimodal.image_pixel_stats(multimodal.attach_image_payload(docs))
