@@ -108,6 +108,93 @@ def stream_deduped_ingest(
     return writer.start()
 
 
+#: Attribution lookback: a click joins views by the same user within
+#: the preceding this-many seconds.
+CLICK_VIEW_LOOKBACK_S = 600
+
+
+def click_view_attribution(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback_s: int = CLICK_VIEW_LOOKBACK_S,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click paired with same-user views
+    in the preceding ``lookback_s`` seconds.
+
+    Both sides carry an event-time watermark and the join condition
+    bounds view_time to a closed range around click_time — together
+    they let Spark evict buffered rows once the watermark passes
+    ``click_time`` (view side) / ``click_time + lookback`` (click
+    side), so join state is bounded by (rate × (watermark + lookback)),
+    not stream lifetime. Inner-join matches emit as soon as both rows
+    have arrived; input rows older than the watermark are dropped —
+    the late-arrival case the tests pin. The batch twin is the
+    events_range_join catalog query (same predicate shape on the
+    static table).
+    """
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.timestamp_seconds("ts_s").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    v = (
+        views.select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.timestamp_seconds("ts_s").alias("view_time"),
+        )
+        .withWatermark("view_time", watermark)
+    )
+    cond = F.expr(
+        "user_id = view_user "
+        f"AND view_time >= click_time - INTERVAL {int(lookback_s)} SECOND "
+        "AND view_time <= click_time"
+    )
+    return c.join(v, cond, "inner").select(
+        "click_id", "view_id", "user_id", "click_time", "view_time",
+        (F.unix_timestamp("click_time") - F.unix_timestamp("view_time"))
+        .alias("lag_s"),
+    )
+
+
+def stream_click_view_join(
+    spark,
+    clicks_dir: str,
+    views_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    lookback_s: int = CLICK_VIEW_LOOKBACK_S,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Two file sources → watermarked stream-stream join → parquet sink."""
+
+    def src(d: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .json(d)
+        )
+
+    joined = click_view_attribution(
+        src(clicks_dir), src(views_dir),
+        lookback_s=lookback_s, watermark=watermark,
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_rollup(
     spark,
     source_dir: str,

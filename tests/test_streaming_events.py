@@ -54,6 +54,89 @@ def test_windowed_rollup_emits_finalized_windows(spark, tmp_path):
     assert (3, "click") not in got
 
 
+def _ev(eid, ts, user, et="click", value=1.0):
+    return {"event_id": eid, "ts_s": ts, "user_id": user,
+            "event_type": et, "value": value}
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """The watermarked stream-stream join must produce exactly the rows
+    the equivalent batch range-join finds on the same (on-time) data."""
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.streaming.events import (
+        stream_click_view_join,
+    )
+
+    csrc, vsrc = tmp_path / "clicks", tmp_path / "views"
+    sink, ckpt = tmp_path / "jsink", tmp_path / "jckpt"
+    clicks = [_ev(1, 1000, 7), _ev(2, 5000, 7), _ev(3, 1200, 8)]
+    views = [
+        _ev(11, 500, 7, "view"),    # 500 s before click 1 → within 600 s
+        _ev(12, 990, 7, "view"),    # 10 s before click 1 → match
+        _ev(13, 4000, 7, "view"),   # 1000 s before click 2 → too old
+        _ev(14, 1200, 8, "view"),   # same instant as click 3 → match
+        _ev(15, 1100, 9, "view"),   # user with no clicks
+    ]
+    _write_events(csrc, clicks)
+    _write_events(vsrc, views)
+    q = stream_click_view_join(spark, str(csrc), str(vsrc),
+                               str(sink), str(ckpt))
+    q.awaitTermination(120)
+
+    got = {(r.click_id, r.view_id, r.lag_s)
+           for r in spark.read.parquet(str(sink)).collect()}
+    assert got == {(1, 11, 500), (1, 12, 10), (3, 14, 0)}
+
+    # Batch twin: same predicate on static frames — results identical.
+    c = spark.createDataFrame([(e["event_id"], e["ts_s"], e["user_id"])
+                               for e in clicks], "click_id long, cts long, user_id long")
+    v = spark.createDataFrame([(e["event_id"], e["ts_s"], e["user_id"])
+                               for e in views], "view_id long, vts long, vuser long")
+    batch = (
+        c.join(v, (F.col("user_id") == F.col("vuser"))
+               & (F.col("vts") >= F.col("cts") - 600)
+               & (F.col("vts") <= F.col("cts")))
+        .select("click_id", "view_id", (F.col("cts") - F.col("vts")).alias("lag_s"))
+    )
+    assert {tuple(r) for r in batch.collect()} == got
+
+
+def test_stream_stream_join_drops_late_views(spark, tmp_path):
+    """Late-arrival semantics: once the checkpointed watermark has
+    passed, a view older than the watermark must NOT join, even though
+    a matching click exists — the state for that click is gone."""
+    from etl_validator_github_spark.streaming.events import (
+        stream_click_view_join,
+    )
+
+    csrc, vsrc = tmp_path / "lclicks", tmp_path / "lviews"
+    sink, ckpt = tmp_path / "lsink", tmp_path / "lckpt"
+    H = 3600
+    # Run 1: a matched pair at t≈2h, plus t=6h traffic on both sides
+    # advancing the watermark to 5h (watermark delay 1h).
+    _write_events(csrc, [_ev(1, 2 * H, 7), _ev(2, 6 * H, 7)])
+    _write_events(vsrc, [_ev(11, 2 * H - 60, 7, "view"),
+                         _ev(12, 6 * H - 30, 7, "view")])
+    q = stream_click_view_join(spark, str(csrc), str(vsrc),
+                               str(sink), str(ckpt))
+    q.awaitTermination(120)
+    got1 = {(r.click_id, r.view_id)
+            for r in spark.read.parquet(str(sink)).collect()}
+    assert got1 == {(1, 11), (2, 12)}
+
+    # Run 2 (same checkpoint): a view for click 1 arrives hours late —
+    # its event time (2h) is far below the 5h watermark → dropped.
+    with open(vsrc / "late.json", "w") as f:
+        f.write(json.dumps(_ev(13, 2 * H - 30, 7, "view")) + "\n")
+    q2 = stream_click_view_join(spark, str(csrc), str(vsrc),
+                                str(sink), str(ckpt))
+    q2.awaitTermination(120)
+    got2 = {(r.click_id, r.view_id)
+            for r in spark.read.parquet(str(sink)).collect()}
+    assert got2 == got1, "late view must be discarded by the watermark"
+
+
 def test_stream_dedup_drops_redelivered_ids(spark, tmp_path):
     from etl_validator_github_spark.streaming.events import stream_deduped_ingest
 
