@@ -179,6 +179,21 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
             semantic_dedup_keep,
         )
 
+        # Self-dedup seeds IVF cells from the corpus's own labels; fail
+        # with a usable message instead of a raw AnalysisException when
+        # the input isn't an embeddings table (ADVICE r6).
+        required = (
+            {"vec_id", "embedding"} if args.corpus
+            else {"vec_id", "embedding", "label"}
+        )
+        missing = sorted(required - set(docs.columns))
+        if missing:
+            raise SystemExit(
+                f"--mode semantic needs an embeddings parquet with "
+                f"columns (vec_id, embedding, label); {args.input} is "
+                f"missing {', '.join(missing)} (label may be omitted "
+                "only with --corpus, where cells come from the base)"
+            )
         if args.corpus:
             # Incremental probe: flag input vectors against the BASE
             # corpus's cells only (labels come from the base).
@@ -188,6 +203,15 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
                     "--corpus (the output is the per-vector flags table)"
                 )
             base = spark.read.parquet(args.corpus)
+            base_missing = sorted(
+                {"vec_id", "embedding", "label"} - set(base.columns)
+            )
+            if base_missing:
+                raise SystemExit(
+                    f"--corpus must be an embeddings parquet with "
+                    f"(vec_id, embedding, label); {args.corpus} is "
+                    f"missing {', '.join(base_missing)}"
+                )
             flags = semantic_dedup_incremental(docs, base)
             flags.write.mode("overwrite").parquet(args.output)
             written = spark.read.parquet(args.output)

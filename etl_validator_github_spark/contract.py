@@ -22,6 +22,16 @@ order-insensitive value hash), so every query here is engineered for
   comparisons multiply out to pure integers instead of computing float
   moments (``events_hourly_anomalies``: the 2σ band as
   (N·n−S)² > 4·(N·Q−S²)).
+- Integer division is engine-portable ONLY for non-negative operands:
+  Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+  so they diverge on negatives. Every ``div``/``//`` pair in the
+  catalog therefore divides non-negative values — in particular the
+  epoch-µs time bucketing (``events_hourly_rollup``,
+  ``events_hourly_anomalies``) assumes NON-NEGATIVE epochs, i.e. no
+  pre-1970 timestamps (true of the fixtures and of training-data
+  event logs generally). A possibly-negative numerator must use
+  ``floor()`` on the identical double quotient on both sides instead
+  (``docs_importance_resample``'s mean-weight centering).
 """
 
 from __future__ import annotations

@@ -124,11 +124,18 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     if pos >= len(data) or data[pos] not in b" \t\r\n":
         raise ValueError("missing raster separator after maxval")
     pos += 1
-    raster = data[pos:pos + width * height * channels]
-    if len(raster) != width * height * channels:
+    need = width * height * channels
+    raster = data[pos:pos + need]
+    if len(raster) != need:
         raise ValueError(
-            f"truncated raster: have {len(raster)} bytes, "
-            f"need {width * height * channels}"
+            f"truncated raster: have {len(raster)} bytes, need {need}"
+        )
+    # Exact-length validation cuts both ways: trailing bytes mean a
+    # corrupt or concatenated payload, not a valid image (ADVICE r6).
+    if len(data) - pos > need:
+        raise ValueError(
+            f"trailing bytes after raster: {len(data) - pos - need} "
+            f"extra (raster needs exactly {need})"
         )
     return width, height, channels, raster
 

@@ -349,6 +349,36 @@ def test_cli_dedup_semantic_incremental(spark, tmp_path, capsys):
               "--output", str(tmp_path / "x.parquet")])
 
 
+def test_cli_dedup_semantic_rejects_wrong_schema(spark, tmp_path):
+    """A documents parquet (no vec_id/embedding/label) must fail with a
+    clear SystemExit naming the missing columns, not a raw Spark
+    AnalysisException (ADVICE r6)."""
+    import pytest
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(0, "some text", "en")], "doc_id: long, text: string, lang: string"
+    ).write.parquet(str(docs))
+
+    with pytest.raises(SystemExit, match="missing embedding, label, vec_id"):
+        main(["dedup", str(docs), "--mode", "semantic",
+              "--output", str(tmp_path / "o1.parquet")])
+
+    # Label-less embeddings are fine WITH --corpus (cells come from the
+    # base) but the base itself must carry labels.
+    nolabel = tmp_path / "nolabel.parquet"
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id: long, embedding: array<float>"
+    ).write.parquet(str(nolabel))
+    with pytest.raises(SystemExit, match="missing label"):
+        main(["dedup", str(nolabel), "--mode", "semantic",
+              "--output", str(tmp_path / "o2.parquet")])
+    with pytest.raises(SystemExit, match="--corpus must be an embeddings"):
+        main(["dedup", str(nolabel), "--mode", "semantic",
+              "--corpus", str(nolabel),
+              "--output", str(tmp_path / "o3.parquet")])
+
+
 def test_cli_dedup_incremental_mode(spark, tmp_path, capsys):
     """Incremental mode: batch docs probe the corpus index; an exact
     re-send and a fresh doc are flagged correctly."""

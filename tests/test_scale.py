@@ -233,6 +233,12 @@ def test_ppm_decoder_rejects_malformed():
         multimodal.decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
     with pytest.raises(ValueError):
         multimodal.encode_ppm(2, 2, bytes(5))  # wrong raster length
+    # Concatenated/corrupt payloads with bytes past the raster must not
+    # silently decode (trailing-byte check, ADVICE r6).
+    with pytest.raises(ValueError, match="trailing bytes"):
+        multimodal.decode_ppm(ok + b"\x00")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        multimodal.decode_ppm(ok + ok)  # two images glued together
 
 
 def test_ppm_roundtrip_property():
