@@ -12,18 +12,23 @@ Rotation policy (highest priority first):
 2. queries added or semantically changed this round,
 3. back-fill with the queries whose last green verdict is oldest.
 
-Round-6 window under that policy: the two r5 stragglers
-(events_retention / events_transitions — the only catalog entries never
-driver-checked), the six new r6 queries (dedup_semantic_keep,
-dedup_semantic_incremental, embed_kmeans, text_token_fertility,
-corpus_quality_drift, events_hourly_anomalies), the three whose plan
-or oracle changed this round (embed_ivf_topk map-side assignment;
-multimodal_features / multimodal_resize real netpbm decode), then
-every query whose last green verdict is r2 (26) or r3 (3), and 10 of
-the 15 r4-verdict queries.
-Everything rotated out carries a green r5 verdict and stays covered by
-the repo-local parity mirror (tests/test_oracle_parity.py,
-tests/test_oracle_dtypes.py) over the FULL catalog.
+Round-7 window under that policy: the three queries new this round
+(dedup_substring_spans, docs_importance_resample,
+multimodal_dhash_neardup — never driver-checked), the three
+de-vacuated this round (q8_market_share / q22_idle_rich_customers /
+customers_without_orders: their fixtures-constants changed so the
+previously-0-row logic now processes data — semantically new
+verdicts), the five whose last green verdict is r4
+(q12_priority_by_status, skew_salted_rollup, schema_drift,
+window_functions, nation_balance_setops), then 39 of the 47 queries
+whose last green verdict is r5. The 8 r5-verdict queries left past
+the gate (q1_pricing_summary, q3_shipping_priority,
+bankdata_validate, text_stats, dedup_exact, dedup_minhash_lsh,
+corpus_clean, embed_cosine_topk) are exactly the benched headline
+queries — bench.py executes them at sf0.1 every round, so they carry
+continuous scrutiny on top of the repo-local parity mirror
+(tests/test_oracle_parity.py, tests/test_oracle_dtypes.py) that
+covers the FULL catalog; they rotate back in round 8.
 """
 
 from __future__ import annotations
@@ -75,83 +80,82 @@ assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
     "duplicate query name across module catalogs"
 )
 
-_R6_GATE = (
-    # -- never driver-checked (added past the gate late in r5)
-    "events_retention",
-    "events_transitions",
-    # -- new in r6
-    "dedup_semantic_keep",
-    "dedup_semantic_incremental",
-    "embed_kmeans",
-    "text_token_fertility",
-    "corpus_quality_drift",
-    "events_hourly_anomalies",
-    # -- plan/oracle changed in r6
-    "embed_ivf_topk",
-    "multimodal_features",
-    "multimodal_resize",
-    # -- last green verdict r2 (oldest on record)
-    "q4_late_orders",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_bilateral_trade",
+_R7_GATE = (
+    # -- new in r7, never driver-checked
+    "dedup_substring_spans",
+    "docs_importance_resample",
+    "multimodal_dhash_neardup",
+    # -- de-vacuated in r7 (constants changed so the logic finally
+    #    processes rows; prior greens were 0-row-vacuous — VERDICT r6)
     "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_balances",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q20_brand_volume_suppliers",
-    "q21_sole_late_supplier",
     "q22_idle_rich_customers",
-    "min_balance_suppliers",
-    "order_value_percentiles",
-    "status_priority_cube",
-    "status_rollup",
-    "rollup_order_counts",
-    "trailing_30d_window",
-    "sql_api_segment_balances",
-    "null_safe_tier_join",
-    # -- last green verdict r3
-    "top_customers",
     "customers_without_orders",
-    "priorities_per_customer",
-    # -- last green verdict r4 (10 of 15 — the newest verdicts are the
-    #    displacement pool: q12_priority_by_status, skew_salted_rollup,
-    #    schema_drift, window_functions and nation_balance_setops sit
-    #    past the gate, their operator families already
-    #    well-represented in-window)
-    "customers_with_high_value_orders",
-    "latest_order_per_customer",
-    "duplicate_customer_priority",
-    "string_functions",
-    "date_functions",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_asof_join",
-    "events_range_join",
-    "events_type_pivot",
+    # -- last green verdict r4 (oldest on record)
+    "q12_priority_by_status",
+    "skew_salted_rollup",
+    "schema_drift",
+    "window_functions",
+    "nation_balance_setops",
+    # -- last green verdict r5: 39 of 47 (the 8 benched headliners —
+    #    q1_pricing_summary, q3_shipping_priority, bankdata_validate,
+    #    text_stats, dedup_exact, dedup_minhash_lsh, corpus_clean,
+    #    embed_cosine_topk — wait past the gate under bench.py's
+    #    every-round execution and rotate in next round)
+    "validate_customer_rules",
+    "validate_error_summary",
+    "reconcile_error_sets",
+    "text_quality_embeddings",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_top_terms",
+    "text_bigram_vocab",
+    "text_chunks",
+    "docs_sample_stratified",
+    "text_tfidf",
+    "text_pandas_udf_score",
+    "text_gopher_quality",
+    "text_pii_scrub",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_chunk_global",
+    "decontaminate",
+    "embed_ann_lsh",
+    "embed_label_centroids",
+    "dedup_embedding_cosine",
+    "embed_ann_recall",
+    "embed_quantize_int8",
+    "multimodal_frame_sample",
+    "multimodal_frame_dedup",
+    "pack_sequences",
+    "mixture_upsample",
+    "text_unigram_lm_score",
+    "docs_token_budget_select",
+    "text_normalize",
+    "dedup_incremental",
+    "dedup_fuzzy_keep",
+    "dedup_lsh_recall",
+    "dedup_cluster_sizes",
+    "corpus_snapshot_diff",
+    "docs_split_assign",
+    "events_funnel",
+    "changelog_latest_state",
 )
 
-assert len(_R6_GATE) == _DRIVER_GATE, (
+assert len(_R7_GATE) == _DRIVER_GATE, (
     f"gate window must hold exactly {_DRIVER_GATE} entries, "
-    f"got {len(_R6_GATE)}"
+    f"got {len(_R7_GATE)}"
 )
-assert len(set(_R6_GATE)) == len(_R6_GATE), "duplicate names in the gate"
-assert set(_R6_GATE) <= set(_ALL), (
-    f"gate names missing from the catalog: {set(_R6_GATE) - set(_ALL)}"
+assert len(set(_R7_GATE)) == len(_R7_GATE), "duplicate names in the gate"
+assert set(_R7_GATE) <= set(_ALL), (
+    f"gate names missing from the catalog: {set(_R7_GATE) - set(_ALL)}"
 )
 
 CATALOG: dict[str, Query] = {
-    **{name: _ALL[name] for name in _R6_GATE},
-    # Past-gate remainder (every entry here is r5-driver-green and
-    # parity-mirrored): module registration order.
-    **{name: q for name, q in _ALL.items() if name not in set(_R6_GATE)},
+    **{name: _ALL[name] for name in _R7_GATE},
+    # Past-gate remainder (every entry here is r5-or-r6-driver-green
+    # and parity-mirrored): module registration order.
+    **{name: q for name, q in _ALL.items() if name not in set(_R7_GATE)},
 }
 
 __all__ = ["CATALOG", "Query", "catalog_to_oracles", "catalog_to_queries"]
