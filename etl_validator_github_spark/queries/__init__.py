@@ -3,32 +3,33 @@ SURVEY.md §2 plus the scale extensions, each paired with a DuckDB oracle
 where SQL-expressible.
 
 Ordering is load-bearing: the driver's correctness gate checks the FIRST
-50 catalog entries in insertion order. From round 6 the gate window is an
-EXPLICIT list (``_R6_GATE``) rather than a composition of module dicts,
-so each round's rotation is a single visible edit.
+50 catalog entries in insertion order. Since round 6 the gate window is
+an EXPLICIT list (``_R7_GATE``) rather than a composition of module
+dicts, so each round's rotation is a single visible edit.
 
 Rotation policy (highest priority first):
 1. queries that have never received a driver verdict,
 2. queries added or semantically changed this round,
 3. back-fill with the queries whose last green verdict is oldest.
 
-Round-7 window under that policy: the three queries new this round
-(dedup_substring_spans, docs_importance_resample,
-multimodal_dhash_neardup — never driver-checked), the three
-de-vacuated this round (q8_market_share / q22_idle_rich_customers /
-customers_without_orders: their fixtures-constants changed so the
-previously-0-row logic now processes data — semantically new
-verdicts), the five whose last green verdict is r4
+Round-7 window under that policy: the six queries new this round
+(dedup_substring_spans, dedup_span_strip, docs_importance_resample,
+docs_domain_cap, embed_outliers, multimodal_dhash_neardup — never
+driver-checked), the three de-vacuated this round (q8_market_share /
+q22_idle_rich_customers / customers_without_orders: their fixture
+constants changed so the previously-0-row logic now processes data —
+semantically new verdicts), the five whose last green verdict is r4
 (q12_priority_by_status, skew_salted_rollup, schema_drift,
-window_functions, nation_balance_setops), then 39 of the 47 queries
-whose last green verdict is r5. The 8 r5-verdict queries left past
-the gate (q1_pricing_summary, q3_shipping_priority,
+window_functions, nation_balance_setops), then 36 of the 47 queries
+whose last green verdict is r5. Of the 11 r5-verdict queries left
+past the gate, 8 (q1_pricing_summary, q3_shipping_priority,
 bankdata_validate, text_stats, dedup_exact, dedup_minhash_lsh,
 corpus_clean, embed_cosine_topk) are exactly the benched headline
 queries — bench.py executes them at sf0.1 every round, so they carry
-continuous scrutiny on top of the repo-local parity mirror
-(tests/test_oracle_parity.py, tests/test_oracle_dtypes.py) that
-covers the FULL catalog; they rotate back in round 8.
+continuous scrutiny — and 3 have their operator family represented
+in-window (see the inline note). All stay covered by the repo-local
+parity mirror (tests/test_oracle_parity.py, tests/test_oracle_dtypes.py)
+over the FULL catalog and rotate back in round 8.
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ _ALL: dict[str, Query] = {
     **RELATIONAL_EXTRA_QUERIES,
 }
 
-#: The round-6 driver gate window, in gate-priority order (see module
+#: The round-7 driver gate window, in gate-priority order (see module
 #: docstring for the rotation rationale of each block).
 # A name collision between module dicts would silently drop a query in
 # the merge above — fail loudly instead.
@@ -83,7 +84,10 @@ assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
 _R7_GATE = (
     # -- new in r7, never driver-checked
     "dedup_substring_spans",
+    "dedup_span_strip",
     "docs_importance_resample",
+    "docs_domain_cap",
+    "embed_outliers",
     "multimodal_dhash_neardup",
     # -- de-vacuated in r7 (constants changed so the logic finally
     #    processes rows; prior greens were 0-row-vacuous — VERDICT r6)
@@ -96,11 +100,15 @@ _R7_GATE = (
     "schema_drift",
     "window_functions",
     "nation_balance_setops",
-    # -- last green verdict r5: 39 of 47 (the 8 benched headliners —
-    #    q1_pricing_summary, q3_shipping_priority, bankdata_validate,
-    #    text_stats, dedup_exact, dedup_minhash_lsh, corpus_clean,
-    #    embed_cosine_topk — wait past the gate under bench.py's
-    #    every-round execution and rotate in next round)
+    # -- last green verdict r5: 36 of 47. Displaced: the 8 benched
+    #    headliners (q1_pricing_summary, q3_shipping_priority,
+    #    bankdata_validate, text_stats, dedup_exact, dedup_minhash_lsh,
+    #    corpus_clean, embed_cosine_topk) wait under bench.py's
+    #    every-round execution, plus 3 whose operator family stays
+    #    represented in-window (docs_split_assign — md5-threshold,
+    #    see docs_sample_stratified; text_chunks — chunking, see
+    #    dedup_chunk_global; dedup_cluster_sizes — components, see
+    #    dedup_clusters). All rotate in next round.
     "validate_customer_rules",
     "validate_error_summary",
     "reconcile_error_sets",
@@ -109,7 +117,6 @@ _R7_GATE = (
     "text_fingerprint",
     "text_top_terms",
     "text_bigram_vocab",
-    "text_chunks",
     "docs_sample_stratified",
     "text_tfidf",
     "text_pandas_udf_score",
@@ -135,9 +142,7 @@ _R7_GATE = (
     "dedup_incremental",
     "dedup_fuzzy_keep",
     "dedup_lsh_recall",
-    "dedup_cluster_sizes",
     "corpus_snapshot_diff",
-    "docs_split_assign",
     "events_funnel",
     "changelog_latest_state",
 )

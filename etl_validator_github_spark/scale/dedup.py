@@ -1406,6 +1406,133 @@ FROM base b LEFT JOIN per p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Span REMOVAL — the action step of Lee et al. 2022: rewrite each doc
+# with every token that sits inside a corpus-duplicated k-token span
+# cut out (the paper removes the duplicated text rather than dropping
+# whole docs, preserving the unique remainder). Reuses the sliding-
+# window machinery above; the extra work over the *stats* query is
+# (1) exploding each duplicated window into its k covered positions
+# (bounded by dup windows × k, a corpus fraction), (2) an anti-join of
+# the token stream against the covered set on (doc_id, pos) — uniform
+# keys — and (3) an order-preserving rebuild via sort_array over the
+# kept (pos, token) structs, grouped per doc (never a global sort).
+# ---------------------------------------------------------------------------
+
+
+def strip_duplicated_spans(docs: DataFrame,
+                           span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Per-doc rewrite: (doc_id, n_tokens, n_kept, n_removed,
+    clean_text) with duplicated-span tokens removed in place."""
+    k = int(span_tokens)
+    base = (
+        docs.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select("doc_id", F.size("__toks").cast("int").alias("n_tokens"),
+                "__toks")
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', slice(__toks, i, {k}))))"
+    )
+    wins = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.when(F.col("n_tokens") >= k, hashes)
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("idx", "h"),
+        )
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+    )
+    gc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("global_count"))
+    covered = (
+        wins.join(gc.filter(F.col("global_count") > 1), "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {k - 1})")
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id",
+        F.posexplode("__toks").alias("idx", "tok"),
+    ).select("doc_id", (F.col("idx") + 1).alias("tpos"), "tok")
+    kept = (
+        toks.join(covered, ["doc_id", "tpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def _span_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_duplicated_spans(load(spark, sf_dir, "documents"))
+
+
+_SPAN_STRIP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, t FROM tok
+), w AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(n_tokens - {SPAN_TOKENS - 1}, 0) + 1))
+           AS pos,
+         unnest(list_transform(
+           range(1, greatest(n_tokens - {SPAN_TOKENS - 1}, 0) + 1),
+           i -> md5(array_to_string(
+                  list_slice(t, i, i + {SPAN_TOKENS - 1}), ' ')))) AS h
+  FROM base
+), gc AS (
+  SELECT h, COUNT(*) AS global_count FROM w GROUP BY 1
+), covered AS (
+  SELECT DISTINCT doc_id, pos + off.o AS tpos
+  FROM w JOIN gc USING (h), range(0, {SPAN_TOKENS}) AS off(o)
+  WHERE global_count > 1
+), toks AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) + 1)) AS tpos,
+         unnest(t) AS tok
+  FROM base
+), kept AS (
+  SELECT tk.doc_id,
+         CAST(COUNT(*) AS INT) AS n_kept,
+         string_agg(tk.tok, ' ' ORDER BY tk.tpos) AS clean_text
+  FROM toks tk
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tk.doc_id AND c.tpos = tk.tpos)
+  GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(k.n_kept, 0) AS n_kept,
+       CAST(b.n_tokens - coalesce(k.n_kept, 0) AS INT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""
+
+
 #: Round-4/5 additions, registered directly after the scale block in
 #: queries/__init__.py (inside the driver gate as of the r5 rotation).
 DEDUP_EXTRA_QUERIES: dict[str, Query] = {
@@ -1433,5 +1560,10 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "duplicated k-token span counts and exact token coverage "
               "via a same-length interval union (one lag pass over the "
               "duplicated windows only)."),
+        Query("dedup_span_strip", _span_strip_q, _SPAN_STRIP_SQL,
+              "Span removal (the Lee et al. action step): docs rewritten "
+              "with duplicated-span tokens cut out in place — covered "
+              "positions anti-joined off the token stream, order-"
+              "preserving per-doc rebuild."),
     ]
 }

@@ -412,6 +412,80 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space outlier detection — the curation pass that flags
+# samples pointing AWAY from their own class direction (mislabeled or
+# off-distribution examples; the embedding-space counterpart of the
+# text quality filters). Per vector: exact-BIGINT dot with its label's
+# summed direction (ivf_cells — cosine is scale-invariant, so the SUM
+# vector works without a mean division), one IEEE double cosine,
+# flagged when negative. Scale shape: the centroid table is one row
+# per label (tiny) and broadcasts; everything else is the map-side
+# join + per-row fold — the only shuffles are ivf_cells' two
+# label×dim-bounded aggs.
+# ---------------------------------------------------------------------------
+
+#: cos_milli below this flags the vector (0 = anti-correlated with its
+#: own label direction; ~28% of the fixture, so the flag is exercised).
+OUTLIER_COS_MILLI = 0
+
+
+def embedding_outliers(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, label, cos_milli, is_outlier): cosine of each vector to
+    its own label centroid, exact-integer milli, negative → outlier."""
+    vecs = embeddings.select(
+        "vec_id", "label", F.expr(_QUANT.format(col="embedding")).alias("qv")
+    ).withColumn("norm2", F.expr(_DOT.format(a="qv", b="qv")))
+    cells = ivf_cells(embeddings)
+    dot = _DOT.format(a="qv", b="cv")
+    cos_milli = F.round(
+        F.expr(f"{dot} / (sqrt(norm2) * sqrt(cnorm2))") * 1000
+    ).cast("long")
+    return (
+        vecs.join(F.broadcast(cells), "label")
+        .select(
+            "vec_id", "label",
+            cos_milli.alias("cos_milli"),
+            (cos_milli < OUTLIER_COS_MILLI).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+def _outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_outliers(load(spark, sf_dir, "embeddings"))
+
+
+def _outliers_sql() -> str:
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), with_norm AS (
+  SELECT vec_id, label, qv,
+         {_SQL_DOT.format(a="qv", b="qv")} AS norm2
+  FROM vecs
+), dims AS (
+  SELECT unnest(range(1, 65)) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+)
+SELECT v.vec_id, v.label,
+       CAST(round({dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) * 1000)
+            AS BIGINT) AS cos_milli,
+       CAST(CAST(round({dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) * 1000)
+                 AS BIGINT) < {OUTLIER_COS_MILLI} AS INT) AS is_outlier
+FROM with_norm v JOIN cells c USING (label)
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF search: coarse-quantize into cells, assign every vector to its
 # nearest cell, probe the nprobe nearest cells per query, exact-rescore
 # inside the probed cells. Cosine is scale-invariant, so the per-label
@@ -1131,6 +1205,10 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Random-hyperplane LSH bucketed ANN candidate pairs."),
         Query("embed_label_centroids", _centroids_q, _CENTROIDS_SQL,
               "Per-label centroid build (IVF coarse quantizer)."),
+        Query("embed_outliers", _outliers_q, _outliers_sql(),
+              "Embedding-space outlier flags: cosine of each vector to "
+              "its own label centroid (exact-integer milli), negative → "
+              "mislabeled/off-distribution candidate."),
         Query("embed_ivf_topk", _ivf_q, _ivf_sql(),
               "IVF search: cell assignment → nprobe=2 probing → exact "
               "rescoring inside probed cells.", bench=True),

@@ -1149,6 +1149,97 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Per-domain document cap (the C4 / RefinedWeb "limit documents per
+# domain" rule): no single source may contribute more than ~CAP docs,
+# so one crawled megadomain can't dominate the mixture. Selection
+# within a domain is deterministic-random (the shared md5 hash), NOT
+# quality-ranked — which is what makes the scale-safe shape possible:
+# instead of row_number() over each domain (funnels a 100 TB domain
+# through ONE reducer's sort — the scale-killer documented at
+# quality_budget_select), the hash is bucketized and a per-(source,
+# bucket) HISTOGRAM — sources × B rows, tiny at any corpus size —
+# takes the cumulative-count cutoff; docs then keep/drop by a map-only
+# bucket comparison. Whole-bucket semantics (same as the token-budget
+# cutoff): a bucket is kept or dropped atomically, so the kept count
+# is cap ± one bucket's population and the result is independent of
+# partitioning.
+# ---------------------------------------------------------------------------
+
+#: Per-source document cap (fits the fixture's 25-docs-per-source so
+#: the cutoff actually bites; production sets this to the anti-
+#: domination policy, e.g. 10^4 docs/domain).
+DOMAIN_CAP = 15
+#: Hash granularity (shared md5_mod convention) and bucket count.
+DOMAIN_CAP_MOD = 10_000
+DOMAIN_CAP_BUCKETS = 64
+
+
+def domain_cap_select(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """(doc_id, source, cap_bucket, cap_keep): keep ≈``cap`` docs per
+    source by deterministic hash-bucket cutoff."""
+    from pyspark.sql import Window
+
+    bucket = F.expr(
+        f"div(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), "
+        f"16, 10) as bigint) % {DOMAIN_CAP_MOD}, "
+        f"{DOMAIN_CAP_MOD // DOMAIN_CAP_BUCKETS})"
+    ).cast("int")
+    scored = docs.select("doc_id", "source", bucket.alias("cap_bucket"))
+    hist = scored.groupBy("source", "cap_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("cap_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cutoffs = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= cap)
+        .groupBy("source")
+        .agg(F.max("cap_bucket").alias("cutoff"))
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), "source", "left")
+        .select(
+            "doc_id", "source", "cap_bucket",
+            F.coalesce(F.col("cap_bucket") <= F.col("cutoff"), F.lit(False))
+            .cast("int").alias("cap_keep"),
+        )
+    )
+
+
+def _domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_cap_select(load(spark, sf_dir, "documents"))
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT)
+               % {DOMAIN_CAP_MOD})
+              // {DOMAIN_CAP_MOD // DOMAIN_CAP_BUCKETS} AS INT)
+           AS cap_bucket
+  FROM documents
+), hist AS (
+  SELECT source, cap_bucket, COUNT(*) AS n FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT source, cap_bucket,
+         SUM(n) OVER (PARTITION BY source ORDER BY cap_bucket ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), cutoffs AS (
+  SELECT source, MAX(cap_bucket) AS cutoff
+  FROM cum WHERE cum <= {DOMAIN_CAP} GROUP BY 1
+)
+SELECT s.doc_id, s.source, s.cap_bucket,
+       CAST(coalesce(s.cap_bucket <= c.cutoff, FALSE) AS INT) AS cap_keep
+FROM scored s LEFT JOIN cutoffs c USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling", arXiv:2302.03169 —
 # public method). Select raw-corpus docs that look like a target
@@ -1366,5 +1457,9 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "DSIR-style importance resampling: hashed n-gram bucket "
               "log-ratios vs a target-domain slice, exact-integer "
               "floor-log2 weights, deterministic md5-threshold accept."),
+        Query("docs_domain_cap", _domain_cap_q, _DOMAIN_CAP_SQL,
+              "C4-style per-domain document cap: hash-bucket histogram "
+              "→ per-source cumulative cutoff → map-only keep (no "
+              "per-domain document sort)."),
     ]
 }

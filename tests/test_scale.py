@@ -167,6 +167,27 @@ def test_cosine_topk_self_similarity(spark):
     assert all(abs(r["cos_sim"] - 1.0) < 1e-12 for r in out)
 
 
+def test_embedding_outliers_flags_anti_aligned_vector(spark):
+    """A vector pointing against its label's direction must flag; the
+    aligned majority must not — even though the outlier itself is part
+    of the summed centroid."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0] + [0.0] * 60, 0),
+        (1, [1.0, 0.0, 0.0, 0.0] + [0.0] * 60, 0),
+        (2, [-1.0, 0.0, 0.0, 0.0] + [0.0] * 60, 0),  # anti-aligned
+        (3, [0.0, 1.0, 0.0, 0.0] + [0.0] * 60, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    got = {r.vec_id: r.asDict()
+           for r in similarity.embedding_outliers(df).collect()}
+    # label-0 centroid = (1, 0, …): aligned pair → cos 1.0, outlier → -1.
+    assert got[0]["cos_milli"] == 1000 and got[0]["is_outlier"] == 0
+    assert got[2]["cos_milli"] == -1000 and got[2]["is_outlier"] == 1
+    assert got[3]["cos_milli"] == 1000 and got[3]["is_outlier"] == 0
+
+
 def test_embedding_near_dups_finds_seeded_copies(spark):
     """with_vector_copies must make the near-dup query non-vacuous: the
     exact copy scores cos 1.0 (found), the +0.01 jitter scores just
@@ -961,6 +982,29 @@ def test_importance_resample_prefers_target_like_docs(spark):
         assert r["accepted"] in (0, 1)
         # 11 features per 6-token doc: 6 unigrams + 5 bigrams.
         assert r["n_feats"] == 11
+
+
+def test_strip_duplicated_spans_hand_computed(spark):
+    """Span removal cuts exactly the covered positions and preserves
+    the order of the remainder; a fully-covered doc strips to ''."""
+    from etl_validator_github_spark.scale.dedup import strip_duplicated_spans
+
+    rows = [
+        "a b c d e f g h",                    # covered [1-4] → 'e f g h'
+        "x y a b c d z w",                    # covered [3-6] → 'x y z w'
+        "p q r",                              # no windows → untouched
+        "a b c d q q q q q q a b c d",        # covered [1-14] → ''
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in strip_duplicated_spans(_docs(spark, rows),
+                                        span_tokens=4).collect()
+    }
+    assert got[0]["clean_text"] == "e f g h"
+    assert (got[0]["n_kept"], got[0]["n_removed"]) == (4, 4)
+    assert got[1]["clean_text"] == "x y z w"
+    assert got[2]["clean_text"] == "p q r" and got[2]["n_removed"] == 0
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0
 
 
 def test_decontaminate_matches_brute_force(spark):
