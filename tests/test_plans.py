@@ -387,6 +387,41 @@ def test_dhash_pipeline_runs_once_and_stays_blocked(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_span_strip_bounded_shuffles_no_cartesian(spark, sf_dir):
+    """Span removal: window hashing and token positions are map-only;
+    real Exchanges only for the window-hash agg, the covered-position
+    distinct, and the per-doc rebuild. The rebuild must use in-group
+    sort_array, never a global Sort."""
+    import re
+
+    p = plan(spark, sf_dir, "dedup_span_strip")
+    assert _n_exchanges(p) <= 3, p
+    assert "CartesianProduct" not in p
+    assert not re.search(r"\(\d+\) Sort\b", p), p
+
+
+def test_domain_cap_histogram_stays_tiny(spark, sf_dir):
+    """Per-domain cap: the ONLY Window/Sort runs over the (source,
+    bucket) histogram — sources x 64 rows at any corpus size — and the
+    per-doc side is a map-only broadcast-join filter. A row_number over
+    documents (the per-domain-sort scale-killer) would show as more
+    exchanges and a Sort feeding from the scan."""
+    p = plan(spark, sf_dir, "docs_domain_cap")
+    assert _n_exchanges(p) <= 2, p
+    assert "BroadcastHashJoin" in p  # cutoffs broadcast onto docs
+    assert "CartesianProduct" not in p
+
+
+def test_embed_outliers_broadcasts_cells(spark, sf_dir):
+    """Outlier flags: the centroid table (one row per label) must
+    broadcast; the only real shuffles are the label x dim centroid
+    aggs. The vector side never exchanges."""
+    p = plan(spark, sf_dir, "embed_outliers")
+    assert _n_exchanges(p) <= 2, p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale evidence: the session's AQE skew-join config actually
     splits a hot-key partition at runtime (SortMergeJoin(skew=true)).

@@ -984,6 +984,56 @@ def test_importance_resample_prefers_target_like_docs(spark):
         assert r["n_feats"] == 11
 
 
+def test_substring_spans_match_brute_force_random(spark):
+    """Randomized cross-check: window hashing, duplicate detection,
+    interval-union coverage, and span stripping all agree with a
+    brute-force pure-Python mirror on a tiny-alphabet corpus (tiny
+    alphabet → plenty of genuine window collisions)."""
+    import random
+
+    from etl_validator_github_spark.scale.dedup import (
+        strip_duplicated_spans,
+        substring_span_stats,
+    )
+
+    rng = random.Random(77)
+    k = 5
+    docs = [
+        " ".join(rng.choice("ab") for _ in range(rng.randint(1, 30)))
+        for _ in range(40)
+    ]
+
+    # Brute force: exact positions covered by globally-duplicated
+    # k-windows, straight from the definition (no interval math).
+    toks = [d.split(" ") for d in docs]
+    wins: dict[tuple, int] = {}
+    for t in toks:
+        for i in range(len(t) - k + 1):
+            wins[tuple(t[i:i + k])] = wins.get(tuple(t[i:i + k]), 0) + 1
+    expected = {}
+    for doc_id, t in enumerate(toks):
+        covered = set()
+        n_dup = 0
+        for i in range(len(t) - k + 1):
+            if wins[tuple(t[i:i + k])] > 1:
+                n_dup += 1
+                covered.update(range(i, i + k))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        expected[doc_id] = (len(t), n_dup, len(covered), " ".join(kept))
+
+    sdf = substring_span_stats(_docs(spark, docs), span_tokens=k)
+    got = {r.doc_id: r.asDict() for r in sdf.collect()}
+    stripped = {r.doc_id: r.asDict()
+                for r in strip_duplicated_spans(_docs(spark, docs),
+                                                span_tokens=k).collect()}
+    for doc_id, (n_tok, n_dup, n_cov, clean) in expected.items():
+        g = got[doc_id]
+        assert (g["n_tokens"], g["n_dup_windows"], g["covered_tokens"]) == \
+            (n_tok, n_dup, n_cov), doc_id
+        s = stripped[doc_id]
+        assert s["clean_text"] == clean and s["n_removed"] == n_cov, doc_id
+
+
 def test_strip_duplicated_spans_hand_computed(spark):
     """Span removal cuts exactly the covered positions and preserves
     the order of the remainder; a fully-covered doc strips to ''."""
