@@ -118,6 +118,7 @@ def click_view_attribution(
     views: DataFrame,
     lookback_s: int = CLICK_VIEW_LOOKBACK_S,
     watermark: str = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each click paired with same-user views
     in the preceding ``lookback_s`` seconds.
@@ -132,6 +133,12 @@ def click_view_attribution(
     the late-arrival case the tests pin. The batch twin is the
     events_range_join catalog query (same predicate shape on the
     static table).
+
+    ``join_type="leftOuter"`` adds the unmatched-click rows (null view
+    columns): an outer result can only be emitted once the watermark
+    proves no matching view can still arrive, so those rows surface in
+    a LATER micro-batch than their click — the delayed-null semantics
+    the outer-join test pins.
     """
     c = (
         clicks.select(
@@ -154,7 +161,7 @@ def click_view_attribution(
         f"AND view_time >= click_time - INTERVAL {int(lookback_s)} SECOND "
         "AND view_time <= click_time"
     )
-    return c.join(v, cond, "inner").select(
+    return c.join(v, cond, join_type).select(
         "click_id", "view_id", "user_id", "click_time", "view_time",
         (F.unix_timestamp("click_time") - F.unix_timestamp("view_time"))
         .alias("lag_s"),
@@ -169,6 +176,7 @@ def stream_click_view_join(
     checkpoint_dir: str,
     lookback_s: int = CLICK_VIEW_LOOKBACK_S,
     watermark: str = "1 hour",
+    join_type: str = "inner",
     available_now: bool = True,
 ):
     """Two file sources → watermarked stream-stream join → parquet sink."""
@@ -182,7 +190,7 @@ def stream_click_view_join(
 
     joined = click_view_attribution(
         src(clicks_dir), src(views_dir),
-        lookback_s=lookback_s, watermark=watermark,
+        lookback_s=lookback_s, watermark=watermark, join_type=join_type,
     )
     writer = (
         joined.writeStream.outputMode("append")

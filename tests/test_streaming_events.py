@@ -137,6 +137,46 @@ def test_stream_stream_join_drops_late_views(spark, tmp_path):
     assert got2 == got1, "late view must be discarded by the watermark"
 
 
+def test_stream_stream_left_outer_emits_delayed_nulls(spark, tmp_path):
+    """leftOuter semantics: an unmatched click emits (null view) only
+    once the watermark proves no matching view can still arrive — in a
+    later micro-batch than the click itself."""
+    from etl_validator_github_spark.streaming.events import (
+        stream_click_view_join,
+    )
+
+    csrc, vsrc = tmp_path / "oclicks", tmp_path / "oviews"
+    sink, ckpt = tmp_path / "osink", tmp_path / "ockpt"
+    H = 3600
+    # click 1 (u7) has a view; click 2 (u8) never gets one.
+    _write_events(csrc, [_ev(1, 1000, 7), _ev(2, 1200, 8)])
+    _write_events(vsrc, [_ev(11, 900, 7, "view")])
+    q = stream_click_view_join(spark, str(csrc), str(vsrc),
+                               str(sink), str(ckpt),
+                               join_type="leftOuter")
+    q.awaitTermination(120)
+    got1 = {(r.click_id, r.view_id)
+            for r in spark.read.parquet(str(sink)).collect()}
+    assert (1, 11) in got1
+    # The unmatched click cannot be certain yet (watermark ≈ 1000 − 1h).
+    assert (2, None) not in got1
+
+    # Advance the watermark well past click 2's window on BOTH inputs
+    # and trigger another run: the delayed null row must now flush.
+    with open(csrc / "later.json", "w") as f:
+        f.write(json.dumps(_ev(3, 6 * H, 9)) + "\n")
+    with open(vsrc / "later.json", "w") as f:
+        f.write(json.dumps(_ev(12, 6 * H - 30, 9, "view")) + "\n")
+    q2 = stream_click_view_join(spark, str(csrc), str(vsrc),
+                                str(sink), str(ckpt),
+                                join_type="leftOuter")
+    q2.awaitTermination(120)
+    got2 = {(r.click_id, r.view_id)
+            for r in spark.read.parquet(str(sink)).collect()}
+    assert (2, None) in got2, got2
+    assert (3, 12) in got2
+
+
 def test_stream_dedup_drops_redelivered_ids(spark, tmp_path):
     from etl_validator_github_spark.streaming.events import stream_deduped_ingest
 
