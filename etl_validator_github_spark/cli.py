@@ -158,8 +158,10 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     full LSH → Jaccard-verify → connected-components pass
     (scale/dedup.py); ``--mode semantic`` runs the SemDeDup pass over an
     EMBEDDINGS parquet (vec_id, embedding, label — labels seed the IVF
-    cells). Writes the keep-list, or the surviving rows themselves with
-    ``--write-docs``.
+    cells); ``--mode spans`` runs the Lee-et-al sliding-window pass —
+    the per-doc duplicated-span report, or with ``--write-docs`` the
+    docs rewritten with duplicated spans stripped in place. Writes the
+    keep-list, or the surviving rows themselves with ``--write-docs``.
     """
     from pyspark.sql import functions as F
 
@@ -173,6 +175,40 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corpus-dedup")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
+    if args.mode == "spans":
+        from etl_validator_github_spark.scale.dedup import (
+            strip_duplicated_spans,
+            substring_span_stats,
+        )
+
+        if args.corpus:
+            raise SystemExit(
+                "--corpus is not supported with --mode spans (the span "
+                "index is the corpus itself)"
+            )
+        if args.write_docs:
+            stripped = strip_duplicated_spans(docs)
+            out = (
+                docs.drop("text")
+                .join(stripped.select("doc_id",
+                                      F.col("clean_text").alias("text")),
+                      "doc_id")
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            n_docs = written.count()
+            n_empty = written.filter(F.length("text") == 0).count()
+            print(f"span strip: {n_docs} docs rewritten "
+                  f"({n_empty} fully stripped) -> {args.output}")
+            return 0
+        stats = substring_span_stats(docs)
+        stats.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n_docs = written.count()
+        n_flagged = written.filter(F.col("n_dup_windows") > 0).count()
+        print(f"span report: {n_docs} docs, {n_flagged} with duplicated "
+              f"spans -> {args.output}")
+        return 0
     if args.mode == "semantic":
         from etl_validator_github_spark.scale.similarity import (
             semantic_dedup_incremental,
@@ -372,7 +408,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("input")
     d.add_argument("--output", required=True)
     d.add_argument("--mode",
-                   choices=("exact", "fuzzy", "incremental", "semantic"),
+                   choices=("exact", "fuzzy", "incremental", "semantic",
+                            "spans"),
                    default="exact")
     d.add_argument("--corpus", default=None,
                    help="incremental mode: parquet of the already-"

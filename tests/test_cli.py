@@ -349,6 +349,41 @@ def test_cli_dedup_semantic_incremental(spark, tmp_path, capsys):
               "--output", str(tmp_path / "x.parquet")])
 
 
+def test_cli_dedup_spans_mode(spark, tmp_path, capsys):
+    """--mode spans: the per-doc span report, and with --write-docs the
+    rewritten corpus with duplicated spans stripped in place."""
+    import pytest
+
+    src = tmp_path / "sdocs.parquet"
+    shared = " ".join(f"w{i}" for i in range(20))          # one k=20 span
+    uniq = " ".join(f"u{i}" for i in range(10))
+    spark.createDataFrame(
+        [(0, f"{shared} {uniq}", "en"), (1, f"{uniq.upper()} {shared}", "en"),
+         (2, "totally unshared words only", "en")],
+        "doc_id: long, text: string, lang: string",
+    ).write.parquet(str(src))
+
+    rep = tmp_path / "spanrep.parquet"
+    assert main(["dedup", str(src), "--mode", "spans",
+                 "--output", str(rep)]) == 0
+    report = {r.doc_id: r for r in spark.read.parquet(str(rep)).collect()}
+    assert report[0].n_dup_windows > 0 and report[2].n_dup_windows == 0
+    assert "2 with duplicated spans" in capsys.readouterr().out
+
+    out = tmp_path / "stripped.parquet"
+    assert main(["dedup", str(src), "--mode", "spans", "--write-docs",
+                 "--output", str(out)]) == 0
+    texts = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
+    # The shared 20-token span is gone; the unique remainder survives.
+    assert "w0" not in texts[0] and texts[0].startswith("u0 ")
+    assert texts[2] == "totally unshared words only"
+    assert "3 docs rewritten" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="not supported with --mode spans"):
+        main(["dedup", str(src), "--mode", "spans", "--corpus", str(src),
+              "--output", str(tmp_path / "x.parquet")])
+
+
 def test_cli_dedup_semantic_rejects_wrong_schema(spark, tmp_path):
     """A documents parquet (no vec_id/embedding/label) must fail with a
     clear SystemExit naming the missing columns, not a raw Spark
