@@ -1290,26 +1290,25 @@ SPAN_TOKENS = 20
 SPAN_MAX_COVERAGE_MILLI = 500
 
 
-def substring_span_stats(docs: DataFrame,
-                         span_tokens: int = SPAN_TOKENS) -> DataFrame:
-    """Per-doc duplicated-span report: window counts, duplicated-window
-    counts, exact token positions covered by duplicated spans, and a
-    keep flag (coverage ≤ SPAN_MAX_COVERAGE_MILLI ‰)."""
-    from pyspark.sql import Window
-
-    k = int(span_tokens)
-    base = (
+def _span_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, __toks) tokenization shared by every span op."""
+    return (
         docs.select("doc_id", F.split("text", " ").alias("__toks"))
         .select("doc_id", F.size("__toks").cast("int").alias("n_tokens"),
                 "__toks")
     )
+
+
+def _span_windows(base: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h): every k-token sliding-window hash, map-only.
+    1-based window start so Spark and the oracles agree on ``pos``."""
     # sequence(1, stop) DESCENDS when stop < 1 — short docs must take
     # the empty-array branch, not a reversed sequence.
     hashes = F.expr(
         f"transform(sequence(1, size(__toks) - {k - 1}), "
         f"i -> md5(concat_ws(' ', slice(__toks, i, {k}))))"
     )
-    wins = (
+    return (
         base.select(
             "doc_id",
             F.posexplode(
@@ -1317,28 +1316,47 @@ def substring_span_stats(docs: DataFrame,
                 .otherwise(F.array().cast("array<string>"))
             ).alias("idx", "h"),
         )
-        # 1-based window start so Spark and the oracle agree on `pos`.
         .select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
     )
-    gc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("global_count"))
-    dup = (
-        wins.join(gc.filter(F.col("global_count") > 1), "h")
-        .select("doc_id", "pos")
-    )
+
+
+def _span_union_stats(flagged: DataFrame, k: int,
+                      count_alias: str) -> DataFrame:
+    """Per-doc (count, covered_tokens) over flagged (doc_id, pos)
+    windows: same-length interval union = one lag pass,
+    sum(min(k, pos − lag(pos))) with k for the first span."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     seg = (
         F.when(prev.isNull(), F.lit(k))
         .otherwise(F.least(F.lit(k), F.col("pos") - prev))
     )
-    per = (
-        dup.withColumn("__seg", seg)
+    return (
+        flagged.withColumn("__seg", seg)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_dup_windows"),
+            F.count(F.lit(1)).cast("int").alias(count_alias),
             F.sum("__seg").cast("int").alias("covered_tokens"),
         )
     )
+
+
+def substring_span_stats(docs: DataFrame,
+                         span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Per-doc duplicated-span report: window counts, duplicated-window
+    counts, exact token positions covered by duplicated spans, and a
+    keep flag (coverage ≤ SPAN_MAX_COVERAGE_MILLI ‰)."""
+    k = int(span_tokens)
+    base = _span_base(docs)
+    wins = _span_windows(base, k)
+    gc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("global_count"))
+    dup = (
+        wins.join(gc.filter(F.col("global_count") > 1), "h")
+        .select("doc_id", "pos")
+    )
+    per = _span_union_stats(dup, k, "n_dup_windows")
     joined = base.select("doc_id", "n_tokens").join(per, "doc_id", "left")
     covered = F.coalesce("covered_tokens", F.lit(0))
     # Exact integer per-mille — `div` keeps the compare engine-portable
@@ -1425,25 +1443,8 @@ def strip_duplicated_spans(docs: DataFrame,
     """Per-doc rewrite: (doc_id, n_tokens, n_kept, n_removed,
     clean_text) with duplicated-span tokens removed in place."""
     k = int(span_tokens)
-    base = (
-        docs.select("doc_id", F.split("text", " ").alias("__toks"))
-        .select("doc_id", F.size("__toks").cast("int").alias("n_tokens"),
-                "__toks")
-    )
-    hashes = F.expr(
-        f"transform(sequence(1, size(__toks) - {k - 1}), "
-        f"i -> md5(concat_ws(' ', slice(__toks, i, {k}))))"
-    )
-    wins = (
-        base.select(
-            "doc_id",
-            F.posexplode(
-                F.when(F.col("n_tokens") >= k, hashes)
-                .otherwise(F.array().cast("array<string>"))
-            ).alias("idx", "h"),
-        )
-        .select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
-    )
+    base = _span_base(docs)
+    wins = _span_windows(base, k)
     gc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("global_count"))
     covered = (
         wins.join(gc.filter(F.col("global_count") > 1), "h")
@@ -1485,6 +1486,157 @@ def strip_duplicated_spans(docs: DataFrame,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental span probe — the daily-ingest shape for span dedup
+# (mirrors build_dedup_index / probe_dedup_index for whole docs): the
+# corpus's distinct window hashes are the persisted index (a few bytes
+# per window, appended per ingest); a delta batch hashes its own
+# windows map-side and semi-joins against the index, then takes the
+# exact interval-union coverage of the HIT windows. Work ∝ |batch| +
+# |index|; the corpus text is never re-scanned. This is also the
+# contamination-check shape for incoming data that quotes existing
+# corpus content.
+# ---------------------------------------------------------------------------
+
+
+def build_span_index(corpus: DataFrame,
+                     span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Distinct k-token window hashes of a corpus — the persisted span
+    index a delta batch probes."""
+    return _span_windows(_span_base(corpus), int(span_tokens)) \
+        .select("h").distinct()
+
+
+def probe_span_index(batch: DataFrame, span_index: DataFrame,
+                     span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Per batch doc: window counts, corpus-hit window count, and exact
+    token coverage of spans already present in the indexed corpus."""
+    k = int(span_tokens)
+    base = _span_base(batch)
+    wins = _span_windows(base, k)
+    hits = wins.join(span_index, "h", "left_semi").select("doc_id", "pos")
+    per = _span_union_stats(hits, k, "n_hit_windows")
+    joined = base.select("doc_id", "n_tokens").join(per, "doc_id", "left")
+    covered = F.coalesce("covered_tokens", F.lit(0))
+    milli = F.expr("div(1000 * coalesce(covered_tokens, 0), n_tokens)") \
+        .cast("int")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(0))
+        .cast("int").alias("n_windows"),
+        F.coalesce("n_hit_windows", F.lit(0)).alias("n_hit_windows"),
+        covered.cast("int").alias("covered_tokens"),
+        milli.alias("coverage_milli"),
+    )
+
+
+def span_probe(docs: DataFrame,
+               span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Delta-vs-corpus span probe over the standard batch split.
+
+    Batch docs (doc_id % MOD == REM, the incremental_dedup split) are
+    REWRITTEN so all interesting classes exist: odd batch ids QUOTE
+    their corpus neighbor's first 30 tokens plus a novel tail (the
+    quoted-content case the probe must flag), even ids are fully novel
+    synthetic text (must coverage 0). The corpus side indexes every
+    remaining doc's windows.
+    """
+    is_batch = F.pmod("doc_id", F.lit(_BATCH_MOD)) == F.lit(_BATCH_REM)
+    corpus = docs.filter(~is_batch)
+    neighbor = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("n_text")
+    )
+    quote = F.concat_ws(
+        " ", F.slice(F.split(F.coalesce("n_text", F.lit("")), " "), 1, 30)
+    )
+    novel = F.expr(
+        "concat_ws(' ', transform(sequence(1, 25), "
+        "i -> concat('nv', cast(doc_id as string), '_', cast(i as string))))"
+    )
+    batch = (
+        docs.filter(is_batch)
+        .join(neighbor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 1,
+                F.concat(quote, F.lit(" novel tail "),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(novel).alias("text"),
+        )
+    )
+    return probe_span_index(batch, build_span_index(corpus, span_tokens),
+                            span_tokens)
+
+
+def _span_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_probe(load(spark, sf_dir, "documents"))
+
+
+_SPAN_PROBE_SQL = f"""
+WITH corpus_tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+), span_index AS (
+  SELECT DISTINCT
+         unnest(list_transform(
+           range(1, greatest(len(t) - {SPAN_TOKENS - 1}, 0) + 1),
+           i -> md5(array_to_string(
+                  list_slice(t, i, i + {SPAN_TOKENS - 1}), ' ')))) AS h
+  FROM corpus_tok
+), batch_docs AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 2 = 1
+              THEN concat(
+                     array_to_string(list_slice(
+                       string_split(coalesce(nb.text, ''), ' '), 1, 30), ' '),
+                     ' novel tail ', CAST(b.doc_id AS VARCHAR))
+              ELSE array_to_string(list_transform(range(1, 26),
+                     i -> concat('nv', CAST(b.doc_id AS VARCHAR), '_',
+                                 CAST(i AS VARCHAR))), ' ')
+         END AS text
+  FROM documents b LEFT JOIN documents nb ON nb.doc_id = b.doc_id + 1
+  WHERE b.doc_id % {_BATCH_MOD} = {_BATCH_REM}
+), base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         string_split(text, ' ') AS t
+  FROM batch_docs
+), w AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(n_tokens - {SPAN_TOKENS - 1}, 0) + 1))
+           AS pos,
+         unnest(list_transform(
+           range(1, greatest(n_tokens - {SPAN_TOKENS - 1}, 0) + 1),
+           i -> md5(array_to_string(
+                  list_slice(t, i, i + {SPAN_TOKENS - 1}), ' ')))) AS h
+  FROM base
+), hit AS (
+  SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM span_index)
+), seg AS (
+  SELECT doc_id,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              THEN {SPAN_TOKENS}
+              ELSE least({SPAN_TOKENS},
+                         pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos))
+         END AS seg
+  FROM hit
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit_windows,
+         CAST(SUM(seg) AS INT) AS covered_tokens
+  FROM seg GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(greatest(b.n_tokens - {SPAN_TOKENS - 1}, 0) AS INT) AS n_windows,
+       coalesce(p.n_hit_windows, 0) AS n_hit_windows,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       CAST((1000 * coalesce(p.covered_tokens, 0)) // b.n_tokens AS INT)
+         AS coverage_milli
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
 
 
 def _span_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1565,5 +1717,9 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "with duplicated-span tokens cut out in place — covered "
               "positions anti-joined off the token stream, order-"
               "preserving per-doc rebuild."),
+        Query("dedup_span_probe", _span_probe_q, _SPAN_PROBE_SQL,
+              "Incremental span probe: delta batch windows semi-joined "
+              "against the corpus's persisted window-hash index, exact "
+              "coverage of quoted corpus content; work ∝ batch + index."),
     ]
 }

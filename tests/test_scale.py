@@ -1034,6 +1034,36 @@ def test_substring_spans_match_brute_force_random(spark):
         assert s["clean_text"] == clean and s["n_removed"] == n_cov, doc_id
 
 
+def test_probe_span_index_flags_quoted_corpus_content(spark):
+    """The incremental probe must flag a batch doc quoting indexed
+    corpus content (exact coverage of the quoted run) and pass a fully
+    novel doc with zero hits — without ever re-scanning corpus text."""
+    from etl_validator_github_spark.scale.dedup import (
+        build_span_index,
+        probe_span_index,
+    )
+
+    corpus = _docs(spark, [
+        " ".join(f"c{i}" for i in range(40)),
+        " ".join(f"d{i}" for i in range(30)),
+    ])
+    quoted = " ".join(f"c{i}" for i in range(10, 30))   # 20 corpus tokens
+    batch = spark.createDataFrame(
+        [(100, f"{quoted} " + " ".join(f"x{i}" for i in range(15)), "en"),
+         (101, " ".join(f"z{i}" for i in range(35)), "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    idx = build_span_index(corpus, span_tokens=5)
+    got = {r.doc_id: r.asDict()
+           for r in probe_span_index(batch, idx, span_tokens=5).collect()}
+    # doc 100: tokens 1-20 are a verbatim corpus run → its 16 five-token
+    # windows inside the quote all hit; union covers exactly 20 tokens.
+    assert got[100]["n_hit_windows"] == 16
+    assert got[100]["covered_tokens"] == 20
+    assert got[100]["coverage_milli"] == 1000 * 20 // 35
+    assert (got[101]["n_hit_windows"], got[101]["covered_tokens"]) == (0, 0)
+
+
 def test_strip_duplicated_spans_hand_computed(spark):
     """Span removal cuts exactly the covered positions and preserves
     the order of the remainder; a fully-covered doc strips to ''."""
