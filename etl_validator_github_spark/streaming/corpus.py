@@ -131,6 +131,45 @@ def stream_incremental_dedup(
     return writer.start()
 
 
+def stream_span_probe(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    span_index: DataFrame,
+    available_now: bool = True,
+):
+    """Streaming form of the incremental SPAN probe (scale/dedup.py
+    ``probe_span_index``): each micro-batch of newly landed documents
+    is scored for k-token spans already present in the corpus's
+    persisted window-hash index — the quoted-content / contamination
+    check on live ingest. Same shape as ``stream_incremental_dedup``:
+    the caller passes ``span_index`` already persisted (it owns the
+    lifetime), per-batch work is |batch| window hashing + one
+    semi-join, the corpus text is never touched.
+    """
+    from etl_validator_github_spark.scale.dedup import probe_span_index
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        probe_span_index(batch_df, span_index).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = stream.writeStream.foreachBatch(_probe).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 #: Schema of an embeddings feed (matches testdata embeddings.parquet,
 #: minus the label column a delta feed does not have).
 VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"

@@ -153,6 +153,48 @@ def test_stream_semantic_dedup_probes_base_cells(spark, tmp_path):
         base.unpersist()
 
 
+def test_stream_span_probe_scores_quoted_content(spark, tmp_path):
+    """Streaming span probe: a delta doc quoting a 20-token corpus run
+    gets exact coverage of the quote; a novel doc scores zero. A later
+    file is probed in its own micro-batch against the same persisted
+    index."""
+    from etl_validator_github_spark.scale.dedup import build_span_index
+    from etl_validator_github_spark.streaming.corpus import stream_span_probe
+
+    corpus = spark.createDataFrame(
+        [(0, GOOD, "en"), (1, GOOD2, "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    idx = build_span_index(corpus).persist()
+    try:
+        src = tmp_path / "spsrc"
+        sink, ckpt = tmp_path / "spsink", tmp_path / "spckpt"
+        quote = " ".join(f"tok{i}" for i in range(5, 25))    # 20 of GOOD
+        quoting = quote + " " + " ".join(f"tail{i}" for i in range(10))
+        novel = " ".join(f"fresh{i}" for i in range(25))
+        _write_docs(spark, str(src / "d1.parquet"),
+                    [(100, quoting), (101, novel)])
+
+        q = stream_span_probe(spark, str(src), str(sink), str(ckpt), idx)
+        q.awaitTermination(120)
+        got = {r.doc_id: (r.n_hit_windows, r.covered_tokens)
+               for r in spark.read.parquet(str(sink)).collect()}
+        # tokens 1-20 of doc 100 are a verbatim corpus run → its single
+        # fully-inside 20-token window hits, covering exactly 20 tokens.
+        assert got[100] == (1, 20)
+        assert got[101] == (0, 0)
+
+        _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD)])
+        q2 = stream_span_probe(spark, str(src), str(sink), str(ckpt), idx)
+        q2.awaitTermination(120)
+        got2 = {r.doc_id: (r.n_hit_windows, r.covered_tokens)
+                for r in spark.read.parquet(str(sink)).collect()}
+        assert got2[200] == (11, 30)    # exact re-send: every window hits
+        assert len(got2) == 3           # earlier files not re-probed
+    finally:
+        idx.unpersist()
+
+
 def test_stream_incremental_dedup_exactly_once_across_restarts(spark, tmp_path):
     """The checkpoint makes file processing exactly-once across stream
     restarts: re-running over the same source adds nothing; a file
