@@ -332,6 +332,65 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    """Curation passes over a documents parquet (doc_id, text, lang,
+    source): ``--op token-budget`` keeps the best docs per language up
+    to a token budget, ``--op resample`` runs DSIR importance
+    resampling against the deterministic target slice, ``--op
+    domain-cap`` enforces the per-source document cap. Each writes its
+    per-doc report/keep-list, or the surviving rows with
+    ``--write-docs``."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="corpus-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    missing = sorted({"doc_id", "text"} - set(docs.columns))
+    if not missing and args.op == "token-budget" and "lang" not in docs.columns:
+        missing = ["lang"]
+    if not missing and args.op == "domain-cap" and "source" not in docs.columns:
+        missing = ["source"]
+    if missing:
+        raise SystemExit(
+            f"--op {args.op} needs a documents parquet; {args.input} is "
+            f"missing {', '.join(missing)}"
+        )
+    if args.op == "token-budget":
+        from etl_validator_github_spark.scale.text import quality_budget_select
+
+        report = quality_budget_select(docs)
+        keep_flag = None          # the report IS the keep-list
+        keep_ids = report.select("doc_id")
+        what = "within budget"
+    elif args.op == "resample":
+        from etl_validator_github_spark.scale.text import importance_resample
+
+        report = importance_resample(docs)
+        keep_flag = "accepted"
+        keep_ids = report.filter(F.col("accepted") == 1).select("doc_id")
+        what = "accepted"
+    else:
+        from etl_validator_github_spark.scale.text import domain_cap_select
+
+        report = domain_cap_select(docs)
+        keep_flag = "cap_keep"
+        keep_ids = report.filter(F.col("cap_keep") == 1).select("doc_id")
+        what = "under the domain cap"
+    if args.write_docs:
+        out = docs.join(keep_ids, "doc_id", "left_semi")
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.output).count()
+    else:
+        report.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n_out = (written.filter(F.col(keep_flag) == 1).count()
+                 if keep_flag else written.count())
+        n_in = docs.count()
+    print(f"{args.op}: {n_in} docs -> {n_out} {what} -> {args.output}")
+    return 0
+
+
 def _cmd_scenario(args: argparse.Namespace) -> int:
     from etl_validator_github_spark.pipeline import run_scenario
 
@@ -418,6 +477,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="write surviving documents instead of the "
                         "(doc_id, cluster_id, keep) keep-list")
     d.set_defaults(fn=_cmd_dedup)
+
+    c = sub.add_parser(
+        "curate",
+        help="training-mixture curation passes over a documents "
+             "parquet: per-lang token budget, DSIR importance "
+             "resampling, per-domain cap",
+    )
+    c.add_argument("input")
+    c.add_argument("--output", required=True)
+    c.add_argument("--op",
+                   choices=("token-budget", "resample", "domain-cap"),
+                   required=True)
+    c.add_argument("--write-docs", action="store_true",
+                   help="write the surviving documents instead of the "
+                        "per-doc report/keep-list")
+    c.set_defaults(fn=_cmd_curate)
 
     args = parser.parse_args(argv)
     return args.fn(args)

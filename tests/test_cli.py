@@ -349,6 +349,45 @@ def test_cli_dedup_semantic_incremental(spark, tmp_path, capsys):
               "--output", str(tmp_path / "x.parquet")])
 
 
+def test_cli_curate_ops(spark, tmp_path, capsys):
+    """curate subcommand: each op writes its report, --write-docs the
+    survivors, and a wrong-schema input fails with a clear message."""
+    import pytest
+
+    src = tmp_path / "cdocs.parquet"
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(30)), "en", f"src{i % 3}")
+            for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string"
+    ).write.parquet(str(src))
+
+    cap_rep = tmp_path / "cap.parquet"
+    assert main(["curate", str(src), "--op", "domain-cap",
+                 "--output", str(cap_rep)]) == 0
+    rep = spark.read.parquet(str(cap_rep))
+    assert set(rep.columns) == {"doc_id", "source", "cap_bucket", "cap_keep"}
+    assert "under the domain cap" in capsys.readouterr().out
+
+    rs_out = tmp_path / "rs_docs.parquet"
+    assert main(["curate", str(src), "--op", "resample", "--write-docs",
+                 "--output", str(rs_out)]) == 0
+    survivors = spark.read.parquet(str(rs_out))
+    assert 0 < survivors.count() <= 30
+    assert set(survivors.columns) == {"doc_id", "text", "lang", "source"}
+
+    tb_rep = tmp_path / "tb.parquet"
+    assert main(["curate", str(src), "--op", "token-budget",
+                 "--output", str(tb_rep)]) == 0
+    assert spark.read.parquet(str(tb_rep)).count() > 0
+
+    bad = tmp_path / "bad.parquet"
+    spark.createDataFrame([(1, "x")], "a: long, b: string") \
+        .write.parquet(str(bad))
+    with pytest.raises(SystemExit, match="missing doc_id, text"):
+        main(["curate", str(bad), "--op", "resample",
+              "--output", str(tmp_path / "nope.parquet")])
+
+
 def test_cli_dedup_spans_mode(spark, tmp_path, capsys):
     """--mode spans: the per-doc span report, and with --write-docs the
     rewritten corpus with duplicated spans stripped in place."""

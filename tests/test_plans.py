@@ -422,6 +422,16 @@ def test_embed_outliers_broadcasts_cells(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_span_probe_semi_join_bounded(spark, sf_dir):
+    """Incremental span probe: batch windows SEMI-join the index (no
+    fan-out), coverage union + per-doc rollup are the only other real
+    shuffles; never a cartesian fallback."""
+    p = plan(spark, sf_dir, "dedup_span_probe")
+    assert "LeftSemi" in p
+    assert _n_exchanges(p) <= 3, p
+    assert "CartesianProduct" not in p
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale evidence: the session's AQE skew-join config actually
     splits a hot-key partition at runtime (SortMergeJoin(skew=true)).
