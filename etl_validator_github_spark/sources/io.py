@@ -127,3 +127,61 @@ def write_single_csv(df: DataFrame, directory: str, filename: str, sep: str = "|
 def archive_path(base: str, year: int, month: int) -> str:
     """S13: ready -> archive/{YYYY}/{MM} layout (PIPE:2121-2123)."""
     return os.path.join(base, "archive", f"{year:04d}", f"{month:02d}")
+
+
+class CompactionReport:
+    """Before/after accounting for ``compact_parquet``."""
+
+    def __init__(self, rows: int, files_before: int, files_after: int,
+                 bytes_before: int):
+        self.rows = rows
+        self.files_before = files_before
+        self.files_after = files_after
+        self.bytes_before = bytes_before
+
+
+#: Default compaction target: the usual lake file-size sweet spot
+#: (large enough to amortize footer/open costs, small enough for
+#: split-level parallelism).
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                    target_bytes: int = COMPACT_TARGET_BYTES) -> CompactionReport:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_bytes`` files (the nightly lake-maintenance pass after
+    streaming/incremental sinks have appended thousands of tiny files
+    — at 100 TB unmanaged small files dominate scan open/list cost).
+
+    The output file count comes from the SOURCE's on-disk bytes (a
+    driver-side listing of file sizes — metadata only, no data read),
+    so the target tracks the actual compressed size rather than a rows
+    heuristic. The rewrite itself is one ``repartition(n)`` — a single
+    all-to-all whose output is the balanced file set; no driver-side
+    data movement. Content is preserved exactly (same rows, any order);
+    the source is left untouched for the caller to swap/retire, the
+    same write-then-move choreography as the archive step above.
+    """
+    sizes = [
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                           recursive=True)
+        if os.path.isfile(p)
+    ]
+    if not sizes:
+        raise ValueError(f"no parquet files under {src_dir}")
+    bytes_before = sum(sizes)
+    n_files = max(1, -(-bytes_before // int(target_bytes)))  # ceil div
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    out_files = [
+        p for p in glob.glob(os.path.join(dst_dir, "*.parquet"))
+        if os.path.isfile(p)
+    ]
+    rows = spark.read.parquet(dst_dir).count()
+    return CompactionReport(
+        rows=rows,
+        files_before=len(sizes),
+        files_after=len(out_files),
+        bytes_before=bytes_before,
+    )

@@ -108,6 +108,31 @@ def test_archive_path_layout():
     assert sio.archive_path("/a", 2026, 3) == "/a/archive/2026/03"
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction: many tiny files become few balanced ones, content
+    preserved exactly, source untouched; empty source is a clear error."""
+    src, dst = tmp_path / "small", tmp_path / "compacted"
+    df = generate_bankdata(spark, 60, seed=246)
+    # 20 single-row-ish files — the streaming-sink small-file pattern.
+    df.repartition(20).write.parquet(str(src))
+    n_src_files = len(list(src.glob("*.parquet")))
+    assert n_src_files >= 15
+
+    rep = sio.compact_parquet(spark, str(src), str(dst),
+                              target_bytes=10**9)
+    assert rep.files_before == n_src_files
+    assert rep.files_after == 1          # tiny data, one target file
+    assert rep.rows == 60
+    # Exact content preservation, order-insensitive.
+    before = sorted(tuple(r) for r in spark.read.parquet(str(src)).collect())
+    after = sorted(tuple(r) for r in spark.read.parquet(str(dst)).collect())
+    assert before == after
+    assert len(list(src.glob("*.parquet"))) == n_src_files  # untouched
+
+    with pytest.raises(ValueError, match="no parquet files"):
+        sio.compact_parquet(spark, str(tmp_path / "nothing"), str(dst))
+
+
 def test_partitioned_error_sink(spark, tmp_path):
     from etl_validator_github_spark.operators.errors import write_error_csv
 
