@@ -2028,11 +2028,107 @@ LEFT JOIN s3 USING (user_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 shape: min-cost supplier — the correlated-min subquery over a
+# supply relation, restricted to one region, with Q2's tie-broken
+# top-k ordering. The fixture has no partsupp table, so the supply
+# relation derives from lineitem: a supplier's cost for a part = the
+# minimum unit price (exact cents of price/qty) it ever charged for
+# it — same grain as partsupp (one row per (part, supplier)).
+# Written DECORRELATED, the shape that scales: one hash-agg builds
+# per-(part, supplier) costs, one more takes the per-part regional
+# minimum, and an equi-join keeps the argmin rows — the correlated
+# subquery of the textbook form would re-scan supply per part.
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_SIZE_MOD = 5
+_Q2_TOPK = 100
+
+
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    supply = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(cents(F.col("l_extendedprice") / F.col("l_quantity")))
+            .alias("unit_cents")
+        )
+    )
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == _Q2_REGION)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_supply = supply.join(
+        F.broadcast(eu), supply.suppkey == eu.s_suppkey
+    )
+    min_per_part = eu_supply.groupBy("partkey").agg(
+        F.min("unit_cents").alias("min_cents")
+    )
+    parts = part.filter(F.col("p_size") % _Q2_SIZE_MOD == 0).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        eu_supply.join(min_per_part, "partkey")
+        .filter(F.col("unit_cents") == F.col("min_cents"))
+        .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("unit_cents") / F.lit(100.0)).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                 F.asc("p_partkey"))
+        .limit(_Q2_TOPK)
+    )
+
+
+_Q2_SQL = f"""
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+           AS unit_cents
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+), eu_supply AS (
+  SELECT * FROM supply JOIN eu ON suppkey = s_suppkey
+), min_per_part AS (
+  SELECT partkey, MIN(unit_cents) AS min_cents FROM eu_supply GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       unit_cents / 100.0 AS unit_cost
+FROM eu_supply
+JOIN min_per_part USING (partkey)
+JOIN part ON partkey = p_partkey
+WHERE unit_cents = min_cents AND p_size % {_Q2_SIZE_MOD} = 0
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT {_Q2_TOPK}
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("q1_pricing_summary", _q1, _Q1_SQL,
               "TPC-H Q1-shaped scan→filter→agg; quantized exact sums.", bench=True),
+        Query("q2_min_cost_supplier", _q2, _Q2_SQL,
+              "TPC-H Q2 shape: decorrelated per-part regional min-cost "
+              "argmin over a lineitem-derived supply relation, "
+              "tie-broken top-100."),
         Query("q3_shipping_priority", _q3, _Q3_SQL,
               "3-way join + agg + deterministic top-10.", bench=True),
         Query("q5_local_supplier", _q5, _Q5_SQL,
