@@ -2036,9 +2036,13 @@ LEFT JOIN s3 USING (user_id)
 # minimum unit price (exact cents of price/qty) it ever charged for
 # it — same grain as partsupp (one row per (part, supplier)).
 # Written DECORRELATED, the shape that scales: one hash-agg builds
-# per-(part, supplier) costs, one more takes the per-part regional
-# minimum, and an equi-join keeps the argmin rows — the correlated
-# subquery of the textbook form would re-scan supply per part.
+# per-(part, supplier) costs, then a partkey-partitioned window min
+# keeps the argmin rows in the same pass — the textbook correlated
+# subquery would re-scan supply per part, and the self-join form would
+# scan lineitem twice and sort-merge the two aggregates (the plan Spark
+# actually produced for it — no common-subplan reuse). Two shuffles
+# total: the supply hash-agg and the window repartition; plan-gated in
+# tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
 _Q2_REGION = "EUROPE"
@@ -2072,14 +2076,12 @@ def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_supply = supply.join(
         F.broadcast(eu), supply.suppkey == eu.s_suppkey
     )
-    min_per_part = eu_supply.groupBy("partkey").agg(
-        F.min("unit_cents").alias("min_cents")
-    )
     parts = part.filter(F.col("p_size") % _Q2_SIZE_MOD == 0).select(
         "p_partkey", "p_brand"
     )
+    min_w = Window.partitionBy("partkey")
     return (
-        eu_supply.join(min_per_part, "partkey")
+        eu_supply.withColumn("min_cents", F.min("unit_cents").over(min_w))
         .filter(F.col("unit_cents") == F.col("min_cents"))
         .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
         .select(

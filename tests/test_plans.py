@@ -432,6 +432,24 @@ def test_span_probe_semi_join_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_q2_single_lineitem_pass_two_shuffles(spark, sf_dir):
+    """Q2's per-part argmin must run as ONE pass over lineitem: a
+    (part, supplier) hash-agg, broadcast join to the regional supplier
+    dim, then a partkey window min — two real Exchanges total. The
+    naive self-join form (supply joined back to its own per-part min)
+    scans lineitem twice and sort-merges the duplicated aggregates, so
+    pin: one scan per table, no SortMergeJoin."""
+    p = plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert _n_exchanges(p) == 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p
+    # lineitem + supplier + nation + region + part, each scanned once.
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 5, p
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Scale evidence: the session's AQE skew-join config actually
     splits a hot-key partition at runtime (SortMergeJoin(skew=true)).
