@@ -188,6 +188,96 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature (alpha) mixture sampling.
+# ---------------------------------------------------------------------------
+
+#: md5-threshold granularity for the per-doc keep decision.
+_TEMP_MOD = 10_000
+
+
+def temperature_mixture(docs: DataFrame) -> DataFrame:
+    """Per-lang summary of alpha-temperature downsampling (alpha = 0.5).
+
+    The multilingual-pretraining rebalance (XLM arXiv:1901.07291 §3.1,
+    mT5 arXiv:2010.11934 §3.2): sample language l proportionally to
+    p_l^alpha, which flattens the head languages. Realized downsample-
+    only: keep-rate r_l = sqrt(min_tokens / tokens_l), so the smallest
+    language keeps everything and a language with 100x its tokens keeps
+    10%. alpha is FIXED at 0.5 because IEEE-754 sqrt and division are
+    correctly rounded — both engines derive bit-identical rates from
+    the same integer token counts, which a pow(x, 0.3) would not
+    guarantee across libm implementations.
+
+    Scale shape: one tiny per-lang hash-agg; the global min folds over
+    that 5-row aggregate with an empty-partition window (a
+    SinglePartition exchange of lang-cardinality rows, NOT a second
+    corpus pass); then the corpus takes ONE more scan with the rate
+    table broadcast and the keep decision evaluated map-side
+    (md5_mod(doc_id) < rate_milli). Never a corpus-wide window or sort.
+    """
+    toks = docs.select(
+        "doc_id", "lang", _n_tokens().alias("n_tokens")
+    )
+    stats = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum("n_tokens").alias("n_tokens_in"),
+    )
+    min_tok = F.min("n_tokens_in").over(Window.partitionBy())
+    rated = stats.withColumn(
+        "rate_milli",
+        F.round(
+            F.lit(_TEMP_MOD)
+            * F.sqrt(min_tok.cast("double")
+                     / F.col("n_tokens_in").cast("double"))
+        ).cast("long"),
+    ).select("lang", "n_docs_in", "n_tokens_in", "rate_milli")
+    keep = md5_mod("doc_id", _TEMP_MOD) < F.col("rate_milli")
+    return (
+        toks.join(F.broadcast(rated), "lang")
+        .groupBy("lang", "n_docs_in", "n_tokens_in", "rate_milli")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_docs_out"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .alias("n_tokens_out"),
+        )
+    )
+
+
+def _temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mixture(load(spark, sf_dir, "documents"))
+
+
+_TEMPERATURE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), stats AS (
+  SELECT lang, COUNT(*) AS n_docs_in,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_in
+  FROM toks GROUP BY 1
+), rated AS (
+  SELECT lang, n_docs_in, n_tokens_in,
+         CAST(round({_TEMP_MOD} * sqrt(
+             CAST((SELECT MIN(n_tokens_in) FROM stats) AS DOUBLE)
+             / CAST(n_tokens_in AS DOUBLE))) AS BIGINT) AS rate_milli
+  FROM stats
+), hashed AS (
+  SELECT lang, n_tokens,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_TEMP_MOD} AS h
+  FROM toks
+)
+SELECT lang, n_docs_in, n_tokens_in, rate_milli,
+       CAST(SUM(CASE WHEN h < rate_milli THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_out,
+       CAST(SUM(CASE WHEN h < rate_milli THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_out
+FROM hashed JOIN rated USING (lang)
+GROUP BY 1, 2, 3, 4
+"""
+
+
 PACKING_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -197,5 +287,9 @@ PACKING_QUERIES: dict[str, Query] = {
         Query("mixture_upsample", _mixture_q, _MIXTURE_SQL,
               "Training-mixture construction: deterministic per-source "
               "epoch-factor replication (floor + md5-threshold fraction)."),
+        Query("docs_temperature_mixture", _temperature_q, _TEMPERATURE_SQL,
+              "Alpha-temperature (alpha=0.5) multilingual rebalance: "
+              "sqrt keep-rates from per-lang token counts, md5-Bernoulli "
+              "downsample, per-lang in/out summary."),
     ]
 }

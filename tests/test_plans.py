@@ -432,6 +432,20 @@ def test_span_probe_semi_join_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_temperature_mixture_two_corpus_scans(spark, sf_dir):
+    """Alpha-temperature sampling needs one stats pass and one decision
+    pass over the corpus — never a third (the min-rate fold must run as
+    a window over the tiny per-lang aggregate, not re-derive it). The
+    rate table broadcasts onto the decision pass; the keep test is
+    map-side md5 arithmetic."""
+    import re
+    p = plan(spark, sf_dir, "docs_temperature_mixture")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert _n_exchanges(p) <= 3, p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
 def test_q2_single_lineitem_pass_two_shuffles(spark, sf_dir):
     """Q2's per-part argmin must run as ONE pass over lineitem: a
     (part, supplier) hash-agg, broadcast join to the regional supplier

@@ -984,6 +984,45 @@ def test_importance_resample_prefers_target_like_docs(spark):
         assert r["n_feats"] == 11
 
 
+def test_temperature_mixture_rates_hand_computed(spark):
+    """Alpha=0.5 rebalance: the smallest language keeps everything
+    (rate 10000), every other language's rate is exactly
+    round(10000 * sqrt(min_tokens / own_tokens)), and kept counts obey
+    the md5 threshold doc-by-doc."""
+    import hashlib
+    import math
+
+    from etl_validator_github_spark.scale.packing import temperature_mixture
+
+    rows = [
+        # 3 langs: en 3 docs x 8 tokens, de 1 doc x 8, zh 2 docs x 4.
+        (0, "a b c d e f g h", "en"),
+        (1, "a b c d e f g h", "en"),
+        (2, "a b c d e f g h", "en"),
+        (3, "a b c d e f g h", "de"),
+        (4, "a b c d", "zh"),
+        (5, "a b c d", "zh"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string"
+    )
+    got = {r["lang"]: r.asDict() for r in temperature_mixture(docs).collect()}
+    toks = {"en": 24, "de": 8, "zh": 8}
+    for lang, n in toks.items():
+        expect_rate = round(10_000 * math.sqrt(8 / n))
+        assert got[lang]["rate_milli"] == expect_rate, lang
+        kept = [
+            doc_id for doc_id, _, l2 in rows
+            if l2 == lang
+            and int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            % 10_000 < expect_rate
+        ]
+        assert got[lang]["n_docs_out"] == len(kept), lang
+    assert got["de"]["rate_milli"] == got["zh"]["rate_milli"] == 10_000
+    assert got["de"]["n_docs_out"] == 1 and got["zh"]["n_docs_out"] == 2
+    assert got["en"]["rate_milli"] < 10_000
+
+
 def test_substring_spans_match_brute_force_random(spark):
     """Randomized cross-check: window hashing, duplicate detection,
     interval-union coverage, and span stripping all agree with a
