@@ -1196,11 +1196,257 @@ GROUP BY t.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ, Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public method), the inner-product/ADC
+# variant: split each 64-dim vector into PQ_M=4 subspaces of 16 dims,
+# learn a PQ_K=8-entry codebook per subspace, and store each corpus
+# vector as 4 small codes. Query scoring is asymmetric distance
+# computation (ADC): the query precomputes, per subspace, its projection
+# onto every codebook direction (a 4×8 lookup table), and each corpus
+# vector's approximate dot folds as 4 table lookups — after encoding,
+# search never touches the original floats (64 floats → 4 bytes/vector,
+# PQ's memory story).
+#
+# Determinism: codebook training follows the kmeans_clusters recipe —
+# seeds are the first PQ_K vectors' subvectors, one Lloyd refinement
+# with SUM-direction centroids (exact BIGINT, scale-invariant under the
+# cosine/projection metric, so no mean division), assignment ranked
+# (projection desc, code asc). Projections are BIGINT-dot / IEEE-sqrt
+# doubles — bit-identical cross-engine — and the 4-term ADC sum is
+# written as explicit left-to-right additions on BOTH sides (float
+# addition is not associative; a SUM() aggregate's order would not be
+# pinned). Lookups key on the CODE value (map on the Spark side, an
+# (m, code) equi-join in SQL), never on array position, so the pipeline
+# stays correct even if a codebook entry went empty.
+#
+# 100 TB shape: the codebook (32 rows) folds into ONE broadcast row;
+# seeding, refinement assignment, and encoding are all map-side over
+# the corpus (the corpus × codes expansion never leaves its stage, the
+# cell_assignments precedent). The refinement shuffle keys on
+# (m, code, dim) ≤ 512 entries. Scoring broadcasts the 8-query LUT;
+# the only corpus-keyed shuffle is the final per-query top-k.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 8
+
+
+def _pq_subs(vecs: DataFrame) -> DataFrame:
+    """vec_id + the PQ_M quantized subvectors as sub_0..sub_{M-1}."""
+    return vecs.select(
+        "vec_id",
+        *[
+            F.expr(f"slice(qv, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})")
+            .alias(f"sub_{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+
+def _pq_fold(cb: DataFrame):
+    """Codebook (m, code, dir, dnorm2) folded into one broadcast row."""
+    return F.broadcast(cb.agg(
+        F.expr("array_sort(collect_list(struct(m, code, dir, dnorm2)))")
+        .alias("cb")
+    ))
+
+
+def _pq_code_expr(m: int) -> F.Column:
+    """Argmax-projection code for subspace ``m``, computed in-row
+    against the folded codebook (tie → lowest code)."""
+    dot = _DOT.format(a=f"sub_{m}", b="c.dir")
+    return F.expr(
+        f"array_sort(transform(filter(cb, c -> c.m = {m}), "
+        f"c -> struct(-({dot} / sqrt(c.dnorm2)) AS negproj, "
+        f"c.code AS code)))[0].code"
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """vec_id, sub_*, code_0..code_{M-1} — one map pass, codebook
+    broadcast (the 1-row fold join is the intended BNLJ)."""
+    return subs.join(_pq_fold(cb)).select(
+        "vec_id",
+        *[f"sub_{m}" for m in range(PQ_M)],
+        *[_pq_code_expr(m).alias(f"code_{m}") for m in range(PQ_M)],
+    )
+
+
+def pq_codebooks(embeddings: DataFrame) -> DataFrame:
+    """(m, code, dir, dnorm2) after one Lloyd refinement of the
+    first-PQ_K-subvector seeding."""
+    subs = _pq_subs(quantized(embeddings))
+    seeds = (
+        subs.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("m"), F.col(f"sub_{m}").alias("dir"))
+                for m in range(PQ_M)
+            ])).alias("e"),
+        )
+        .select("e.m", "code", "e.dir")
+        .withColumn("dnorm2", F.expr(_DOT.format(a="dir", b="dir")))
+    )
+    assigned = _pq_assign(subs, seeds)
+    long = assigned.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(f"code_{m}").alias("code"),
+                F.col(f"sub_{m}").alias("sub"),
+            )
+            for m in range(PQ_M)
+        ])).alias("e")
+    ).select("e.m", "e.code", F.posexplode("e.sub").alias("pos", "q"))
+    partial = long.groupBy("m", "code", "pos").agg(F.sum("q").alias("s"))
+    refined = partial.groupBy("m", "code").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+        .alias("dir")
+    )
+    return refined.withColumn("dnorm2", F.expr(_DOT.format(a="dir", b="dir")))
+
+
+def pq_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+            k: int = TOP_K) -> DataFrame:
+    """ADC top-k: 4 map lookups per (query, corpus vector), ranked by
+    the approximate dot (score desc, neighbor_id asc)."""
+    from pyspark.sql import Window
+
+    subs = _pq_subs(quantized(embeddings))
+    # The 32-row codebook feeds BOTH the corpus encoding and the query
+    # LUT; without a lineage barrier Spark re-derives the whole
+    # refinement tree (including its corpus assignment pass) once per
+    # consumer. localCheckpoint materializes it once — it is
+    # codebook-sized, never corpus-sized.
+    cb = pq_codebooks(embeddings).localCheckpoint(eager=False)
+    enc = _pq_assign(subs, cb).select(
+        "vec_id", *[f"code_{m}" for m in range(PQ_M)]
+    )
+    luts = (
+        subs.filter(F.col("vec_id") < n_queries)
+        .join(_pq_fold(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *[
+                F.expr(
+                    f"map_from_entries(transform(filter(cb, c -> c.m = {m}), "
+                    f"c -> struct(c.code, "
+                    f"{_DOT.format(a=f'sub_{m}', b='c.dir')} / sqrt(c.dnorm2))))"
+                ).alias(f"lut_{m}")
+                for m in range(PQ_M)
+            ],
+        )
+    )
+    # Fixed left-to-right addition order — mirrored verbatim in the SQL.
+    score = (
+        (F.element_at("lut_0", F.col("code_0"))
+         + F.element_at("lut_1", F.col("code_1")))
+        + F.element_at("lut_2", F.col("code_2"))
+    ) + F.element_at("lut_3", F.col("code_3"))
+    cands = (
+        enc.join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_score")
+    )
+
+
+def _pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_sql() -> str:
+    sub_expr = (f"list_slice(qv, m * {PQ_SUBDIM} + 1, "
+                f"(m + 1) * {PQ_SUBDIM})")
+    dot_ss = _SQL_DOT.format(a="s.sub", b="sd.dir")
+    dot_sr = _SQL_DOT.format(a="s.sub", b="r.dir")
+    dot_qr = _SQL_DOT.format(a="q.sub", b="r.dir")
+    ms = ", ".join(str(m) for m in range(PQ_M))
+    adc = " + ".join(
+        f"MAX(CASE WHEN l.m = {m} THEN term END)" for m in range(PQ_M)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, m, {sub_expr} AS sub
+  FROM vecs, UNNEST([{ms}]) t(m)
+), seeds AS (
+  SELECT m, CAST(vec_id AS INT) AS code, sub AS dir,
+         {_SQL_DOT.format(a="sub", b="sub")} AS dnorm2
+  FROM subs WHERE vec_id < {PQ_K}
+), assign0 AS (
+  SELECT s.vec_id, s.m, sd.code,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {dot_ss} / sqrt(sd.dnorm2) DESC,
+                                     sd.code ASC) AS rn
+  FROM subs s JOIN seeds sd ON s.m = sd.m
+), partial AS (
+  SELECT a.m, a.code, d.dim, CAST(SUM(s.sub[d.dim]) AS BIGINT) AS ds
+  FROM assign0 a
+  JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m
+  CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS dim) d
+  WHERE a.rn = 1
+  GROUP BY 1, 2, 3
+), refined0 AS (
+  SELECT m, code, list(ds ORDER BY dim) AS dir FROM partial GROUP BY 1, 2
+), refined AS (
+  SELECT m, code, dir, {_SQL_DOT.format(a="dir", b="dir")} AS dnorm2
+  FROM refined0
+), enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, r.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {dot_sr} / sqrt(r.dnorm2) DESC,
+                                       r.code ASC) AS rn
+    FROM subs s JOIN refined r ON s.m = r.m
+  ) x WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, r.m, r.code,
+         {dot_qr} / sqrt(r.dnorm2) AS term
+  FROM subs q JOIN refined r ON q.m = r.m
+  WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, {adc} AS approx_score
+  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_score DESC,
+                                        neighbor_id ASC) AS INT) AS rank,
+       approx_score
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("embed_cosine_topk", _topk_q, _TOPK_SQL,
               "Brute-force cosine top-k (quantized exact math).", bench=True),
+        Query("embed_pq_topk", _pq_q, _pq_sql(),
+              "Product-quantization ADC search: 4×16-dim codebooks "
+              "(first-K seeds + one Lloyd step, exact-integer "
+              "directions), corpus stored as 4 codes, query scored by "
+              "table lookup."),
         Query("embed_ann_lsh", _ann_q, _ann_sql(),
               "Random-hyperplane LSH bucketed ANN candidate pairs."),
         Query("embed_label_centroids", _centroids_q, _CENTROIDS_SQL,

@@ -446,6 +446,21 @@ def test_temperature_mixture_two_corpus_scans(spark, sf_dir):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
+def test_pq_encode_and_score_stay_map_side(spark, sf_dir):
+    """PQ: the checkpointed 32-row codebook folds into one broadcast
+    row, so corpus encoding and ADC scoring are in-row expressions —
+    the corpus × codes expansion never leaves the map stage and the
+    only corpus-keyed shuffle is the final per-query top-k window.
+    (Without the codebook lineage barrier this plan had 9 exchanges and
+    6 scans from re-deriving the refinement per consumer.)"""
+    import re
+    p = plan(spark, sf_dir, "embed_pq_topk")
+    assert _n_exchanges(p) <= 3, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_q2_single_lineitem_pass_two_shuffles(spark, sf_dir):
     """Q2's per-part argmin must run as ONE pass over lineitem: a
     (part, supplier) hash-agg, broadcast join to the regional supplier

@@ -1023,6 +1023,80 @@ def test_temperature_mixture_rates_hand_computed(spark):
     assert got["en"]["rate_milli"] < 10_000
 
 
+def test_pq_topk_matches_pure_python_mirror(spark):
+    """Full PQ pipeline (seed → one Lloyd step → encode → ADC top-k)
+    cross-checked bit-for-bit against a pure-Python mirror on random
+    vectors: every float op (BIGINT dot, IEEE sqrt/divide, fixed-order
+    4-term sum) is replicated exactly, so scores and ranks must be
+    identical, not just close."""
+    import math
+    import random
+
+    from etl_validator_github_spark.scale import similarity as S
+
+    rng = random.Random(777)
+    n, dim = 24, 64
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v, "x") for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<float>, label: string",
+    )
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["approx_score"])
+        for r in S.pq_topk(df).collect()
+    ]
+
+    # Pure-Python mirror. float32 round-trip first (array<float> column).
+    import struct as st
+    q32 = [
+        [round(st.unpack("f", st.pack("f", x))[0] * 1e6) for x in v]
+        for v in vecs
+    ]
+    M, SD, K = S.PQ_M, S.PQ_SUBDIM, S.PQ_K
+    subs = {(i, m): q32[i][m * SD:(m + 1) * SD]
+            for i in range(n) for m in range(M)}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def assign(cb):
+        # cb: {(m, code): dir}; rank by (proj desc, code asc)
+        out = {}
+        for (i, m), s in subs.items():
+            best = min(
+                ((-(dot(s, d) / math.sqrt(dot(d, d))), c)
+                 for (mm, c), d in cb.items() if mm == m),
+            )
+            out[(i, m)] = best[1]
+        return out
+
+    seeds = {(m, i): subs[(i, m)] for i in range(K) for m in range(M)}
+    a0 = assign(seeds)
+    refined = {}
+    for (i, m), c in a0.items():
+        cur = refined.setdefault((m, c), [0] * SD)
+        for d_i, v in enumerate(subs[(i, m)]):
+            cur[d_i] += v
+    codes = assign(refined)
+    expect = []
+    for q in range(S.N_QUERIES):
+        lut = {
+            (m, c): dot(subs[(q, m)], d) / math.sqrt(dot(d, d))
+            for (m, c), d in refined.items()
+        }
+        scored = []
+        for v in range(n):
+            if v == q:
+                continue
+            t = ((lut[(0, codes[(v, 0)])] + lut[(1, codes[(v, 1)])])
+                 + lut[(2, codes[(v, 2)])]) + lut[(3, codes[(v, 3)])]
+            scored.append((-t, v))
+        scored.sort()
+        for rank, (negt, v) in enumerate(scored[:S.TOP_K], 1):
+            expect.append((q, rank, v, -negt))
+    assert sorted(got) == sorted(expect)
+
+
 def test_substring_spans_match_brute_force_random(spark):
     """Randomized cross-check: window hashing, duplicate detection,
     interval-union coverage, and span stripping all agree with a
