@@ -108,6 +108,79 @@ def stream_deduped_ingest(
     return writer.start()
 
 
+def enriched_rollup(
+    events: DataFrame,
+    dims: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed rollup per segment.
+
+    The production shape for joining a firehose against a slowly-
+    changing dimension (user → segment): the static side broadcasts to
+    every executor and the join is STATELESS — unlike a stream-stream
+    join it needs no join-state store or watermark bound, because the
+    static side is re-planned at each micro-batch (which is also how
+    dim updates between batches get picked up). The watermark here
+    bounds only the window-aggregation state. LEFT join: events whose
+    user is missing from the dimension surface as segment='unknown'
+    instead of silently dropping — at 100 TB/day a dim gap must show
+    up in the rollup, not vanish.
+    """
+    with_ts = events.withColumn("event_time", F.timestamp_seconds("ts_s"))
+    d = F.broadcast(dims.select("user_id", "segment"))
+    joined = with_ts.withWatermark("event_time", watermark).join(
+        d, "user_id", "left"
+    )
+    return (
+        joined.groupBy(
+            F.window("event_time", window).alias("w"),
+            F.coalesce("segment", F.lit("unknown")).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            (F.col("value_cents") / F.lit(100.0)).alias("value_total"),
+        )
+    )
+
+
+def stream_enriched_rollup(
+    spark,
+    source_dir: str,
+    dim_parquet: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """File-source → broadcast static-dim join → windowed per-segment
+    rollup → parquet append sink."""
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    dims = spark.read.parquet(dim_parquet)
+    rolled = enriched_rollup(stream, dims, window=window,
+                             watermark=watermark)
+    writer = (
+        rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 #: Attribution lookback: a click joins views by the same user within
 #: the preceding this-many seconds.
 CLICK_VIEW_LOOKBACK_S = 600

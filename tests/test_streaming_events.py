@@ -194,3 +194,65 @@ def test_stream_dedup_drops_redelivered_ids(spark, tmp_path):
     out = spark.read.parquet(str(sink))
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [1, 2, 3]
+
+
+def test_stream_static_enrichment_matches_batch_and_flags_unknowns(
+    spark, tmp_path
+):
+    """Stream-static broadcast join: per-segment windowed rollup equals
+    the batch twin on finalized windows, and events whose user is
+    absent from the dimension surface as segment='unknown' rather than
+    dropping."""
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.streaming.events import (
+        enriched_rollup,
+        stream_enriched_rollup,
+    )
+
+    src, sink, ckpt = tmp_path / "esrc", tmp_path / "esink", tmp_path / "eckpt"
+    dim = tmp_path / "dim.parquet"
+    spark.createDataFrame(
+        [(0, "gold"), (1, "gold"), (2, "basic")],
+        "user_id long, segment string",
+    ).write.parquet(str(dim))
+    rows = [
+        _ev(1, 10, 0, value=1.0),          # hour 0, gold
+        _ev(2, 20, 1, value=2.0),          # hour 0, gold
+        _ev(3, 30, 2, value=4.0),          # hour 0, basic
+        _ev(4, 40, 9, value=8.0),          # hour 0, user 9 not in dim
+        _ev(5, H + 5, 0, value=1.0),       # hour 1, gold
+        _ev(6, 3 * H + 30, 0, value=1.0),  # advances watermark past 0,1
+    ]
+    _write_events(src, rows)
+
+    q = stream_enriched_rollup(
+        spark, str(src), str(dim), str(sink), str(ckpt),
+        window="1 hour", watermark="1 hour",
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(sink))
+    got = {
+        (r["window_start"].hour, r["segment"]): (r["n_events"], r["value_total"])
+        for r in out.collect()
+    }
+    assert got[(0, "gold")] == (2, 3.0)
+    assert got[(0, "basic")] == (1, 4.0)
+    assert got[(0, "unknown")] == (1, 8.0)
+    assert got[(1, "gold")] == (1, 1.0)
+    # Hour 3 not finalized in append mode.
+    assert not any(h == 3 for h, _ in got)
+
+    # Batch twin over the on-time rows produces the same finalized rows.
+    ev = spark.createDataFrame(
+        [(r["event_id"], r["ts_s"], r["user_id"], r["event_type"], r["value"])
+         for r in rows[:5]],
+        "event_id long, ts_s long, user_id long, event_type string, value double",
+    )
+    dims = spark.read.parquet(str(dim))
+    batch = {
+        (r["window_start"].hour, r["segment"]): (r["n_events"], r["value_total"])
+        for r in enriched_rollup(ev, dims).collect()
+    }
+    assert batch == got
