@@ -1,0 +1,184 @@
+"""Deterministic distinct-count sketch (HyperLogLog register logic over
+the engine's portable md5 hash).
+
+The sketch family every 100 TB rollup pipeline leans on: exact
+count-distinct shuffles one row per distinct key, while an HLL register
+table is O(m) per group no matter the cardinality, and registers merge
+with ``max`` — associative and commutative, so Spark's map-side partial
+aggregation does the heavy lifting and re-aggregation across
+partitions/days/regions is a register-wise max, never a re-scan.
+
+Determinism (the cross-engine contract): stock HLL implementations hash
+differently everywhere, so this one is built on the repo-standard md5
+convention (`contract.md5_mod`) — hex digits 1-13 give a 52-bit
+positive word for the rank (rho = leading-zero count + 1, computed
+exactly as 53 − length(bin(w))), hex digits 14-15 give the bucket.
+Register arithmetic stays exact-integer: the harmonic term
+``sum(2^-M_j)`` is scaled by 2^53 so every addend is a BIGINT
+(``shiftleft``), and only the final estimate divides doubles (one IEEE
+division + round — bit-identical in any engine). The raw HLL estimator
+(alpha_64 = 0.709) is reported WITHOUT the small-range linear-counting
+correction — that correction needs ln(), which is not correctly-rounded
+across libm implementations; the report includes the exact distinct
+count and the empty-register count, so the small-range bias is visible
+(the fixture's user_id side, n=150 < 2.5m, demonstrates it; event_id at
+n >> m sits in the accurate regime).
+
+Reference scope note: the reference engine has no sketch operators —
+this extends the aggregation family (SURVEY §2.5) with the structure a
+Spark pipeline actually uses for distinct-heavy rollups at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.contract import Query, load
+
+#: Number of HLL registers (2^6; bucket = one hex byte mod 64).
+HLL_M = 64
+
+#: Standard HLL bias constant for m=64 (Flajolet et al. 2007).
+HLL_ALPHA = 0.709
+
+#: The rank word is 52 bits (13 hex digits); rho ranges 1..53.
+_W_BITS = 52
+
+#: The estimator numerator alpha·m²·2^53 as ONE double constant,
+#: computed once here and embedded verbatim in both engines' plans —
+#: a single shared literal instead of two engines multiplying their
+#: own constant chains.
+_EST_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (_W_BITS + 1))
+
+
+def _hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, bucket) -> M = max rank; one tiny-key hash-agg with
+    map-side partial max — the register table is group-cardinality × 64
+    regardless of input size."""
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 14, 2), "
+        f"16, 10) as bigint) % {HLL_M}"
+    )
+    w = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 13), "
+        f"16, 10) as bigint)"
+    )
+    rho = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS + 1) - F.length(F.bin(w))
+    )
+    _ = h  # md5 spelled out inside the exprs above for conv()
+    return (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def distinct_sketch(df: DataFrame, group_col: str, key_col: str,
+                    key_label: str) -> DataFrame:
+    """Per-group HLL distinct estimate next to the exact count.
+
+    Columns: grp, key (the label), n_true, v_zero (empty registers),
+    sum_pow (the exact-integer scaled harmonic sum), n_est.
+    """
+    regs = _hll_registers(df, group_col, key_col)
+    per_group = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {_W_BITS + 1} - cast(m_reg as int))"))
+        .alias("sum_present"),
+    )
+    # Empty buckets contribute 2^-0 = 1 each → 2^53 in scaled units.
+    scale = 1 << (_W_BITS + 1)
+    folded = per_group.select(
+        "grp",
+        (F.lit(HLL_M) - F.col("n_present")).alias("v_zero"),
+        (F.col("sum_present")
+         + (F.lit(HLL_M) - F.col("n_present")) * F.lit(scale))
+        .alias("sum_pow"),
+    )
+    est = F.round(
+        F.lit(_EST_NUM) / F.col("sum_pow").cast("double")
+    ).cast("long")
+    true_counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(key_col).alias("n_true")
+    )
+    return (
+        folded.join(true_counts, "grp")
+        .select(
+            "grp",
+            F.lit(key_label).alias("key"),
+            "n_true",
+            "v_zero",
+            "sum_pow",
+            est.alias("n_est"),
+        )
+    )
+
+
+def events_distinct_sketch(events: DataFrame) -> DataFrame:
+    """Distinct users (small-range regime) and distinct event ids
+    (accurate regime) per event_type, sketch vs exact."""
+    return distinct_sketch(events, "event_type", "user_id", "user").unionByName(
+        distinct_sketch(events, "event_type", "event_id", "event")
+    )
+
+
+def _sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_distinct_sketch(
+        load(spark, sf_dir, "events").select("event_type", "user_id",
+                                             "event_id")
+    )
+
+
+def _sketch_branch_sql(key_col: str, key_label: str) -> str:
+    scale = 1 << (_W_BITS + 1)
+    return f"""
+  WITH hashed AS (
+    SELECT event_type AS grp,
+           CAST(concat('0x', substring(md5(CAST({key_col} AS VARCHAR)), 14, 2))
+                AS BIGINT) % {HLL_M} AS bucket,
+           CAST(concat('0x', substring(md5(CAST({key_col} AS VARCHAR)), 1, 13))
+                AS BIGINT) AS w
+    FROM events
+  ), regs AS (
+    SELECT grp, bucket,
+           MAX(CASE WHEN w = 0 THEN {_W_BITS + 1}
+                    ELSE {_W_BITS + 1} - length(bin(w)) END) AS m_reg
+    FROM hashed GROUP BY 1, 2
+  ), folded AS (
+    SELECT grp,
+           {HLL_M} - COUNT(*) AS v_zero,
+           CAST(SUM(1::BIGINT << ({_W_BITS + 1} - m_reg)) AS BIGINT)
+             + ({HLL_M} - COUNT(*)) * {scale} AS sum_pow
+    FROM regs GROUP BY 1
+  ), trues AS (
+    SELECT event_type AS grp, COUNT(DISTINCT {key_col}) AS n_true
+    FROM events GROUP BY 1
+  )
+  SELECT f.grp, '{key_label}' AS key, t.n_true, f.v_zero, f.sum_pow,
+         CAST(round({_EST_NUM!r} / CAST(f.sum_pow AS DOUBLE)) AS BIGINT)
+           AS n_est
+  FROM folded f JOIN trues t USING (grp)
+"""
+
+
+_SKETCH_SQL = (
+    "SELECT * FROM (" + _sketch_branch_sql("user_id", "user")
+    + ") UNION ALL SELECT * FROM ("
+    + _sketch_branch_sql("event_id", "event") + ")"
+)
+
+
+SKETCH_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("events_distinct_sketch", _sketch_q, _SKETCH_SQL,
+              "Deterministic md5-HLL distinct sketch per event_type: "
+              "exact-integer registers, raw alpha-64 estimate next to "
+              "the exact count (sketch state is O(m) per group and "
+              "merges by register max)."),
+    ]
+}

@@ -446,6 +446,17 @@ def test_temperature_mixture_two_corpus_scans(spark, sf_dir):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
+def test_distinct_sketch_registers_partial_aggregate(spark, sf_dir):
+    """HLL sketch: both register passes are two-level hash aggregates
+    (map-side partial max / partial distinct) over tiny key spaces —
+    never a sort-based aggregate or a nested loop. The register table
+    is group × 64 no matter the input size."""
+    p = plan(spark, sf_dir, "events_distinct_sketch")
+    assert "HashAggregate" in p
+    assert "SortAggregate" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
 def test_pq_encode_and_score_stay_map_side(spark, sf_dir):
     """PQ: the checkpointed 32-row codebook folds into one broadcast
     row, so corpus encoding and ADC scoring are in-row expressions —

@@ -1023,6 +1023,48 @@ def test_temperature_mixture_rates_hand_computed(spark):
     assert got["en"]["rate_milli"] < 10_000
 
 
+def test_distinct_sketch_matches_pure_python_hll(spark):
+    """The md5-HLL registers, zero-register count, scaled harmonic sum,
+    and raw estimate all match a pure-Python mirror exactly — and the
+    estimate lands within 3 standard errors (1.04/sqrt(64)) of truth in
+    the accurate (n >> m) regime."""
+    import hashlib
+
+    from etl_validator_github_spark.scale.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        distinct_sketch,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(n)], "grp int, k long"
+    )
+    got = {r["grp"]: r.asDict()
+           for r in distinct_sketch(df, "grp", "k", "k").collect()}
+
+    for g in range(7):
+        regs = {}
+        keys = [i for i in range(n) if i % 7 == g]
+        for key in keys:
+            h = hashlib.md5(str(key).encode()).hexdigest()
+            bucket = int(h[13:15], 16) % HLL_M
+            w = int(h[:13], 16)
+            # bin(w) has a '0b' prefix → bit length = len - 2.
+            rho = 53 if w == 0 else 53 - (len(bin(w)) - 2)
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        v_zero = HLL_M - len(regs)
+        sum_pow = sum(1 << (53 - m) for m in regs.values()) + v_zero * (1 << 53)
+        est = round(HLL_ALPHA * HLL_M * HLL_M * float(1 << 53) / sum_pow)
+        r = got[g]
+        assert r["n_true"] == len(keys)
+        assert r["v_zero"] == v_zero
+        assert r["sum_pow"] == sum_pow
+        assert r["n_est"] == est
+        # Accuracy in the n >> m regime: 3σ with σ = 1.04/sqrt(m).
+        assert abs(est - len(keys)) / len(keys) < 3 * 1.04 / (HLL_M ** 0.5)
+
+
 def test_pq_topk_matches_pure_python_mirror(spark):
     """Full PQ pipeline (seed → one Lloyd step → encode → ADC top-k)
     cross-checked bit-for-bit against a pure-Python mirror on random
