@@ -1,5 +1,5 @@
-"""Deterministic distinct-count sketch (HyperLogLog register logic over
-the engine's portable md5 hash).
+"""Deterministic sketches over the engine's portable md5 hash:
+HyperLogLog distinct counting and count-min frequency estimation.
 
 The sketch family every 100 TB rollup pipeline leans on: exact
 count-distinct shuffles one row per distinct key, while an HLL register
@@ -56,7 +56,6 @@ def _hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """(group, bucket) -> M = max rank; one tiny-key hash-agg with
     map-side partial max — the register table is group-cardinality × 64
     regardless of input size."""
-    h = F.md5(F.col(key_col).cast("string"))
     bucket = F.expr(
         f"cast(conv(substring(md5(cast({key_col} as string)), 14, 2), "
         f"16, 10) as bigint) % {HLL_M}"
@@ -68,7 +67,6 @@ def _hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     rho = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
         F.lit(_W_BITS + 1) - F.length(F.bin(w))
     )
-    _ = h  # md5 spelled out inside the exprs above for conv()
     return (
         df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"),
                   rho.alias("rho"))
@@ -172,6 +170,139 @@ _SKETCH_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005 — public method):
+# frequency estimates from a d×w counter grid. Counters are plain
+# integer SUMS — fully mergeable, map-side combinable, and (unlike
+# stock implementations) deterministic here because the d row hashes
+# derive from the engine-portable md5. A point query reads d counters
+# and takes the min; estimates only ever OVERcount (collisions add,
+# never subtract), which the report makes visible by putting the exact
+# count next to the estimate — overcount = n_est − n_true ≥ 0, an
+# exact integer. At 100 TB the counter grid is d·w cells per group no
+# matter how many distinct tokens stream through, vs one row per
+# distinct token for the exact count.
+# ---------------------------------------------------------------------------
+
+#: Sketch depth (hash rows) and width (counters per row). Deliberately
+#: NARROW: the fixture vocabulary is ~31 tokens, so w=8 guarantees
+#: collisions and the overcount column is non-trivially exercised (a
+#: 4×256 grid never collided on this fixture, which would make the
+#: min-over-rows logic vacuously green — production sizing scales w to
+#: the tolerated epsilon = e/w of the stream length).
+CMS_D = 4
+CMS_W = 8
+
+#: How many exact-top tokens the report point-queries.
+CMS_TOPK = 10
+
+
+def _cms_bucket_sql_spark(row: int, tok: str = "tok") -> str:
+    return (f"cast(conv(substring(md5(concat('cms{row}:', {tok})), 1, 8), "
+            f"16, 10) as bigint) % {CMS_W}")
+
+
+def _cms_bucket_sql_duck(row: int, tok: str = "tok") -> str:
+    return (f"CAST(concat('0x', substring(md5(concat('cms{row}:', {tok})), "
+            f"1, 8)) AS BIGINT) % {CMS_W}")
+
+
+def cms_counters(tokens_df: DataFrame) -> DataFrame:
+    """(row, bucket) -> exact BIGINT counter; ``tokens_df`` has one
+    ``tok`` string per row. One explode (d structs per token) + one
+    hash-agg on the tiny d×w key space — map-side partial sums do the
+    heavy lifting, exactly like any production CMS merge."""
+    cells = tokens_df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(_cms_bucket_sql_spark(i)).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ])).alias("c")
+    )
+    return (
+        cells.groupBy(F.col("c.row").alias("row"),
+                      F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_token_report(docs: DataFrame, k: int = CMS_TOPK) -> DataFrame:
+    """CMS point-query estimates for the exact top-``k`` tokens.
+
+    Columns: tok, n_true, n_est (min over the d counters), overcount
+    (= n_est − n_true, ≥ 0 by construction). The exact top-k keep-list
+    is tie-broken (count desc, tok asc) and is the only part that needs
+    the exact per-token aggregate — the sketch itself never does.
+    """
+    from pyspark.sql import Window
+
+    from etl_validator_github_spark.scale.text import tokens
+
+    toks = docs.select(F.explode(tokens()).alias("tok"))
+    counters = cms_counters(toks)
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_true"))
+    w = Window.orderBy(F.desc("n_true"), F.asc("tok"))
+    top = (
+        true_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    probes = top.select(
+        "tok", "n_true",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(_cms_bucket_sql_spark(i)).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ])).alias("p"),
+    ).select("tok", "n_true", "p.row", "p.bucket")
+    return (
+        counters.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy("tok", "n_true")
+        .agg(F.min("n").alias("n_est"))
+        .withColumn("overcount", F.col("n_est") - F.col("n_true"))
+    )
+
+
+def _cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_token_report(load(spark, sf_dir, "documents"))
+
+
+def _cms_sql() -> str:
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {_cms_bucket_sql_duck(i)} AS bucket, tok "
+        "FROM toks"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cells AS (
+  {cell_rows}
+), counters AS (
+  SELECT row, bucket, COUNT(*) AS n FROM cells GROUP BY 1, 2
+), trues AS (
+  SELECT tok, COUNT(*) AS n_true FROM toks GROUP BY 1
+), top AS (
+  SELECT tok, n_true,
+         row_number() OVER (ORDER BY n_true DESC, tok ASC) AS rk
+  FROM trues QUALIFY rk <= {CMS_TOPK}
+), probes AS (
+  {" UNION ALL ".join(
+      f"SELECT tok, n_true, {i} AS row, {_cms_bucket_sql_duck(i)} AS bucket "
+      "FROM top"
+      for i in range(CMS_D))}
+)
+SELECT p.tok, p.n_true, CAST(MIN(c.n) AS BIGINT) AS n_est,
+       CAST(MIN(c.n) AS BIGINT) - p.n_true AS overcount
+FROM probes p JOIN counters c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY 1, 2
+"""
+
+
 SKETCH_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -180,5 +311,10 @@ SKETCH_QUERIES: dict[str, Query] = {
               "exact-integer registers, raw alpha-64 estimate next to "
               "the exact count (sketch state is O(m) per group and "
               "merges by register max)."),
+        Query("text_cms_topk_counts", _cms_q, _cms_sql(),
+              "Deterministic count-min sketch over the token stream: "
+              "4×256 exact-integer counter grid, point-query estimates "
+              "for the exact top-10 tokens with the guaranteed-"
+              "non-negative overcount shown."),
     ]
 }

@@ -1065,6 +1065,48 @@ def test_distinct_sketch_matches_pure_python_hll(spark):
         assert abs(est - len(keys)) / len(keys) < 3 * 1.04 / (HLL_M ** 0.5)
 
 
+def test_cms_counts_match_pure_python_and_never_undercount(spark):
+    """Count-min invariants on a skewed synthetic stream: counters and
+    point estimates match a pure-Python mirror exactly, and every
+    estimate is >= the true count (collisions only add)."""
+    import hashlib
+    from collections import Counter
+
+    from etl_validator_github_spark.scale.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_token_report,
+    )
+
+    # Zipf-ish: token t{i} appears 200//(i+1) times.
+    stream = [f"t{i}" for i in range(30) for _ in range(200 // (i + 1))]
+    docs = spark.createDataFrame(
+        [(0, " ".join(stream), "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    got = {r["tok"]: r.asDict() for r in cms_token_report(docs).collect()}
+
+    true = Counter(stream)
+    counters = Counter()
+    for tok, n in true.items():
+        for i in range(CMS_D):
+            h = hashlib.md5(f"cms{i}:{tok}".encode()).hexdigest()
+            counters[(i, int(h[:8], 16) % CMS_W)] += n
+    top10 = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert set(got) == {t for t, _ in top10}
+    for tok, n in top10:
+        est = min(
+            counters[(i, int(hashlib.md5(f"cms{i}:{tok}".encode())
+                             .hexdigest()[:8], 16) % CMS_W)]
+            for i in range(CMS_D)
+        )
+        r = got[tok]
+        assert r["n_true"] == n
+        assert r["n_est"] == est
+        assert r["n_est"] >= r["n_true"]
+        assert r["overcount"] == est - n >= 0
+
+
 def test_pq_topk_matches_pure_python_mirror(spark):
     """Full PQ pipeline (seed → one Lloyd step → encode → ADC top-k)
     cross-checked bit-for-bit against a pure-Python mirror on random
