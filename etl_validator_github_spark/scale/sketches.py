@@ -75,14 +75,13 @@ def _hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     )
 
 
-def distinct_sketch(df: DataFrame, group_col: str, key_col: str,
-                    key_label: str) -> DataFrame:
-    """Per-group HLL distinct estimate next to the exact count.
+def fold_registers(regs: DataFrame) -> DataFrame:
+    """(grp, bucket, m_reg) registers → grp, v_zero, sum_pow, n_est.
 
-    Columns: grp, key (the label), n_true, v_zero (empty registers),
-    sum_pow (the exact-integer scaled harmonic sum), n_est.
+    Accepts any register table — including the max-merge of several
+    (register merge IS ``max``, so batch registers, daily registers,
+    and streamed register logs all fold through here identically).
     """
-    regs = _hll_registers(df, group_col, key_col)
     per_group = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr(f"shiftleft(1L, {_W_BITS + 1} - cast(m_reg as int))"))
@@ -100,6 +99,17 @@ def distinct_sketch(df: DataFrame, group_col: str, key_col: str,
     est = F.round(
         F.lit(_EST_NUM) / F.col("sum_pow").cast("double")
     ).cast("long")
+    return folded.select("grp", "v_zero", "sum_pow", est.alias("n_est"))
+
+
+def distinct_sketch(df: DataFrame, group_col: str, key_col: str,
+                    key_label: str) -> DataFrame:
+    """Per-group HLL distinct estimate next to the exact count.
+
+    Columns: grp, key (the label), n_true, v_zero (empty registers),
+    sum_pow (the exact-integer scaled harmonic sum), n_est.
+    """
+    folded = fold_registers(_hll_registers(df, group_col, key_col))
     true_counts = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.countDistinct(key_col).alias("n_true")
     )
@@ -111,9 +121,16 @@ def distinct_sketch(df: DataFrame, group_col: str, key_col: str,
             "n_true",
             "v_zero",
             "sum_pow",
-            est.alias("n_est"),
+            "n_est",
         )
     )
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Public register builder (see `_hll_registers`): the unit a
+    streaming pipeline appends per micro-batch and max-merges at read
+    time (`streaming/events.py::stream_distinct_sketch`)."""
+    return _hll_registers(df, group_col, key_col)
 
 
 def events_distinct_sketch(events: DataFrame) -> DataFrame:

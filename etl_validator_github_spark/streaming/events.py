@@ -181,6 +181,63 @@ def stream_enriched_rollup(
     return writer.start()
 
 
+def stream_distinct_sketch(
+    spark,
+    source_dir: str,
+    register_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    available_now: bool = True,
+):
+    """Streaming HLL maintenance: per micro-batch, append that batch's
+    (event_type, bucket, m_reg) registers to a parquet register LOG;
+    the live estimate max-merges the log (``sketch_estimate``).
+
+    Why append-a-log instead of rewriting a register table in place:
+    register merge is ``max`` — idempotent and commutative — so a
+    re-delivered or retried micro-batch appends rows that change
+    NOTHING when folded. Exactly-once state maintenance falls out of
+    the algebra instead of the sink's transaction machinery, and the
+    log compacts at leisure (max-merge + rewrite) without pausing
+    ingest. Per batch the appended state is ≤ groups × 64 rows no
+    matter how many events streamed through.
+    """
+    from etl_validator_github_spark.scale.sketches import hll_registers
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+
+    def _append_registers(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df, "event_type", key_col).write.mode(
+            "append"
+        ).parquet(register_dir)
+
+    writer = stream.writeStream.foreachBatch(_append_registers).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sketch_estimate(spark, register_dir: str) -> DataFrame:
+    """Current distinct estimate from the streamed register log:
+    max-merge per (grp, bucket), then the standard fold. Columns:
+    grp, v_zero, sum_pow, n_est."""
+    from pyspark.sql import functions as F2
+
+    from etl_validator_github_spark.scale.sketches import fold_registers
+
+    log = spark.read.parquet(register_dir)
+    merged = log.groupBy("grp", "bucket").agg(
+        F2.max("m_reg").alias("m_reg")
+    )
+    return fold_registers(merged)
+
+
 #: Attribution lookback: a click joins views by the same user within
 #: the preceding this-many seconds.
 CLICK_VIEW_LOOKBACK_S = 600

@@ -256,3 +256,59 @@ def test_stream_static_enrichment_matches_batch_and_flags_unknowns(
         for r in enriched_rollup(ev, dims).collect()
     }
     assert batch == got
+
+
+def test_stream_sketch_registers_merge_to_batch_state(spark, tmp_path):
+    """Streaming HLL maintenance: after two micro-batches the
+    max-merged register log folds to EXACTLY the sketch a single batch
+    pass over the union computes — and re-appending a batch's
+    registers (simulated redelivery) changes nothing, because register
+    merge is idempotent max."""
+    from etl_validator_github_spark.scale.sketches import (
+        fold_registers,
+        hll_registers,
+    )
+    from etl_validator_github_spark.streaming.events import (
+        sketch_estimate,
+        stream_distinct_sketch,
+    )
+
+    src = tmp_path / "ssrc"
+    regs, ckpt = tmp_path / "regs", tmp_path / "sckpt"
+    batch1 = [_ev(i, 10 + i, i % 40) for i in range(60)]
+    batch2 = [_ev(100 + i, 200 + i, 20 + (i % 50)) for i in range(80)]
+    src.mkdir(parents=True)
+    with open(src / "b1.json", "w") as f:
+        for r in batch1:
+            f.write(__import__("json").dumps(r) + "\n")
+    with open(src / "b2.json", "w") as f:
+        for r in batch2:
+            f.write(__import__("json").dumps(r) + "\n")
+
+    q = stream_distinct_sketch(spark, str(src), str(regs), str(ckpt))
+    q.awaitTermination(120)
+
+    got = {r["grp"]: (r["v_zero"], r["sum_pow"], r["n_est"])
+           for r in sketch_estimate(spark, str(regs)).collect()}
+
+    union = spark.createDataFrame(
+        [(r["event_id"], r["ts_s"], r["user_id"], r["event_type"], r["value"])
+         for r in batch1 + batch2],
+        "event_id long, ts_s long, user_id long, event_type string, value double",
+    )
+    expect = {
+        r["grp"]: (r["v_zero"], r["sum_pow"], r["n_est"])
+        for r in fold_registers(
+            hll_registers(union, "event_type", "user_id")
+        ).collect()
+    }
+    assert got == expect
+
+    # Redelivery: append batch1's registers AGAIN — estimate unchanged.
+    b1df = union.filter(union.event_id < 100)
+    hll_registers(b1df, "event_type", "user_id").write.mode(
+        "append"
+    ).parquet(str(regs))
+    again = {r["grp"]: (r["v_zero"], r["sum_pow"], r["n_est"])
+             for r in sketch_estimate(spark, str(regs)).collect()}
+    assert again == expect
