@@ -391,6 +391,53 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sketch(args: argparse.Namespace) -> int:
+    """Distinct-count sketching over any parquet: build md5-HLL
+    registers grouped by ``--group-by`` over ``--key`` and either print
+    the estimate report (default) or append the registers to a register
+    log (``--registers``) whose estimate max-merges across runs —
+    the batch twin of the streaming maintenance in
+    streaming/events.py."""
+    from etl_validator_github_spark.scale.sketches import (
+        distinct_sketch,
+        fold_registers,
+        hll_registers,
+    )
+
+    spark = get_spark(app_name="distinct-sketch")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.input)
+    missing = sorted({args.group_by, args.key} - set(df.columns))
+    if missing:
+        raise SystemExit(
+            f"{args.input} is missing column(s) {', '.join(missing)}"
+        )
+    if args.registers:
+        hll_registers(df, args.group_by, args.key).write.mode(
+            "append"
+        ).parquet(args.registers)
+        from pyspark.sql import functions as F
+
+        merged = (
+            spark.read.parquet(args.registers)
+            .groupBy("grp", "bucket").agg(F.max("m_reg").alias("m_reg"))
+        )
+        rows = fold_registers(merged).orderBy("grp").collect()
+        src = f"register log {args.registers}"
+    else:
+        rows = (
+            distinct_sketch(df, args.group_by, args.key, args.key)
+            .orderBy("grp").collect()
+        )
+        src = args.input
+    print(f"distinct({args.key}) by {args.group_by} — {src}")
+    for r in rows:
+        true = f" true={r['n_true']}" if "n_true" in r.asDict() else ""
+        print(f"  {r['grp']}: est={r['n_est']}{true} "
+              f"(empty_regs={r['v_zero']})")
+    return 0
+
+
 def _cmd_scenario(args: argparse.Namespace) -> int:
     from etl_validator_github_spark.pipeline import run_scenario
 
@@ -493,6 +540,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="write the surviving documents instead of the "
                         "per-doc report/keep-list")
     c.set_defaults(fn=_cmd_curate)
+
+    k = sub.add_parser(
+        "sketch",
+        help="md5-HLL distinct-count sketch over a parquet: estimate "
+             "report, or maintain a mergeable register log",
+    )
+    k.add_argument("input")
+    k.add_argument("--group-by", required=True)
+    k.add_argument("--key", required=True)
+    k.add_argument("--registers",
+                   help="append this run's registers to a register-log "
+                        "parquet and report the log's max-merged "
+                        "estimate (idempotent across re-runs)")
+    k.set_defaults(fn=_cmd_sketch)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -476,3 +476,32 @@ def test_cli_dedup_incremental_mode(spark, tmp_path, capsys):
     assert flags[10][0] == 1 and flags[10][1] > 0
     assert flags[11] == (0, 0)
     assert "2 batch docs, 1 flagged" in capsys.readouterr().out
+
+
+def test_cli_sketch_report_and_register_log(spark, tmp_path, capsys):
+    """Sketch CLI: the report mode prints est+true per group; register
+    mode appends a mergeable log whose estimate is idempotent across
+    re-runs of the same input (register merge is max)."""
+    inp = tmp_path / "ev.parquet"
+    spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i % 37) for i in range(200)],
+        "event_id: long, grp_col: string, user: long",
+    ).write.parquet(str(inp))
+
+    assert main(["sketch", str(inp), "--group-by", "grp_col",
+                 "--key", "user"]) == 0
+    out1 = capsys.readouterr().out
+    assert "true=37" in out1
+
+    regs = tmp_path / "reglog"
+    assert main(["sketch", str(inp), "--group-by", "grp_col",
+                 "--key", "user", "--registers", str(regs)]) == 0
+    first = capsys.readouterr().out
+    assert main(["sketch", str(inp), "--group-by", "grp_col",
+                 "--key", "user", "--registers", str(regs)]) == 0
+    second = capsys.readouterr().out
+    assert first == second  # re-run over the log changes nothing
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="missing column"):
+        main(["sketch", str(inp), "--group-by", "nope", "--key", "user"])
