@@ -320,6 +320,115 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Quantile sketch — the DDSketch idea (Masson, Lee & Rim 2019, "DDSketch:
+# a fast and fully-mergeable quantile sketch with relative-error
+# guarantees" — public method) in its base-2 variant: values map to
+# logarithmic buckets, the histogram is O(buckets) state that merges by
+# plain addition, and a quantile query walks the cumulative counts. The
+# proper DDSketch uses bucket = floor(log_gamma(x)) for a tunable
+# relative error (gamma−1)/2; log_gamma needs ln(), which is not
+# correctly-rounded across libm implementations, so the cross-engine
+# variant here pins gamma = 2: bucket = floor(log2(cents)) computed
+# EXACTLY as length(bin(cents)) − 1 — pure integer string length, the
+# same trick as the HLL rank. The cost of gamma=2 is a coarse ≤2×
+# relative bound (bucket bounds are reported so the width is visible);
+# production sizing on one engine would shrink gamma.
+# ---------------------------------------------------------------------------
+
+#: The quantiles the report walks to.
+DD_QUANTILES = (50, 90, 99)
+
+
+def quantile_sketch(values: DataFrame, col: str = "v") -> DataFrame:
+    """Base-2 DDSketch quantile report over a positive BIGINT column.
+
+    One map-side hash-agg builds the ≤64-bucket histogram; the quantile
+    walk is a window over those buckets. Columns: quantile_pct, bucket,
+    bucket_lo, bucket_hi (both exact BIGINT bounds, inclusive),
+    cum_count, n_total — every value exact-integer.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        values.filter(F.col(col) > 0)
+        .select((F.length(F.bin(F.col(col))) - 1).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum_count"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    # rank(q) = ceil(q/100 × N) as exact integers: (q·N + 99) div 100.
+    qs = F.explode(F.array(*[F.lit(q) for q in DD_QUANTILES]))
+    ranked = cum.select("*", qs.alias("quantile_pct")).withColumn(
+        "q_rank",
+        F.expr("(quantile_pct * n_total + 99) div 100"),
+    )
+    # The answering bucket is the FIRST whose cumulative count reaches
+    # the rank — i.e. the min bucket among those with cum_count >= rank.
+    w_pick = Window.partitionBy("quantile_pct")
+    picked = (
+        ranked.filter(F.col("cum_count") >= F.col("q_rank"))
+        .withColumn("min_bucket", F.min("bucket").over(w_pick))
+        .filter(F.col("bucket") == F.col("min_bucket"))
+    )
+    return picked.select(
+        "quantile_pct",
+        "bucket",
+        F.expr("shiftleft(1L, cast(bucket as int))").alias("bucket_lo"),
+        (F.expr("shiftleft(1L, cast(bucket as int) + 1)") - 1)
+        .alias("bucket_hi"),
+        "cum_count",
+        "n_total",
+    )
+
+
+def _quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    return quantile_sketch(vals)
+
+
+_QUANTILE_SQL = f"""
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), hist AS (
+  SELECT length(bin(v)) - 1 AS bucket, COUNT(*) AS n
+  FROM vals WHERE v > 0 GROUP BY 1
+), cum AS (
+  SELECT bucket,
+         CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_count,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_total
+  FROM hist
+), ranked AS (
+  SELECT c.*, q.quantile_pct,
+         (q.quantile_pct * c.n_total + 99) // 100 AS q_rank
+  FROM cum c CROSS JOIN
+       (SELECT unnest([{", ".join(str(q) for q in DD_QUANTILES)}])
+          AS quantile_pct) q
+), picked AS (
+  SELECT *, MIN(bucket) OVER (PARTITION BY quantile_pct) AS min_bucket
+  FROM ranked WHERE cum_count >= q_rank
+)
+SELECT CAST(quantile_pct AS INT) AS quantile_pct,
+       CAST(bucket AS BIGINT) AS bucket,
+       (1::BIGINT << CAST(bucket AS INT)) AS bucket_lo,
+       (1::BIGINT << (CAST(bucket AS INT) + 1)) - 1 AS bucket_hi,
+       cum_count, n_total
+FROM picked WHERE bucket = min_bucket
+"""
+
+
 SKETCH_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -330,8 +439,13 @@ SKETCH_QUERIES: dict[str, Query] = {
               "merges by register max)."),
         Query("text_cms_topk_counts", _cms_q, _cms_sql(),
               "Deterministic count-min sketch over the token stream: "
-              "4×256 exact-integer counter grid, point-query estimates "
+              "4×8 exact-integer counter grid, point-query estimates "
               "for the exact top-10 tokens with the guaranteed-"
               "non-negative overcount shown."),
+        Query("orders_quantile_sketch", _quantile_q, _QUANTILE_SQL,
+              "Base-2 DDSketch quantile report over order totals: "
+              "log2 buckets via length(bin(cents)), O(buckets) "
+              "mergeable histogram, exact-integer rank walk to "
+              "P50/P90/P99 bucket bounds."),
     ]
 }

@@ -1107,6 +1107,42 @@ def test_cms_counts_match_pure_python_and_never_undercount(spark):
         assert r["overcount"] == est - n >= 0
 
 
+def test_quantile_sketch_matches_pure_python_and_brackets_truth(spark):
+    """Base-2 DDSketch: bucket walk matches a pure-Python mirror on a
+    skewed synthetic distribution, and every reported bucket BRACKETS
+    the exact quantile value (the sketch's relative-error contract)."""
+    from etl_validator_github_spark.scale.sketches import (
+        DD_QUANTILES,
+        quantile_sketch,
+    )
+
+    # Skewed positives spanning many buckets: v = (i % 97 + 1)^3.
+    vals = [(i % 97 + 1) ** 3 for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    got = {r["quantile_pct"]: r.asDict()
+           for r in quantile_sketch(df).collect()}
+
+    hist = {}
+    for v in vals:
+        hist[v.bit_length() - 1] = hist.get(v.bit_length() - 1, 0) + 1
+    n = len(vals)
+    s = sorted(vals)
+    for q in DD_QUANTILES:
+        rank = (q * n + 99) // 100
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= rank:
+                break
+        r = got[q]
+        assert r["bucket"] == b
+        assert r["bucket_lo"] == 1 << b
+        assert r["bucket_hi"] == (1 << (b + 1)) - 1
+        assert r["cum_count"] == cum and r["n_total"] == n
+        exact = s[rank - 1]
+        assert r["bucket_lo"] <= exact <= r["bucket_hi"]
+
+
 def test_pq_topk_matches_pure_python_mirror(spark):
     """Full PQ pipeline (seed → one Lloyd step → encode → ADC top-k)
     cross-checked bit-for-bit against a pure-Python mirror on random
