@@ -457,6 +457,27 @@ def test_distinct_sketch_registers_partial_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
+def test_cms_grid_hash_aggregates_probe_broadcast(spark, sf_dir):
+    """Count-min: the d×w counter grid builds as a hash-agg on ≤32
+    keys (map-side partial sums); the 40-row probe table broadcasts
+    onto it — the token stream itself is never joined."""
+    p = plan(spark, sf_dir, "text_cms_topk_counts")
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_quantile_sketch_single_corpus_agg(spark, sf_dir):
+    """DDSketch: ONE hash-agg pass over the values builds the ≤64-row
+    histogram; everything after (cumulative walk, rank pick) runs on
+    bucket-cardinality rows. No sort or window ever touches the corpus."""
+    import re
+    p = plan(spark, sf_dir, "orders_quantile_sketch")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
 def test_pq_encode_and_score_stay_map_side(spark, sf_dir):
     """PQ: the checkpointed 32-row codebook folds into one broadcast
     row, so corpus encoding and ADC scoring are in-row expressions —
