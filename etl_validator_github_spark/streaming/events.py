@@ -223,19 +223,45 @@ def stream_distinct_sketch(
     return writer.start()
 
 
+def _merged_registers(spark, register_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F2
+
+    log = spark.read.parquet(register_dir)
+    return log.groupBy("grp", "bucket").agg(F2.max("m_reg").alias("m_reg"))
+
+
 def sketch_estimate(spark, register_dir: str) -> DataFrame:
     """Current distinct estimate from the streamed register log:
     max-merge per (grp, bucket), then the standard fold. Columns:
     grp, v_zero, sum_pow, n_est."""
-    from pyspark.sql import functions as F2
-
     from etl_validator_github_spark.scale.sketches import fold_registers
 
-    log = spark.read.parquet(register_dir)
-    merged = log.groupBy("grp", "bucket").agg(
-        F2.max("m_reg").alias("m_reg")
-    )
-    return fold_registers(merged)
+    return fold_registers(_merged_registers(spark, register_dir))
+
+
+def compact_registers(spark, register_dir: str) -> int:
+    """Collapse the append-only register log to one max-merged
+    generation, in place. Compaction IS the merge operator — max per
+    (grp, bucket) — so it can run any time without coordinating with
+    ingest appends beyond the swap; estimates before and after are
+    identical by the merge algebra. Returns the compacted row count.
+
+    The swap is write-aside + replace (the same pattern as
+    `sources/io.py::compact_parquet`): never read-and-overwrite the
+    same path in one job.
+    """
+    import shutil
+    import tempfile
+
+    merged = _merged_registers(spark, register_dir)
+    tmp = tempfile.mkdtemp(prefix="hllcompact_")
+    out = f"{tmp}/registers"
+    merged.coalesce(1).write.parquet(out)
+    n = spark.read.parquet(out).count()
+    shutil.rmtree(register_dir)
+    shutil.move(out, register_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
 
 
 #: Attribution lookback: a click joins views by the same user within

@@ -312,3 +312,40 @@ def test_stream_sketch_registers_merge_to_batch_state(spark, tmp_path):
     again = {r["grp"]: (r["v_zero"], r["sum_pow"], r["n_est"])
              for r in sketch_estimate(spark, str(regs)).collect()}
     assert again == expect
+
+
+def test_register_log_compaction_preserves_estimates(spark, tmp_path):
+    """Compacting the register log (max-merge + swap) must not change
+    any estimate, and must shrink the log to one row per (grp, bucket)."""
+    from etl_validator_github_spark.scale.sketches import hll_registers
+    from etl_validator_github_spark.streaming.events import (
+        compact_registers,
+        sketch_estimate,
+    )
+
+    regs = tmp_path / "clog"
+    ev = spark.createDataFrame(
+        [(i, "t", i % 31) for i in range(100)],
+        "event_id long, event_type string, user_id long",
+    )
+    # Three overlapping appends → duplicate (grp, bucket) rows.
+    for lo, hi in [(0, 50), (25, 75), (50, 100)]:
+        hll_registers(
+            ev.filter((ev.event_id >= lo) & (ev.event_id < hi)),
+            "event_type", "user_id",
+        ).write.mode("append").parquet(str(regs))
+
+    before = {r["grp"]: (r["v_zero"], r["sum_pow"], r["n_est"])
+              for r in sketch_estimate(spark, str(regs)).collect()}
+    raw_rows = spark.read.parquet(str(regs)).count()
+
+    n = compact_registers(spark, str(regs))
+    after = {r["grp"]: (r["v_zero"], r["sum_pow"], r["n_est"])
+             for r in sketch_estimate(spark, str(regs)).collect()}
+    assert after == before
+    assert n == spark.read.parquet(str(regs)).count() <= raw_rows
+    dups = (
+        spark.read.parquet(str(regs))
+        .groupBy("grp", "bucket").count().filter("count > 1").count()
+    )
+    assert dups == 0
