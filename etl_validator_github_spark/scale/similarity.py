@@ -1368,6 +1368,47 @@ def _pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load(spark, sf_dir, "embeddings"))
 
 
+def pq_recall(embeddings: DataFrame, n_queries: int = N_QUERIES,
+              k: int = TOP_K) -> DataFrame:
+    """(query_id, hits, k): |PQ top-k ∩ exact top-k| per query — the
+    eval that closes the PQ loop the way `ann_recall` closes LSH/IVF.
+    PQ pays quantization error for its 16× compression; this measures
+    exactly how much, per query, against brute-force ground truth."""
+    truth = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    j = truth.join(
+        approx.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return j.groupBy("query_id").agg(F.count("__hit").alias("hits")).select(
+        "query_id", "hits", F.lit(k).alias("k")
+    )
+
+
+def _pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_recall(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_TOPK_SQL}) t
+), pq AS (
+  SELECT query_id, neighbor_id FROM ({_pq_sql()}) t
+)
+SELECT t.query_id, CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
+       CAST({TOP_K} AS INT) AS k
+FROM truth t LEFT JOIN pq p
+  ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 def _pq_sql() -> str:
     sub_expr = (f"list_slice(qv, m * {PQ_SUBDIM} + 1, "
                 f"(m + 1) * {PQ_SUBDIM})")
@@ -1447,6 +1488,10 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "(first-K seeds + one Lloyd step, exact-integer "
               "directions), corpus stored as 4 codes, query scored by "
               "table lookup."),
+        Query("embed_pq_recall", _pq_recall_q, _pq_recall_sql(),
+              "Recall@k of the PQ/ADC path vs brute-force ground "
+              "truth — measures the quantization cost of the 16× "
+              "compression per query (exact integer hit counts)."),
         Query("embed_ann_lsh", _ann_q, _ann_sql(),
               "Random-hyperplane LSH bucketed ANN candidate pairs."),
         Query("embed_label_centroids", _centroids_q, _CENTROIDS_SQL,
