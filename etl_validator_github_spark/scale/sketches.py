@@ -245,6 +245,28 @@ def cms_counters(tokens_df: DataFrame) -> DataFrame:
     )
 
 
+def cms_point_query(counters: DataFrame, probe_tokens: DataFrame) -> DataFrame:
+    """Point-query a counter grid: for each row of ``probe_tokens``
+    (column ``tok`` plus any carried columns), min over the d counters.
+    The probe side broadcasts — the grid is never re-keyed."""
+    carried = [c for c in probe_tokens.columns if c != "tok"]
+    probes = probe_tokens.select(
+        "tok", *carried,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(_cms_bucket_sql_spark(i)).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ])).alias("p"),
+    ).select("tok", *carried, "p.row", "p.bucket")
+    return (
+        counters.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy("tok", *carried)
+        .agg(F.min("n").alias("n_est"))
+    )
+
+
 def cms_token_report(docs: DataFrame, k: int = CMS_TOPK) -> DataFrame:
     """CMS point-query estimates for the exact top-``k`` tokens.
 
@@ -266,21 +288,8 @@ def cms_token_report(docs: DataFrame, k: int = CMS_TOPK) -> DataFrame:
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
-    probes = top.select(
-        "tok", "n_true",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.expr(_cms_bucket_sql_spark(i)).alias("bucket"),
-            )
-            for i in range(CMS_D)
-        ])).alias("p"),
-    ).select("tok", "n_true", "p.row", "p.bucket")
-    return (
-        counters.join(F.broadcast(probes), ["row", "bucket"])
-        .groupBy("tok", "n_true")
-        .agg(F.min("n").alias("n_est"))
-        .withColumn("overcount", F.col("n_est") - F.col("n_true"))
+    return cms_point_query(counters, top).withColumn(
+        "overcount", F.col("n_est") - F.col("n_true")
     )
 
 

@@ -217,3 +217,57 @@ def stream_semantic_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cms_counters(
+    spark,
+    source_dir: str,
+    counter_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming count-min maintenance over the document feed: each
+    micro-batch appends its (batch_id, row, bucket, n) counter cells.
+
+    The exactly-once discipline is the OPPOSITE of the HLL register
+    log (streaming/events.py): CMS counters merge by SUM, which is NOT
+    idempotent — a redelivered batch appended naively would double-
+    count. So the log carries the batch_id, and the read-side fold
+    (``cms_log_counters``) collapses duplicate (batch_id, row, bucket)
+    rows FIRST — the copies are identical because the grid is a pure
+    function of the batch — and only then sums across batches. Max
+    gets idempotence for free; sum has to buy it with a key.
+    """
+    from etl_validator_github_spark.scale.sketches import cms_counters
+    from etl_validator_github_spark.scale.text import tokens
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(F.explode(tokens()).alias("tok"))
+        cms_counters(toks).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(counter_dir)
+
+    writer = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cms_log_counters(spark, counter_dir: str) -> DataFrame:
+    """Fold the streamed counter log to the current grid:
+    dedup per (batch_id, row, bucket) — duplicate appends of one batch
+    are byte-identical — then SUM across batches."""
+    log = spark.read.parquet(counter_dir)
+    once = log.groupBy("batch_id", "row", "bucket").agg(
+        F.max("n").alias("n")
+    )
+    return once.groupBy("row", "bucket").agg(F.sum("n").alias("n"))

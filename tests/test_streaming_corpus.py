@@ -231,3 +231,57 @@ def test_stream_incremental_dedup_exactly_once_across_restarts(spark, tmp_path):
     finally:
         hashes.unpersist()
         bands.unpersist()
+
+
+def test_stream_cms_counter_log_folds_to_batch_grid(spark, tmp_path):
+    """Streaming CMS: the deduped-then-summed counter log equals the
+    single-pass grid over the union, and re-appending a batch's cells
+    UNDER ITS OWN batch_id (redelivery) changes nothing — while the
+    naive sum without the batch-id dedup would double-count."""
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.scale.sketches import (
+        cms_counters,
+        cms_point_query,
+    )
+    from etl_validator_github_spark.scale.text import tokens
+    from etl_validator_github_spark.streaming.corpus import (
+        cms_log_counters,
+        stream_cms_counters,
+    )
+
+    DOC_SCHEMA = ("doc_id: long, text: string, lang: string, "
+                  "source: string, n_chars: long")
+    src, cdir, ckpt = tmp_path / "csrc", tmp_path / "cgrid", tmp_path / "cck"
+    d1 = [(i, "alpha beta gamma", "en", "s0", 16) for i in range(20)]
+    d2 = [(100 + i, "beta delta", "en", "s1", 10) for i in range(30)]
+    spark.createDataFrame(d1, DOC_SCHEMA).write.parquet(str(src / "b1"))
+    spark.createDataFrame(d2, DOC_SCHEMA).write.parquet(str(src / "b2"))
+
+    q = stream_cms_counters(spark, str(src), str(cdir), str(ckpt))
+    q.awaitTermination(120)
+
+    union = spark.createDataFrame(d1 + d2, DOC_SCHEMA)
+    expect_grid = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in cms_counters(
+            union.select(F.explode(tokens()).alias("tok"))
+        ).collect()
+    }
+    got_grid = {(r["row"], r["bucket"]): r["n"]
+                for r in cms_log_counters(spark, str(cdir)).collect()}
+    assert got_grid == expect_grid
+
+    # Point estimates off the streamed grid: beta appears 50x, delta 30x.
+    probes = spark.createDataFrame([("beta",), ("delta",)], "tok: string")
+    ests = {r["tok"]: r["n_est"]
+            for r in cms_point_query(
+                cms_log_counters(spark, str(cdir)), probes).collect()}
+    assert ests["beta"] >= 50 and ests["delta"] >= 30
+
+    # Redelivery: re-append batch 0's cells under batch_id 0 → no-op.
+    log = spark.read.parquet(str(cdir))
+    log.filter(log.batch_id == 0).write.mode("append").parquet(str(cdir))
+    again = {(r["row"], r["bucket"]): r["n"]
+             for r in cms_log_counters(spark, str(cdir)).collect()}
+    assert again == expect_grid
