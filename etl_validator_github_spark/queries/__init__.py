@@ -12,24 +12,24 @@ Rotation policy (highest priority first):
 2. queries added or semantically changed this round,
 3. back-fill with the queries whose last green verdict is oldest.
 
-Round-7 window under that policy: the fourteen queries new this round
+Round-7 window under that policy: the fifteen queries new this round
 (dedup_substring_spans, dedup_span_strip, dedup_span_probe,
 docs_importance_resample, docs_domain_cap, embed_outliers,
 multimodal_dhash_neardup, q2_min_cost_supplier,
 docs_temperature_mixture, embed_pq_topk, events_distinct_sketch,
-text_cms_topk_counts, orders_quantile_sketch, embed_pq_recall — never
-driver-checked), the three de-vacuated this round (q8_market_share /
+text_cms_topk_counts, orders_quantile_sketch, embed_pq_recall,
+orders_zorder_cells — never driver-checked), the three de-vacuated this round (q8_market_share /
 q22_idle_rich_customers / customers_without_orders: their fixture
 constants changed so the previously-0-row logic now processes data —
 semantically new verdicts), the five whose last green verdict is r4
 (q12_priority_by_status, skew_salted_rollup, schema_drift,
-window_functions, nation_balance_setops), then 28 of the 47 queries
-whose last green verdict is r5. Of the 19 r5-verdict queries left
+window_functions, nation_balance_setops), then 27 of the 47 queries
+whose last green verdict is r5. Of the 20 r5-verdict queries left
 past the gate, 8 (q1_pricing_summary, q3_shipping_priority,
 bankdata_validate, text_stats, dedup_exact, dedup_minhash_lsh,
 corpus_clean, embed_cosine_topk) are exactly the benched headline
 queries — bench.py executes them at sf0.1 every round, so they carry
-continuous scrutiny — and 11 have their operator family represented
+continuous scrutiny — and 12 have their operator family represented
 in-window (see the inline note). All stay covered by the repo-local
 parity mirror (tests/test_oracle_parity.py, tests/test_oracle_dtypes.py)
 over the FULL catalog and rotate back in round 8.
@@ -102,6 +102,7 @@ _R7_GATE = (
     "text_cms_topk_counts",
     "orders_quantile_sketch",
     "embed_pq_recall",
+    "orders_zorder_cells",
     # -- de-vacuated in r7 (constants changed so the logic finally
     #    processes rows; prior greens were 0-row-vacuous — VERDICT r6)
     "q8_market_share",
@@ -113,11 +114,11 @@ _R7_GATE = (
     "schema_drift",
     "window_functions",
     "nation_balance_setops",
-    # -- last green verdict r5: 28 of 47. Displaced: the 8 benched
+    # -- last green verdict r5: 27 of 47. Displaced: the 8 benched
     #    headliners (q1_pricing_summary, q3_shipping_priority,
     #    bankdata_validate, text_stats, dedup_exact, dedup_minhash_lsh,
     #    corpus_clean, embed_cosine_topk) wait under bench.py's
-    #    every-round execution, plus 11 whose operator family stays
+    #    every-round execution, plus 12 whose operator family stays
     #    represented in-window (docs_split_assign — md5-threshold,
     #    see docs_sample_stratified; text_quality_embeddings — quality
     #    gate via text_gopher_quality + embeddings via the embed_*
@@ -134,9 +135,10 @@ _R7_GATE = (
     #    docs_sample_stratified — md5-threshold sampling, the exact
     #    mechanism inside the new in-window docs_temperature_mixture;
     #    text_normalize — map-only string normalization, see
-    #    text_pii_scrub in-window; embed_ann_recall — the recall-eval
-    #    family, see the new in-window embed_pq_recall which scores
-    #    the same ground truth). All rotate in next round.
+    #    text_pii_scrub in-window; embed_ann_recall and
+    #    dedup_lsh_recall — the recall-eval family, see the new
+    #    in-window embed_pq_recall which scores the same ground
+    #    truth). All rotate in next round.
     "validate_customer_rules",
     "validate_error_summary",
     "reconcile_error_sets",
@@ -161,7 +163,6 @@ _R7_GATE = (
     "docs_token_budget_select",
     "dedup_incremental",
     "dedup_fuzzy_keep",
-    "dedup_lsh_recall",
     "corpus_snapshot_diff",
     "events_funnel",
     "changelog_latest_state",

@@ -2442,9 +2442,64 @@ WHERE (s.n_hours * h.n - s.s_tot) * (s.n_hours * h.n - s.s_tot)
 #: Past-gate additions (registered AFTER the relational priority list in
 #: queries/__init__.py): repo-local parity covers them until a future
 #: rotation brings them into the driver window.
+# ---------------------------------------------------------------------------
+# Z-order cell census — cross-engine parity for the Morton-key bit math
+# that `plans/layout.py` clusters files by (the layout benefit itself is
+# measured from parquet row-group statistics in tests/test_layout.py;
+# this query pins that both engines compute identical interleaved keys,
+# so a DuckDB-side reader agrees on cell membership).
+# ---------------------------------------------------------------------------
+
+_Z_SIDE_BITS = 10          # 10-bit x and y → 20-bit Morton key
+_Z_CELL_SHIFT = 12         # keep the top 8 key bits → ≤256 cells
+
+
+def _zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_validator_github_spark.plans.layout import zorder_key
+
+    orders = load(spark, sf_dir, "orders")
+    side = 1 << _Z_SIDE_BITS
+    keyed = orders.select(
+        zorder_key(
+            F.col("o_custkey") % side,
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % side,
+            bits=_Z_SIDE_BITS,
+        ).alias("z")
+    )
+    return (
+        keyed.groupBy(F.shiftright("z", _Z_CELL_SHIFT).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _zorder_sql() -> str:
+    side = 1 << _Z_SIDE_BITS
+    terms = []
+    for i in range(_Z_SIDE_BITS):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH xy AS (
+  SELECT CAST(o_custkey % {side} AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1970-01-01', o_orderdate) % {side}
+              AS BIGINT) AS y
+  FROM orders
+), keyed AS (
+  SELECT ({z}) AS z FROM xy
+)
+SELECT z >> {_Z_CELL_SHIFT} AS cell, COUNT(*) AS n_orders
+FROM keyed GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("orders_zorder_cells", _zorder_cells, _zorder_sql(),
+              "Morton-key cell census over orders: the exact-integer "
+              "bit interleave behind the Z-order layout writer, "
+              "cross-engine pinned."),
         Query("events_retention", _events_retention, _RETENTION_SQL,
               "Weekly cohort-retention triangle: distinct active users "
               "per (first-event-week cohort, week offset)."),
