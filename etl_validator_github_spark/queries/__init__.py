@@ -32,7 +32,10 @@ queries — bench.py executes them at sf0.1 every round, so they carry
 continuous scrutiny — and 12 have their operator family represented
 in-window (see the inline note). All stay covered by the repo-local
 parity mirror (tests/test_oracle_parity.py, tests/test_oracle_dtypes.py)
-over the FULL catalog and rotate back in round 8.
+over the FULL catalog and rotate back in round 8. One late-r7 query
+(events_user_overlap_sketch) deliberately waits past-gate for its
+first verdict in r8: once the displaced-family arguments above are
+exhausted, stale-refresh takes precedence over a sixteenth new slot.
 """
 
 from __future__ import annotations

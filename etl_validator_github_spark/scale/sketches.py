@@ -188,6 +188,166 @@ _SKETCH_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Set-overlap estimation from HLL register algebra: max-merging two
+# groups' registers IS the sketch of their union (the same property
+# that makes the sketch mergeable across partitions/days), so
+# |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) by inclusion–exclusion — the
+# standard HLL audience-overlap trick. Everything runs on the tiny
+# register tables (groups × 64 rows): the corpus is scanned once to
+# build registers; pair analysis never touches it again. The exact
+# intersection is computed alongside as the eval column — at production
+# scale that exact side is the expensive part (a distinct over
+# group-pairs × users), which is precisely why the sketch exists.
+#
+# Accuracy caveat (inherent to the method, not this implementation):
+# inclusion–exclusion differences THREE ±1.04/sqrt(m) estimates, so the
+# intersection's error is ~sqrt(3)·13% of the UNION size at m=64 — thin
+# overlaps drown in noise (the estimate is clamped at 0). Production
+# sizing raises m; the report keeps the exact count beside the estimate
+# so the regime is visible, and the test uses a dominant overlap.
+# ---------------------------------------------------------------------------
+
+
+def hll_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Pairwise distinct-overlap report: for each unordered group pair,
+    HLL estimates of |A|, |B|, |A ∪ B| (max-merged registers) and the
+    inclusion–exclusion |A ∩ B| (clamped at 0 — the estimator can go
+    slightly negative when errors cancel badly), next to the exact
+    intersection. Columns: grp_a, grp_b, est_a, est_b, est_union,
+    est_inter, n_inter_true.
+    """
+    regs = _hll_registers(df, group_col, key_col)
+    singles = fold_registers(regs).select(
+        F.col("grp"), F.col("n_est").alias("est_single")
+    )
+    # Union registers per pair: each side CONTRIBUTES its register rows
+    # to the pair, then max per (pair, bucket). A join on bucket would
+    # silently drop buckets present in only one sketch (folding them as
+    # empty and understating the union); the union-all + max form keeps
+    # them — it is the same merge the streaming register log uses.
+    groups = regs.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("grp_a"))
+        .join(groups.select(F.col("grp").alias("grp_b")),
+              F.col("grp_a") < F.col("grp_b"))
+    )
+    contrib_a = pairs.join(
+        regs.withColumnRenamed("grp", "grp_a"), "grp_a"
+    ).select("grp_a", "grp_b", "bucket", "m_reg")
+    contrib_b = pairs.join(
+        regs.withColumnRenamed("grp", "grp_b"), "grp_b"
+    ).select("grp_a", "grp_b", "bucket", "m_reg")
+    merged = (
+        contrib_a.unionAll(contrib_b)
+        .groupBy("grp_a", "grp_b", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    unions = fold_registers(
+        merged.select(
+            F.concat_ws("|", "grp_a", "grp_b").alias("grp"), "bucket", "m_reg"
+        )
+    ).select(
+        F.split(F.col("grp"), r"\|")[0].alias("grp_a"),
+        F.split(F.col("grp"), r"\|")[1].alias("grp_b"),
+        F.col("n_est").alias("est_union"),
+    )
+    exact = (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("k"))
+        .distinct()
+    )
+    ex_a = exact.select(F.col("grp").alias("grp_a"), "k")
+    ex_b = exact.select(F.col("grp").alias("grp_b"), "k")
+    inter_true = (
+        ex_a.join(ex_b, "k")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_inter_true"))
+    )
+    out = (
+        unions
+        .join(F.broadcast(singles.withColumnRenamed("grp", "grp_a")
+                          .withColumnRenamed("est_single", "est_a")), "grp_a")
+        .join(F.broadcast(singles.withColumnRenamed("grp", "grp_b")
+                          .withColumnRenamed("est_single", "est_b")), "grp_b")
+        .join(inter_true, ["grp_a", "grp_b"], "left")
+    )
+    est_inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+    )
+    return out.select(
+        "grp_a", "grp_b", "est_a", "est_b", "est_union",
+        est_inter.alias("est_inter"),
+        F.coalesce("n_inter_true", F.lit(0)).alias("n_inter_true"),
+    )
+
+
+def _overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_overlap(
+        load(spark, sf_dir, "events").select("event_type", "user_id"),
+        "event_type", "user_id",
+    )
+
+
+def _overlap_sql() -> str:
+    scale = 1 << (_W_BITS + 1)
+    fold = (
+        f"CAST(SUM(1::BIGINT << ({_W_BITS + 1} - m_reg)) AS BIGINT) "
+        f"+ ({HLL_M} - COUNT(*)) * {scale}"
+    )
+    est = (f"CAST(round({_EST_NUM!r} / CAST(({fold}) AS DOUBLE)) "
+           "AS BIGINT)")
+    return f"""
+WITH hashed AS (
+  SELECT event_type AS grp,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 14, 2))
+              AS BIGINT) % {HLL_M} AS bucket,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS w
+  FROM events
+), regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN w = 0 THEN {_W_BITS + 1}
+                  ELSE {_W_BITS + 1} - length(bin(w)) END) AS m_reg
+  FROM hashed GROUP BY 1, 2
+), singles AS (
+  SELECT grp, {est} AS est_single FROM regs GROUP BY grp
+), pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM regs) a
+  JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+), contrib AS (
+  SELECT p.grp_a, p.grp_b, r.bucket, r.m_reg
+  FROM pairs p JOIN regs r ON r.grp = p.grp_a
+  UNION ALL
+  SELECT p.grp_a, p.grp_b, r.bucket, r.m_reg
+  FROM pairs p JOIN regs r ON r.grp = p.grp_b
+), merged AS (
+  SELECT grp_a, grp_b, bucket, MAX(m_reg) AS m_reg
+  FROM contrib GROUP BY 1, 2, 3
+), unions AS (
+  SELECT grp_a, grp_b, {est} AS est_union
+  FROM merged GROUP BY grp_a, grp_b
+), exact AS (
+  SELECT DISTINCT event_type AS grp, user_id AS k FROM events
+), inter_true AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter_true
+  FROM exact a JOIN exact b ON a.k = b.k AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT u.grp_a, u.grp_b,
+       sa.est_single AS est_a, sb.est_single AS est_b, u.est_union,
+       GREATEST(0::BIGINT, sa.est_single + sb.est_single - u.est_union)
+         AS est_inter,
+       COALESCE(t.n_inter_true, 0) AS n_inter_true
+FROM unions u
+JOIN singles sa ON sa.grp = u.grp_a
+JOIN singles sb ON sb.grp = u.grp_b
+LEFT JOIN inter_true t ON t.grp_a = u.grp_a AND t.grp_b = u.grp_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch (Cormode & Muthukrishnan 2005 — public method):
 # frequency estimates from a d×w counter grid. Counters are plain
 # integer SUMS — fully mergeable, map-side combinable, and (unlike
@@ -456,5 +616,10 @@ SKETCH_QUERIES: dict[str, Query] = {
               "log2 buckets via length(bin(cents)), O(buckets) "
               "mergeable histogram, exact-integer rank walk to "
               "P50/P90/P99 bucket bounds."),
+        Query("events_user_overlap_sketch", _overlap_q, _overlap_sql(),
+              "HLL register algebra for audience overlap: max-merged "
+              "pair registers estimate each union, inclusion-exclusion "
+              "gives the intersection, exact intersections sit beside "
+              "for eval."),
     ]
 }

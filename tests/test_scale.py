@@ -1065,6 +1065,69 @@ def test_distinct_sketch_matches_pure_python_hll(spark):
         assert abs(est - len(keys)) / len(keys) < 3 * 1.04 / (HLL_M ** 0.5)
 
 
+def test_hll_overlap_matches_python_on_partial_overlap(spark):
+    """Overlap sketch on three sets with KNOWN partial overlap (the
+    fixture's event types share identical user sets, which would let a
+    broken pair-merge pass): registers, union estimates (including
+    buckets present in only ONE sketch — the case an inner bucket-join
+    silently drops), inclusion-exclusion intersections, and exact
+    intersections all match a pure-Python mirror."""
+    import hashlib
+
+    from etl_validator_github_spark.scale.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_overlap,
+    )
+
+    # Overlap must DOMINATE the union: inclusion-exclusion subtracts
+    # three ±13% estimates, so its sigma is ~sqrt(3)·13% of the union —
+    # a thin overlap would drown in estimator noise (a real property of
+    # the method, noted in the module docstring).
+    sets = {
+        "a": set(range(0, 500)),          # 500 users
+        "b": set(range(100, 600)),        # 500 users, 400 shared with a
+        "c": set(range(10_000, 10_050)),  # 50 users, disjoint
+    }
+    rows = [(g, u) for g, us in sets.items() for u in us]
+    df = spark.createDataFrame(rows, "grp string, user long")
+    got = {(r["grp_a"], r["grp_b"]): r.asDict()
+           for r in hll_overlap(df, "grp", "user").collect()}
+
+    def regs_of(users):
+        regs = {}
+        for u in users:
+            h = hashlib.md5(str(u).encode()).hexdigest()
+            bucket = int(h[13:15], 16) % HLL_M
+            w = int(h[:13], 16)
+            rho = 53 if w == 0 else 53 - (len(bin(w)) - 2)
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    def est_of(regs):
+        v = HLL_M - len(regs)
+        sp = sum(1 << (53 - m) for m in regs.values()) + v * (1 << 53)
+        return round(HLL_ALPHA * HLL_M * HLL_M * float(1 << 53) / sp)
+
+    for ga, gb in [("a", "b"), ("a", "c"), ("b", "c")]:
+        ra, rb = regs_of(sets[ga]), regs_of(sets[gb])
+        ru = dict(ra)
+        for k, v in rb.items():
+            ru[k] = max(ru.get(k, 0), v)
+        r = got[(ga, gb)]
+        assert r["est_a"] == est_of(ra)
+        assert r["est_b"] == est_of(rb)
+        assert r["est_union"] == est_of(ru)
+        assert r["est_inter"] == max(0, est_of(ra) + est_of(rb) - est_of(ru))
+        assert r["n_inter_true"] == len(sets[ga] & sets[gb])
+    # Ordering sanity (absolute error at m=64 is ~13% of the union, so
+    # pin the ranking, not tight bands): the truly-overlapping pair
+    # estimates more shared users than the disjoint pair.
+    assert got[("a", "b")]["est_inter"] > got[("a", "c")]["est_inter"]
+    # a/c exercises one-sided buckets: c's 50 users cannot cover all 64.
+    assert len(regs_of(sets["c"])) < HLL_M
+
+
 def test_cms_counts_match_pure_python_and_never_undercount(spark):
     """Count-min invariants on a skewed synthetic stream: counters and
     point estimates match a pure-Python mirror exactly, and every
