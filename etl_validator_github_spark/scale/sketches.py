@@ -598,6 +598,198 @@ FROM picked WHERE bucket = min_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the membership sketch completing the
+# family (HLL = distinct, CMS = frequency, DDSketch = quantiles,
+# Bloom = membership).
+#
+# The exact decontamination operator (scale/dedup.py `decontaminate`)
+# broadcasts the held-out shingle SET — fine while the benchmark suite
+# is small, but a broadcast that grows with the held-out corpus. The
+# Bloom variant collapses ANY held-out set to a fixed m-bit register
+# array (here 65536 bits = 2048 × 32-bit words in BIGINT lanes, k=3),
+# built with one tiny hash-agg (bit_or per word — associative and
+# commutative, so map-side partial aggregation applies and two days'
+# filters merge with a word-wise OR, never a rebuild). The corpus probe
+# is then map-side arithmetic against the ONE folded register row
+# (1-row broadcast fold; the BroadcastNestedLoopJoin it plans to is the
+# intended shape, per the semantic-dedup / DSIR convention) — zero
+# shuffle of corpus text, one final hash-agg on doc_id.
+#
+# Determinism: bit positions come from the repo-standard md5 hex
+# convention (hash j of shingle = first 8 hex digits of
+# md5('<j>:'||shingle) mod m), so BOTH engines build bit-identical
+# registers and the false-positive set itself — the lossy part of any
+# Bloom filter — is reproduced exactly by the oracle. No false
+# negatives by construction: every truly-overlapping shingle hits, so
+# n_bloom_hits ≥ the exact operator's n_overlap_shingles per doc
+# (pinned by test_scale.py). m = 65536 puts the sf0.01 fixture (~1.3k
+# held-out shingles) at a per-shingle FP rate of ~2e-4 — a small but
+# non-empty false-positive tail, so the lossy path is exercised without
+# the filter saturating (4096 bits flags every doc at this scale;
+# production sizing scales m with the held-out count, the register
+# array stays a broadcastable few KiB either way).
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m = 65536 bits as 2048 words × 32 bits (32-bit lanes
+#: inside BIGINTs keep every shift/mask far from the sign bit on both
+#: engines), k = 3 hash functions.
+BLOOM_BITS = 65536
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(j: int, col: str = "shingle") -> str:
+    """Spark SQL expr: bit position of hash ``j`` for a key column."""
+    return (f"cast(conv(substring(md5(concat('{j}:', {col})), 1, 8), "
+            f"16, 10) as bigint) % {BLOOM_BITS}")
+
+
+def _bloom_pos_duck(j: int, col: str = "shingle") -> str:
+    """DuckDB expr computing the identical bit position."""
+    return (f"CAST(concat('0x', substring(md5(concat('{j}:', {col})), "
+            f"1, 8)) AS BIGINT) % {BLOOM_BITS}")
+
+
+def bloom_build(keys: DataFrame, key_col: str = "shingle") -> DataFrame:
+    """Distinct keys → ONE row ``words: array<bigint>[BLOOM_WORDS]``.
+
+    Explode each key to its k bit positions, bit_or the masks per word
+    (map-side partial agg; ≤ BLOOM_WORDS groups), then fold the word
+    table into a single dense array row — the broadcastable register
+    state, a few KiB no matter how large the key set.
+    """
+    pos = keys.select(
+        F.explode(F.array(
+            *[F.expr(_bloom_pos_spark(j, key_col)) for j in range(BLOOM_K)]
+        )).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.expr(f"cast(pos div {BLOOM_WORD_BITS} as int)")
+            .alias("word_idx"),
+            F.expr(f"shiftleft(cast(1 as bigint), "
+                   f"cast(pos % {BLOOM_WORD_BITS} as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+            f"i -> coalesce(element_at(wm, i), cast(0 as bigint)))"
+        ).alias("words")
+    )
+
+
+def bloom_probe(keyed: DataFrame, bloom_row: DataFrame,
+                key_col: str = "shingle") -> DataFrame:
+    """(doc_id, key) rows × the 1-row register fold → per-doc hit report.
+
+    The k membership tests are pure map-side expressions over the
+    broadcast array (word lookup + shift + mask); a key is a hit only
+    if ALL k bits are set. Output per doc_id: n_shingles,
+    n_bloom_hits, flagged (0/1) — every column exact-integer.
+    """
+    hit = None
+    for j in range(BLOOM_K):
+        pos = _bloom_pos_spark(j, key_col)
+        bit_j = F.expr(
+            f"(shiftright(element_at(words, "
+            f"cast(({pos}) div {BLOOM_WORD_BITS} as int) + 1), "
+            f"cast(({pos}) % {BLOOM_WORD_BITS} as int)) & 1) = 1"
+        )
+        hit = bit_j if hit is None else (hit & bit_j)
+    probed = keyed.crossJoin(F.broadcast(bloom_row)).select(
+        "doc_id", hit.cast("int").alias("hit")
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_shingles"),
+        F.sum("hit").cast("int").alias("n_bloom_hits"),
+        F.max("hit").cast("int").alias("flagged"),
+    )
+
+
+def bloom_decontaminate(docs: DataFrame,
+                        bench_mod: int | None = None) -> DataFrame:
+    """Benchmark decontamination through the Bloom membership sketch.
+
+    Same held-out split as the exact operator (doc_id % DECON_BENCH_MOD
+    == 0 plays the benchmark suite): held-out 5-gram shingles build the
+    filter, every corpus doc's distinct shingles probe it.
+    """
+    from etl_validator_github_spark.scale.dedup import (
+        DECON_BENCH_MOD, _doc_shingles,
+    )
+    mod = bench_mod if bench_mod is not None else DECON_BENCH_MOD
+    sh = _doc_shingles(docs)
+    bench = (sh.filter(F.col("doc_id") % mod == 0)
+             .select("shingle").distinct())
+    corpus = (sh.filter(F.col("doc_id") % mod != 0)
+              .select("doc_id", "shingle").distinct())
+    return bloom_probe(corpus, bloom_build(bench))
+
+
+def _bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_decontaminate(load(spark, sf_dir, "documents"))
+
+
+def _bloom_sql() -> str:
+    from etl_validator_github_spark.scale.dedup import (
+        DECON_BENCH_MOD, DECON_SHINGLE,
+    )
+    bench_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_duck(j)} AS pos FROM bench"
+        for j in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT doc_id, shingle, {_bloom_pos_duck(j)} AS pos FROM corpus"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {DECON_SHINGLE - 2}),
+                i -> array_to_string(list_slice(toks, i,
+                       i + {DECON_SHINGLE - 1}), ' '))) AS shingle
+  FROM tok
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+), bpos AS (
+  {bench_pos}
+), words AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT))
+           AS word
+  FROM bpos GROUP BY 1
+), corpus AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+  WHERE doc_id % {DECON_BENCH_MOD} != 0
+), cpos AS (
+  {probe_pos}
+), checked AS (
+  SELECT doc_id, shingle,
+         MIN(CASE WHEN (COALESCE(w.word, 0)
+                        >> CAST(pos % {BLOOM_WORD_BITS} AS INT)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS hit
+  FROM cpos LEFT JOIN words w ON pos // {BLOOM_WORD_BITS} = w.word_idx
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_shingles,
+       CAST(SUM(hit) AS INT) AS n_bloom_hits,
+       CAST(MAX(hit) AS INT) AS flagged
+FROM checked GROUP BY 1
+"""
+
+
 SKETCH_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -616,6 +808,11 @@ SKETCH_QUERIES: dict[str, Query] = {
               "log2 buckets via length(bin(cents)), O(buckets) "
               "mergeable histogram, exact-integer rank walk to "
               "P50/P90/P99 bucket bounds."),
+        Query("docs_bloom_decontaminate", _bloom_q, _bloom_sql(),
+              "Bloom-filter decontamination: held-out shingles fold to "
+              "a 64 Kbit register row (bit_or agg, word-wise-OR "
+              "mergeable), corpus probes it map-side — the false-"
+              "positive set reproduced exactly by the oracle."),
         Query("events_user_overlap_sketch", _overlap_q, _overlap_sql(),
               "HLL register algebra for audience overlap: max-merged "
               "pair registers estimate each union, inclusion-exclusion "

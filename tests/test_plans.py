@@ -566,3 +566,17 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     n_en = df.count()
     n_all = spark.read.parquet(out).count()
     assert 0 < n_en < n_all
+
+
+def test_bloom_probe_is_map_side_after_register_fold(spark, sf_dir):
+    """Bloom decontamination: the corpus reaches the per-doc agg through
+    the 1-row register fold (BNLJ by design, the semantic-dedup
+    convention) with map-side membership arithmetic — the only
+    exchanges are the build side's ≤2048-group word agg + the two-step
+    scalar fold and the probe side's distinct + doc agg. No
+    CartesianProduct, and never a shuffle of corpus shingles on a
+    bloom key."""
+    p = plan(spark, sf_dir, "docs_bloom_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert _n_exchanges(p) <= 5, p

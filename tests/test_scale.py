@@ -1496,3 +1496,77 @@ def test_quantize_int8_exact_math(spark):
     row = similarity.quantize_int8_report(df2).collect()[0]
     assert row.max_abs_err_us == 2625
     assert row.n_vals == 3
+
+
+def test_bloom_decontaminate_matches_pure_python(spark):
+    """Registers and probe verdicts vs a from-scratch Python Bloom —
+    an engine-symmetric hashing bug would slip parity, not this."""
+    from etl_validator_github_spark.scale import sketches
+    from etl_validator_github_spark.scale.dedup import DECON_SHINGLE
+
+    bench = "one two three four five six seven"            # doc 0 → bench
+    hit = "zzz one two three four five six qqq"            # shares 2 shingles
+    clean = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [bench, hit, clean, "short doc"]                # doc 2 → bench
+    got = {
+        r["doc_id"]: r
+        for r in sketches.bloom_decontaminate(
+            _docs(spark, rows), bench_mod=2
+        ).collect()
+    }
+
+    def pos(j, s):
+        h = hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8]
+        return int(h, 16) % sketches.BLOOM_BITS
+
+    def shingles(t):
+        tk = t.split(" ")
+        return {
+            " ".join(tk[i:i + DECON_SHINGLE])
+            for i in range(len(tk) - DECON_SHINGLE + 1)
+        }
+
+    bits = {
+        pos(j, s)
+        for d in (0, 2)
+        for s in shingles(rows[d])
+        for j in range(sketches.BLOOM_K)
+    }
+    exp = {}
+    for d in (1, 3):
+        sh = shingles(rows[d])
+        if not sh:
+            continue  # <5 tokens → no shingles → absent on both sides
+        hits = sum(
+            1 for s in sh
+            if all(pos(j, s) in bits for j in range(sketches.BLOOM_K))
+        )
+        exp[d] = (len(sh), hits, 1 if hits else 0)
+    assert {
+        d: (r["n_shingles"], r["n_bloom_hits"], r["flagged"])
+        for d, r in got.items()
+    } == exp
+    assert got[1]["n_bloom_hits"] >= 2  # true overlaps can never miss
+
+
+def test_bloom_no_false_negatives_and_not_saturated(spark):
+    """Per fixture doc: bloom hits ≥ exact overlap count (Bloom admits
+    no false negatives), and the 64 Kbit sizing keeps flagged docs a
+    small minority rather than saturating to everyone."""
+    from conftest import SF_DIR
+
+    from etl_validator_github_spark.queries import CATALOG
+
+    bloom = {
+        r["doc_id"]: r
+        for r in CATALOG["docs_bloom_decontaminate"]
+        .build(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_overlap_shingles"]
+        for r in CATALOG["decontaminate"].build(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture must contain true contamination"
+    assert all(bloom[d]["n_bloom_hits"] >= n for d, n in exact.items())
+    flagged = sum(r["flagged"] for r in bloom.values())
+    assert 0 < flagged < len(bloom) // 10
