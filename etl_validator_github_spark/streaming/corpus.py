@@ -170,6 +170,51 @@ def stream_span_probe(
     return writer.start()
 
 
+def stream_bloom_probe(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    bloom_row: DataFrame,
+    available_now: bool = True,
+):
+    """Streaming decontamination gate through the Bloom membership
+    sketch (scale/sketches.py): each micro-batch of newly landed
+    documents shingles itself and probes the caller-built register row
+    map-side, appending (doc_id, n_shingles, n_bloom_hits, flagged) to
+    the sink.
+
+    CALLER owns the ``bloom_row`` lifetime (the ``stream_span_probe``
+    contract) — build it ONCE with ``bloom_build`` over the held-out
+    suite and pass it persisted. The register row is a few KiB no
+    matter how large the suite, so unlike the exact span/shingle
+    indexes the per-batch probe ships NO per-key state at all: |batch|
+    shingling + k hash/mask expressions + one doc-key agg. Bloom admits
+    no false negatives, so a clean verdict here is final; flagged docs
+    go to the exact (batch) decontamination pass for confirmation.
+    """
+    from etl_validator_github_spark.scale.dedup import _doc_shingles
+    from etl_validator_github_spark.scale.sketches import bloom_probe
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = _doc_shingles(batch_df).distinct()
+        bloom_probe(keyed, bloom_row).write.mode("append").parquet(sink_dir)
+
+    writer = stream.writeStream.foreachBatch(_probe).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 #: Schema of an embeddings feed (matches testdata embeddings.parquet,
 #: minus the label column a delta feed does not have).
 VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"

@@ -6,7 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_validator_github_spark.streaming.corpus import stream_corpus_ingest
+from etl_validator_github_spark.streaming.corpus import (
+    stream_bloom_probe,
+    stream_corpus_ingest,
+)
 
 GOOD = " ".join(f"tok{i}" for i in range(30))
 GOOD2 = " ".join(f"other{i}" for i in range(25))
@@ -285,3 +288,58 @@ def test_stream_cms_counter_log_folds_to_batch_grid(spark, tmp_path):
     again = {(r["row"], r["bucket"]): r["n"]
              for r in cms_log_counters(spark, str(cdir)).collect()}
     assert again == expect_grid
+
+
+def test_stream_bloom_probe_flags_contaminated_docs(spark, tmp_path):
+    """Streaming Bloom gate: a delta doc quoting held-out content is
+    flagged with its true overlapping shingles hitting (no false
+    negatives); a novel doc with no set bits in common passes clean.
+    Batch/stream parity: the sink rows equal the batch bloom_probe of
+    the same docs. A later file probes in its own micro-batch."""
+    from etl_validator_github_spark.scale.dedup import _doc_shingles
+    from etl_validator_github_spark.scale.sketches import (
+        bloom_build, bloom_probe,
+    )
+
+    heldout = spark.createDataFrame(
+        [(0, GOOD, "en")], "doc_id: long, text: string, lang: string"
+    )
+    bloom = bloom_build(
+        _doc_shingles(heldout).select("shingle").distinct()
+    ).persist()
+    try:
+        src = tmp_path / "blsrc"
+        sink, ckpt = tmp_path / "blsink", tmp_path / "blckpt"
+        quote = " ".join(f"tok{i}" for i in range(5, 15))    # 10 of GOOD
+        quoting = quote + " " + " ".join(f"tail{i}" for i in range(10))
+        novel = " ".join(f"fresh{i}" for i in range(25))
+        _write_docs(spark, str(src / "d1.parquet"),
+                    [(100, quoting), (101, novel)])
+
+        q = stream_bloom_probe(spark, str(src), str(sink), str(ckpt), bloom)
+        q.awaitTermination(120)
+        got = {r.doc_id: (r.n_shingles, r.n_bloom_hits, r.flagged)
+               for r in spark.read.parquet(str(sink)).collect()}
+        # 10 quoted tokens → 6 verbatim 5-shingles must all hit.
+        assert got[100][2] == 1 and got[100][1] >= 6
+        assert got[101] == (21, 0, 0)
+
+        # Parity with the batch operator over the same delta docs.
+        delta = spark.createDataFrame(
+            [(100, quoting, "en"), (101, novel, "en")],
+            "doc_id: long, text: string, lang: string",
+        )
+        batch = {r.doc_id: (r.n_shingles, r.n_bloom_hits, r.flagged)
+                 for r in bloom_probe(
+                     _doc_shingles(delta).distinct(), bloom).collect()}
+        assert got == batch
+
+        _write_docs(spark, str(src / "d2.parquet"), [(200, GOOD)])
+        q2 = stream_bloom_probe(spark, str(src), str(sink), str(ckpt), bloom)
+        q2.awaitTermination(120)
+        got2 = {r.doc_id: r.flagged
+                for r in spark.read.parquet(str(sink)).collect()}
+        assert got2[200] == 1           # exact re-send: every shingle hits
+        assert len(got2) == 3           # earlier files not re-probed
+    finally:
+        bloom.unpersist()
