@@ -663,6 +663,279 @@ WHERE bit_count(xor(h1, h2)) <= {DHASH_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# Real audio decode path: pure-Python RIFF/WAVE (PCM16 mono) codec —
+# the audio analogue of the netpbm image codec above. The RIFF chunk
+# grammar parses with stdlib struct alone, so like netpbm it is the
+# honest de-stubbed decoder for this environment: real chunk walk,
+# real size validation (truncation AND trailing garbage rejected, the
+# decode_ppm convention), real int16 samples out. Compressed formats
+# (MP3/AAC/FLAC) would need codec libraries the sandbox lacks and stay
+# a declared NotImplementedError in decode_audio.
+#
+# Fixture synthesis mirrors attach_image_payload: sample count and the
+# waveform are pure functions of md5(text) (n = AUDIO_MIN_SAMPLES +
+# h32 % AUDIO_N_MOD; sample i = (h32 + AUDIO_STRIDE·i) % 4096 − 2048,
+# a full-scale-1/8 sawtooth with negative excursions), so the oracle
+# regenerates the identical signal in SQL and a decoder bug — wrong
+# chunk offset, wrong endianness, dropped sample — breaks the hash
+# match even though the oracle never touches the bytes.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+AUDIO_MIN_SAMPLES = 16
+AUDIO_N_MOD = 241
+AUDIO_STRIDE = 11
+
+
+def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
+    """RIFF/WAVE writer: PCM format 1, mono, 16-bit little-endian."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "list[int]"]:
+    """Parse a PCM16 mono WAV → (sample_rate, n_channels, samples).
+
+    Validates the full RIFF grammar: magic, declared RIFF size ==
+    actual remainder (trailing bytes after the RIFF body are rejected,
+    matching decode_ppm's exact-length rule), chunk sizes in bounds,
+    exactly one fmt and one data chunk, PCM/16-bit only, data length a
+    whole number of frames.
+    """
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF":
+        raise ValueError(f"not a RIFF payload: magic {data[:4]!r}")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if 8 + riff_size != len(data):
+        raise ValueError(
+            f"RIFF size {riff_size} != payload remainder {len(data) - 8}"
+        )
+    if data[8:12] != b"WAVE":
+        raise ValueError(f"not a WAVE form: {data[8:12]!r}")
+    pos, fmt, pcm = 12, None, None
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        cid = data[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"chunk {cid!r} truncated: "
+                             f"{len(body)} of {csize} bytes")
+        if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("duplicate fmt chunk")
+            if csize < 16:
+                raise ValueError(f"fmt chunk too short: {csize}")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if pcm is not None:
+                raise ValueError("duplicate data chunk")
+            pcm = body
+        pos += 8 + csize + (csize & 1)   # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, n_channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported, got format {audio_fmt}/{bits}-bit "
+            "(compressed codecs need libraries this environment lacks)"
+        )
+    if len(pcm) % (2 * n_channels):
+        raise ValueError(f"data size {len(pcm)} not whole frames")
+    samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    return rate, n_channels, samples
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, "list[int]"]:
+    """Decode an audio payload. Real path: RIFF/WAVE PCM16. Compressed
+    formats are a declared gap (no codec libraries in this sandbox)."""
+    head = bytes(payload[:4])
+    if head == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"no codec for magic {head!r}: only RIFF/WAVE decodes here"
+    )
+
+
+def attach_audio_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL PCM16 WAV per doc,
+    waveform a pure function of md5(text) (see the section note)."""
+
+    def to_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8],
+                          16)
+                n = AUDIO_MIN_SAMPLES + h32 % AUDIO_N_MOD
+                samples = [(h32 + AUDIO_STRIDE * i) % 4096 - 2048
+                           for i in range(n)]
+                payloads.append(encode_wav(AUDIO_RATE, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_wav, PAYLOAD_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("peak_abs", IntegerType()),
+    StructField("sum_abs", LongType()),
+    StructField("energy", LongType()),
+    StructField("mean_abs_milli", LongType()),
+])
+
+
+def audio_stats(payloads: DataFrame) -> DataFrame:
+    """Binary WAV payload → true signal statistics via the real decoder:
+    sample count, peak |amplitude|, exact integer |x| sum and x² energy,
+    mean |x| in exact milli units. Arrow-batched mapInPandas, map-only."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_STATS_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _, samples = decode_audio(bytes(payload))
+                a = np.asarray(samples, dtype=np.int64)
+                sum_abs = int(np.abs(a).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["sample_rate"].append(rate)
+                out["peak_abs"].append(int(np.abs(a).max()))
+                out["sum_abs"].append(sum_abs)
+                out["energy"].append(int((a * a).sum()))
+                out["mean_abs_milli"].append(
+                    (1000 * sum_abs) // len(samples)
+                )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "peak_abs": pd.Series(out["peak_abs"], dtype="int32"),
+                "sum_abs": pd.Series(out["sum_abs"], dtype="int64"),
+                "energy": pd.Series(out["energy"], dtype="int64"),
+                "mean_abs_milli": pd.Series(out["mean_abs_milli"],
+                                            dtype="int64"),
+            })
+
+    return payloads.mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+def _audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return audio_stats(attach_audio_payload(docs))
+
+
+_AUDIO_STATS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, h32,
+         {AUDIO_MIN_SAMPLES} + h32 % {AUDIO_N_MOD} AS n
+  FROM h
+), s AS (
+  SELECT doc_id, n,
+         (h32 + {AUDIO_STRIDE} * i) % 4096 - 2048 AS x
+  FROM meta, unnest(range(0, n)) AS t(i)
+)
+SELECT doc_id,
+       CAST(MAX(n) AS INT) AS n_samples,
+       CAST({AUDIO_RATE} AS INT) AS sample_rate,
+       CAST(MAX(abs(x)) AS INT) AS peak_abs,
+       CAST(SUM(abs(x)) AS BIGINT) AS sum_abs,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST((1000 * SUM(abs(x))) // MAX(n) AS BIGINT) AS mean_abs_milli
+FROM s GROUP BY 1
+"""
+
+
+#: Decimation factor for the strided downsample (8 kHz → 1 kHz).
+AUDIO_DECIM = 8
+
+
+def audio_downsample_stats(payloads: DataFrame) -> DataFrame:
+    """Strided decimation (every AUDIO_DECIM-th sample — the audio
+    analogue of video frame sampling) followed by the same exact-integer
+    stats over the kept samples. Map-only inside Arrow batches."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_STATS_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _, samples = decode_audio(bytes(payload))
+                kept = np.asarray(samples[::AUDIO_DECIM], dtype=np.int64)
+                sum_abs = int(np.abs(kept).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(kept))
+                out["sample_rate"].append(rate // AUDIO_DECIM)
+                out["peak_abs"].append(int(np.abs(kept).max()))
+                out["sum_abs"].append(sum_abs)
+                out["energy"].append(int((kept * kept).sum()))
+                out["mean_abs_milli"].append(
+                    (1000 * sum_abs) // len(kept)
+                )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "peak_abs": pd.Series(out["peak_abs"], dtype="int32"),
+                "sum_abs": pd.Series(out["sum_abs"], dtype="int64"),
+                "energy": pd.Series(out["energy"], dtype="int64"),
+                "mean_abs_milli": pd.Series(out["mean_abs_milli"],
+                                            dtype="int64"),
+            })
+
+    return payloads.mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+def _audio_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return audio_downsample_stats(attach_audio_payload(docs))
+
+
+_AUDIO_DOWNSAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, h32,
+         {AUDIO_MIN_SAMPLES} + h32 % {AUDIO_N_MOD} AS n
+  FROM h
+), s AS (
+  SELECT doc_id,
+         (n + {AUDIO_DECIM - 1}) // {AUDIO_DECIM} AS n_kept,
+         (h32 + {AUDIO_STRIDE} * i) % 4096 - 2048 AS x
+  FROM meta, unnest(range(0, n, {AUDIO_DECIM})) AS t(i)
+)
+SELECT doc_id,
+       CAST(MAX(n_kept) AS INT) AS n_samples,
+       CAST({AUDIO_RATE // AUDIO_DECIM} AS INT) AS sample_rate,
+       CAST(MAX(abs(x)) AS INT) AS peak_abs,
+       CAST(SUM(abs(x)) AS BIGINT) AS sum_abs,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST((1000 * SUM(abs(x))) // MAX(n_kept) AS BIGINT)
+         AS mean_abs_milli
+FROM s GROUP BY 1
+"""
+
+
 # The oracle regenerates the synthetic image arithmetic in SQL (dims
 # and raster bytes are pure functions of md5(text)) and re-derives the
 # pixel statistics per raster byte — so a decoder bug on the Spark side
@@ -790,6 +1063,15 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "Cross-video frame-hash dedup: per-video fraction of "
               "sampled frames repeated anywhere in the corpus (chunk-"
               "dedup shape on the frame stream)."),
+        Query("multimodal_audio_stats", _audio_stats_q, _AUDIO_STATS_SQL,
+              "True signal statistics from REAL decode: synthetic PCM16 "
+              "WAVs parsed by the pure-Python RIFF codec inside Arrow-"
+              "batched mapInPandas; exact-integer |x| and x² sums."),
+        Query("multimodal_audio_downsample", _audio_downsample_q,
+              _AUDIO_DOWNSAMPLE_SQL,
+              "Strided audio decimation (8 kHz → 1 kHz, the frame-"
+              "sampling shape on the sample stream) with exact-integer "
+              "stats over the kept samples."),
         Query("multimodal_dhash_neardup", _dhash_q, _DHASH_SQL,
               "Perceptual image near-dup: 64-bit dHash over the real "
               "netpbm decoder, simhash pigeonhole blocking — pairs "

@@ -1570,3 +1570,78 @@ def test_bloom_no_false_negatives_and_not_saturated(spark):
     assert all(bloom[d]["n_bloom_hits"] >= n for d, n in exact.items())
     flagged = sum(r["flagged"] for r in bloom.values())
     assert 0 < flagged < len(bloom) // 10
+
+
+def test_wav_encode_hand_computed_bytes():
+    # 3 samples at 8 kHz: header fields byte-for-byte per the RIFF spec.
+    payload = multimodal.encode_wav(8000, [0, 1000, -1000])
+    assert payload[:4] == b"RIFF"
+    assert payload[8:12] == b"WAVE"
+    assert payload[12:16] == b"fmt "
+    assert payload[16:20] == (16).to_bytes(4, "little")
+    # PCM(1), mono(1), 8000 Hz, 16000 B/s, block 2, 16-bit.
+    import struct
+    assert struct.unpack_from("<HHIIHH", payload, 20) == (
+        1, 1, 8000, 16000, 2, 16)
+    assert payload[36:40] == b"data"
+    assert payload[40:44] == (6).to_bytes(4, "little")
+    assert payload[44:] == b"\x00\x00\xe8\x03\x18\xfc"  # 0, 1000, -1000 LE
+    assert multimodal.decode_wav(payload) == (8000, 1, [0, 1000, -1000])
+
+
+def test_wav_decoder_rejects_malformed():
+    ok = multimodal.encode_wav(8000, [1, -2, 3, -4])
+    with pytest.raises(ValueError, match="not a RIFF"):
+        multimodal.decode_wav(b"RIFX" + ok[4:])
+    with pytest.raises(ValueError, match="RIFF size"):
+        multimodal.decode_wav(ok[:-2])            # truncated data
+    with pytest.raises(ValueError, match="RIFF size"):
+        multimodal.decode_wav(ok + b"\x00")       # trailing garbage
+    with pytest.raises(ValueError, match="truncated chunk|truncated"):
+        bad = bytearray(ok)
+        bad[40] = 0xFF                            # data size beyond payload
+        import struct
+        struct.pack_into("<I", bad, 4, len(bad) - 8)  # keep RIFF size valid
+        multimodal.decode_wav(bytes(bad))
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        import struct
+        mulaw = bytearray(ok)
+        struct.pack_into("<H", mulaw, 20, 7)      # format 7 = mu-law
+        multimodal.decode_wav(bytes(mulaw))
+    with pytest.raises(NotImplementedError, match="no codec"):
+        multimodal.decode_audio(b"\xff\xf1AAC?")  # ADTS magic → declared gap
+
+
+def test_wav_roundtrip_property():
+    """encode→decode is the identity for any int16 sample vector and
+    rate, including odd lengths (word-aligned chunk padding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        samples=st.lists(st.integers(-32768, 32767), min_size=1,
+                         max_size=64),
+    )
+    def roundtrip(rate, samples):
+        got = multimodal.decode_wav(multimodal.encode_wav(rate, samples))
+        assert got == (rate, 1, samples)
+
+    roundtrip()
+
+
+def test_audio_stats_hand_computed(spark):
+    """audio_stats over a hand-built WAV: exact |x| sum, energy, peak."""
+    payload = multimodal.encode_wav(8000, [0, 1000, -1000, 2047, -2048])
+    df = spark.createDataFrame([(7, bytearray(payload))],
+                               multimodal.PAYLOAD_SCHEMA)
+    row = multimodal.audio_stats(df).collect()[0]
+    assert (row.doc_id, row.n_samples, row.sample_rate) == (7, 5, 8000)
+    assert row.peak_abs == 2048
+    assert row.sum_abs == 0 + 1000 + 1000 + 2047 + 2048
+    assert row.energy == 1000**2 + 1000**2 + 2047**2 + 2048**2
+    assert row.mean_abs_milli == (1000 * row.sum_abs) // 5
+    # Decimation keeps samples 0 and 8 → indexes 0 only here (n=5<8+1):
+    drow = multimodal.audio_downsample_stats(df).collect()[0]
+    assert (drow.n_samples, drow.sample_rate, drow.sum_abs) == (1, 1000, 0)
