@@ -867,6 +867,133 @@ FROM s GROUP BY 1
 #: Decimation factor for the strided downsample (8 kHz → 1 kHz).
 AUDIO_DECIM = 8
 
+#: Energy-gate segmentation: frame = 32 samples; a frame is "voiced"
+#: when its Σx² reaches 32 × E[x²] of the fixture's uniform ±2048
+#: sawtooth (2048²/3 ≈ 1398101) — i.e. the threshold sits AT the
+#: expected energy, so roughly half the frames gate on and off and the
+#: island analysis below is non-trivial. Exact integers on both sides.
+VAD_FRAME = 32
+VAD_ENERGY_THRESH = VAD_FRAME * 1398101
+
+AUDIO_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_energy", LongType()),
+])
+
+
+def audio_frame_energies(payloads: DataFrame) -> DataFrame:
+    """Binary WAV payload → one row per VAD_FRAME-sample frame with its
+    exact Σx² energy (the final frame may be partial). Decode + frame
+    fold stay inside Arrow batches; everything downstream is plain
+    DataFrame ops — the decoded-media-to-relational handoff shape."""
+    import numpy as np
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, samples = decode_audio(bytes(payload))
+                a = np.asarray(samples, dtype=np.int64)
+                for fi in range(0, len(a), VAD_FRAME):
+                    ids.append(doc_id)
+                    idxs.append(fi // VAD_FRAME)
+                    energies.append(int((a[fi:fi + VAD_FRAME] ** 2).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_energy": pd.Series(energies, dtype="int64"),
+            })
+
+    return payloads.mapInPandas(frames, AUDIO_FRAME_SCHEMA)
+
+
+def audio_vad_segments(payloads: DataFrame) -> DataFrame:
+    """Energy-gate voice-activity report per doc: frame count, voiced
+    frame count, LONGEST consecutive voiced run (gaps-and-islands:
+    island = frame_idx − cumulative voiced count, constant exactly
+    across consecutive voiced frames), and exact voiced Σx².
+
+    Scale shape: SINGLE pass over the decoded frame stream — decode
+    runs once (a two-branch base⋈runs formulation would decode every
+    payload twice), then one doc-keyed window and a two-level agg
+    ((doc, island) → doc; all unvoiced frames of a doc collapse into
+    one NULL-island group, so the first level stays bounded by the
+    voiced-run count). No join anywhere.
+    """
+    from pyspark.sql import Window
+
+    voiced = F.col("frame_energy") >= VAD_ENERGY_THRESH
+    w = (Window.partitionBy("doc_id").orderBy("frame_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fr = audio_frame_energies(payloads).withColumn(
+        "island",
+        F.when(voiced,
+               F.col("frame_idx") - F.sum(voiced.cast("int")).over(w)),
+    )
+    per_island = fr.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("frame_energy").alias("e_sum"),
+    )
+    is_run = F.col("island").isNotNull()
+    return per_island.groupBy("doc_id").agg(
+        F.sum("n").cast("int").alias("n_frames"),
+        F.sum(F.when(is_run, F.col("n")).otherwise(F.lit(0)))
+        .cast("int").alias("n_voiced"),
+        F.coalesce(F.max(F.when(is_run, F.col("n"))), F.lit(0))
+        .cast("int").alias("longest_run"),
+        F.sum(F.when(is_run, F.col("e_sum")).otherwise(F.lit(0)))
+        .alias("voiced_energy"),
+    )
+
+
+def _audio_vad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return audio_vad_segments(attach_audio_payload(docs))
+
+
+_AUDIO_VAD_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, h32,
+         {AUDIO_MIN_SAMPLES} + h32 % {AUDIO_N_MOD} AS n
+  FROM h
+), s AS (
+  SELECT doc_id, i // {VAD_FRAME} AS frame_idx,
+         (h32 + {AUDIO_STRIDE} * i) % 4096 - 2048 AS x
+  FROM meta, unnest(range(0, n)) AS t(i)
+), fr AS (
+  SELECT doc_id, frame_idx, SUM(x * x) AS frame_energy
+  FROM s GROUP BY 1, 2
+), base AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_frames,
+         CAST(SUM(CASE WHEN frame_energy >= {VAD_ENERGY_THRESH}
+                       THEN 1 ELSE 0 END) AS INT) AS n_voiced,
+         CAST(SUM(CASE WHEN frame_energy >= {VAD_ENERGY_THRESH}
+                       THEN frame_energy ELSE 0 END) AS BIGINT)
+           AS voiced_energy
+  FROM fr GROUP BY 1
+), voiced AS (
+  SELECT doc_id, frame_idx,
+         frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx) AS island
+  FROM fr WHERE frame_energy >= {VAD_ENERGY_THRESH}
+), runs AS (
+  SELECT doc_id, MAX(run_len) AS longest_run FROM (
+    SELECT doc_id, island, COUNT(*) AS run_len
+    FROM voiced GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT b.doc_id, b.n_frames, b.n_voiced,
+       CAST(COALESCE(r.longest_run, 0) AS INT) AS longest_run,
+       b.voiced_energy
+FROM base b LEFT JOIN runs r ON b.doc_id = r.doc_id
+"""
+
 
 def audio_downsample_stats(payloads: DataFrame) -> DataFrame:
     """Strided decimation (every AUDIO_DECIM-th sample — the audio
@@ -1072,6 +1199,11 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "Strided audio decimation (8 kHz → 1 kHz, the frame-"
               "sampling shape on the sample stream) with exact-integer "
               "stats over the kept samples."),
+        Query("multimodal_audio_vad", _audio_vad_q, _AUDIO_VAD_SQL,
+              "Energy-gate voice-activity segmentation: per-frame Σx² "
+              "from the real decoder, voiced islands via the gaps-and-"
+              "islands window, longest-run + exact voiced energy per "
+              "doc."),
         Query("multimodal_dhash_neardup", _dhash_q, _DHASH_SQL,
               "Perceptual image near-dup: 64-bit dHash over the real "
               "netpbm decoder, simhash pigeonhole blocking — pairs "

@@ -580,3 +580,24 @@ def test_bloom_probe_is_map_side_after_register_fold(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p, p
     assert _n_exchanges(p) <= 5, p
+
+
+def test_audio_vad_single_decode_pass_no_join(spark, sf_dir):
+    """Audio VAD: the decoded frame stream is consumed in ONE pass —
+    exactly one MapInPandas (a base⋈runs formulation would decode every
+    payload twice), no join, and every exchange keys on doc_id (window,
+    island agg, doc agg)."""
+    import re
+
+    p = plan(spark, sf_dir, "multimodal_audio_vad")
+    # Exactly two MapInPandas: payload synthesis + the frame fan-out —
+    # the decode pipeline appears ONCE, not once per output branch.
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2, p
+    assert "Join" not in p, p
+    assert "Window" in p
+    # The window's doc_id partitioning satisfies BOTH downstream
+    # groupings ((doc,island) and doc are clustered subsets), so the
+    # whole report runs on a single exchange.
+    assert _n_exchanges(p) == 1, p
+    for ln in re.findall(r"Arguments: hashpartitioning\([^)]*", p):
+        assert "doc_id" in ln, ln

@@ -1645,3 +1645,22 @@ def test_audio_stats_hand_computed(spark):
     # Decimation keeps samples 0 and 8 → indexes 0 only here (n=5<8+1):
     drow = multimodal.audio_downsample_stats(df).collect()[0]
     assert (drow.n_samples, drow.sample_rate, drow.sum_abs) == (1, 1000, 0)
+
+
+def test_audio_vad_hand_computed(spark):
+    """Gaps-and-islands over a constructed loud/quiet pattern: frames
+    [loud, loud, quiet, loud, partial-quiet] → 3 voiced, longest run 2,
+    and a silent doc exercises the zero-voiced left-join path."""
+    loud, quiet = [2047] * multimodal.VAD_FRAME, [0] * multimodal.VAD_FRAME
+    samples = loud + loud + quiet + loud + [2047] * 8   # partial < thresh
+    wav = multimodal.encode_wav(8000, samples)
+    silent = multimodal.encode_wav(8000, [0] * 40)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(silent))],
+        multimodal.PAYLOAD_SCHEMA,
+    )
+    got = {r.doc_id: r for r in multimodal.audio_vad_segments(df).collect()}
+    assert (got[1].n_frames, got[1].n_voiced, got[1].longest_run) == (5, 3, 2)
+    assert got[1].voiced_energy == 3 * 32 * 2047 * 2047
+    assert (got[2].n_frames, got[2].n_voiced,
+            got[2].longest_run, got[2].voiced_energy) == (2, 0, 0, 0)
