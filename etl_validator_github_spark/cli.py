@@ -160,8 +160,12 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     EMBEDDINGS parquet (vec_id, embedding, label — labels seed the IVF
     cells); ``--mode spans`` runs the Lee-et-al sliding-window pass —
     the per-doc duplicated-span report, or with ``--write-docs`` the
-    docs rewritten with duplicated spans stripped in place. Writes the
-    keep-list, or the surviving rows themselves with ``--write-docs``.
+    docs rewritten with duplicated spans stripped in place; ``--mode
+    bloom`` probes the input against a Bloom filter built from the
+    ``--corpus`` held-out suite — the flag report, or with
+    ``--write-docs`` only the clean (never-falsely-negative) docs.
+    Writes the keep-list, or the surviving rows themselves with
+    ``--write-docs``.
     """
     from pyspark.sql import functions as F
 
@@ -208,6 +212,48 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         n_flagged = written.filter(F.col("n_dup_windows") > 0).count()
         print(f"span report: {n_docs} docs, {n_flagged} with duplicated "
               f"spans -> {args.output}")
+        return 0
+    if args.mode == "bloom":
+        from etl_validator_github_spark.scale.dedup import _doc_shingles
+        from etl_validator_github_spark.scale.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        if not args.corpus:
+            raise SystemExit(
+                "--mode bloom needs --corpus: the held-out/benchmark "
+                "documents parquet whose shingles build the filter"
+            )
+        held = spark.read.parquet(args.corpus)
+        for df, src in ((docs, args.input), (held, args.corpus)):
+            missing = sorted({"doc_id", "text"} - set(df.columns))
+            if missing:
+                raise SystemExit(
+                    f"--mode bloom needs documents parquets with "
+                    f"(doc_id, text); {src} is missing "
+                    f"{', '.join(missing)}"
+                )
+        bloom = bloom_build(
+            _doc_shingles(held).select("shingle").distinct()
+        )
+        flags = bloom_probe(_doc_shingles(docs).distinct(), bloom)
+        if args.write_docs:
+            clean = docs.join(
+                flags.filter(F.col("flagged") == 1).select("doc_id"),
+                "doc_id", "left_anti",
+            )
+            clean.write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            print(f"bloom decontaminate: {written.count()} clean docs "
+                  f"(no false negatives) -> {args.output}")
+            return 0
+        flags.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n_docs = written.count()
+        n_flag = written.filter(F.col("flagged") == 1).count()
+        print(f"bloom probe: {n_docs} docs, {n_flag} flagged for the "
+              f"exact pass -> {args.output}")
         return 0
     if args.mode == "semantic":
         from etl_validator_github_spark.scale.similarity import (
@@ -453,6 +499,55 @@ def _cmd_scenario(args: argparse.Namespace) -> int:
     return 0 if res.reconcile_passed else 1
 
 
+def _cmd_media(args: argparse.Namespace) -> int:
+    """Decode-backed media feature report over a documents parquet:
+    synthesize the deterministic fixture payloads (real netpbm images
+    or real PCM16 WAVs), run the REAL decoder inside Arrow batches,
+    and print corpus-level stats. ``--output`` additionally writes the
+    per-doc feature table."""
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.scale import multimodal
+
+    spark = get_spark(app_name="media-features")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    missing = sorted({"doc_id", "text"} - set(docs.columns))
+    if missing:
+        raise SystemExit(
+            f"media needs a documents parquet with (doc_id, text); "
+            f"{args.input} is missing {', '.join(missing)}"
+        )
+    if args.kind == "image":
+        feats = multimodal.image_pixel_stats(
+            multimodal.attach_image_payload(docs)
+        )
+        summary = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("width").cast("long") * F.col("height"))
+            .alias("px"),
+            F.avg("mean_luma_milli").alias("luma"),
+        ).collect()[0]
+        line = (f"{summary['n']} images, {summary['px']} pixels, "
+                f"mean luma {summary['luma'] / 1000.0:.3f}")
+    else:
+        feats = multimodal.audio_stats(
+            multimodal.attach_audio_payload(docs)
+        )
+        summary = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_samples").cast("long")).alias("samples"),
+            F.avg("mean_abs_milli").alias("amp"),
+        ).collect()[0]
+        line = (f"{summary['n']} clips, {summary['samples']} samples, "
+                f"mean |amplitude| {summary['amp'] / 1000.0:.1f}")
+    if args.output:
+        feats.write.mode("overwrite").parquet(args.output)
+        line += f" -> {args.output}"
+    print(f"{args.kind} features: {line}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_validator_github_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -515,11 +610,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument("--mode",
                    choices=("exact", "fuzzy", "incremental", "semantic",
-                            "spans"),
+                            "spans", "bloom"),
                    default="exact")
     d.add_argument("--corpus", default=None,
                    help="incremental mode: parquet of the already-"
-                        "ingested corpus whose index the input probes")
+                        "ingested corpus whose index the input probes; "
+                        "bloom mode: the held-out suite that builds "
+                        "the filter")
     d.add_argument("--write-docs", action="store_true",
                    help="write surviving documents instead of the "
                         "(doc_id, cluster_id, keep) keep-list")
@@ -554,6 +651,18 @@ def main(argv: list[str] | None = None) -> int:
                         "parquet and report the log's max-merged "
                         "estimate (idempotent across re-runs)")
     k.set_defaults(fn=_cmd_sketch)
+
+    md = sub.add_parser(
+        "media",
+        help="decode-backed image/audio feature report over a "
+             "documents parquet (real netpbm / WAV codecs)",
+    )
+    md.add_argument("input")
+    md.add_argument("--kind", choices=("image", "audio"),
+                    default="image")
+    md.add_argument("--output",
+                    help="also write the per-doc feature table here")
+    md.set_defaults(fn=_cmd_media)
 
     args = parser.parse_args(argv)
     return args.fn(args)

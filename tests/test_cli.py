@@ -505,3 +505,68 @@ def test_cli_sketch_report_and_register_log(spark, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="missing column"):
         main(["sketch", str(inp), "--group-by", "nope", "--key", "user"])
+
+
+def test_cli_dedup_bloom_mode(spark, tmp_path, capsys):
+    """--mode bloom: flag report against a --corpus-built filter, the
+    clean-docs gate with --write-docs, and the explicit schema guards."""
+    held = tmp_path / "held.parquet"
+    src = tmp_path / "bdocs.parquet"
+    suite = " ".join(f"q{i}" for i in range(20))
+    spark.createDataFrame(
+        [(0, suite, "en")], "doc_id: long, text: string, lang: string",
+    ).write.parquet(str(held))
+    quoting = " ".join(f"q{i}" for i in range(8)) + " plus extra tail words"
+    novel = " ".join(f"n{i}" for i in range(15))
+    spark.createDataFrame(
+        [(10, quoting, "en"), (11, novel, "en")],
+        "doc_id: long, text: string, lang: string",
+    ).write.parquet(str(src))
+
+    rep = tmp_path / "bloomrep.parquet"
+    assert main(["dedup", str(src), "--mode", "bloom",
+                 "--corpus", str(held), "--output", str(rep)]) == 0
+    flags = {r.doc_id: r.flagged for r in
+             spark.read.parquet(str(rep)).collect()}
+    assert flags == {10: 1, 11: 0}
+    assert "1 flagged" in capsys.readouterr().out
+
+    out = tmp_path / "bloomclean.parquet"
+    assert main(["dedup", str(src), "--mode", "bloom", "--write-docs",
+                 "--corpus", str(held), "--output", str(out)]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {11}
+
+    with pytest.raises(SystemExit, match="--corpus"):
+        main(["dedup", str(src), "--mode", "bloom", "--output", str(rep)])
+    bad = tmp_path / "bademb.parquet"
+    spark.createDataFrame([(1, [0.1])], "vec_id: long, embedding: array<float>"
+                          ).write.parquet(str(bad))
+    with pytest.raises(SystemExit, match="missing"):
+        main(["dedup", str(bad), "--mode", "bloom",
+              "--corpus", str(held), "--output", str(rep)])
+
+
+def test_cli_media_reports(spark, tmp_path, capsys):
+    """media: decode-backed image and audio reports over documents."""
+    src = tmp_path / "mdocs.parquet"
+    spark.createDataFrame(
+        [(i, f"doc text number {i} with a few words", "en")
+         for i in range(4)],
+        "doc_id: long, text: string, lang: string",
+    ).write.parquet(str(src))
+
+    feats = tmp_path / "imfeats.parquet"
+    assert main(["media", str(src), "--kind", "image",
+                 "--output", str(feats)]) == 0
+    assert "4 images" in capsys.readouterr().out
+    assert spark.read.parquet(str(feats)).count() == 4
+
+    assert main(["media", str(src), "--kind", "audio"]) == 0
+    out = capsys.readouterr().out
+    assert "4 clips" in out and "samples" in out
+
+    bad = tmp_path / "nontext.parquet"
+    spark.createDataFrame([(1,)], "x: long").write.parquet(str(bad))
+    with pytest.raises(SystemExit, match="missing"):
+        main(["media", str(bad)])
