@@ -2493,6 +2493,75 @@ FROM keyed GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series regularization: gap-fill the hourly rollup to a dense
+# per-type grid and forward-fill the last observed value — the
+# resample/ffill shape every monitoring and feature-engineering
+# pipeline needs before windowed models (a sparse rollup silently
+# shortens moving windows; the dense grid makes missingness explicit).
+#
+# Scale shape: the only input-sized work is the first (hour, type)
+# hash-agg. Everything after operates on the rollup — |types| ×
+# |span hours| rows regardless of event count (a year is ~8.8k rows
+# per type) — so the grid explode, the left join and the per-type
+# forward-fill window are all bounded by calendar time, not data.
+# Non-negative-epoch div bucketing per contract.py.
+# ---------------------------------------------------------------------------
+
+
+def _events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            F.expr(f"ts_us div {_US_PER_HOUR}").alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(cents("value")).alias("sum_cents"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("lo"), F.max("bucket_hour").alias("hi")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.expr("sequence(lo, hi)")).alias("bucket_hour")
+    )
+    w = (Window.partitionBy("event_type").orderBy("bucket_hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(hourly, ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type",
+            "bucket_hour",
+            F.coalesce("n", F.lit(0)).cast("int").alias("n_events"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+            F.last("sum_cents", ignorenulls=True).over(w)
+            .alias("filled_sum_cents"),
+        )
+    )
+
+
+_GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_US_PER_HOUR} AS bucket_hour, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi
+  FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS bucket_hour FROM span
+)
+SELECT g.event_type, g.bucket_hour,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_events,
+       CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+       CAST(last_value(h.sum_cents IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_hour
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_sum_cents
+FROM grid g LEFT JOIN hourly h USING (event_type, bucket_hour)
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -2506,6 +2575,10 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
         Query("events_transitions", _events_transitions, _TRANSITIONS_SQL,
               "Event-type transition matrix: consecutive-pair counts per "
               "user stream + exact milli-probabilities."),
+        Query("events_hourly_gapfill", _events_gapfill, _GAPFILL_SQL,
+              "Time-series regularization: dense per-type hourly grid "
+              "with explicit gaps and forward-filled last value — "
+              "post-rollup work bounded by calendar span, not events."),
         Query("events_hourly_anomalies", _events_anomalies, _ANOMALIES_SQL,
               "Hourly volume anomalies per event type: the 2-sigma rule "
               "multiplied out to exact integers ((N*n - S)^2 > "

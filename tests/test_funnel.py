@@ -124,3 +124,30 @@ def test_hourly_anomalies_property_matches_pure_python(spark):
                 if dev * dev > 4 * (N * Q - S * S):
                     expect[(t, h)] = 1 if dev > 0 else -1
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_gapfill_hand_computed(spark, tmp_path):
+    """Gap-fill/forward-fill semantics on a constructed series: hours
+    {0, 3} present for type A (gaps 1-2 carry hour 0's sum), a
+    single-hour type B has a 1-row dense grid with no gaps."""
+    from etl_validator_github_spark.queries import CATALOG
+
+    rows = [
+        (1, "A", 0), (2, "A", 0),      # hour 0: n=2, sum=200 cents
+        (3, "A", 3),                   # hour 3: n=1, sum=100 cents
+        (4, "B", 5),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    got = {
+        (r.event_type, r.bucket_hour % 100): r
+        for r in CATALOG["events_hourly_gapfill"].build(spark, sf).collect()
+    }
+    base_h = 1_700_000_000_000_000 // _HOUR_US
+    a = {h: got[("A", (base_h + h) % 100)] for h in range(4)}
+    assert [(r.n_events, r.is_gap, r.filled_sum_cents)
+            for r in a.values()] == [
+        (2, 0, 200), (0, 1, 200), (0, 1, 200), (1, 0, 100),
+    ]
+    b = got[("B", (base_h + 5) % 100)]
+    assert (b.n_events, b.is_gap, b.filled_sum_cents) == (1, 0, 100)
+    assert len(got) == 5

@@ -601,3 +601,19 @@ def test_audio_vad_single_decode_pass_no_join(spark, sf_dir):
     assert _n_exchanges(p) == 1, p
     for ln in re.findall(r"Arguments: hashpartitioning\([^)]*", p):
         assert "doc_id" in ln, ln
+
+
+def test_gapfill_aggregates_before_grid_and_broadcasts_rollup(spark, sf_dir):
+    """Gap-fill: both event passes collapse to hash-aggs (the span agg
+    folds straight onto the scan — no materialized intermediate), the
+    tiny rollup broadcasts onto the grid, and the forward-fill window
+    reuses the span exchange's event_type partitioning — two exchanges
+    total, nothing input-sized after the rollup."""
+    import re
+
+    p = plan(spark, sf_dir, "events_hourly_gapfill")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert _n_exchanges(p) <= 2, p
