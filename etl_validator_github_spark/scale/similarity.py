@@ -1478,11 +1478,121 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Binary sign quantization + Hamming search: the most aggressive point
+# on the compression curve (int8 report = 8 bits/dim, PQ = 0.5
+# bits/dim here, sign = 1 bit/dim). EMBED_DIM = 64 makes the packed
+# representation EXACTLY one BIGINT per vector — a 256× reduction over
+# float32 — and Hamming distance one `bit_count(xor(a, b))` per pair:
+# pure JVM integer ops inside whole-stage codegen, no arrays touched
+# at scoring time. The candidate scan is the cosine_topk brute-force
+# shape (bounded 8-query broadcast; at 100 TB this is the rerank-free
+# first pass, with sign-bucket prefixes playing the IVF role). The
+# true quantized-exact cosine rides along per returned neighbor so the
+# proxy's fidelity is visible in the output itself.
+#
+# Bit 63 packs via the dhash convention (shiftleft wraps to MIN_BIGINT
+# in Spark; DuckDB spells the constant explicitly since its << raises
+# on overflow). Sign rule: quantized micros >= 0 → bit set — exact on
+# both engines because the micros ARE integers.
+# ---------------------------------------------------------------------------
+
+#: Spark: fold the 64 sign bits of qv into one BIGINT.
+_SIGN_PACK_SPARK = (
+    "aggregate(sequence(0, 63), cast(0 as bigint), (acc, d) -> "
+    "acc | if(element_at(qv, d + 1) >= 0, "
+    "shiftleft(cast(1 as bigint), d), cast(0 as bigint)))"
+)
+
+#: DuckDB: identical packing; bit 63 is the explicit MIN_BIGINT term.
+_SIGN_PACK_DUCK = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> "
+    "CASE WHEN qv[i] < 0 THEN 0 "
+    "WHEN i = 64 THEN -9223372036854775807 - 1 "
+    "ELSE (CAST(1 AS BIGINT) << (i - 1)) END)) AS BIGINT)"
+)
+
+
+def sign_pack(embeddings: DataFrame) -> DataFrame:
+    """vec_id, sig (one BIGINT of sign bits), plus qv/norm2 retained
+    for the fidelity column."""
+    return quantized(embeddings).withColumn(
+        "sig", F.expr(_SIGN_PACK_SPARK)
+    )
+
+
+def hamming_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                 k: int = TOP_K) -> DataFrame:
+    """Top-k by Hamming distance over the packed sign bits, ties broken
+    by neighbor_id; the exact quantized cosine reported alongside."""
+    from pyspark.sql import Window
+
+    vecs = sign_pack(embeddings)
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig").alias("q_sig"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    pairs = vecs.join(F.broadcast(queries),
+                      F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(_DOT.format(a="q_qv", b="qv"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("bit_count(sig ^ q_sig)").cast("int").alias("hamming"),
+        (dot / (F.sqrt("q_norm2") * F.sqrt("norm2"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming", "cos_sim")
+    )
+
+
+def _hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hamming_topk(load(spark, sf_dir, "embeddings"))
+
+
+_HAMMING_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), packed AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS norm2,
+         {_SIGN_PACK_DUCK} AS sig
+  FROM vecs
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.sig, q.sig)) AS INT) AS hamming,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])) AS BIGINT)
+           / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_sim
+  FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank,
+       hamming, cos_sim
+FROM pairs
+QUALIFY rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("embed_cosine_topk", _topk_q, _TOPK_SQL,
               "Brute-force cosine top-k (quantized exact math).", bench=True),
+        Query("embed_hamming_topk", _hamming_q, _HAMMING_SQL,
+              "Binary sign quantization: 64 dims pack to ONE BIGINT "
+              "(256× vs float32), Hamming = bit_count(xor) per pair in "
+              "pure codegen; true cosine rides along per neighbor."),
         Query("embed_pq_topk", _pq_q, _pq_sql(),
               "Product-quantization ADC search: 4×16-dim codebooks "
               "(first-K seeds + one Lloyd step, exact-integer "

@@ -1664,3 +1664,34 @@ def test_audio_vad_hand_computed(spark):
     assert got[1].voiced_energy == 3 * 32 * 2047 * 2047
     assert (got[2].n_frames, got[2].n_voiced,
             got[2].longest_run, got[2].voiced_energy) == (2, 0, 0, 0)
+
+
+def test_sign_pack_matches_pure_python_including_bit63(spark):
+    """The packed sign word vs a from-scratch Python pack — including
+    dimension 64 (bit 63, the MIN_BIGINT wrap both engines spell
+    differently) and the >= 0 boundary at exactly zero."""
+    import numpy as np
+
+    vals = [0.5 if i % 3 == 0 else -0.25 for i in range(64)]
+    vals[63] = 1.0          # force bit 63 set
+    vals[1] = 0.0           # zero → micros 0 → >= 0 → bit set
+    df = spark.createDataFrame(
+        [(0, vals), (1, [-1.0] * 64)],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {r.vec_id: r.sig for r in similarity.sign_pack(df).collect()}
+
+    def py_pack(v):
+        sig = 0
+        for d, x in enumerate(v):
+            if round(x * 1_000_000) >= 0:
+                sig |= 1 << d
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    assert got[0] == py_pack(vals)
+    assert got[0] < 0                      # bit 63 landed in the sign
+    assert got[1] == py_pack([-1.0] * 64) == 0
+    # Hamming between the two = popcount of vec 0's word.
+    ham = {r.neighbor_id: r.hamming
+           for r in similarity.hamming_topk(df, n_queries=1, k=5).collect()}
+    assert ham[1] == bin(got[0] & ((1 << 64) - 1)).count("1")
