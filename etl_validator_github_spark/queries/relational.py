@@ -2494,6 +2494,94 @@ FROM keyed GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Robust aggregation: rank-exact winsorized statistics per event type.
+# Plain means are one fat-finger outlier away from useless in metric
+# pipelines; winsorizing clamps to exact p05/p95 before aggregating.
+#
+# Value-at-rank is engine-portable despite row_number's arbitrary tie
+# order: ordered by cents alone, every row_number inside a tie run
+# carries the SAME cents value, so min(cents WHERE rn >= rank) — the
+# value at the ceil-rank position — is deterministic. Ceil ranks are
+# exact integers ((5n+99) div 100); all values are positive cents so
+# div is portable (contract.py).
+#
+# Scale shape: only the cutoff branch pays the per-type sort window
+# (Catalyst prunes rn/n off the clamp branch, which re-scans raw
+# events map-side into the broadcast join + 5-key agg — plan-gated).
+# The cost that matters is that one sort: exact order statistics need
+# it (bounded-cardinality group keys only); above that, swap the
+# cutoffs for orders_quantile_sketch buckets and keep the identical
+# clamp+agg tail.
+# ---------------------------------------------------------------------------
+
+
+def _events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "event_type", cents("value").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "c",
+        F.row_number().over(wp.orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    r_lo = F.expr("(5 * n + 99) div 100")
+    r_hi = F.expr("(95 * n + 99) div 100")
+    cuts = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") >= r_lo, F.col("c"))).alias("lo_cents"),
+        F.min(F.when(F.col("rn") >= r_hi, F.col("c"))).alias("hi_cents"),
+    )
+    clamped = ranked.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "c", "lo_cents", "hi_cents",
+        F.expr("least(greatest(c, lo_cents), hi_cents)").alias("w"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.min("lo_cents").alias("lo_cents"),
+        F.min("hi_cents").alias("hi_cents"),
+        F.sum((F.col("c") < F.col("lo_cents")).cast("int"))
+        .cast("int").alias("n_clamped_low"),
+        F.sum((F.col("c") > F.col("hi_cents")).cast("int"))
+        .cast("int").alias("n_clamped_high"),
+        F.sum("w").alias("sum_winsor_cents"),
+        F.expr("(10 * sum(w)) div count(1)").alias("winsor_mean_milli"),
+    )
+
+
+_WINSOR_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT))
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), cuts AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn >= (5 * n + 99) // 100 THEN c END) AS lo_cents,
+         MIN(CASE WHEN rn >= (95 * n + 99) // 100 THEN c END) AS hi_cents
+  FROM ranked GROUP BY 1
+), clamped AS (
+  SELECT r.event_type, r.c, t.lo_cents, t.hi_cents,
+         least(greatest(r.c, t.lo_cents), t.hi_cents) AS w
+  FROM ranked r JOIN cuts t USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INT) AS n,
+       MIN(lo_cents) AS lo_cents,
+       MIN(hi_cents) AS hi_cents,
+       CAST(SUM(CASE WHEN c < lo_cents THEN 1 ELSE 0 END) AS INT)
+         AS n_clamped_low,
+       CAST(SUM(CASE WHEN c > hi_cents THEN 1 ELSE 0 END) AS INT)
+         AS n_clamped_high,
+       CAST(SUM(w) AS BIGINT) AS sum_winsor_cents,
+       (10 * CAST(SUM(w) AS BIGINT)) // COUNT(*) AS winsor_mean_milli
+FROM clamped GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-series regularization: gap-fill the hourly rollup to a dense
 # per-type grid and forward-fill the last observed value — the
 # resample/ffill shape every monitoring and feature-engineering
@@ -2575,6 +2663,11 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
         Query("events_transitions", _events_transitions, _TRANSITIONS_SQL,
               "Event-type transition matrix: consecutive-pair counts per "
               "user stream + exact milli-probabilities."),
+        Query("events_winsorized_stats", _events_winsorized, _WINSOR_SQL,
+              "Rank-exact winsorized statistics per event type: p05/p95 "
+              "cents cutoffs via value-at-ceil-rank, clamp counts and "
+              "exact winsorized mean — one exchange, cutoffs broadcast "
+              "back."),
         Query("events_hourly_gapfill", _events_gapfill, _GAPFILL_SQL,
               "Time-series regularization: dense per-type hourly grid "
               "with explicit gaps and forward-filled last value — "

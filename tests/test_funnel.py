@@ -151,3 +151,29 @@ def test_gapfill_hand_computed(spark, tmp_path):
     b = got[("B", (base_h + 5) % 100)]
     assert (b.n_events, b.is_gap, b.filled_sum_cents) == (1, 0, 100)
     assert len(got) == 5
+
+
+def test_winsorized_stats_hand_computed(spark, tmp_path):
+    """Winsorize vs a pure-Python mirror on a known series: ceil-rank
+    cutoffs, clamp counts, and the exact clamped sum."""
+    from etl_validator_github_spark.queries import CATALOG
+
+    vals = list(range(1, 21))                    # type A: $1..$20
+    rows = [(i, "A", 0) for i in range(20)]
+    sf = _events(spark, tmp_path, rows)
+    # _events writes value=1.0 for all rows; rewrite with the series.
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    pdf["value"] = [float(v) for v in vals]
+    pdf.to_parquet(f"{sf}/events.parquet")
+
+    row = CATALOG["events_winsorized_stats"].build(spark, sf).collect()[0]
+    cents = sorted(v * 100 for v in vals)
+    n = len(cents)
+    lo = cents[(5 * n + 99) // 100 - 1]
+    hi = cents[(95 * n + 99) // 100 - 1]
+    w = [min(max(c, lo), hi) for c in cents]
+    assert (row.n, row.lo_cents, row.hi_cents) == (n, lo, hi)
+    assert row.n_clamped_low == sum(1 for c in cents if c < lo) == 0
+    assert row.n_clamped_high == sum(1 for c in cents if c > hi) == 1
+    assert row.sum_winsor_cents == sum(w)
+    assert row.winsor_mean_milli == (10 * sum(w)) // n

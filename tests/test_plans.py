@@ -617,3 +617,19 @@ def test_gapfill_aggregates_before_grid_and_broadcasts_rollup(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "Window" in p
     assert _n_exchanges(p) <= 2, p
+
+
+def test_winsorize_clamp_branch_avoids_the_window(spark, sf_dir):
+    """Winsorized stats: only the cutoff branch pays the per-type sort
+    window; Catalyst prunes rn/n off the clamp branch, which re-scans
+    raw events map-side into the broadcast join + 5-key agg. Two
+    exchanges total (window + final agg), both Windows on the cutoff
+    subtree, never a sort-merge self-join of the fact table."""
+    import re
+
+    p = plan(spark, sf_dir, "events_winsorized_stats")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert _n_exchanges(p) <= 2, p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2, p
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1, p
