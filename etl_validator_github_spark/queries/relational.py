@@ -2494,6 +2494,95 @@ FROM keyed GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Trend detection: per-type OLS slope over the hourly volume series,
+# kept in EXACT integers — the regression identity
+#   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+# needs no float moments, and the slope is invariant under shifting x,
+# so x is rebased to (hour − min hour per type) first. Rebasing is the
+# load-bearing trick for BOTH engines: raw epoch-hours (~4.9e5) would
+# push n·Σx² toward BIGINT range at year-long spans, while rebased x
+# is bounded by the series length. Output is the exact (numerator,
+# denominator) pair plus their milli-quotient via floor() on the
+# identical double quotient (numerator may be negative — the
+# contract.py rule for possibly-negative division).
+#
+# Scale shape: one input-sized hash-agg (the hourly rollup), then a
+# min-window + final agg that both reuse the rollup's type
+# partitioning — bounded by calendar span × types, like the gap-fill.
+# ---------------------------------------------------------------------------
+
+
+def _events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"ts_us div {_US_PER_HOUR}").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    rebased = hourly.select(
+        "event_type", "y",
+        (F.col("h")
+         - F.min("h").over(Window.partitionBy("event_type"))).alias("x"),
+    )
+    agg = rebased.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_buckets").cast("int").alias("n_buckets"),
+        (F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("slope_num"),
+        (F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("slope_den"),
+        F.when(
+            (F.col("n_buckets") * F.col("sxx")
+             - F.col("sx") * F.col("sx")) != 0,
+            F.floor(
+                F.lit(1000.0)
+                * (F.col("n_buckets") * F.col("sxy")
+                   - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("n_buckets") * F.col("sxx")
+                   - F.col("sx") * F.col("sx")).cast("double")
+            ),
+        ).cast("long").alias("slope_milli_per_hour"),
+    )
+
+
+_TREND_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS h,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), rebased AS (
+  SELECT event_type, y,
+         h - MIN(h) OVER (PARTITION BY event_type) AS x
+  FROM hourly
+), agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_buckets,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM rebased GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_buckets AS INT) AS n_buckets,
+       CAST(n_buckets * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_buckets * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n_buckets * sxx - sx * sx != 0 THEN
+              floor(1000.0 * CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                    / CAST(n_buckets * sxx - sx * sx AS DOUBLE))
+            END AS BIGINT) AS slope_milli_per_hour
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Robust aggregation: rank-exact winsorized statistics per event type.
 # Plain means are one fat-finger outlier away from useless in metric
 # pipelines; winsorizing clamps to exact p05/p95 before aggregating.
@@ -2663,6 +2752,10 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
         Query("events_transitions", _events_transitions, _TRANSITIONS_SQL,
               "Event-type transition matrix: consecutive-pair counts per "
               "user stream + exact milli-probabilities."),
+        Query("events_hourly_trend", _events_trend, _TREND_SQL,
+              "Per-type OLS slope over the hourly series in exact "
+              "integers (rebased x, n·Σxy−Σx·Σy over n·Σx²−(Σx)²); "
+              "milli-quotient via floor on the identical double."),
         Query("events_winsorized_stats", _events_winsorized, _WINSOR_SQL,
               "Rank-exact winsorized statistics per event type: p05/p95 "
               "cents cutoffs via value-at-ceil-rank, clamp counts and "

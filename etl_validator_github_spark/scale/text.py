@@ -1434,9 +1434,65 @@ FROM centered
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-k per-stratum sampling: the other half of the sampling story.
+# `docs_sample_stratified` draws a RATE per stratum (output size is
+# binomial — right for "keep 10% of each language"); eval sets and
+# human-review queues instead need EXACTLY k docs per stratum. Rank by
+# the shared md5_mod hash (uniform, reproducible under any
+# partitioning and in any engine) inside each (lang, source) window,
+# tie-broken by doc_id, keep rank ≤ k. A stratum with fewer than k
+# docs yields all of them — no padding, no error.
+#
+# Scale shape: one exchange on the stratum key; the window's
+# row_number short-circuits via WindowGroupLimit (Spark pushes
+# rank-limit predicates into the sort), so no stratum ever
+# materializes a full ordering beyond the top-k frontier.
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 3
+
+
+def hash_sample_exact_k(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy(
+        md5_mod("doc_id").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .select("lang", "source", "sample_rank", "doc_id")
+    )
+
+
+def _exact_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_sample_exact_k(load(spark, sf_dir, "documents"))
+
+
+_EXACT_K_SQL = f"""
+WITH ranked AS (
+  SELECT lang, source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) ASC,
+                    doc_id ASC) AS INT) AS sample_rank
+  FROM documents
+)
+SELECT lang, source, sample_rank, doc_id
+FROM ranked WHERE sample_rank <= {SAMPLE_K}
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("docs_sample_exact_k", _exact_k_q, _EXACT_K_SQL,
+              "Exactly-k-per-stratum sample: md5-rank row_number ≤ k "
+              "inside each (lang, source) window — reproducible under "
+              "any partitioning, WindowGroupLimit keeps the sort "
+              "frontier at k."),
         Query("text_token_fertility", _fertility_q, _FERTILITY_SQL,
               "Tokenizer-fertility / length-distribution report per "
               "(lang, source): exact integer token-count deciles, "

@@ -177,3 +177,31 @@ def test_winsorized_stats_hand_computed(spark, tmp_path):
     assert row.n_clamped_high == sum(1 for c in cents if c > hi) == 1
     assert row.sum_winsor_cents == sum(w)
     assert row.winsor_mean_milli == (10 * sum(w)) // n
+
+
+def test_hourly_trend_hand_computed(spark, tmp_path):
+    """OLS slope vs a pure-Python regression on a constructed series:
+    type A rises 1,2,3,4 events over hours 0-3; type B is a single
+    bucket (zero denominator → NULL milli-slope, exact num/den = 0)."""
+    from etl_validator_github_spark.queries import CATALOG
+
+    rows = []
+    eid = 0
+    for h, n in enumerate([1, 2, 3, 4]):
+        for _ in range(n):
+            rows.append((eid, "A", h)); eid += 1
+    rows.append((eid, "B", 0))
+    sf = _events(spark, tmp_path, rows)
+    got = {r.event_type: r
+           for r in CATALOG["events_hourly_trend"].build(spark, sf).collect()}
+
+    xs, ys = [0, 1, 2, 3], [1, 2, 3, 4]
+    n = len(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    a = got["A"]
+    assert (a.n_buckets, a.slope_num, a.slope_den) == (n, num, den)
+    assert a.slope_milli_per_hour == (1000 * num) // den == 1000
+    b = got["B"]
+    assert (b.n_buckets, b.slope_num, b.slope_den) == (1, 0, 0)
+    assert b.slope_milli_per_hour is None

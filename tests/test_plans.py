@@ -633,3 +633,21 @@ def test_winsorize_clamp_branch_avoids_the_window(spark, sf_dir):
     assert _n_exchanges(p) <= 2, p
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 2, p
     assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1, p
+
+
+def test_trend_reuses_rollup_partitioning(spark, sf_dir):
+    """Hourly trend: one input-sized hash-agg, then the min-window and
+    the final agg reuse its event_type partitioning — two exchanges at
+    most (rollup on (type, hour) + re-key on type), no join."""
+    p = plan(spark, sf_dir, "events_hourly_trend")
+    assert "Join" not in p, p
+    assert "Window" in p
+    assert _n_exchanges(p) <= 2, p
+
+
+def test_exact_k_sample_pushes_group_limit(spark, sf_dir):
+    """Exact-k sampling must plan a WindowGroupLimit: no stratum sorts
+    beyond the top-k frontier."""
+    p = plan(spark, sf_dir, "docs_sample_exact_k")
+    assert "WindowGroupLimit" in p, p
+    assert _n_exchanges(p) == 1, p

@@ -1695,3 +1695,32 @@ def test_sign_pack_matches_pure_python_including_bit63(spark):
     ham = {r.neighbor_id: r.hamming
            for r in similarity.hamming_topk(df, n_queries=1, k=5).collect()}
     assert ham[1] == bin(got[0] & ((1 << 64) - 1)).count("1")
+
+
+def test_exact_k_sample_deterministic_and_bounded(spark):
+    """Exactly-k sampling: ranks follow the shared md5 order, a
+    stratum smaller than k yields all its docs, and the draw is
+    identical under a different partitioning."""
+    from etl_validator_github_spark.scale.text import hash_sample_exact_k
+
+    rows = [(i, f"text {i}", "en", "web") for i in range(40)]
+    rows += [(100, "a", "fr", "web"), (101, "b", "fr", "web")]  # < k
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string"
+    )
+    got = hash_sample_exact_k(df, k=3).collect()
+    by_stratum: dict = {}
+    for r in got:
+        by_stratum.setdefault((r.lang, r.source), []).append(
+            (r.sample_rank, r.doc_id))
+    assert len(by_stratum[("en", "web")]) == 3
+    assert sorted(r for r, _ in by_stratum[("fr", "web")]) == [1, 2]
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    exp_en = sorted((h(i), i) for i in range(40))[:3]
+    assert [d for _, d in sorted(by_stratum[("en", "web")])] == [
+        d for _, d in exp_en]
+    again = hash_sample_exact_k(df.repartition(7), k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
