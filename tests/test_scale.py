@@ -1724,3 +1724,57 @@ def test_exact_k_sample_deterministic_and_bounded(spark):
         d for _, d in exp_en]
     again = hash_sample_exact_k(df.repartition(7), k=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_bloom_fuzz_matches_pure_python(spark):
+    """Property fuzz: random small vocabularies force hash collisions
+    and shared shingles across the bench/corpus split; Spark's verdict
+    tuple must equal the from-scratch Python Bloom on every draw."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_validator_github_spark.scale import sketches
+    from etl_validator_github_spark.scale.dedup import DECON_SHINGLE
+
+    def pos(j, s):
+        h = hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8]
+        return int(h, 16) % sketches.BLOOM_BITS
+
+    def shingles(t):
+        tk = t.split(" ")
+        return {
+            " ".join(tk[i:i + DECON_SHINGLE])
+            for i in range(len(tk) - DECON_SHINGLE + 1)
+        }
+
+    word = st.sampled_from([f"w{i}" for i in range(8)])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=6))
+    def run(texts):
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_bloom_hits"], r["flagged"])
+            for r in sketches.bloom_decontaminate(
+                _docs(spark, texts), bench_mod=2
+            ).collect()
+        }
+        bits = {
+            pos(j, s)
+            for d in range(0, len(texts), 2)
+            for s in shingles(texts[d])
+            for j in range(sketches.BLOOM_K)
+        }
+        exp = {}
+        for d in range(1, len(texts), 2):
+            sh = shingles(texts[d])
+            if not sh:
+                continue
+            hits = sum(
+                1 for s in sh
+                if all(pos(j, s) in bits for j in range(sketches.BLOOM_K))
+            )
+            exp[d] = (len(sh), hits, 1 if hits else 0)
+        assert got == exp
+
+    run()
