@@ -651,3 +651,40 @@ def test_exact_k_sample_pushes_group_limit(spark, sf_dir):
     p = plan(spark, sf_dir, "docs_sample_exact_k")
     assert "WindowGroupLimit" in p, p
     assert _n_exchanges(p) == 1, p
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
+    """Spark's runtime row-level filtering: with a selective dimension
+    side and a shuffle join, the optimizer injects a bloom filter
+    (might_contain over xxhash64) into the FACT side's scan filter —
+    the engine-native semi-join reduction that drops non-matching
+    lineitem rows before the exchange. Default size thresholds target
+    cluster scale (10 GB probe side), so the test lowers the
+    application-side threshold to fixture scale and restores it."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_app = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                 ".applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(od, li.l_orderkey == od.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        p = explain_str(j)
+        assert "might_contain" in p, p
+        # The filter sits on the lineitem branch, upstream of its join
+        # exchange — i.e. in a Filter node over the l_orderkey scan.
+        flt = next(ln for ln in p.splitlines()
+                   if "might_contain" in ln and "l_orderkey" in ln)
+        assert "xxhash64" in flt
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                 ".applicationSideScanSizeThreshold", old_app)
