@@ -106,6 +106,35 @@ def raw_data_row_count(spark: SparkSession, path: str) -> int:
     return max(lines - 1, 0)
 
 
+def parquet_metadata_row_count(path: str) -> int:
+    """Exact parquet row count from file FOOTERS only — zero data
+    scanned, zero Spark jobs.
+
+    Spark's ``count()`` on a bare parquet scan is already
+    metadata-optimized into a LocalTableScan, but it still launches a
+    job and lists/opens files through the session; this is the
+    driver-side ops variant (reconciliation checks, ingest audits)
+    that works without a SparkSession at all. At 100 TB the footers
+    are a few KiB per file — the cost is the listing, not the data.
+    Accepts a single file or a directory of part files (recursive,
+    matching the streaming sink layout).
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def write_single_csv(df: DataFrame, directory: str, filename: str, sep: str = "|") -> str:
     """S12 single-file sink: coalesce(1) + rename of the part file.
 

@@ -190,3 +190,28 @@ def test_xlsx_roundtrip_property():
         assert [tuple(r) for r in cells[1:]] == rows
 
     roundtrip()
+
+
+def test_parquet_metadata_row_count(spark, tmp_path):
+    """Footer-only count equals the real count for single files AND
+    part-file directories; missing inputs fail loudly."""
+    import pytest
+
+    from etl_validator_github_spark.sources.io import (
+        parquet_metadata_row_count,
+    )
+
+    df = spark.range(1234).withColumnRenamed("id", "x")
+    d = str(tmp_path / "multi.parquet")
+    df.repartition(5).write.parquet(d)
+    assert parquet_metadata_row_count(d) == 1234
+    assert parquet_metadata_row_count(d) == spark.read.parquet(d).count()
+    # Single flat file (pyarrow-written, no part layout).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "one.parquet")
+    pq.write_table(pa.table({"x": list(range(77))}), f)
+    assert parquet_metadata_row_count(f) == 77
+    with pytest.raises(FileNotFoundError):
+        parquet_metadata_row_count(str(tmp_path / "emptydir"))
