@@ -688,3 +688,13 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         conf.set("spark.sql.optimizer.runtime.bloomFilter"
                  ".applicationSideScanSizeThreshold", old_app)
+
+
+def test_prefix_filter_join_keys_on_shingles(spark, sf_dir):
+    """The exact similarity join must generate candidates through a
+    keyed join on the prefix shingles — never a cartesian/BNLJ pass —
+    and select prefixes through the doc-keyed window."""
+    p = plan(spark, sf_dir, "dedup_prefix_filter_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p

@@ -1778,3 +1778,42 @@ def test_bloom_fuzz_matches_pure_python(spark):
         assert got == exp
 
     run()
+
+
+def test_prefix_filter_join_matches_brute_force_random(spark):
+    """Property fuzz: the prefix-filtered join equals all-pairs
+    Jaccard-threshold brute force on random corpora — losslessness
+    exercised across prefix lengths, tie orders, and empty results."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_validator_github_spark.scale.dedup import (
+        PREFIX_T_PCT,
+        prefix_filter_pairs,
+    )
+
+    word = st.sampled_from([f"w{i}" for i in range(6)])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    def sh(t):
+        tk = t.split(" ")
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=6))
+    def run(texts):
+        got = {
+            (r.d1, r.d2): (r.n_shared, r.n_union, r.jaccard_milli)
+            for r in prefix_filter_pairs(_docs(spark, texts)).collect()
+        }
+        exp = {}
+        sets = {i: sh(t) for i, t in enumerate(texts)}
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if u and 100 * i >= PREFIX_T_PCT * u:
+                    exp[(a, b)] = (i, u, (1000 * i) // u)
+        assert got == exp
+
+    run()
