@@ -1740,11 +1740,17 @@ def prefix_filter_pairs(docs: DataFrame,
             f"m - (({t_pct} * m + 99) div 100) + 1"))
         .select("doc_id", "s", "m")
     )
+    # Size filter rides the candidate join: J ≥ t forces
+    # min(m1, m2) ≥ t·max(m1, m2), so wildly mismatched set sizes
+    # never become candidates. Pure pruning — the brute-force oracle
+    # certifies the result is unchanged.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
               (F.col("a.s") == F.col("b.s"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
+              & (F.col("a.doc_id") < F.col("b.doc_id"))
+              & (F.col("a.m") * 100 >= t_pct * F.col("b.m"))
+              & (F.col("b.m") * 100 >= t_pct * F.col("a.m")))
         .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
             F.col("a.m").alias("m1"), F.col("b.m").alias("m2"),
