@@ -383,7 +383,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     source): ``--op token-budget`` keeps the best docs per language up
     to a token budget, ``--op resample`` runs DSIR importance
     resampling against the deterministic target slice, ``--op
-    domain-cap`` enforces the per-source document cap. Each writes its
+    domain-cap`` enforces the per-source document cap, ``--op sample-k``
+    draws exactly k docs per (lang, source) stratum. Each writes its
     per-doc report/keep-list, or the surviving rows with
     ``--write-docs``."""
     from pyspark.sql import functions as F
@@ -396,6 +397,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         missing = ["lang"]
     if not missing and args.op == "domain-cap" and "source" not in docs.columns:
         missing = ["source"]
+    if not missing and args.op == "sample-k":
+        missing = sorted({"lang", "source"} - set(docs.columns))
     if missing:
         raise SystemExit(
             f"--op {args.op} needs a documents parquet; {args.input} is "
@@ -415,6 +418,13 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         keep_flag = "accepted"
         keep_ids = report.filter(F.col("accepted") == 1).select("doc_id")
         what = "accepted"
+    elif args.op == "sample-k":
+        from etl_validator_github_spark.scale.text import hash_sample_exact_k
+
+        report = hash_sample_exact_k(docs, k=args.k)
+        keep_flag = None          # the report IS the sample
+        keep_ids = report.select("doc_id")
+        what = "sampled"
     else:
         from etl_validator_github_spark.scale.text import domain_cap_select
 
@@ -631,8 +641,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("input")
     c.add_argument("--output", required=True)
     c.add_argument("--op",
-                   choices=("token-budget", "resample", "domain-cap"),
+                   choices=("token-budget", "resample", "domain-cap",
+                            "sample-k"),
                    required=True)
+    c.add_argument("--k", type=int, default=3,
+                   help="sample-k: docs per (lang, source) stratum")
     c.add_argument("--write-docs", action="store_true",
                    help="write the surviving documents instead of the "
                         "per-doc report/keep-list")

@@ -570,3 +570,29 @@ def test_cli_media_reports(spark, tmp_path, capsys):
     spark.createDataFrame([(1,)], "x: long").write.parquet(str(bad))
     with pytest.raises(SystemExit, match="missing"):
         main(["media", str(bad)])
+
+
+def test_cli_curate_sample_k(spark, tmp_path, capsys):
+    """--op sample-k: exactly k docs per stratum in the report, the
+    sampled docs themselves with --write-docs."""
+    src = tmp_path / "skdocs.parquet"
+    spark.createDataFrame(
+        [(i, f"text number {i}", "en", "web") for i in range(9)]
+        + [(100, "lone doc", "fr", "web")],
+        "doc_id: long, text: string, lang: string, source: string",
+    ).write.parquet(str(src))
+
+    rep = tmp_path / "skrep.parquet"
+    assert main(["curate", str(src), "--op", "sample-k", "--k", "2",
+                 "--output", str(rep)]) == 0
+    got = spark.read.parquet(str(rep)).collect()
+    per = {}
+    for r in got:
+        per.setdefault((r.lang, r.source), []).append(r.doc_id)
+    assert len(per[("en", "web")]) == 2 and per[("fr", "web")] == [100]
+    assert "3 sampled" in capsys.readouterr().out
+
+    out = tmp_path / "skdocs_out.parquet"
+    assert main(["curate", str(src), "--op", "sample-k", "--k", "2",
+                 "--write-docs", "--output", str(out)]) == 0
+    assert spark.read.parquet(str(out)).count() == 3
