@@ -2739,6 +2739,45 @@ FROM grid g LEFT JOIN hourly h USING (event_type, bucket_hour)
 """
 
 
+# ---------------------------------------------------------------------------
+# Lag/rolling feature engineering over the DENSE grid — the downstream
+# consumer that justifies gap-fill: row-based frames (lag 1, lag 24,
+# rolling 3-row sum) only mean "1 hour ago / 24 hours ago / last 3
+# hours" when every hour is present. Run on the sparse rollup these
+# same frames silently reach across gaps; run on the gap-filled grid
+# they are exact calendar semantics. Series-head NULLs are preserved
+# (a model should see "no history yet", not a zero).
+#
+# Scale shape: everything here is post-rollup (calendar-bounded); the
+# feature window reuses the grid's event_type partitioning.
+# ---------------------------------------------------------------------------
+
+
+def _events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _events_gapfill(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_hour")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return grid.select(
+        "event_type", "bucket_hour", "n_events",
+        F.lag("n_events", 1).over(w).alias("lag_1h"),
+        F.lag("n_events", 24).over(w).alias("lag_24h"),
+        F.sum("n_events").over(w3).cast("long").alias("sum_3h"),
+    )
+
+
+_LAG_FEATURES_SQL = f"""
+WITH grid_out AS ({_GAPFILL_SQL})
+SELECT event_type, bucket_hour, n_events,
+       CAST(lag(n_events, 1) OVER w AS INT) AS lag_1h,
+       CAST(lag(n_events, 24) OVER w AS INT) AS lag_24h,
+       CAST(SUM(n_events) OVER (PARTITION BY event_type
+                                ORDER BY bucket_hour
+                                ROWS 2 PRECEDING) AS BIGINT) AS sum_3h
+FROM grid_out
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour)
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -2765,6 +2804,11 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Time-series regularization: dense per-type hourly grid "
               "with explicit gaps and forward-filled last value — "
               "post-rollup work bounded by calendar span, not events."),
+        Query("events_lag_features", _events_lag_features,
+              _LAG_FEATURES_SQL,
+              "Lag/rolling ML features over the dense gap-filled grid: "
+              "lag-1h/lag-24h and a 3-row rolling sum whose row frames "
+              "ARE calendar semantics because every hour is present."),
         Query("events_hourly_anomalies", _events_anomalies, _ANOMALIES_SQL,
               "Hourly volume anomalies per event type: the 2-sigma rule "
               "multiplied out to exact integers ((N*n - S)^2 > "

@@ -205,3 +205,22 @@ def test_hourly_trend_hand_computed(spark, tmp_path):
     b = got["B"]
     assert (b.n_buckets, b.slope_num, b.slope_den) == (1, 0, 0)
     assert b.slope_milli_per_hour is None
+
+
+def test_lag_features_respect_dense_grid(spark, tmp_path):
+    """On the gap-filled grid the row frames ARE calendar frames: the
+    filled gap hour contributes 0 to the rolling sum, lag_1h of the
+    hour AFTER a gap is 0 (not the pre-gap value), and series heads
+    stay NULL."""
+    from etl_validator_github_spark.queries import CATALOG
+
+    rows = [(1, "A", 0), (2, "A", 0), (3, "A", 2)]   # gap at hour 1
+    sf = _events(spark, tmp_path, rows)
+    base_h = 1_700_000_000_000_000 // _HOUR_US
+    got = {r.bucket_hour - base_h: r
+           for r in CATALOG["events_lag_features"].build(spark, sf).collect()}
+    assert [got[h].n_events for h in (0, 1, 2)] == [2, 0, 1]
+    assert got[0].lag_1h is None and got[0].sum_3h == 2
+    assert got[1].lag_1h == 2 and got[1].sum_3h == 2
+    assert got[2].lag_1h == 0 and got[2].sum_3h == 3   # 2 + 0 + 1
+    assert all(got[h].lag_24h is None for h in (0, 1, 2))
