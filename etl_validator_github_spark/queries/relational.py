@@ -2740,6 +2740,70 @@ FROM grid g LEFT JOIN hourly h USING (event_type, bucket_hour)
 
 
 # ---------------------------------------------------------------------------
+# Native session windows: the same gap-sessionization shape as
+# `events_sessionize`, but through Spark's built-in
+# ``F.session_window`` operator instead of the lag/cumsum islands —
+# and the ORACLE is the islands formulation, so the driver's hash
+# match is a machine-checked equivalence proof between the two.
+#
+# Boundary semantics (pinned by a hand test): session_window treats
+# the per-event window as CLOSED [t, t+gap] — two events exactly gap
+# apart MERGE (the next window's start equals the current end, and
+# Spark merges on start ≤ end), one microsecond past splits. That is
+# the same strict-> split convention as the islands query, so the two
+# formulations agree everywhere, including the boundary. Session end
+# is last event + gap, exactly as the operator reports it.
+#
+# Scale shape: one shuffle on user_id; the operator's in-partition
+# merge is linear, the same cost class as the islands window — what
+# the native form buys is streaming-engine integration (watermark-
+# driven state eviction) for free when this moves to readStream.
+# ---------------------------------------------------------------------------
+
+
+def _events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    ts = F.timestamp_micros(F.col("ts_us"))
+    grouped = ev.groupBy(
+        F.session_window(ts, "30 minutes"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    return grouped.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("start_us"),
+        F.unix_micros("session_window.end").alias("end_us"),
+        "n_events", "sum_cents",
+    )
+
+
+_SESSION_WINDOW_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), marks AS (
+  SELECT user_id, tu, c,
+         CASE WHEN lag(tu) OVER w IS NULL
+                   OR tu - lag(tu) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+), sid AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tu
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       MIN(tu) AS start_us,
+       MAX(tu) + {SESSION_GAP_US} AS end_us,
+       CAST(COUNT(*) AS INT) AS n_events,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM sid GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Lag/rolling feature engineering over the DENSE grid — the downstream
 # consumer that justifies gap-fill: row-based frames (lag 1, lag 24,
 # rolling 3-row sum) only mean "1 hour ago / 24 hours ago / last 3
@@ -2804,6 +2868,11 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Time-series regularization: dense per-type hourly grid "
               "with explicit gaps and forward-filled last value — "
               "post-rollup work bounded by calendar span, not events."),
+        Query("events_session_windows", _events_session_windows,
+              _SESSION_WINDOW_SQL,
+              "Native F.session_window sessionization with the "
+              "lag/cumsum islands formulation as the oracle — hash "
+              "equality is an equivalence proof between the two."),
         Query("events_lag_features", _events_lag_features,
               _LAG_FEATURES_SQL,
               "Lag/rolling ML features over the dense gap-filled grid: "

@@ -224,3 +224,37 @@ def test_lag_features_respect_dense_grid(spark, tmp_path):
     assert got[1].lag_1h == 2 and got[1].sum_3h == 2
     assert got[2].lag_1h == 0 and got[2].sum_3h == 3   # 2 + 0 + 1
     assert all(got[h].lag_24h is None for h in (0, 1, 2))
+
+
+def test_session_window_boundary_semantics(spark, tmp_path):
+    """Native session_window treats the per-event window as CLOSED
+    [t, t+gap]: events exactly gap apart MERGE, one microsecond past
+    splits. End = last event + gap."""
+    from etl_validator_github_spark.queries import CATALOG
+    from etl_validator_github_spark.queries.relational import (
+        SESSION_GAP_US,
+    )
+
+    base = 1_700_000_000_000_000
+    rows = pd.DataFrame({
+        "event_id": [0, 1, 2, 3],
+        "ts": pd.to_datetime(
+            [base, base + SESSION_GAP_US,                    # user 1: == gap
+             base + 10 * SESSION_GAP_US,
+             base + 11 * SESSION_GAP_US + 1],                # user 2: gap + 1µs
+            unit="us"),
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["view"] * 4,
+        "value": [1.0] * 4,
+        "props": ['{"k": 1}'] * 4,
+    })
+    rows.to_parquet(str(tmp_path / "events.parquet"))
+    got = {}
+    for r in (CATALOG["events_session_windows"]
+              .build(spark, str(tmp_path)).collect()):
+        got.setdefault(r.user_id, []).append(r)
+    assert len(got[1]) == 1                      # exactly gap → merged
+    s1 = got[1][0]
+    assert s1.n_events == 2
+    assert s1.end_us == base + 2 * SESSION_GAP_US
+    assert len(got[2]) == 2                      # gap + 1µs → split
