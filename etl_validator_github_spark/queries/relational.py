@@ -2740,6 +2740,59 @@ FROM grid g LEFT JOIN hourly h USING (event_type, bucket_hour)
 
 
 # ---------------------------------------------------------------------------
+# Native sliding windows: F.window(ts, "2 hours", "1 hour") — each
+# event lands in TWO overlapping windows. The oracle is the manual
+# fan-out (explode k ∈ {0,1}: window start = floor(t/slide)·slide −
+# k·slide, keep starts > t − size), so the driver hash match proves
+# the operator's window-assignment arithmetic, the same
+# cross-formulation pattern as events_session_windows. The tumbling
+# special case is events_hourly_rollup; sliding is what
+# alerting/rate-limit rollups actually use (every hour sees its full
+# trailing 2-hour context).
+#
+# Scale shape: the fan-out is a deterministic ×(size/slide) map-side
+# explode inside the operator; one shuffle on (window, type) — same
+# class as the tumbling rollup, ×2 rows.
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 3600 * 1_000_000
+_WIN_US = 2 * _SLIDE_US
+
+
+def _events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    ts = F.timestamp_micros(F.col("ts_us"))
+    grouped = ev.groupBy(
+        F.window(ts, "2 hours", "1 hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    return grouped.select(
+        F.unix_micros("window.start").alias("start_us"),
+        "event_type", "n_events", "sum_cents",
+    )
+
+
+_SLIDING_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS tu,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), fanout AS (
+  SELECT event_type, c,
+         (tu // {_SLIDE_US}) * {_SLIDE_US} - k * {_SLIDE_US} AS start_us
+  FROM ev, unnest([0, 1]) AS t(k)
+  WHERE (tu // {_SLIDE_US}) * {_SLIDE_US} - k * {_SLIDE_US} > tu - {_WIN_US}
+)
+SELECT start_us, event_type,
+       CAST(COUNT(*) AS INT) AS n_events,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM fanout GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Native session windows: the same gap-sessionization shape as
 # `events_sessionize`, but through Spark's built-in
 # ``F.session_window`` operator instead of the lag/cumsum islands —
@@ -2868,6 +2921,11 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Time-series regularization: dense per-type hourly grid "
               "with explicit gaps and forward-filled last value — "
               "post-rollup work bounded by calendar span, not events."),
+        Query("events_sliding_windows", _events_sliding_windows,
+              _SLIDING_SQL,
+              "Native 2h/1h sliding windows with the manual ×2 fan-out "
+              "as the oracle — proves the operator's window-assignment "
+              "arithmetic."),
         Query("events_session_windows", _events_session_windows,
               _SESSION_WINDOW_SQL,
               "Native F.session_window sessionization with the "

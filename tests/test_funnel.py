@@ -258,3 +258,21 @@ def test_session_window_boundary_semantics(spark, tmp_path):
     assert s1.n_events == 2
     assert s1.end_us == base + 2 * SESSION_GAP_US
     assert len(got[2]) == 2                      # gap + 1µs → split
+
+
+def test_sliding_windows_double_count_conservation(spark, tmp_path):
+    """2h/1h sliding windows: every event appears in exactly two
+    windows, and a known event's two window starts bracket it."""
+    from etl_validator_github_spark.queries import CATALOG
+
+    rows = [(1, "A", 0), (2, "A", 1), (3, "B", 5)]
+    sf = _events(spark, tmp_path, rows)
+    got = CATALOG["events_sliding_windows"].build(spark, sf).collect()
+    assert sum(r.n_events for r in got) == 2 * len(rows)
+    base_us = 1_700_000_000_000_000
+    hour_us = 3600 * 1_000_000
+    b_starts = sorted(r.start_us for r in got if r.event_type == "B")
+    t3 = base_us + 5 * hour_us
+    aligned = (t3 // hour_us) * hour_us     # base is NOT hour-aligned
+    assert b_starts == [aligned - hour_us, aligned]
+    assert all(s <= t3 < s + 2 * hour_us for s in b_starts)
