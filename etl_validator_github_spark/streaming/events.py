@@ -359,6 +359,66 @@ def stream_click_view_join(
     return writer.start()
 
 
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time session windows per user via the NATIVE
+    ``F.session_window`` operator — the streaming payoff of the
+    batch-proved `events_session_windows` query: merge logic and
+    state eviction come from the engine (a session's state drops as
+    soon as the watermark passes its end), instead of the hand-rolled
+    ``applyInPandasWithState`` bookkeeping in streaming/sessions.py.
+    Both live side by side on purpose: the custom op shows the
+    arbitrary-state API, this shows the declarative path Spark can
+    optimize."""
+    with_ts = events.withColumn("event_time", F.timestamp_seconds("ts_s"))
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "value_cents",
+        )
+    )
+
+
+def stream_session_rollup(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """File-source → native session-window rollup → parquet append sink.
+    Append mode emits a session only once the watermark passes its end
+    — the exactly-once finalized-sessions feed."""
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    rolled = session_rollup(stream, gap=gap, watermark=watermark)
+    writer = (
+        rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_rollup(
     spark,
     source_dir: str,

@@ -349,3 +349,41 @@ def test_register_log_compaction_preserves_estimates(spark, tmp_path):
         .groupBy("grp", "bucket").count().filter("count > 1").count()
     )
     assert dups == 0
+
+
+def test_stream_session_rollup_emits_finalized_sessions(spark, tmp_path):
+    """Native session windows in append mode: a user's gap-separated
+    bursts become separate finalized sessions once the watermark
+    passes their ends; the freshest session stays withheld. A second
+    run over the same source is a checkpointed no-op."""
+    from etl_validator_github_spark.streaming.events import (
+        stream_session_rollup,
+    )
+
+    src, sink, ckpt = tmp_path / "ssrc", tmp_path / "ssink", tmp_path / "sckpt"
+    rows = [
+        # user 1: burst A (2 events, 10 min apart), then 40-min gap
+        # (> 30-min session gap) → burst B (1 event).
+        _ev(0, 0, 1), _ev(1, 600, 1), _ev(2, 3000, 1),
+        # user 2 far in the future: advances the watermark (1h delay)
+        # beyond burst A's and B's ends, finalizing both.
+        _ev(3, 6 * H, 2),
+    ]
+    _write_events(src, rows)
+
+    q = stream_session_rollup(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, int(r.session_start.timestamp())): (
+            r.n_events, int(r.session_end.timestamp()))
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    # Burst A: [0, 600+1800); burst B: [3000, 3000+1800).
+    assert got[(1, 0)] == (2, 600 + 1800)
+    assert got[(1, 3000)] == (1, 3000 + 1800)
+    # User 2's session is above the watermark → withheld.
+    assert all(u != 2 for u, _ in got)
+
+    q2 = stream_session_rollup(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(sink)).count() == 2   # no re-emission
