@@ -7,6 +7,7 @@ anomaly flag (hourly_anomalies)."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from etl_validator_github_spark.queries.relational import (
     FUNNEL_WINDOW_US,
@@ -276,3 +277,37 @@ def test_sliding_windows_double_count_conservation(spark, tmp_path):
     aligned = (t3 // hour_us) * hour_us     # base is NOT hour-aligned
     assert b_starts == [aligned - hour_us, aligned]
     assert all(s <= t3 < s + 2 * hour_us for s in b_starts)
+
+
+def test_user_lis_matches_pure_python(spark, tmp_path):
+    """Grouped-map applyInPandas LIS vs a from-scratch O(n²) DP — hand
+    case plus the sf0.001 fixture users."""
+    from etl_validator_github_spark.functions.grouped import (
+        lis_length,
+        user_lis_report,
+    )
+    from etl_validator_github_spark.queries.relational import load_events
+
+    def brute(vals):
+        best = {}
+        for i, v in enumerate(vals):
+            best[i] = 1 + max(
+                (best[j] for j in range(i) if vals[j] < v), default=0)
+        return max(best.values(), default=0)
+
+    # Hand case: values 3,1,4,1,5,9,2,6 → LIS 1,4,5,9 or 1,4,5,6 = 4.
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    assert lis_length(vals) == brute(vals) == 4
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    got = {r.user_id: (r.n_events, r.lis_len)
+           for r in user_lis_report(ev).collect()}
+    rows = ev.select("user_id", "ts_us", "event_id",
+                     (F.round(F.col("value") * 100)).cast("long")
+                     .alias("c")).collect()
+    series: dict = {}
+    for r in sorted(rows, key=lambda r: (r.ts_us, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.c)
+    for u, vals in series.items():
+        assert got[u] == (len(vals), brute(vals)), u
+    assert any(l > 1 for _, l in got.values())
