@@ -1,0 +1,132 @@
+"""Custom Python DataSource: parallel deterministic corpus generation.
+
+PySpark 4's Python DataSource API is the newest extension surface —
+``spark.dataSource.register`` + ``spark.read.format("synthdocs")`` —
+and this module uses it for the one thing the fixture files cannot do:
+generate an ARBITRARILY LARGE documents corpus, partition-parallel and
+byte-deterministic, to drive the dedup/text/curation operators beyond
+fixture scale (``.option("docs", 10_000_000)`` costs no driver memory
+and no files).
+
+Design points:
+
+- **Determinism under any parallelism**: every field is a pure
+  function of (seed, doc_id) through the repo-standard md5 convention,
+  so shard boundaries never change content — the same contract as
+  ``generator.generate_bankdata_distributed``.
+- **Planted duplicates**: every ``DUP_EVERY``-th doc repeats the text
+  of the doc ``DUP_EVERY`` before it, so exact/fuzzy dedup operators
+  have non-vacuous work at ANY generated size.
+- **Real filter pushdown** (Spark 4.1 ``pushFilters``): equality and
+  IN filters on the ``shard`` column prune whole InputPartitions
+  before a single row is generated — the Python-source analogue of
+  partition pruning; all other filters are returned as unsupported so
+  Spark keeps evaluating them.
+
+Scale shape: one InputPartition per shard; ``read`` yields rows
+straight from integer arithmetic (no I/O), so generation scales
+linearly with executors like any map-only stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+LANGS = ("en", "de", "fr", "es")
+SOURCES = ("web", "books", "code")
+VOCAB = 64
+DUP_EVERY = 13
+
+_DEFAULTS = {"docs": "1000", "seed": "246", "docs_per_shard": "500"}
+
+
+def _h(seed: int, doc_id: int, salt: str) -> int:
+    key = f"{seed}:{salt}:{doc_id}".encode()
+    return int(hashlib.md5(key).hexdigest()[:8], 16)
+
+
+def doc_row(seed: int, doc_id: int) -> tuple:
+    """The (doc_id, shard-less) record as a pure function of the id.
+
+    Every DUP_EVERY-th doc copies its PREDECESSOR's text (doc_id − 1 is
+    never itself a multiple of DUP_EVERY, so copy sources are always
+    originals — no chains)."""
+    text_id = (doc_id - 1
+               if doc_id % DUP_EVERY == 0 and doc_id > 0 else doc_id)
+    n_toks = 20 + _h(seed, text_id, "len") % 230
+    h0 = _h(seed, text_id, "txt")
+    # Multiplicative mixing keeps the stream a function of ALL of h0
+    # (an additive (h0 + c·i) % VOCAB would collapse to h0 % VOCAB and
+    # manufacture accidental whole-text collisions).
+    toks = [f"tok{(h0 * (i + 1) + i * i) % 1000003 % VOCAB}"
+            for i in range(n_toks)]
+    text = " ".join(toks)
+    lang = LANGS[_h(seed, doc_id, "lang") % len(LANGS)]
+    source = SOURCES[_h(seed, doc_id, "src") % len(SOURCES)]
+    return doc_id, text, lang, source, len(text)
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.docs = int(options.get("docs", _DEFAULTS["docs"]))
+        self.seed = int(options.get("seed", _DEFAULTS["seed"]))
+        self.per_shard = int(
+            options.get("docs_per_shard", _DEFAULTS["docs_per_shard"]))
+        self.n_shards = -(-self.docs // self.per_shard)
+        self.wanted: set[int] | None = None   # None → all shards
+
+    def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("shard",):
+                self.wanted = {int(f.value)}
+            elif isinstance(f, In) and f.attribute == ("shard",):
+                self.wanted = {int(v) for v in f.value}
+            else:
+                yield f                        # unsupported → Spark keeps it
+
+    def partitions(self) -> "Sequence[InputPartition]":
+        shards = range(self.n_shards)
+        if self.wanted is not None:
+            shards = [s for s in shards if s in self.wanted]
+        return [InputPartition(s) for s in shards]
+
+    def read(self, partition: InputPartition):
+        shard = partition.value
+        lo = shard * self.per_shard
+        hi = min(lo + self.per_shard, self.docs)
+        for doc_id in range(lo, hi):
+            did, text, lang, source, n_chars = doc_row(self.seed, doc_id)
+            yield (did, shard, text, lang, source, n_chars)
+
+
+class SynthDocsDataSource(DataSource):
+    """``spark.read.format("synthdocs").option("docs", N).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return ("doc_id long, shard int, text string, lang string, "
+                "source string, n_chars long")
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Register the source and enable Python-source filter pushdown
+    (off by default in Spark 4.1; a reader that implements
+    ``pushFilters`` refuses to run without it, loudly)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthDocsDataSource)

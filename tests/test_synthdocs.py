@@ -1,0 +1,81 @@
+"""Custom Python DataSource (sources/synthdocs.py): registration,
+determinism under re-partitioning, planted duplicates, and the Spark
+4.1 pushFilters partition pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.sources.synthdocs import (
+    DUP_EVERY,
+    SynthDocsReader,
+    doc_row,
+    register,
+)
+
+
+def _load(spark, **opts):
+    register(spark)
+    r = spark.read.format("synthdocs")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_synthdocs_schema_count_and_determinism(spark):
+    df = _load(spark, docs=997, docs_per_shard=100, seed=7)
+    assert df.columns == ["doc_id", "shard", "text", "lang",
+                          "source", "n_chars"]
+    assert df.count() == 997
+    # shard = doc_id // per_shard everywhere; last shard is partial.
+    bad = df.filter(F.col("shard") != (F.col("doc_id") / 100)
+                    .cast("int")).count()
+    assert bad == 0
+    # Two independent reads (different shard sizes → different
+    # parallelism) agree row-for-row on the id-derived columns.
+    a = {r.doc_id: (r.text, r.lang, r.source)
+         for r in df.collect()}
+    b = {r.doc_id: (r.text, r.lang, r.source)
+         for r in _load(spark, docs=997, docs_per_shard=250,
+                        seed=7).collect()}
+    assert a == b
+    # Pure-Python mirror of one row.
+    did, text, lang, source, n_chars = doc_row(7, 500)
+    assert a[500] == (text, lang, source)
+
+
+def test_synthdocs_planted_duplicates_feed_dedup(spark):
+    from etl_validator_github_spark.scale.dedup import exact_dedup_groups
+
+    df = _load(spark, docs=400, docs_per_shard=97, seed=3)
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for d in range(DUP_EVERY, 400, DUP_EVERY):
+        assert texts[d] == texts[d - 1]
+    groups = exact_dedup_groups(
+        df.select("doc_id", "text", "lang")).collect()
+    n_dups = sum(r.n_copies - 1 for r in groups)
+    assert n_dups == len(range(DUP_EVERY, 400, DUP_EVERY))
+    # Each planted pair keeps the ORIGINAL (lower) id.
+    two = {r.keep_id for r in groups if r.n_copies == 2}
+    assert two == {d - 1 for d in range(DUP_EVERY, 400, DUP_EVERY)}
+
+
+def test_synthdocs_pushdown_prunes_partitions(spark):
+    # Engine level: the filter prunes rows without a post-filter...
+    df = _load(spark, docs=1000, docs_per_shard=100).filter(
+        F.col("shard") == 2)
+    got = df.agg(F.min("doc_id"), F.max("doc_id"),
+                 F.count(F.lit(1))).collect()[0]
+    assert tuple(got) == (200, 299, 100)
+    # ...and unit level: pushFilters consumes the shard filter (returns
+    # nothing back) and partitions() shrinks to exactly that shard.
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    rd = SynthDocsReader({"docs": "1000", "docs_per_shard": "100"})
+    left = list(rd.pushFilters([EqualTo(("shard",), 2),
+                                GreaterThan(("doc_id",), 5)]))
+    assert [type(f) for f in left] == [GreaterThan]   # unsupported back
+    assert [p.value for p in rd.partitions()] == [2]
+    rd2 = SynthDocsReader({"docs": "1000", "docs_per_shard": "100"})
+    assert list(rd2.pushFilters([In(("shard",), (1, 3))])) == []
+    assert [p.value for p in rd2.partitions()] == [1, 3]
