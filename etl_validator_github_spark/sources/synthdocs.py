@@ -36,6 +36,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -109,8 +110,50 @@ class SynthDocsReader(DataSourceReader):
             yield (did, shard, text, lang, source, n_chars)
 
 
+class SynthDocsStreamReader(DataSourceStreamReader):
+    """The streaming half of the same source: offsets are document
+    ids, so the feed is file-less and exactly-once by construction —
+    ``availableNow`` drains [initialOffset, docs) once and a
+    checkpointed re-run is a no-op. The drained range splits into
+    shard-sized partitions with the SAME per-doc derivation as the
+    batch reader (batch/stream parity is a test, not a hope)."""
+
+    def __init__(self, options: dict):
+        self.docs = int(options.get("docs", _DEFAULTS["docs"]))
+        self.seed = int(options.get("seed", _DEFAULTS["seed"]))
+        self.per_shard = int(
+            options.get("docs_per_shard", _DEFAULTS["docs_per_shard"]))
+
+    def initialOffset(self) -> dict:
+        return {"doc_id": 0}
+
+    def latestOffset(self) -> dict:
+        # A bounded corpus: everything is available "now". An unbounded
+        # feed would advance this with wall-clock or upstream position.
+        return {"doc_id": self.docs}
+
+    def partitions(self, start: dict, end: dict) -> "Sequence[InputPartition]":
+        lo, hi = int(start["doc_id"]), int(end["doc_id"])
+        return [
+            InputPartition((p, min(p + self.per_shard, hi)))
+            for p in range(lo, hi, self.per_shard)
+        ]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for doc_id in range(lo, hi):
+            did, text, lang, source, n_chars = doc_row(self.seed, doc_id)
+            yield (did, doc_id // self.per_shard, text, lang, source,
+                   n_chars)
+
+    def commit(self, end: dict) -> None:
+        pass                                   # nothing external to ack
+
+
 class SynthDocsDataSource(DataSource):
-    """``spark.read.format("synthdocs").option("docs", N).load()``."""
+    """``spark.read.format("synthdocs").option("docs", N).load()`` —
+    and ``spark.readStream.format("synthdocs")`` for the offset-driven
+    streaming feed."""
 
     @classmethod
     def name(cls) -> str:
@@ -122,6 +165,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(dict(self.options))
+
+    def streamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -79,3 +79,31 @@ def test_synthdocs_pushdown_prunes_partitions(spark):
     rd2 = SynthDocsReader({"docs": "1000", "docs_per_shard": "100"})
     assert list(rd2.pushFilters([In(("shard",), (1, 3))])) == []
     assert [p.value for p in rd2.partitions()] == [1, 3]
+
+
+def test_synthdocs_stream_drains_once_and_matches_batch(spark, tmp_path):
+    """Streaming half: availableNow drains the bounded corpus through
+    offset-ranged micro-batches into a parquet sink; the result equals
+    the batch read row-for-row, and a checkpointed re-run adds
+    nothing."""
+    register(spark)
+    sink = str(tmp_path / "ssink")
+    ckpt = str(tmp_path / "sckpt")
+
+    def run():
+        q = (spark.readStream.format("synthdocs")
+             .option("docs", 730).option("docs_per_shard", 100)
+             .option("seed", 11).load()
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    streamed = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    batch = {tuple(r) for r in _load(spark, docs=730, docs_per_shard=100,
+                                     seed=11).collect()}
+    assert streamed == batch and len(streamed) == 730
+
+    run()                                       # checkpointed no-op
+    assert spark.read.parquet(sink).count() == 730
