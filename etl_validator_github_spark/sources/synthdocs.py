@@ -16,7 +16,12 @@ Design points:
   ``generator.generate_bankdata_distributed``.
 - **Planted duplicates**: every ``DUP_EVERY``-th doc repeats the text
   of the doc ``DUP_EVERY`` before it, so exact/fuzzy dedup operators
-  have non-vacuous work at ANY generated size.
+  have non-vacuous work at ANY generated size. (The token space is
+  bounded, so multi-100k corpora also pick up ACCIDENTAL whole-text
+  collisions beyond the planted ones — measured ~3% extra at 1M docs
+  — which only makes the dedup workload richer; tests that count
+  exact duplicates stay at fixture sizes where the planted set is the
+  whole story.)
 - **Real filter pushdown** (Spark 4.1 ``pushFilters``): equality and
   IN filters on the ``shard`` column prune whole InputPartitions
   before a single row is generated — the Python-source analogue of
