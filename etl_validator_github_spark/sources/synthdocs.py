@@ -107,6 +107,13 @@ class SynthDocsReader(DataSourceReader):
         return [InputPartition(s) for s in shards]
 
     def read(self, partition: InputPartition):
+        # A pushed-down shard filter matching NO shard (e.g. shard == 7
+        # on a 2-shard source) yields an empty partitions() list, which
+        # PySpark's plan_data_source_read substitutes with [None] and
+        # still calls read(None) once — the empty-result contract is
+        # "yield nothing", not "never called".
+        if partition is None:
+            return
         shard = partition.value
         lo = shard * self.per_shard
         hi = min(lo + self.per_shard, self.docs)

@@ -81,6 +81,23 @@ def test_synthdocs_pushdown_prunes_partitions(spark):
     assert [p.value for p in rd2.partitions()] == [1, 3]
 
 
+def test_synthdocs_fully_pruned_filter_returns_zero_rows(spark):
+    """A shard predicate outside the shard range empties partitions();
+    PySpark then calls read(None) once — it must yield nothing, not
+    crash (plan_data_source_read substitutes [None] for an empty
+    partition list)."""
+    df = _load(spark, docs=200, docs_per_shard=100)  # shards 0..1
+    assert df.filter(F.col("shard") == 7).count() == 0
+    assert df.filter(F.col("shard").isin(5, 9)).count() == 0
+    # unit level: empty partitions() + read(None) → no rows
+    from pyspark.sql.datasource import EqualTo
+
+    rd = SynthDocsReader({"docs": "200", "docs_per_shard": "100"})
+    assert list(rd.pushFilters([EqualTo(("shard",), 7)])) == []
+    assert rd.partitions() == []
+    assert list(rd.read(None)) == []
+
+
 def test_synthdocs_stream_drains_once_and_matches_batch(spark, tmp_path):
     """Streaming half: availableNow drains the bounded corpus through
     offset-ranged micro-batches into a parquet sink; the result equals
