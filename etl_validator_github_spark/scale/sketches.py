@@ -75,14 +75,21 @@ def _hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     )
 
 
-def fold_registers(regs: DataFrame) -> DataFrame:
-    """(grp, bucket, m_reg) registers → grp, v_zero, sum_pow, n_est.
+def fold_registers(regs: DataFrame,
+                   group_cols: tuple[str, ...] = ("grp",)) -> DataFrame:
+    """(*group_cols, bucket, m_reg) registers → *group_cols, v_zero,
+    sum_pow, n_est.
 
     Accepts any register table — including the max-merge of several
     (register merge IS ``max``, so batch registers, daily registers,
     and streamed register logs all fold through here identically).
+    Compound keys (e.g. the pair tables in :func:`hll_overlap`) pass
+    their column list instead of being smashed into one delimited
+    string — a group value containing the delimiter must not corrupt
+    pair identity.
     """
-    per_group = regs.groupBy("grp").agg(
+    cols = list(group_cols)
+    per_group = regs.groupBy(*cols).agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr(f"shiftleft(1L, {_W_BITS + 1} - cast(m_reg as int))"))
         .alias("sum_present"),
@@ -90,7 +97,7 @@ def fold_registers(regs: DataFrame) -> DataFrame:
     # Empty buckets contribute 2^-0 = 1 each → 2^53 in scaled units.
     scale = 1 << (_W_BITS + 1)
     folded = per_group.select(
-        "grp",
+        *cols,
         (F.lit(HLL_M) - F.col("n_present")).alias("v_zero"),
         (F.col("sum_present")
          + (F.lit(HLL_M) - F.col("n_present")) * F.lit(scale))
@@ -99,7 +106,7 @@ def fold_registers(regs: DataFrame) -> DataFrame:
     est = F.round(
         F.lit(_EST_NUM) / F.col("sum_pow").cast("double")
     ).cast("long")
-    return folded.select("grp", "v_zero", "sum_pow", est.alias("n_est"))
+    return folded.select(*cols, "v_zero", "sum_pow", est.alias("n_est"))
 
 
 def distinct_sketch(df: DataFrame, group_col: str, key_col: str,
@@ -242,14 +249,8 @@ def hll_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
         .groupBy("grp_a", "grp_b", "bucket")
         .agg(F.max("m_reg").alias("m_reg"))
     )
-    unions = fold_registers(
-        merged.select(
-            F.concat_ws("|", "grp_a", "grp_b").alias("grp"), "bucket", "m_reg"
-        )
-    ).select(
-        F.split(F.col("grp"), r"\|")[0].alias("grp_a"),
-        F.split(F.col("grp"), r"\|")[1].alias("grp_b"),
-        F.col("n_est").alias("est_union"),
+    unions = fold_registers(merged, ("grp_a", "grp_b")).select(
+        "grp_a", "grp_b", F.col("n_est").alias("est_union")
     )
     exact = (
         df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("k"))

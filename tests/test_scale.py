@@ -1128,6 +1128,31 @@ def test_hll_overlap_matches_python_on_partial_overlap(spark):
     assert len(regs_of(sets["c"])) < HLL_M
 
 
+def test_hll_overlap_group_values_may_contain_delimiters(spark):
+    """Pair identity survives group names containing '|' (the old
+    concat_ws('|')/split pair key corrupted exactly this case: 'a|b'
+    paired with 'c' collided with 'a' paired with 'b|c')."""
+    from etl_validator_github_spark.scale.sketches import hll_overlap
+
+    sets = {
+        "a|b": set(range(0, 300)),
+        "a": set(range(0, 300)),          # identical to "a|b"
+        "b|c": set(range(1000, 1040)),    # disjoint small set
+    }
+    rows = [(g, u) for g, us in sets.items() for u in us]
+    df = spark.createDataFrame(rows, "grp string, user long")
+    got = {(r["grp_a"], r["grp_b"]): r.asDict()
+           for r in hll_overlap(df, "grp", "user").collect()}
+    assert set(got) == {("a", "a|b"), ("a", "b|c"), ("a|b", "b|c")}
+    # identical sets: union estimate == each single estimate, exact
+    # intersection = 300; disjoint pairs: exact intersection = 0.
+    r = got[("a", "a|b")]
+    assert r["n_inter_true"] == 300
+    assert r["est_union"] == r["est_a"] == r["est_b"]
+    assert got[("a", "b|c")]["n_inter_true"] == 0
+    assert got[("a|b", "b|c")]["n_inter_true"] == 0
+
+
 def test_cms_counts_match_pure_python_and_never_undercount(spark):
     """Count-min invariants on a skewed synthetic stream: counters and
     point estimates match a pure-Python mirror exactly, and every
