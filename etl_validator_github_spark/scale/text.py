@@ -1485,6 +1485,313 @@ FROM ranked WHERE sample_rank <= {SAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich 2016): the actual merge loop, not
+# just pair counting (text_bigram_vocab stops at counting). The
+# scale-critical property mirrors how real trainers (SentencePiece, HF
+# tokenizers) work: ONE corpus pass builds the word-frequency
+# histogram, and every merge iteration after that runs on the
+# vocab-sized histogram only — corpus size never touches the loop.
+#
+# Cross-engine trick: a segmentation is encoded as a doubled-delimiter
+# string ("low" → "|l||o||w|"), so merging pair (a,b) is a plain
+# string replace of "|a||b|" with "|ab|". Both engines' replace() scans
+# left-to-right non-overlapping — exactly BPE's greedy merge order —
+# and the doubled delimiters make consecutive merges non-overlapping at
+# the string level ("|a||a||a|" → "|aa||a|") while a symbol that merely
+# ENDS in `a` can never false-match ("|xa||b|" ∌ "|a||b|"). The oracle
+# unrolls the fixed iteration count into CTEs exactly as embed_kmeans
+# unrolls Lloyd iterations.
+# ---------------------------------------------------------------------------
+
+#: Fixed merge count — unrolled into the oracle SQL, so it must stay a
+#: compile-time constant (3 keeps the oracle readable; production BPE
+#: runs ~30k merges over the same vocab-sized histogram).
+BPE_MERGES = 3
+
+
+def bpe_word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) histogram — the single corpus-sized pass of BPE
+    training. Words containing the '|' delimiter are excluded (none in
+    the fixtures; a production run picks an out-of-alphabet byte)."""
+    return (
+        docs.select(F.explode(tokens()).alias("word"))
+        .filter(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _seg_symbols(col: str) -> Column:
+    """Split a delimited segmentation back into its symbol array."""
+    return F.split(F.expr(f"trim(BOTH '|' FROM {col})"), "\\|\\|")
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Merge log after ``n_merges`` BPE iterations: one row per merge
+    with the winning pair, its weighted corpus count, and the total
+    corpus symbol count after applying the merge.
+
+    Ties on pair count break on the delimited pair string ascending
+    (ASCII-only symbols → identical collation in any engine).
+    """
+    words = (
+        bpe_word_freqs(docs)
+        .withColumn("seg", F.regexp_replace("word", "(.)", r"|$1|"))
+        # The histogram is vocab-sized; cutting lineage here keeps each
+        # unrolled iteration from re-scanning the corpus (same trick as
+        # the embed_pq_topk codebook).
+        .localCheckpoint(eager=False)
+    )
+    pair_expr = F.expr(
+        "CASE WHEN size(__syms) >= 2 THEN "
+        "transform(sequence(1, size(__syms) - 1), "
+        "          i -> concat('|', __syms[i - 1], '||', __syms[i], '|')) "
+        "ELSE array() END"
+    )
+    logs = []
+    for it in range(1, n_merges + 1):
+        pair_counts = (
+            words.withColumn("__syms", _seg_symbols("seg"))
+            .select("freq", F.explode(pair_expr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        winner = (
+            pair_counts.orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select("pair", "cnt",
+                    F.expr("replace(pair, '||', '')").alias("merged"))
+        )
+        words = (
+            words.crossJoin(F.broadcast(
+                winner.select(F.col("pair").alias("__p"),
+                              F.col("merged").alias("__m"))))
+            .withColumn("seg", F.expr("replace(seg, __p, __m)"))
+            .drop("__p", "__m")
+            .localCheckpoint(eager=False)
+        )
+        total = words.agg(
+            F.sum(F.col("freq") * F.size(_seg_symbols("seg")))
+            .cast("long").alias("total_symbols")
+        )
+        wsyms = _seg_symbols("pair")
+        logs.append(
+            winner.crossJoin(F.broadcast(total)).select(
+                F.lit(it).alias("iter"),
+                wsyms.getItem(0).alias("left_sym"),
+                wsyms.getItem(1).alias("right_sym"),
+                F.expr("trim(BOTH '|' FROM merged)").alias("merged_sym"),
+                F.col("cnt").alias("pair_count"),
+                "total_symbols",
+            )
+        )
+    out = logs[0]
+    for part in logs[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+def _bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(load(spark, sf_dir, "documents"))
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    body = [r"""
+WITH wf AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE NOT contains(word, '|')
+  GROUP BY 1
+), seg1 AS (
+  SELECT freq, regexp_replace(word, '(.)', '|\1|', 'g') AS seg FROM wf
+)"""]
+    for g in range(1, n_merges + 1):
+        body.append(f""", p{g} AS (
+  SELECT freq, unnest(list_transform(range(1, len(syms)),
+                i -> '|' || syms[i] || '||' || syms[i + 1] || '|')) AS pair
+  FROM (SELECT freq, string_split(trim(seg, '|'), '||') AS syms FROM seg{g})
+  WHERE len(syms) >= 2
+), c{g} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p{g} GROUP BY 1
+), w{g} AS (
+  SELECT pair, cnt, replace(pair, '||', '') AS merged
+  FROM c{g} ORDER BY cnt DESC, pair ASC LIMIT 1
+), seg{g + 1} AS (
+  SELECT s.freq, replace(s.seg, w.pair, w.merged) AS seg
+  FROM seg{g} s, w{g} w
+), t{g} AS (
+  SELECT CAST(SUM(freq * len(string_split(trim(seg, '|'), '||'))) AS BIGINT)
+         AS total_symbols
+  FROM seg{g + 1}
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {g} AS iter,
+       string_split(trim(w.pair, '|'), '||')[1] AS left_sym,
+       string_split(trim(w.pair, '|'), '||')[2] AS right_sym,
+       trim(w.merged, '|') AS merged_sym,
+       w.cnt AS pair_count, t.total_symbols
+FROM w{g} w, t{g} t"""
+        for g in range(1, n_merges + 1)
+    )
+    return "".join(body) + f"""
+SELECT CAST(iter AS INT) AS iter, left_sym, right_sym, merged_sym,
+       pair_count, total_symbols
+FROM ({rows})
+ORDER BY iter
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (Robertson/Lucene variant): extends text_tfidf
+# with the k1/b saturation formula over an inverted postings table. The
+# scale shape: postings (tf per doc×term) is the ONE corpus shuffle;
+# the bounded query set and per-term df are broadcast; scoring is a
+# term-keyed join against postings — never a corpus cross-join.
+# Per-term contributions are quantized to integer micro-units BEFORE
+# the per-document sum, because a float Σ over terms is
+# summation-order-dependent and the two engines aggregate in different
+# orders; integer sums are exact under any order.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+
+#: Bounded literal query set (terms drawn from the fixture vocabulary;
+#: 'zzz' in query 3 exercises the OOV path — it matches no postings and
+#: simply contributes nothing).
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "hash join"),
+    (2, "window merge order"),
+    (3, "fast scan zzz"),
+)
+
+
+def _bm25_contrib(tf, df, dl, n_docs, total_tokens) -> Column:
+    """One query term's BM25 contribution, written in the exact
+    expression order the oracle SQL uses (IEEE-identical given
+    identical integer inputs)."""
+    avgdl = total_tokens.cast("double") / n_docs
+    idf = F.log(
+        F.lit(1.0)
+        + ((n_docs - df).cast("double") + F.lit(0.5))
+        / (df.cast("double") + F.lit(0.5))
+    )
+    denom = tf.cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dl.cast("double") / avgdl)
+    )
+    contrib = idf * ((tf.cast("double") * F.lit(BM25_K1 + 1.0)) / denom)
+    return F.round(contrib * F.lit(1000000.0)).cast("long")
+
+
+def bm25_topk(docs: DataFrame,
+              queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+              k: int = BM25_TOP_K) -> DataFrame:
+    """Top-k documents per query under BM25, scored in integer
+    micro-units (deterministic ranking — no float-sum ordering)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in text.split()],
+        "query_id int, term string",
+    )
+    toks = docs.select(
+        "doc_id", F.size(tokens()).alias("dl"),
+        F.explode(tokens()).alias("term"),
+    )
+    # dl is functionally dependent on doc_id, so folding it into the
+    # grouping key costs nothing and saves a doc-keyed length join.
+    tf = toks.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    ptf = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_ = ptf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens())).cast("long").alias("total_tokens"),
+    )
+    scored = (
+        ptf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id",
+            _bm25_contrib(F.col("tf"), F.col("df"), F.col("dl"),
+                          F.col("n_docs"), F.col("total_tokens"))
+            .alias("contrib_micro"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum("contrib_micro").cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
+def _bm25_sql(queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+              k: int = BM25_TOP_K) -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, text in queries for t in text.split()
+    )
+    return f"""
+WITH q(query_id, term) AS (
+  VALUES {values}
+), tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+), ptf AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ptf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(
+           LN(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(p.tf AS DOUBLE) * {BM25_K1 + 1.0})
+              / (CAST(p.tf AS DOUBLE)
+                 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                    * (CAST(p.dl AS DOUBLE)
+                       / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))))
+           * 1000000.0) AS BIGINT) AS contrib_micro
+  FROM ptf p
+  JOIN q ON p.term = q.term
+  JOIN df d ON p.term = d.term
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS INT) AS n_terms,
+         CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY 1, 2
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, n_terms, score_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id ASC)
+            AS INT) AS rnk
+FROM agg
+QUALIFY rnk <= {k}
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1517,5 +1824,17 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "C4-style per-domain document cap: hash-bucket histogram "
               "→ per-source cumulative cutoff → map-only keep (no "
               "per-domain document sort)."),
+        Query("text_bpe_merges", _bpe_q, _bpe_sql(),
+              "BPE tokenizer training (Sennrich 2016): one corpus pass "
+              "builds the word histogram, then 3 unrolled merge "
+              "iterations on the vocab-sized table — greedy pair merge "
+              "via doubled-delimiter string replace, oracle unrolled "
+              "into CTEs like embed_kmeans."),
+        Query("text_bm25_topk", _bm25_q, _bm25_sql(),
+              "BM25 top-k retrieval over inverted postings: one corpus "
+              "shuffle for tf, broadcast query set + df, term-keyed "
+              "join (no corpus cross-join); per-term contributions "
+              "integer-quantized before the per-doc sum so ranking is "
+              "summation-order-independent."),
     ]
 }
