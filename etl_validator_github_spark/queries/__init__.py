@@ -4,7 +4,7 @@ where SQL-expressible.
 
 Ordering is load-bearing: the driver's correctness gate checks the FIRST
 50 catalog entries in insertion order. Since round 6 the gate window is
-an EXPLICIT list (``_R7_GATE``) rather than a composition of module
+an EXPLICIT list (``_R8_GATE``) rather than a composition of module
 dicts, so each round's rotation is a single visible edit.
 
 Rotation policy (highest priority first):
@@ -12,30 +12,21 @@ Rotation policy (highest priority first):
 2. queries added or semantically changed this round,
 3. back-fill with the queries whose last green verdict is oldest.
 
-Round-7 window under that policy: the fifteen queries new this round
-(dedup_substring_spans, dedup_span_strip, dedup_span_probe,
-docs_importance_resample, docs_domain_cap, embed_outliers,
-multimodal_dhash_neardup, q2_min_cost_supplier,
-docs_temperature_mixture, embed_pq_topk, events_distinct_sketch,
-text_cms_topk_counts, orders_quantile_sketch, embed_pq_recall,
-orders_zorder_cells — never driver-checked), the three de-vacuated this round (q8_market_share /
-q22_idle_rich_customers / customers_without_orders: their fixture
-constants changed so the previously-0-row logic now processes data —
-semantically new verdicts), the five whose last green verdict is r4
-(q12_priority_by_status, skew_salted_rollup, schema_drift,
-window_functions, nation_balance_setops), then 27 of the 47 queries
-whose last green verdict is r5. Of the 20 r5-verdict queries left
-past the gate, 8 (q1_pricing_summary, q3_shipping_priority,
-bankdata_validate, text_stats, dedup_exact, dedup_minhash_lsh,
-corpus_clean, embed_cosine_topk) are exactly the benched headline
-queries — bench.py executes them at sf0.1 every round, so they carry
-continuous scrutiny — and 12 have their operator family represented
-in-window (see the inline note). All stay covered by the repo-local
-parity mirror (tests/test_oracle_parity.py, tests/test_oracle_dtypes.py)
-over the FULL catalog and rotate back in round 8. One late-r7 query
-(events_user_overlap_sketch) deliberately waits past-gate for its
-first verdict in r8: once the displaced-family arguments above are
-exhausted, stale-refresh takes precedence over a sixteenth new slot.
+Round-8 window under that policy (per the r7 verdict's explicit ask):
+the fourteen late-r7 queries that have never held a driver verdict
+(docs_bloom_decontaminate, events_user_overlap_sketch, the three
+multimodal_audio_* queries, embed_hamming_topk, the six events_*
+time-series queries, docs_sample_exact_k, dedup_prefix_filter_join),
+then the twenty queries whose last green verdict is r5 — including the
+eight benched headliners that sat out r7 under bench.py scrutiny
+(q1_pricing_summary, q3_shipping_priority, bankdata_validate,
+text_stats, dedup_exact, dedup_minhash_lsh, corpus_clean,
+embed_cosine_topk) and the twelve displaced-by-family-representation
+entries — exactly the 34 the verdict enumerates. The remaining 16
+slots back-fill with r6-verdict queries in catalog order; two of those
+slots go to the queries NEW this round (text_bpe_merges,
+text_bm25_topk — rotation priority 2). After this window lands green,
+no catalog entry's latest driver verdict is older than r6.
 """
 
 from __future__ import annotations
@@ -75,7 +66,7 @@ _ALL: dict[str, Query] = {
     **RELATIONAL_EXTRA_QUERIES,
 }
 
-#: The round-7 driver gate window, in gate-priority order (see module
+#: The round-8 driver gate window, in gate-priority order (see module
 #: docstring for the rotation rationale of each block).
 # A name collision between module dicts would silently drop a query in
 # the merge above — fail loudly instead.
@@ -89,102 +80,80 @@ assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
     "duplicate query name across module catalogs"
 )
 
-_R7_GATE = (
-    # -- new in r7, never driver-checked
-    "dedup_substring_spans",
-    "dedup_span_strip",
-    "dedup_span_probe",
-    "docs_importance_resample",
-    "docs_domain_cap",
-    "embed_outliers",
-    "multimodal_dhash_neardup",
-    "q2_min_cost_supplier",
-    "docs_temperature_mixture",
-    "embed_pq_topk",
-    "events_distinct_sketch",
-    "text_cms_topk_counts",
-    "orders_quantile_sketch",
-    "embed_pq_recall",
-    "orders_zorder_cells",
-    # -- de-vacuated in r7 (constants changed so the logic finally
-    #    processes rows; prior greens were 0-row-vacuous — VERDICT r6)
-    "q8_market_share",
-    "q22_idle_rich_customers",
-    "customers_without_orders",
-    # -- last green verdict r4 (oldest on record)
-    "q12_priority_by_status",
-    "skew_salted_rollup",
-    "schema_drift",
-    "window_functions",
-    "nation_balance_setops",
-    # -- last green verdict r5: 27 of 47. Displaced: the 8 benched
-    #    headliners (q1_pricing_summary, q3_shipping_priority,
-    #    bankdata_validate, text_stats, dedup_exact, dedup_minhash_lsh,
-    #    corpus_clean, embed_cosine_topk) wait under bench.py's
-    #    every-round execution, plus 12 whose operator family stays
-    #    represented in-window (docs_split_assign — md5-threshold,
-    #    see docs_sample_stratified; text_quality_embeddings — quality
-    #    gate via text_gopher_quality + embeddings via the embed_*
-    #    block; text_chunks — chunking, see
-    #    dedup_chunk_global; dedup_cluster_sizes — components, see
-    #    dedup_clusters; text_fingerprint — MinHash signatures, see the
-    #    four in-window dedup_* queries; mixture_upsample —
-    #    md5-threshold mixture construction, see the new in-window
-    #    docs_temperature_mixture from the same module;
-    #    embed_label_centroids — sum-direction centroid build, the
-    #    building block inside the new in-window embed_pq_topk and
-    #    embed_outliers; text_top_terms — heavy-hitter hash-agg, see
-    #    text_bigram_vocab and text_tfidf in-window;
-    #    docs_sample_stratified — md5-threshold sampling, the exact
-    #    mechanism inside the new in-window docs_temperature_mixture;
-    #    text_normalize — map-only string normalization, see
-    #    text_pii_scrub in-window; embed_ann_recall and
-    #    dedup_lsh_recall — the recall-eval family, see the new
-    #    in-window embed_pq_recall which scores the same ground
-    #    truth). All rotate in next round.
-    "validate_customer_rules",
-    "validate_error_summary",
-    "reconcile_error_sets",
-    "text_lang_id",
-    "text_bigram_vocab",
-    "text_tfidf",
-    "text_pandas_udf_score",
-    "text_gopher_quality",
-    "text_pii_scrub",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_chunk_global",
-    "decontaminate",
-    "embed_ann_lsh",
-    "dedup_embedding_cosine",
-    "embed_quantize_int8",
-    "multimodal_frame_sample",
-    "multimodal_frame_dedup",
-    "pack_sequences",
-    "text_unigram_lm_score",
-    "docs_token_budget_select",
-    "dedup_incremental",
-    "dedup_fuzzy_keep",
-    "corpus_snapshot_diff",
-    "events_funnel",
-    "changelog_latest_state",
+_R8_GATE = (
+    # -- added late in r7, never driver-checked (verdict item 1's 14)
+    "docs_bloom_decontaminate",
+    "events_user_overlap_sketch",
+    "multimodal_audio_stats",
+    "multimodal_audio_downsample",
+    "multimodal_audio_vad",
+    "embed_hamming_topk",
+    "events_hourly_gapfill",
+    "events_hourly_trend",
+    "events_winsorized_stats",
+    "events_lag_features",
+    "events_session_windows",
+    "events_sliding_windows",
+    "docs_sample_exact_k",
+    "dedup_prefix_filter_join",
+    # -- new in r8, never driver-checked (rotation priority 2)
+    "text_bpe_merges",
+    "text_bm25_topk",
+    # -- last green verdict r5 (verdict item 1's 20): the 8 benched
+    #    headliners that sat out r7 plus the 12 family-represented
+    #    entries displaced in r7's rotation. All rotate in here now.
+    "bankdata_validate",
+    "text_stats",
+    "text_quality_embeddings",
+    "text_fingerprint",
+    "text_top_terms",
+    "text_chunks",
+    "docs_sample_stratified",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "corpus_clean",
+    "embed_cosine_topk",
+    "embed_label_centroids",
+    "embed_ann_recall",
+    "mixture_upsample",
+    "text_normalize",
+    "dedup_lsh_recall",
+    "dedup_cluster_sizes",
+    "docs_split_assign",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # -- back-fill: r6-verdict queries in catalog order (the other 33
+    #    r6-verdict entries stay past-gate — none older than r6 remain)
+    "embed_ivf_topk",
+    "dedup_semantic_keep",
+    "embed_kmeans",
+    "dedup_semantic_incremental",
+    "multimodal_features",
+    "multimodal_resize",
+    "text_token_fertility",
+    "corpus_quality_drift",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q4_late_orders",
+    "q13_order_count_distribution",
 )
 
-assert len(_R7_GATE) == _DRIVER_GATE, (
+assert len(_R8_GATE) == _DRIVER_GATE, (
     f"gate window must hold exactly {_DRIVER_GATE} entries, "
-    f"got {len(_R7_GATE)}"
+    f"got {len(_R8_GATE)}"
 )
-assert len(set(_R7_GATE)) == len(_R7_GATE), "duplicate names in the gate"
-assert set(_R7_GATE) <= set(_ALL), (
-    f"gate names missing from the catalog: {set(_R7_GATE) - set(_ALL)}"
+assert len(set(_R8_GATE)) == len(_R8_GATE), "duplicate names in the gate"
+assert set(_R8_GATE) <= set(_ALL), (
+    f"gate names missing from the catalog: {set(_R8_GATE) - set(_ALL)}"
 )
 
 CATALOG: dict[str, Query] = {
-    **{name: _ALL[name] for name in _R7_GATE},
-    # Past-gate remainder (every entry here is r5-or-r6-driver-green
+    **{name: _ALL[name] for name in _R8_GATE},
+    # Past-gate remainder (every entry here is r6-or-r7-driver-green
     # and parity-mirrored): module registration order.
-    **{name: q for name, q in _ALL.items() if name not in set(_R7_GATE)},
+    **{name: q for name, q in _ALL.items() if name not in set(_R8_GATE)},
 }
 
 __all__ = ["CATALOG", "Query", "catalog_to_oracles", "catalog_to_queries"]
