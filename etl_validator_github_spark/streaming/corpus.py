@@ -119,9 +119,9 @@ def stream_incremental_dedup(
     )
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        probe_dedup_index(batch_df, corpus_hashes, corpus_bands).write.mode(
-            "append"
-        ).parquet(sink_dir)
+        probe_dedup_index(batch_df, corpus_hashes, corpus_bands).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sink_dir)
 
     writer = stream.writeStream.foreachBatch(_probe).option(
         "checkpointLocation", checkpoint_dir
@@ -146,7 +146,10 @@ def stream_span_probe(
     check on live ingest. Same shape as ``stream_incremental_dedup``:
     the caller passes ``span_index`` already persisted (it owns the
     lifetime), per-batch work is |batch| window hashing + one
-    semi-join, the corpus text is never touched.
+    semi-join, the corpus text is never touched. Every sink row is
+    stamped with its micro-batch id (the ``stream_cms_counters``
+    convention) so a reader can drop a redelivered batch's duplicate
+    appends by (batch_id, doc_id).
     """
     from etl_validator_github_spark.scale.dedup import probe_span_index
 
@@ -158,9 +161,9 @@ def stream_span_probe(
     )
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        probe_span_index(batch_df, span_index).write.mode(
-            "append"
-        ).parquet(sink_dir)
+        probe_span_index(batch_df, span_index).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sink_dir)
 
     writer = stream.writeStream.foreachBatch(_probe).option(
         "checkpointLocation", checkpoint_dir
@@ -181,8 +184,9 @@ def stream_bloom_probe(
     """Streaming decontamination gate through the Bloom membership
     sketch (scale/sketches.py): each micro-batch of newly landed
     documents shingles itself and probes the caller-built register row
-    map-side, appending (doc_id, n_shingles, n_bloom_hits, flagged) to
-    the sink.
+    map-side, appending (doc_id, n_shingles, n_bloom_hits, flagged,
+    batch_id) to the sink — the batch_id stamp is the redelivery-dedup
+    key for readers (the ``stream_cms_counters`` convention).
 
     CALLER owns the ``bloom_row`` lifetime (the ``stream_span_probe``
     contract) — build it ONCE with ``bloom_build`` over the held-out
@@ -205,7 +209,9 @@ def stream_bloom_probe(
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         keyed = _doc_shingles(batch_df).distinct()
-        bloom_probe(keyed, bloom_row).write.mode("append").parquet(sink_dir)
+        bloom_probe(keyed, bloom_row).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sink_dir)
 
     writer = stream.writeStream.foreachBatch(_probe).option(
         "checkpointLocation", checkpoint_dir
@@ -252,9 +258,9 @@ def stream_semantic_dedup(
     )
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        semantic_dedup_incremental(batch_df, base).write.mode(
-            "append"
-        ).parquet(sink_dir)
+        semantic_dedup_incremental(batch_df, base).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sink_dir)
 
     writer = stream.writeStream.foreachBatch(_probe).option(
         "checkpointLocation", checkpoint_dir

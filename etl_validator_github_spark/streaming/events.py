@@ -248,19 +248,27 @@ def compact_registers(spark, register_dir: str) -> int:
 
     The swap is write-aside + replace (the same pattern as
     `sources/io.py::compact_parquet`): never read-and-overwrite the
-    same path in one job.
+    same path in one job. The compacted generation is staged NEXT TO
+    ``register_dir`` (same filesystem, so the swap is two atomic
+    renames, not a copy), and the live log is renamed aside before the
+    new generation renames in — a crash at any point leaves a complete
+    generation on disk (live, or staged, or aside) rather than losing
+    sketch state between an rmtree and a move.
     """
+    import os
     import shutil
-    import tempfile
+    import uuid
 
     merged = _merged_registers(spark, register_dir)
-    tmp = tempfile.mkdtemp(prefix="hllcompact_")
-    out = f"{tmp}/registers"
-    merged.coalesce(1).write.parquet(out)
-    n = spark.read.parquet(out).count()
-    shutil.rmtree(register_dir)
-    shutil.move(out, register_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
+    suffix = uuid.uuid4().hex[:8]
+    parent = os.path.dirname(os.path.abspath(register_dir))
+    staged = os.path.join(parent, f".hllcompact-staged-{suffix}")
+    aside = os.path.join(parent, f".hllcompact-old-{suffix}")
+    merged.coalesce(1).write.parquet(staged)
+    n = spark.read.parquet(staged).count()
+    os.rename(register_dir, aside)   # live → aside (atomic)
+    os.rename(staged, register_dir)  # staged → live (atomic)
+    shutil.rmtree(aside)             # delete old generation LAST
     return n
 
 

@@ -194,6 +194,13 @@ def test_stream_span_probe_scores_quoted_content(spark, tmp_path):
                 for r in spark.read.parquet(str(sink)).collect()}
         assert got2[200] == (11, 30)    # exact re-send: every window hits
         assert len(got2) == 3           # earlier files not re-probed
+        # Rows are stamped with their micro-batch id (the
+        # stream_cms_counters convention) so a reader can dedup a
+        # redelivered batch by (batch_id, doc_id).
+        bids = {r.doc_id: r.batch_id
+                for r in spark.read.parquet(str(sink)).collect()}
+        assert bids[100] == bids[101] == 0
+        assert bids[200] > bids[100]
     finally:
         idx.unpersist()
 
@@ -341,5 +348,9 @@ def test_stream_bloom_probe_flags_contaminated_docs(spark, tmp_path):
                 for r in spark.read.parquet(str(sink)).collect()}
         assert got2[200] == 1           # exact re-send: every shingle hits
         assert len(got2) == 3           # earlier files not re-probed
+        # batch_id stamp: redelivery-dedup key for sink readers.
+        bids = {r.doc_id: r.batch_id
+                for r in spark.read.parquet(str(sink)).collect()}
+        assert bids[100] == bids[101] == 0 and bids[200] > 0
     finally:
         bloom.unpersist()
