@@ -1717,14 +1717,34 @@ PREFIX_T_PCT = 60
 
 
 def prefix_filter_pairs(docs: DataFrame,
-                        t_pct: int = PREFIX_T_PCT) -> DataFrame:
+                        t_pct: int = PREFIX_T_PCT,
+                        shingle_tokens: int | None = None) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ t_pct/100 — exact, via prefix
-    filtering. Output: d1, d2, n_shared, n_union, jaccard_milli."""
+    filtering. Output: d1, d2, n_shared, n_union, jaccard_milli.
+
+    ``shingle_tokens`` sizes the shingles (default: the catalog's
+    3-token shingles, matching the oracle). Prefix filtering is only
+    effective while the shingle space is LARGE relative to the corpus:
+    once shingle document-frequencies grow past O(1), every prefix key
+    fans out df² candidates and the join degenerates toward all-pairs
+    (measured: 3-token shingles over the 64-word synthetic vocabulary
+    saturate the 64³ key space by 20k docs — tools/measure_1m.py /
+    SCALE.md). Production PPJoin at corpus scale therefore sizes k so
+    that vocab^k >> |corpus| — for the 1M-doc measurement k=5 restores
+    rare prefixes (64⁵ ≈ 10⁹ keys).
+    """
     from pyspark.sql import Window
 
+    k = shingle_tokens
+    shingle_expr = _shingles() if k is None else F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"          i -> concat_ws(' ', slice(__toks, i, {k}))) "
+        f"ELSE array() END"
+    )
     sh = (
         docs.withColumn("__toks", F.split("text", " "))
-        .select("doc_id", F.explode(_shingles()).alias("s"))
+        .select("doc_id", F.explode(shingle_expr).alias("s"))
         .distinct()
     )
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))

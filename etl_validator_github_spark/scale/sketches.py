@@ -716,6 +716,118 @@ def bloom_probe(keyed: DataFrame, bloom_row: DataFrame,
     )
 
 
+def _window_positions(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sig, p0..p{K-1}): one row per k-token window with its
+    Bloom bit positions and a 60-bit dedup signature, all computed in
+    the SAME whole-stage-codegen pass as the tokenize + explode.
+
+    This is the scale-critical half of Bloom decontamination: the
+    shingle STRINGS exist only transiently inside the stage — what
+    leaves it (and what any shuffle carries) is doc_id + four BIGINTs,
+    ~40 bytes/window instead of the full shingle text. The hash
+    convention is unchanged from `_bloom_pos_spark` — hash j of a
+    shingle is md5('<j>:' || shingle), position = first 8 hex digits
+    mod m — so registers and the false-positive set stay bit-identical
+    to the string-keyed path and the DuckDB oracle. ``sig`` is hex
+    digits 9..23 of hash 0 (independent of the position digits):
+    distinct-shingle counting per doc needs distinctness only WITHIN a
+    doc (~10² windows), where a 60-bit key is collision-free for all
+    practical purposes.
+
+    (A first cut computed the hashes inside per-row higher-order
+    ``transform`` lambdas to avoid the explode entirely — 7× SLOWER:
+    HOF lambda bodies evaluate interpreted, outside codegen. The
+    explode keeps every md5 in generated code.)
+    """
+    pos_cols = [
+        F.expr(f"cast(conv(substring(md5(concat('{j}:', shingle)), 1, 8), "
+               f"16, 10) as bigint) % {BLOOM_BITS}").alias(f"p{j}")
+        for j in range(BLOOM_K)
+    ]
+    sig = F.expr(
+        "cast(conv(substring(md5(concat('0:', shingle)), 9, 15), "
+        "16, 10) as bigint)"
+    ).alias("sig")
+    windows = F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"          i -> concat_ws(' ', slice(__toks, i, {k}))) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select("doc_id", F.explode(windows).alias("shingle"))
+        .select("doc_id", sig, *pos_cols)
+    )
+
+
+def bloom_build_from_positions(win_pos: DataFrame) -> DataFrame:
+    """(sig, p0..p{k-1}) window rows → the ONE register row (same
+    output as `bloom_build`; positions were already computed in the
+    window pass instead of re-hashing shingle strings). Dedup by sig
+    before the word agg keeps the explode bounded by distinct keys."""
+    pos = (
+        win_pos.select("sig", *[f"p{j}" for j in range(BLOOM_K)])
+        .distinct()
+        .select(F.explode(F.array(
+            *[F.col(f"p{j}") for j in range(BLOOM_K)]
+        )).alias("pos"))
+    )
+    words = (
+        pos.select(
+            F.expr(f"cast(pos div {BLOOM_WORD_BITS} as int)")
+            .alias("word_idx"),
+            F.expr(f"shiftleft(cast(1 as bigint), "
+                   f"cast(pos % {BLOOM_WORD_BITS} as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+            f"i -> coalesce(element_at(wm, i), cast(0 as bigint)))"
+        ).alias("words")
+    )
+
+
+def bloom_probe_positions(win_pos: DataFrame,
+                          bloom_row: DataFrame) -> DataFrame:
+    """(doc_id, sig, p0..p{k-1}) window rows × the 1-row register fold
+    → the per-doc hit report.
+
+    Membership arithmetic is a codegen projection against the
+    broadcast ``words`` array; per-doc distinct counting is two
+    hash-aggs on (doc_id, sig) then doc_id — both with map-side
+    partial aggregation, and since a doc's windows never span input
+    rows the first partial agg already collapses duplicates before the
+    exchange. Docs with no windows (< k tokens) produce no rows,
+    matching the string formulation and the oracle."""
+    hit = None
+    for j in range(BLOOM_K):
+        bit_j = F.expr(
+            f"(shiftright(element_at(words, "
+            f"cast(p{j} div {BLOOM_WORD_BITS} as int) + 1), "
+            f"cast(p{j} % {BLOOM_WORD_BITS} as int)) & 1) = 1"
+        )
+        hit = bit_j if hit is None else (hit & bit_j)
+    per_window = (
+        win_pos.crossJoin(F.broadcast(bloom_row))
+        .select("doc_id", "sig", hit.cast("int").alias("hit"))
+        .groupBy("doc_id", "sig")
+        .agg(F.max("hit").alias("hit"))
+    )
+    return per_window.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_shingles"),
+        F.sum("hit").cast("int").alias("n_bloom_hits"),
+        F.max("hit").cast("int").alias("flagged"),
+    )
+
+
 def bloom_decontaminate(docs: DataFrame,
                         bench_mod: int | None = None) -> DataFrame:
     """Benchmark decontamination through the Bloom membership sketch.
@@ -723,17 +835,25 @@ def bloom_decontaminate(docs: DataFrame,
     Same held-out split as the exact operator (doc_id % DECON_BENCH_MOD
     == 0 plays the benchmark suite): held-out 5-gram shingles build the
     filter, every corpus doc's distinct shingles probe it.
+
+    Probe dataflow (the 100 TB shape): `_window_positions` hashes
+    every window in the tokenize stage itself, so shingle STRINGS are
+    never shuffled — the exchanges downstream carry doc_id + four
+    BIGINTs per window, and the membership test is pure arithmetic
+    against the 1-row register broadcast. Same output and oracle as
+    the earlier string-keyed formulation (tests/test_scale.py pins the
+    two paths equal); measured at 1M docs in tools/measure_1m.py
+    (SCALE.md).
     """
     from etl_validator_github_spark.scale.dedup import (
-        DECON_BENCH_MOD, _doc_shingles,
+        DECON_BENCH_MOD, DECON_SHINGLE,
     )
     mod = bench_mod if bench_mod is not None else DECON_BENCH_MOD
-    sh = _doc_shingles(docs)
-    bench = (sh.filter(F.col("doc_id") % mod == 0)
-             .select("shingle").distinct())
-    corpus = (sh.filter(F.col("doc_id") % mod != 0)
-              .select("doc_id", "shingle").distinct())
-    return bloom_probe(corpus, bloom_build(bench))
+    wp = _window_positions(docs, DECON_SHINGLE)
+    return bloom_probe_positions(
+        wp.filter(F.col("doc_id") % mod != 0),
+        bloom_build_from_positions(wp.filter(F.col("doc_id") % mod == 0)),
+    )
 
 
 def _bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:

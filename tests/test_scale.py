@@ -1574,6 +1574,42 @@ def test_bloom_decontaminate_matches_pure_python(spark):
     assert got[1]["n_bloom_hits"] >= 2  # true overlaps can never miss
 
 
+def test_bloom_hash_path_equals_string_path(spark, sf_dir):
+    """The map-side window-hash formulation (what bloom_decontaminate
+    runs) must reproduce the exploded string-shingle formulation
+    (bloom_build/bloom_probe, still used by the streaming gate) row for
+    row on the fixture — same registers, same FP set, same counts."""
+    from etl_validator_github_spark.contract import load
+    from etl_validator_github_spark.scale import sketches
+    from etl_validator_github_spark.scale.dedup import (
+        DECON_BENCH_MOD, _doc_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    bench = (sh.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+             .select("shingle").distinct())
+    corpus = (sh.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+              .select("doc_id", "shingle").distinct())
+    via_strings = {
+        r["doc_id"]: (r["n_shingles"], r["n_bloom_hits"], r["flagged"])
+        for r in sketches.bloom_probe(
+            corpus, sketches.bloom_build(bench)).collect()
+    }
+    via_hashes = {
+        r["doc_id"]: (r["n_shingles"], r["n_bloom_hits"], r["flagged"])
+        for r in sketches.bloom_decontaminate(docs).collect()
+    }
+    assert via_hashes == via_strings
+    # and the register rows themselves are bit-identical
+    wp = sketches._window_positions(docs, 5)
+    w1 = sketches.bloom_build(bench).collect()[0]["words"]
+    w2 = sketches.bloom_build_from_positions(
+        wp.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    ).collect()[0]["words"]
+    assert w1 == w2
+
+
 def test_bloom_no_false_negatives_and_not_saturated(spark):
     """Per fixture doc: bloom hits ≥ exact overlap count (Bloom admits
     no false negatives), and the 64 Kbit sizing keeps flagged docs a
@@ -1842,3 +1878,37 @@ def test_prefix_filter_join_matches_brute_force_random(spark):
         assert got == exp
 
     run()
+
+
+def test_prefix_filter_join_parameterized_shingle_size(spark):
+    """shingle_tokens=5 (the 1M-doc measurement configuration) equals
+    brute-force 5-gram Jaccard on a hand corpus — the scale knob
+    doesn't change losslessness."""
+    from etl_validator_github_spark.scale.dedup import (
+        PREFIX_T_PCT,
+        prefix_filter_pairs,
+    )
+
+    base = " ".join(f"t{i}" for i in range(12))
+    near = base + " extra"                       # high 5-gram overlap
+    texts = [base, near, "a b c d e f g h", "a b c d"]  # last: <5 tokens
+    got = {
+        (r.d1, r.d2): (r.n_shared, r.n_union, r.jaccard_milli)
+        for r in prefix_filter_pairs(
+            _docs(spark, texts), shingle_tokens=5).collect()
+    }
+
+    def sh5(t):
+        tk = t.split(" ")
+        return {" ".join(tk[i:i + 5]) for i in range(len(tk) - 4)}
+
+    exp = {}
+    sets = {i: sh5(t) for i, t in enumerate(texts)}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and 100 * i >= PREFIX_T_PCT * u:
+                exp[(a, b)] = (i, u, (1000 * i) // u)
+    assert got == exp
+    assert (0, 1) in got                          # the near-dup pair found

@@ -1,0 +1,155 @@
+"""1M-document scaling measurements for the corpus operators.
+
+Reproduces (and extends) the "Measured at 1M documents" table in
+SCALE.md: generates N synthetic documents with the custom Python
+DataSource (sources/synthdocs.py), materializes them to parquet once,
+then times each heavy corpus operator end-to-end (build + action) on
+the parquet copy. One JSON line per run.
+
+Usage:
+    python tools/measure_1m.py [--docs 1000000] \
+        [--ops gen,exact,stats,bloom,bloom_strings,minhash,spans,ppjoin]
+
+Methodology notes (kept stable across rounds for comparability):
+- local[32], shuffle_partitions=64, load averages recorded start/end;
+- the Bloom held-out suite is the first 10 documents and the FULL
+  corpus is probed (the round-7 setup that measured 96 s on the
+  string-shingle path);
+- `bloom` times the map-side window-hash path the catalog query uses;
+  `bloom_strings` times the old exploded string-shingle path
+  (bloom_build/bloom_probe) for the before/after comparison;
+- minhash/spans/ppjoin run the same library entry points as their
+  catalog queries, on the synthetic corpus (which carries planted
+  near-duplicates every DUP_EVERY docs — see sources/synthdocs.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BLOOM_HELDOUT_DOCS = 10
+
+ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
+           "minhash", "spans", "ppjoin")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--ops", default=",".join(ALL_OPS))
+    ap.add_argument("--workdir", default="/tmp/spark_graft_1m")
+    args = ap.parse_args()
+    ops = [o.strip() for o in args.ops.split(",") if o.strip()]
+    unknown = set(ops) - set(ALL_OPS)
+    if unknown:
+        ap.error(f"unknown ops: {sorted(unknown)}")
+
+    from etl_validator_github_spark.plans.session import get_spark
+    from etl_validator_github_spark.sources import synthdocs
+
+    spark = get_spark(
+        app_name="measure-1m", master="local[32]", shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synthdocs.register(spark)
+    per_shard = max(args.docs // 32, 1)
+    src = (
+        spark.read.format("synthdocs")
+        .option("docs", str(args.docs))
+        .option("docs_per_shard", str(per_shard))
+        .load()
+    )
+
+    pq = os.path.join(args.workdir, f"docs_{args.docs}.parquet")
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    load0 = os.getloadavg()[0]
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 1)
+
+    if "gen" in ops or not os.path.exists(pq):
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        timed("gen", lambda: (
+            src.select("doc_id", "text", "lang", "source", "n_chars")
+            .write.parquet(pq) or spark.read.parquet(pq).count()))
+
+    docs = spark.read.parquet(pq)
+
+    if "exact" in ops:
+        from etl_validator_github_spark.scale.dedup import exact_dedup_groups
+        timed("exact", lambda: exact_dedup_groups(docs).count())
+
+    if "stats" in ops:
+        from etl_validator_github_spark.scale.text import text_stats
+        timed("stats", lambda: text_stats(docs).count())
+
+    if "bloom" in ops or "bloom_strings" in ops:
+        from etl_validator_github_spark.scale import sketches
+        from etl_validator_github_spark.scale.dedup import (
+            DECON_SHINGLE, _doc_shingles,
+        )
+        held = docs.filter(F.col("doc_id") < BLOOM_HELDOUT_DOCS)
+        if "bloom" in ops:
+            def run_bloom():
+                wp = sketches._window_positions(docs, DECON_SHINGLE)
+                row = sketches.bloom_build_from_positions(
+                    sketches._window_positions(held, DECON_SHINGLE))
+                return sketches.bloom_probe_positions(wp, row).count()
+            timed("bloom", run_bloom)
+        if "bloom_strings" in ops:
+            def run_bloom_strings():
+                bloom = sketches.bloom_build(
+                    _doc_shingles(held).select("shingle").distinct())
+                return sketches.bloom_probe(
+                    _doc_shingles(docs).distinct(), bloom).count()
+            timed("bloom_strings", run_bloom_strings)
+
+    if "minhash" in ops:
+        from etl_validator_github_spark.scale.dedup import (
+            minhash_candidate_pairs,
+        )
+        timed("minhash", lambda: minhash_candidate_pairs(docs).count())
+
+    if "spans" in ops:
+        from etl_validator_github_spark.scale.dedup import (
+            substring_span_stats,
+        )
+        timed("spans", lambda: substring_span_stats(docs).count())
+
+    if "ppjoin" in ops:
+        from etl_validator_github_spark.scale.dedup import (
+            prefix_filter_pairs,
+        )
+        # k=5 shingles: the catalog's 3-token shingles saturate the
+        # synthetic 64-word vocabulary's 64^3 key space well before 1M
+        # docs, so every prefix key fans out df^2 candidates (all-pairs
+        # degeneration, measured at 20k). See prefix_filter_pairs.
+        timed("ppjoin", lambda: prefix_filter_pairs(
+            docs, shingle_tokens=5).count())
+
+    print(json.dumps({
+        "docs": args.docs,
+        "timings_sec": timings,
+        "row_counts": counts,
+        "load_avg_1m": {"start": round(load0, 2),
+                        "end": round(os.getloadavg()[0], 2)},
+        "n_cpus": os.cpu_count(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
