@@ -23,10 +23,11 @@ eight benched headliners that sat out r7 under bench.py scrutiny
 text_stats, dedup_exact, dedup_minhash_lsh, corpus_clean,
 embed_cosine_topk) and the twelve displaced-by-family-representation
 entries — exactly the 34 the verdict enumerates. The remaining 16
-slots back-fill with r6-verdict queries in catalog order; two of those
-slots go to the queries NEW this round (text_bpe_merges,
-text_bm25_topk — rotation priority 2). After this window lands green,
-no catalog entry's latest driver verdict is older than r6.
+slots back-fill with r6-verdict queries in catalog order; three of
+those slots go to the queries NEW this round (text_bpe_merges,
+text_bpe_segment, text_bm25_topk — rotation priority 2). After this
+window lands green, no catalog entry's latest driver verdict is older
+than r6.
 """
 
 from __future__ import annotations
@@ -98,6 +99,7 @@ _R8_GATE = (
     "dedup_prefix_filter_join",
     # -- new in r8, never driver-checked (rotation priority 2)
     "text_bpe_merges",
+    "text_bpe_segment",
     "text_bm25_topk",
     # -- last green verdict r5 (verdict item 1's 20): the 8 benched
     #    headliners that sat out r7 plus the 12 family-represented
@@ -122,7 +124,7 @@ _R8_GATE = (
     "docs_split_assign",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # -- back-fill: r6-verdict queries in catalog order (the other 33
+    # -- back-fill: r6-verdict queries in catalog order (the other 34
     #    r6-verdict entries stay past-gate — none older than r6 remain)
     "embed_ivf_topk",
     "dedup_semantic_keep",
@@ -137,7 +139,6 @@ _R8_GATE = (
     "q10_returned_items",
     "q14_promo_share",
     "q4_late_orders",
-    "q13_order_count_distribution",
 )
 
 assert len(_R8_GATE) == _DRIVER_GATE, (

@@ -1527,10 +1527,10 @@ def _seg_symbols(col: str) -> Column:
     return F.split(F.expr(f"trim(BOTH '|' FROM {col})"), "\\|\\|")
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Merge log after ``n_merges`` BPE iterations: one row per merge
-    with the winning pair, its weighted corpus count, and the total
-    corpus symbol count after applying the merge.
+def _bpe_merge_loop(docs: DataFrame, n_merges: int):
+    """Run the merge loop; returns (words-after-merges, per-iteration
+    log DataFrames). Shared by the merge-log query (`bpe_train`) and
+    the segmentation query (`bpe_segment_stats`).
 
     Ties on pair count break on the delimited pair string ascending
     (ASCII-only symbols → identical collation in any engine).
@@ -1586,17 +1586,65 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                 "total_symbols",
             )
         )
+    return words, logs
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Merge log after ``n_merges`` BPE iterations: one row per merge
+    with the winning pair, its weighted corpus count, and the total
+    corpus symbol count after applying the merge."""
+    _, logs = _bpe_merge_loop(docs, n_merges)
     out = logs[0]
     for part in logs[1:]:
         out = out.unionAll(part)
     return out
 
 
+def bpe_segment_stats(docs: DataFrame,
+                      n_merges: int = BPE_MERGES) -> DataFrame:
+    """Apply the trained merges back to the corpus: per-doc piece
+    counts under the ``n_merges``-merge BPE vocabulary — the
+    tokenizer-fertility readout for the tokenizer this corpus would
+    train (compare `token_fertility_report`, which measures a FIXED
+    tokenizer).
+
+    Scale shape: segmentation lives on the vocab-sized word table
+    (words → piece counts, broadcast back over the token stream), so
+    the corpus pays one explode + one hash-agg — identical to any
+    token-statistics pass; the merge loop itself never touches the
+    corpus after the histogram.
+    """
+    words, _ = _bpe_merge_loop(docs, n_merges)
+    vocab = words.select(
+        "word",
+        F.size(_seg_symbols("seg")).cast("long").alias("n_pieces_word"),
+    )
+    tok = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    return (
+        tok.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_pieces_word").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_pieces",
+            F.expr("div(1000 * n_pieces, n_tokens)").cast("int")
+            .alias("pieces_per_token_milli"),
+        )
+    )
+
+
 def _bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load(spark, sf_dir, "documents"))
 
 
-def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+def _bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_segment_stats(load(spark, sf_dir, "documents"))
+
+
+def _bpe_cte_prefix(n_merges: int = BPE_MERGES) -> str:
+    """The shared unrolled-merge-loop WITH body (no final SELECT)."""
     body = [r"""
 WITH wf AS (
   SELECT word, COUNT(*) AS freq
@@ -1604,7 +1652,7 @@ WITH wf AS (
   WHERE NOT contains(word, '|')
   GROUP BY 1
 ), seg1 AS (
-  SELECT freq, regexp_replace(word, '(.)', '|\1|', 'g') AS seg FROM wf
+  SELECT word, freq, regexp_replace(word, '(.)', '|\1|', 'g') AS seg FROM wf
 )"""]
     for g in range(1, n_merges + 1):
         body.append(f""", p{g} AS (
@@ -1618,13 +1666,17 @@ WITH wf AS (
   SELECT pair, cnt, replace(pair, '||', '') AS merged
   FROM c{g} ORDER BY cnt DESC, pair ASC LIMIT 1
 ), seg{g + 1} AS (
-  SELECT s.freq, replace(s.seg, w.pair, w.merged) AS seg
+  SELECT s.word, s.freq, replace(s.seg, w.pair, w.merged) AS seg
   FROM seg{g} s, w{g} w
 ), t{g} AS (
   SELECT CAST(SUM(freq * len(string_split(trim(seg, '|'), '||'))) AS BIGINT)
          AS total_symbols
   FROM seg{g + 1}
 )""")
+    return "".join(body)
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
     rows = "\nUNION ALL\n".join(
         f"""SELECT {g} AS iter,
        string_split(trim(w.pair, '|'), '||')[1] AS left_sym,
@@ -1634,11 +1686,29 @@ WITH wf AS (
 FROM w{g} w, t{g} t"""
         for g in range(1, n_merges + 1)
     )
-    return "".join(body) + f"""
+    return _bpe_cte_prefix(n_merges) + f"""
 SELECT CAST(iter AS INT) AS iter, left_sym, right_sym, merged_sym,
        pair_count, total_symbols
 FROM ({rows})
 ORDER BY iter
+"""
+
+
+def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
+    return _bpe_cte_prefix(n_merges) + f""", vocab AS (
+  SELECT word,
+         len(string_split(trim(seg, '|'), '||')) AS n_pieces_word
+  FROM seg{n_merges + 1}
+), tokd AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(v.n_pieces_word) AS BIGINT) AS n_pieces,
+       CAST((1000 * SUM(v.n_pieces_word)) // COUNT(*) AS INT)
+         AS pieces_per_token_milli
+FROM tokd t JOIN vocab v USING (word)
+GROUP BY 1
 """
 
 
@@ -1830,6 +1900,11 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "iterations on the vocab-sized table — greedy pair merge "
               "via doubled-delimiter string replace, oracle unrolled "
               "into CTEs like embed_kmeans."),
+        Query("text_bpe_segment", _bpe_segment_q, _bpe_segment_sql(),
+              "Apply the trained BPE merges back to the corpus: "
+              "per-doc piece counts under the learned vocabulary — "
+              "segmentation on the vocab-sized word table, broadcast "
+              "over the token stream (one corpus explode + hash-agg)."),
         Query("text_bm25_topk", _bm25_q, _bm25_sql(),
               "BM25 top-k retrieval over inverted postings: one corpus "
               "shuffle for tf, broadcast query set + df, term-keyed "

@@ -104,6 +104,33 @@ def test_bpe_plan_has_no_cartesian_product(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_bpe_segment_matches_python_mirror(spark, sf_dir):
+    """Applying the learned merges: per-doc piece counts equal the
+    naive Python segmentation summed over each doc's tokens."""
+    from etl_validator_github_spark.scale.text import bpe_segment_stats
+
+    docs = load(spark, sf_dir, "documents")
+    freqs = {r["word"]: r["freq"] for r in bpe_word_freqs(docs).collect()}
+    _, segs = bpe_python(freqs, BPE_MERGES)
+    exp = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].split(" ")
+        n_pieces = sum(len(segs[w]) for w in toks)
+        exp[r["doc_id"]] = (len(toks), n_pieces,
+                            (1000 * n_pieces) // len(toks))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"],
+                      r["pieces_per_token_milli"])
+        for r in bpe_segment_stats(docs).collect()
+    }
+    assert got == exp
+    assert all(v[1] >= v[0] for v in got.values())  # pieces ≥ tokens
+    # the merges actually compressed something vs character-level
+    chars = {r["doc_id"]: sum(len(w) for w in r["text"].split(" "))
+             for r in docs.select("doc_id", "text").collect()}
+    assert any(got[d][1] < chars[d] for d in got)
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python BM25 mirror (same formula, naive loops). Scores use the
 # same op order; libm log may differ from the JVM's by 1 ulp, so scores

@@ -11,6 +11,14 @@ Usage:
         [--ops gen,exact,stats,bloom,bloom_strings,minhash,spans,ppjoin]
 
 Methodology notes (kept stable across rounds for comparability):
+- every operator is forced with a noop-format write, NOT ``.count()``:
+  Catalyst optimizes a count over a map-only projection down to the
+  parquet row count (and eliminates unreferenced left joins against
+  aggregated keys), so counts time nothing for half these ops — the
+  round-7 numbers mixed methodologies, which is why stats/spans jump
+  between rounds;
+- ``--repeat N`` times each op N times (first run carries JIT/codegen
+  warm-up — report the later runs for steady state);
 - local[32], shuffle_partitions=64, load averages recorded start/end;
 - the Bloom held-out suite is the first 10 documents and the FULL
   corpus is probed (the round-7 setup that measured 96 s on the
@@ -47,6 +55,7 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--ops", default=",".join(ALL_OPS))
     ap.add_argument("--workdir", default="/tmp/spark_graft_1m")
+    ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
     unknown = set(ops) - set(ALL_OPS)
@@ -71,30 +80,40 @@ def main() -> int:
     )
 
     pq = os.path.join(args.workdir, f"docs_{args.docs}.parquet")
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     counts: dict[str, int] = {}
     load0 = os.getloadavg()[0]
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        counts[name] = fn()
-        timings[name] = round(time.perf_counter() - t0, 1)
+    def force(df):
+        """Execute the full plan (noop write — nothing prunable)."""
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(name, fn, repeat=None):
+        runs = []
+        for _ in range(max(repeat or args.repeat, 1)):
+            t0 = time.perf_counter()
+            out = fn()
+            runs.append(round(time.perf_counter() - t0, 1))
+        if out is not None:
+            counts[name] = out
+        timings[name] = runs[0] if len(runs) == 1 else runs
 
     if "gen" in ops or not os.path.exists(pq):
         shutil.rmtree(args.workdir, ignore_errors=True)
         timed("gen", lambda: (
             src.select("doc_id", "text", "lang", "source", "n_chars")
-            .write.parquet(pq) or spark.read.parquet(pq).count()))
+            .write.parquet(pq) or spark.read.parquet(pq).count()),
+            repeat=1)  # a second write would collide with the first
 
     docs = spark.read.parquet(pq)
 
     if "exact" in ops:
         from etl_validator_github_spark.scale.dedup import exact_dedup_groups
-        timed("exact", lambda: exact_dedup_groups(docs).count())
+        timed("exact", lambda: force(exact_dedup_groups(docs)))
 
     if "stats" in ops:
         from etl_validator_github_spark.scale.text import text_stats
-        timed("stats", lambda: text_stats(docs).count())
+        timed("stats", lambda: force(text_stats(docs)))
 
     if "bloom" in ops or "bloom_strings" in ops:
         from etl_validator_github_spark.scale import sketches
@@ -107,27 +126,27 @@ def main() -> int:
                 wp = sketches._window_positions(docs, DECON_SHINGLE)
                 row = sketches.bloom_build_from_positions(
                     sketches._window_positions(held, DECON_SHINGLE))
-                return sketches.bloom_probe_positions(wp, row).count()
+                return force(sketches.bloom_probe_positions(wp, row))
             timed("bloom", run_bloom)
         if "bloom_strings" in ops:
             def run_bloom_strings():
                 bloom = sketches.bloom_build(
                     _doc_shingles(held).select("shingle").distinct())
-                return sketches.bloom_probe(
-                    _doc_shingles(docs).distinct(), bloom).count()
+                return force(sketches.bloom_probe(
+                    _doc_shingles(docs).distinct(), bloom))
             timed("bloom_strings", run_bloom_strings)
 
     if "minhash" in ops:
         from etl_validator_github_spark.scale.dedup import (
             minhash_candidate_pairs,
         )
-        timed("minhash", lambda: minhash_candidate_pairs(docs).count())
+        timed("minhash", lambda: force(minhash_candidate_pairs(docs)))
 
     if "spans" in ops:
         from etl_validator_github_spark.scale.dedup import (
             substring_span_stats,
         )
-        timed("spans", lambda: substring_span_stats(docs).count())
+        timed("spans", lambda: force(substring_span_stats(docs)))
 
     if "ppjoin" in ops:
         from etl_validator_github_spark.scale.dedup import (
@@ -137,8 +156,8 @@ def main() -> int:
         # synthetic 64-word vocabulary's 64^3 key space well before 1M
         # docs, so every prefix key fans out df^2 candidates (all-pairs
         # degeneration, measured at 20k). See prefix_filter_pairs.
-        timed("ppjoin", lambda: prefix_filter_pairs(
-            docs, shingle_tokens=5).count())
+        timed("ppjoin", lambda: force(prefix_filter_pairs(
+            docs, shingle_tokens=5)))
 
     print(json.dumps({
         "docs": args.docs,
