@@ -90,13 +90,21 @@ def main() -> int:
 
     def timed(name, fn, repeat=None):
         runs = []
+        out = None
         for _ in range(max(repeat or args.repeat, 1)):
             t0 = time.perf_counter()
-            out = fn()
+            try:
+                out = fn()
+            except Exception as exc:  # record, keep measuring the rest
+                timings[name] = f"err: {exc}"[:200]
+                print(f"[measure] {name} FAILED: {exc}", file=sys.stderr)
+                return
             runs.append(round(time.perf_counter() - t0, 1))
         if out is not None:
             counts[name] = out
         timings[name] = runs[0] if len(runs) == 1 else runs
+        print(f"[measure] {name}: {timings[name]} "
+              f"(load {os.getloadavg()[0]:.1f})", file=sys.stderr, flush=True)
 
     if "gen" in ops or not os.path.exists(pq):
         shutil.rmtree(args.workdir, ignore_errors=True)
