@@ -188,6 +188,42 @@ def _shingles() -> Column:
     )
 
 
+def windowed_shingles(toked: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, shingle): every k-token window of ``__toks``, with
+    1-based start position — entirely inside whole-stage codegen.
+
+    The straightforward form — ``transform(sequence(...), i ->
+    concat_ws(' ', slice(__toks, i, k)))`` then ``explode`` — builds
+    every shingle string inside a higher-order-function lambda, and HOF
+    lambda bodies evaluate INTERPRETED (one boxed evaluator call per
+    window; the same trap the Bloom hash path documented). This form
+    explodes only the integer positions and assembles the string in a
+    post-explode projection (``element_at`` per offset), so sequence →
+    explode → concat_ws → any downstream md5 all stay in one codegen
+    stage. Identical output values — callers' hashes and oracles are
+    untouched; at 134M windows (1M synthetic docs) it cut the Bloom
+    probe and span-dedup wall-clock by ~2× (tools/measure_1m.py).
+
+    ``sequence(1, stop)`` DESCENDS when stop < 1, so short docs must
+    take the empty-array branch, not a reversed sequence. ``pos + i``
+    never exceeds ``size(__toks)``, so ``element_at`` is safe under
+    ANSI semantics.
+    """
+    seq = (
+        F.when(
+            F.size("__toks") >= k,
+            F.expr(f"sequence(1, size(__toks) - {k - 1})"),
+        )
+        .otherwise(F.expr("cast(array() as array<int>)"))
+    )
+    parts = ", ".join(f"element_at(__toks, pos + {i})" for i in range(k))
+    return (
+        toked.select("doc_id", "__toks", F.explode(seq).alias("pos"))
+        .select("doc_id", "pos",
+                F.expr(f"concat_ws(' ', {parts})").alias("shingle"))
+    )
+
+
 #: Affine-permutation minhash: ONE md5 per shingle (15 hex chars → 60-bit
 #: int, reduced mod P), then n cheap ``(a*h + b) mod P`` permutations —
 #: 16× fewer hash computations than hashing per-seed, which cut the
@@ -220,14 +256,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     matching the previous ``filter(size > 0)`` semantics.
     """
     hashed = (
-        docs.withColumn("__toks", F.split("text", " "))
-        .withColumn("__sh", _shingles())
-        .select("doc_id", F.explode("__sh").alias("__s"))
+        windowed_shingles(
+            docs.select("doc_id", F.split("text", " ").alias("__toks")), 3)
         .withColumn(
             "__h",
             F.expr(
-                f"cast(conv(substring(md5(__s), 1, 15), 16, 10) as bigint)"
-                f" % {MINHASH_P}L"
+                f"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as "
+                f"bigint) % {MINHASH_P}L"
             ),
         )
     )
@@ -1301,22 +1336,13 @@ def _span_base(docs: DataFrame) -> DataFrame:
 
 def _span_windows(base: DataFrame, k: int) -> DataFrame:
     """(doc_id, pos, h): every k-token sliding-window hash, map-only.
-    1-based window start so Spark and the oracles agree on ``pos``."""
-    # sequence(1, stop) DESCENDS when stop < 1 — short docs must take
-    # the empty-array branch, not a reversed sequence.
-    hashes = F.expr(
-        f"transform(sequence(1, size(__toks) - {k - 1}), "
-        f"i -> md5(concat_ws(' ', slice(__toks, i, {k}))))"
-    )
+    1-based window start so Spark and the oracles agree on ``pos``.
+    Window strings and their md5 are assembled post-explode in codegen
+    (`windowed_shingles`) — the earlier HOF form hashed every window
+    inside an interpreted lambda."""
     return (
-        base.select(
-            "doc_id",
-            F.posexplode(
-                F.when(F.col("n_tokens") >= k, hashes)
-                .otherwise(F.array().cast("array<string>"))
-            ).alias("idx", "h"),
-        )
-        .select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+        windowed_shingles(base.select("doc_id", "__toks"), k)
+        .select("doc_id", "pos", F.md5("shingle").alias("h"))
     )
 
 
@@ -1735,16 +1761,11 @@ def prefix_filter_pairs(docs: DataFrame,
     """
     from pyspark.sql import Window
 
-    k = shingle_tokens
-    shingle_expr = _shingles() if k is None else F.expr(
-        f"CASE WHEN size(__toks) >= {k} THEN "
-        f"transform(sequence(1, size(__toks) - {k - 1}), "
-        f"          i -> concat_ws(' ', slice(__toks, i, {k}))) "
-        f"ELSE array() END"
-    )
+    k = 3 if shingle_tokens is None else shingle_tokens
     sh = (
-        docs.withColumn("__toks", F.split("text", " "))
-        .select("doc_id", F.explode(shingle_expr).alias("s"))
+        windowed_shingles(
+            docs.select("doc_id", F.split("text", " ").alias("__toks")), k)
+        .select("doc_id", F.col("shingle").alias("s"))
         .distinct()
     )
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))

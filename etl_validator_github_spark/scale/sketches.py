@@ -737,8 +737,12 @@ def _window_positions(docs: DataFrame, k: int) -> DataFrame:
     (A first cut computed the hashes inside per-row higher-order
     ``transform`` lambdas to avoid the explode entirely — 7× SLOWER:
     HOF lambda bodies evaluate interpreted, outside codegen. The
-    explode keeps every md5 in generated code.)
+    explode keeps every md5 in generated code; `windowed_shingles`
+    additionally assembles the shingle STRING post-explode so the
+    string-building escapes the interpreted lambda too.)
     """
+    from etl_validator_github_spark.scale.dedup import windowed_shingles
+
     pos_cols = [
         F.expr(f"cast(conv(substring(md5(concat('{j}:', shingle)), 1, 8), "
                f"16, 10) as bigint) % {BLOOM_BITS}").alias(f"p{j}")
@@ -748,15 +752,9 @@ def _window_positions(docs: DataFrame, k: int) -> DataFrame:
         "cast(conv(substring(md5(concat('0:', shingle)), 9, 15), "
         "16, 10) as bigint)"
     ).alias("sig")
-    windows = F.expr(
-        f"CASE WHEN size(__toks) >= {k} THEN "
-        f"transform(sequence(1, size(__toks) - {k - 1}), "
-        f"          i -> concat_ws(' ', slice(__toks, i, {k}))) "
-        f"ELSE array() END"
-    )
     return (
-        docs.select("doc_id", F.split("text", " ").alias("__toks"))
-        .select("doc_id", F.explode(windows).alias("shingle"))
+        windowed_shingles(
+            docs.select("doc_id", F.split("text", " ").alias("__toks")), k)
         .select("doc_id", sig, *pos_cols)
     )
 
