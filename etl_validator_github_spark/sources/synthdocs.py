@@ -16,12 +16,17 @@ Design points:
   ``generator.generate_bankdata_distributed``.
 - **Planted duplicates**: every ``DUP_EVERY``-th doc repeats the text
   of the doc ``DUP_EVERY`` before it, so exact/fuzzy dedup operators
-  have non-vacuous work at ANY generated size. (The token space is
-  bounded, so multi-100k corpora also pick up ACCIDENTAL whole-text
-  collisions beyond the planted ones — measured ~3% extra at 1M docs
-  — which only makes the dedup workload richer; tests that count
-  exact duplicates stay at fixture sizes where the planted set is the
-  whole story.)
+  have non-vacuous work at ANY generated size — and the planted set
+  is the WHOLE duplicate story: the token stream is a 64-bit LCG
+  chain seeded per text, so accidental whole-text collisions need a
+  64-bit seed collision (~10⁻⁸ expected pairs at 1M docs) and the
+  k-gram shingle space keeps growing with the corpus like real text.
+  (An earlier ``(h0·(i+1)+i²) mod 1000003 mod 64`` stream collapsed
+  134M 5-gram windows into 53k distinct values at 1M docs — df ≈
+  2400 per shingle — which silently degenerated every shingle-keyed
+  operator: prefix filtering fanned out df² candidates per key and
+  PPJoin became all-pairs. Shingle diversity of generated text is a
+  correctness property of the BENCHMARK, not just realism.)
 - **Real filter pushdown** (Spark 4.1 ``pushFilters``): equality and
   IN filters on the ``shard`` column prune whole InputPartitions
   before a single row is generated — the Python-source analogue of
@@ -61,21 +66,37 @@ def _h(seed: int, doc_id: int, salt: str) -> int:
     return int(hashlib.md5(key).hexdigest()[:8], 16)
 
 
+#: Newlib/Knuth MMIX LCG constants — full period mod 2⁶⁴; tokens take
+#: bits 33–38 of the state, away from the weak low bits.
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+_M64 = (1 << 64) - 1
+_TOKS = tuple(f"tok{v}" for v in range(VOCAB))
+
+
 def doc_row(seed: int, doc_id: int) -> tuple:
     """The (doc_id, shard-less) record as a pure function of the id.
 
     Every DUP_EVERY-th doc copies its PREDECESSOR's text (doc_id − 1 is
     never itself a multiple of DUP_EVERY, so copy sources are always
-    originals — no chains)."""
+    originals — no chains).
+
+    The token stream is an LCG walk over 64-bit state seeded from a
+    64-bit md5 prefix: each k-gram window is a function of the full
+    state at its start position, so distinct shingles grow linearly
+    with corpus tokens (birthday-bounded by the 64⁵ window space)
+    instead of saturating — document frequencies stay O(1) and
+    shingle-keyed operators (minhash, span dedup, PPJoin prefixes,
+    Bloom probes) keep their production shape at any generated size."""
     text_id = (doc_id - 1
                if doc_id % DUP_EVERY == 0 and doc_id > 0 else doc_id)
     n_toks = 20 + _h(seed, text_id, "len") % 230
-    h0 = _h(seed, text_id, "txt")
-    # Multiplicative mixing keeps the stream a function of ALL of h0
-    # (an additive (h0 + c·i) % VOCAB would collapse to h0 % VOCAB and
-    # manufacture accidental whole-text collisions).
-    toks = [f"tok{(h0 * (i + 1) + i * i) % 1000003 % VOCAB}"
-            for i in range(n_toks)]
+    x = int(hashlib.md5(
+        f"{seed}:txt:{text_id}".encode()).hexdigest()[:16], 16)
+    toks = []
+    for _ in range(n_toks):
+        x = (x * _LCG_A + _LCG_C) & _M64
+        toks.append(_TOKS[(x >> 33) % VOCAB])
     text = " ".join(toks)
     lang = LANGS[_h(seed, doc_id, "lang") % len(LANGS)]
     source = SOURCES[_h(seed, doc_id, "src") % len(SOURCES)]
