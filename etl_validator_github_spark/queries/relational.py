@@ -2895,6 +2895,97 @@ WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour)
 """
 
 
+# ---------------------------------------------------------------------------
+# Table profiling — the data-validation primitive underneath the
+# reference's schema/quality checks (schema.py drift detection reports
+# WHAT changed; the profile reports the column-level facts an operator
+# diffs between loads): per column, null count, exact distinct count,
+# and min/max. One pass over the table; the exact multi-column
+# COUNT(DISTINCT) compiles to Spark's Expand shape (rows × #distinct
+# aggregates before the partial agg) — the standard plan for exact
+# multi-distinct, chosen deliberately because a validator reports
+# EXACT distincts (approx_count_distinct is the 100 TB knob when ±2%
+# is acceptable, and drops the Expand). min/max are emitted as DOUBLE
+# for numeric/timestamp columns (epoch µs — exact in a double through
+# 2255) and as raw strings for text columns, so the output schema is
+# column-shape-independent and binary collation agrees cross-engine.
+# ---------------------------------------------------------------------------
+
+#: (column, kind) spec for the orders profile; kind ∈ num | ts | str.
+PROFILE_SPEC = (
+    ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+    ("o_totalprice", "num"), ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def table_profile(df: DataFrame,
+                  spec=PROFILE_SPEC) -> DataFrame:
+    """One row per column: (column_name, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str)."""
+    aggs = []
+    for name, kind in spec:
+        aggs.append(F.sum(F.col(name).isNull().cast("long"))
+                    .alias(f"{name}__nu"))
+        aggs.append(F.countDistinct(F.col(name)).alias(f"{name}__nd"))
+        if kind == "num":
+            aggs.append(F.min(name).cast("double").alias(f"{name}__mn"))
+            aggs.append(F.max(name).cast("double").alias(f"{name}__mx"))
+        elif kind == "ts":
+            aggs.append(F.expr(f"unix_micros(cast(min({name}) as "
+                               "timestamp))").cast("double")
+                        .alias(f"{name}__mn"))
+            aggs.append(F.expr(f"unix_micros(cast(max({name}) as "
+                               "timestamp))").cast("double")
+                        .alias(f"{name}__mx"))
+        else:
+            aggs.append(F.min(name).alias(f"{name}__sn"))
+            aggs.append(F.max(name).alias(f"{name}__sx"))
+    row = df.agg(*aggs)
+    parts = []
+    for name, kind in spec:
+        if kind == "str":
+            mn, mx = "cast(null as double)", "cast(null as double)"
+            sn, sx = f"`{name}__sn`", f"`{name}__sx`"
+        else:
+            mn, mx = f"`{name}__mn`", f"`{name}__mx`"
+            sn, sx = "cast(null as string)", "cast(null as string)"
+        parts.append(f"'{name}', `{name}__nu`, `{name}__nd`, "
+                     f"{mn}, {mx}, {sn}, {sx}")
+    return row.selectExpr(
+        f"stack({len(spec)}, {', '.join(parts)}) AS "
+        "(column_name, n_nulls, n_distinct, min_num, max_num, "
+        "min_str, max_str)")
+
+
+def _table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile(load(spark, sf_dir, "orders"))
+
+
+def _table_profile_sql() -> str:
+    selects = []
+    for name, kind in PROFILE_SPEC:
+        if kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            sn, sx = f"MIN({name})", f"MAX({name})"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(MIN({name})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(MAX({name})) AS DOUBLE)"
+            sn, sx = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn = f"CAST(MIN({name}) AS DOUBLE)"
+            mx = f"CAST(MAX({name}) AS DOUBLE)"
+            sn, sx = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        selects.append(
+            f"SELECT '{name}' AS column_name, "
+            f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{sn} AS min_str, {sx} AS max_str FROM orders")
+    return "\nUNION ALL\n".join(selects)
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -2941,5 +3032,11 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "multiplied out to exact integers ((N*n - S)^2 > "
               "4*(N*Q - S^2)) — bit-identical cross-engine, no float "
               "stats."),
+        Query("orders_table_profile", _table_profile_q,
+              _table_profile_sql(),
+              "Per-column data profile of orders (nulls, exact "
+              "distincts, typed min/max) — the validator primitive "
+              "under schema/quality drift; one pass, Expand shape for "
+              "exact multi-distinct."),
     ]
 }

@@ -1758,13 +1758,36 @@ def prefix_filter_pairs(docs: DataFrame,
     SCALE.md). Production PPJoin at corpus scale therefore sizes k so
     that vocab^k >> |corpus| — for the 1M-doc measurement k=5 restores
     rare prefixes (64⁵ ≈ 10⁹ keys).
+
+    **Exact-duplicate collapse** (the PPJoin-paper convention — Xiao
+    et al. 2008 assume deduplicated records): identical texts are
+    grouped to one representative BEFORE the filtered join, and pairs
+    are expanded back afterwards. Web-scale corpora carry heavy exact
+    duplication, and a text repeated c times would otherwise give
+    every one of its prefix shingles df ≥ c — c² candidate rows per
+    prefix key through the shuffle. The collapse turns that into
+    output-only cost (the intra-group pairs are emitted directly with
+    Jaccard 1.0, keyed by the group, never joined on shingles). Output
+    is provably identical — the brute-force all-pairs oracle is the
+    certificate, and the duplicate-heavy fuzz case pins the expansion.
     """
     from pyspark.sql import Window
 
     k = 3 if shingle_tokens is None else shingle_tokens
+    # --- collapse identical texts to min-doc_id representatives.
+    # One corpus shuffle on the text hash; members is (rep, doc_id).
+    wt = Window.partitionBy("__th")
+    tagged = (
+        docs.select("doc_id", "text")
+        .withColumn("__th", F.md5("text"))
+        .withColumn("rep", F.min("doc_id").over(wt))
+    )
+    members = tagged.select("rep", "doc_id")
+    reps = tagged.filter(F.col("doc_id") == F.col("rep")) \
+        .select("doc_id", "text")
     sh = (
         windowed_shingles(
-            docs.select("doc_id", F.split("text", " ").alias("__toks")), k)
+            reps.select("doc_id", F.split("text", " ").alias("__toks")), k)
         .select("doc_id", F.col("shingle").alias("s"))
         .distinct()
     )
@@ -1806,7 +1829,7 @@ def prefix_filter_pairs(docs: DataFrame,
         .groupBy("d1", "d2", "m1", "m2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    return (
+    rep_pairs = (
         inter.filter(
             F.col("i") * 100 >= t_pct * (F.col("m1") + F.col("m2")
                                          - F.col("i")))
@@ -1818,6 +1841,41 @@ def prefix_filter_pairs(docs: DataFrame,
             F.expr("(1000 * i) div (m1 + m2 - i)").alias("jaccard_milli"),
         )
     )
+    # --- expand representative pairs across their duplicate groups.
+    # Inter-group: every (x ∈ G1, y ∈ G2) pair carries the reps' exact
+    # stats (identical texts ⇒ identical shingle sets). d1 < d2 via
+    # least/greatest — members of different groups never share an id.
+    expanded = (
+        rep_pairs.alias("p")
+        .join(members.alias("ma"), F.col("ma.rep") == F.col("p.d1"))
+        .join(members.alias("mb"), F.col("mb.rep") == F.col("p.d2"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("d1"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("d2"),
+            "n_shared", "n_union", "jaccard_milli",
+        )
+    )
+    # Intra-group: Jaccard is exactly 1 (n_shared = n_union = m), so
+    # every in-group pair qualifies at any t ≤ 100. The inner join on
+    # the per-rep shingle count drops shingle-less groups (texts
+    # shorter than k tokens have no Jaccard, exactly like the oracle).
+    msize = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m")) \
+        .withColumnRenamed("doc_id", "mrep")
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"),
+              (F.col("x.rep") == F.col("y.rep"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .join(msize, F.col("x.rep") == F.col("mrep"))
+        .filter(F.lit(1000) >= F.lit(10 * t_pct))
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"),
+            F.col("m").cast("int").alias("n_shared"),
+            F.col("m").cast("int").alias("n_union"),
+            F.lit(1000).cast("long").alias("jaccard_milli"),
+        )
+    )
+    return expanded.unionByName(intra)
 
 
 def _prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1862,6 +1862,165 @@ QUALIFY rnk <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring (CCNet-style perplexity filtering,
+# Wenzek et al. 2020): train a reference language model on a curated
+# slice, score every document by bits-per-token under it, filter the
+# high-perplexity tail. The reference uses a KenLM 5-gram; here the
+# model is a bigram with stupid backoff (Brants et al. 2007) so every
+# probability is a RATIO OF INTEGER COUNTS and the whole score stays
+# exact-integer cross-engine: log2 is the floor-log2 convention
+# (length(bin(x)) − 1) already used by text_unigram_lm_score, and the
+# backoff/OOV penalties are fixed bit constants instead of float
+# lambdas.
+#
+# Per transition (w1 → w2), ref counts c12/c1/c2 and ref size N:
+#   seen bigram:            bits = fl2(c12) − fl2(c1)        (≤ 0)
+#   unseen bigram, seen w2: bits = fl2(c2) − fl2(N) − 3      (backoff)
+#   OOV w2:                 bits = −fl2(N) − 6
+# Every term is ≤ 0, so the per-doc mean is reported as NEGATED
+# bits·1000 via non-negative `div` (the engine-portable division — see
+# contract.py on div/floor).
+#
+# Scale shape: the reference tables (bigram counts, unigram counts,
+# 1-row N fold) are REFERENCE-corpus-sized — a curated slice by
+# definition — so they broadcast, and scoring is map-only over the
+# token stream: one windowed-shingle pass + three broadcast joins +
+# one doc-keyed hash-agg. The corpus is never shuffled on a term key.
+# ---------------------------------------------------------------------------
+
+#: Reference slice: the fixture's src0 covers all 31 unigrams but only
+#: 715/916 corpus bigrams, so ~20% of transitions exercise the backoff
+#: branch (non-vacuous); the OOV branch is pinned by a unit test with
+#: hand data (tests/test_scale.py).
+BIGRAM_REF_SOURCE = "src0"
+BIGRAM_BACKOFF_BITS = 3
+BIGRAM_OOV_BITS = 6
+
+
+def bigram_lm_score(docs: DataFrame,
+                    ref_source: str = BIGRAM_REF_SOURCE) -> DataFrame:
+    """(doc_id, n_transitions, n_backoff, n_oov, nll_bits_milli) for
+    every doc with ≥ 2 tokens; nll_bits_milli = mean negated bits per
+    transition × 1000 (higher = worse under the reference LM)."""
+    from etl_validator_github_spark.scale.dedup import windowed_shingles
+
+    base = docs.select("doc_id", "source",
+                       F.split("text", " ").alias("__toks"))
+    ref = base.filter(F.col("source") == ref_source)
+    ref_tok = ref.select(F.explode("__toks").alias("tok"))
+    c_uni = ref_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_ref = c_uni.groupBy().agg(F.sum("c").alias("n_ref"))  # 1-row fold
+    c_big = (
+        windowed_shingles(ref.select("doc_id", "__toks"), 2)
+        .groupBy("shingle").agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+    trans = (
+        windowed_shingles(base.select("doc_id", "__toks"), 2)
+        .select(
+            "doc_id", "shingle",
+            F.substring_index("shingle", " ", 1).alias("w1"),
+            F.substring_index("shingle", " ", -1).alias("w2"),
+        )
+    )
+
+    def fl2(col):
+        return (F.length(F.bin(col)) - F.lit(1)).cast("long")
+
+    j = (
+        trans
+        .join(F.broadcast(c_big), "shingle", "left")
+        .join(F.broadcast(c_uni.withColumnRenamed("tok", "w1")
+                          .withColumnRenamed("c", "c1")), "w1", "left")
+        .join(F.broadcast(c_uni.withColumnRenamed("tok", "w2")
+                          .withColumnRenamed("c", "c2")), "w2", "left")
+        .crossJoin(F.broadcast(n_ref))
+    )
+    bits = (
+        F.when(F.col("c12").isNotNull(),
+               fl2("c12") - fl2("c1"))
+        .when(F.col("c2").isNotNull(),
+              fl2("c2") - fl2("n_ref") - F.lit(BIGRAM_BACKOFF_BITS))
+        .otherwise(-fl2("n_ref") - F.lit(BIGRAM_OOV_BITS))
+    )
+    scored = j.select(
+        "doc_id",
+        (-bits).alias("neg_bits"),
+        (F.col("c12").isNull() & F.col("c2").isNotNull())
+        .cast("int").alias("backoff"),
+        F.col("c2").isNull().cast("int").alias("oov"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_transitions"),
+            F.sum("backoff").cast("int").alias("n_backoff"),
+            F.sum("oov").cast("int").alias("n_oov"),
+            F.sum("neg_bits").alias("__s"),
+        )
+        .select(
+            "doc_id", "n_transitions", "n_backoff", "n_oov",
+            F.expr("(1000 * __s) div n_transitions")
+            .alias("nll_bits_milli"),
+        )
+    )
+
+
+def _bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+_BIGRAM_LM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), ref_uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(toks) AS tok FROM tok
+        WHERE source = '{BIGRAM_REF_SOURCE}')
+  GROUP BY 1
+), ref_n AS (
+  SELECT SUM(c) AS n_ref FROM ref_uni
+), ref_big AS (
+  SELECT bg, COUNT(*) AS c12
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM tok WHERE source = '{BIGRAM_REF_SOURCE}')
+  GROUP BY 1
+), trans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i + 1])) AS w2
+  FROM tok
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN b.c12 IS NOT NULL
+                THEN (length(bin(b.c12)) - 1) - (length(bin(u1.c)) - 1)
+              WHEN u2.c IS NOT NULL
+                THEN (length(bin(u2.c)) - 1) - (length(bin(rn.n_ref)) - 1)
+                     - {BIGRAM_BACKOFF_BITS}
+              ELSE -(length(bin(rn.n_ref)) - 1) - {BIGRAM_OOV_BITS}
+         END AS bits,
+         CASE WHEN b.c12 IS NULL AND u2.c IS NOT NULL
+              THEN 1 ELSE 0 END AS backoff,
+         CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM trans t
+  LEFT JOIN ref_big b ON b.bg = t.w1 || ' ' || t.w2
+  LEFT JOIN ref_uni u1 ON u1.tok = t.w1
+  LEFT JOIN ref_uni u2 ON u2.tok = t.w2
+  CROSS JOIN ref_n rn
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_transitions,
+       CAST(SUM(backoff) AS INT) AS n_backoff,
+       CAST(SUM(oov) AS INT) AS n_oov,
+       CAST((1000 * SUM(-bits)) // COUNT(*) AS BIGINT) AS nll_bits_milli
+FROM scored
+GROUP BY 1
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1911,5 +2070,10 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "join (no corpus cross-join); per-term contributions "
               "integer-quantized before the per-doc sum so ranking is "
               "summation-order-independent."),
+        Query("text_bigram_lm_score", _bigram_lm_q, _BIGRAM_LM_SQL,
+              "CCNet-style perplexity quality scoring: bigram LM with "
+              "stupid backoff trained on a reference slice, exact "
+              "floor-log2 integer bits; broadcast reference tables, "
+              "map-only scoring over the token stream."),
     ]
 }

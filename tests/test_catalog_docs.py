@@ -35,5 +35,11 @@ def test_scale_md_catalog_count_matches():
     assert int(m.group(1)) == len(CATALOG)
 
 
+def test_coverage_md_catalog_count_matches():
+    m = re.search(r"\(all (\d+) with DuckDB oracles;", _read("COVERAGE.md"))
+    assert m, "COVERAGE.md no longer states the catalog count"
+    assert int(m.group(1)) == len(CATALOG)
+
+
 def test_every_catalog_query_has_an_oracle():
     assert all(q.oracle is not None for q in CATALOG.values())

@@ -1880,6 +1880,47 @@ def test_prefix_filter_join_matches_brute_force_random(spark):
     run()
 
 
+def test_prefix_filter_join_expands_exact_duplicate_groups(spark):
+    """A text repeated c times must yield all C(c,2) intra-group pairs
+    (Jaccard exactly 1000) plus the near-dup pair expanded across every
+    copy — the exact-duplicate collapse is invisible in the output.
+    Identical texts SHORTER than the shingle size have no Jaccard and
+    must yield nothing, same as the brute-force oracle."""
+    from etl_validator_github_spark.scale.dedup import (
+        PREFIX_T_PCT,
+        prefix_filter_pairs,
+    )
+
+    base = "p q r s t u v w"
+    texts = [base, base, base, base,          # ids 0-3: one group of 4
+             base + " x",                     # id 4: near-dup of the group
+             "completely different words entirely here",   # id 5
+             "a b", "a b"]                    # ids 6-7: identical, <3 toks
+    got = {
+        (r.d1, r.d2): (r.n_shared, r.n_union, r.jaccard_milli)
+        for r in prefix_filter_pairs(_docs(spark, texts)).collect()
+    }
+
+    def sh(t):
+        tk = t.split(" ")
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    exp = {}
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and 100 * i >= PREFIX_T_PCT * u:
+                exp[(a, b)] = (i, u, (1000 * i) // u)
+    assert got == exp
+    # shape spot-checks, independent of the brute force above
+    intra = {p for p, v in got.items() if v[2] == 1000}
+    assert {(a, b) for a in range(4) for b in range(a + 1, 4)} <= intra
+    assert all((a, 4) in got for a in range(4))   # near-dup × every copy
+    assert not any(6 in p or 7 in p for p in got) # short dups: no pairs
+
+
 def test_prefix_filter_join_parameterized_shingle_size(spark):
     """shingle_tokens=5 (the 1M-doc measurement configuration) equals
     brute-force 5-gram Jaccard on a hand corpus — the scale knob
