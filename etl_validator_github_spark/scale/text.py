@@ -1899,15 +1899,25 @@ BIGRAM_OOV_BITS = 6
 
 
 def bigram_lm_score(docs: DataFrame,
-                    ref_source: str = BIGRAM_REF_SOURCE) -> DataFrame:
+                    ref_source: str = BIGRAM_REF_SOURCE,
+                    ref_docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_transitions, n_backoff, n_oov, nll_bits_milli) for
     every doc with ≥ 2 tokens; nll_bits_milli = mean negated bits per
-    transition × 1000 (higher = worse under the reference LM)."""
+    transition × 1000 (higher = worse under the reference LM).
+
+    The model trains on ``ref_docs`` when given (any frame with
+    doc_id/text — the streaming gate passes a caller-owned slice),
+    else on ``docs`` filtered to ``ref_source`` (the catalog query's
+    self-contained form)."""
     from etl_validator_github_spark.scale.dedup import windowed_shingles
 
     base = docs.select("doc_id", "source",
                        F.split("text", " ").alias("__toks"))
-    ref = base.filter(F.col("source") == ref_source)
+    ref = (
+        ref_docs.select("doc_id", F.split("text", " ").alias("__toks"))
+        if ref_docs is not None
+        else base.filter(F.col("source") == ref_source)
+    )
     ref_tok = ref.select(F.explode("__toks").alias("tok"))
     c_uni = ref_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n_ref = c_uni.groupBy().agg(F.sum("c").alias("n_ref"))  # 1-row fold

@@ -221,6 +221,65 @@ def stream_bloom_probe(
     return writer.start()
 
 
+def stream_perplexity_gate(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    ref_docs: DataFrame,
+    nll_cutoff_milli: int = 12_000,
+    available_now: bool = True,
+):
+    """Streaming CCNet-style quality gate: each micro-batch of newly
+    landed documents is scored by the bigram reference LM
+    (scale/text.py::bigram_lm_score) and appended to the sink with a
+    keep verdict (nll_bits_milli ≤ cutoff), stamped with batch_id —
+    the redelivery-dedup key for readers (the ``stream_cms_counters``
+    convention).
+
+    CALLER owns ``ref_docs`` (the ``stream_bloom_probe`` contract):
+    the reference slice is read once, and the LM tables it induces are
+    reference-sized — they broadcast inside every per-batch score, so
+    the probe ships no per-key state and each batch costs |batch|
+    window hashing + three broadcast joins + one doc-key agg. Docs
+    with < 2 tokens carry no transitions and are appended with NULL
+    score and keep=false (route to manual review, exactly like the
+    batch operator's absent-row semantics — made explicit here because
+    a stream row must land SOMEWHERE).
+    """
+    from etl_validator_github_spark.scale.text import bigram_lm_score
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        scored = bigram_lm_score(batch_df, ref_docs=ref_docs)
+        out = (
+            batch_df.select("doc_id", "lang", "source")
+            .join(scored, "doc_id", "left")
+            .withColumn(
+                "keep",
+                F.coalesce(
+                    F.col("nll_bits_milli") <= F.lit(nll_cutoff_milli),
+                    F.lit(False),
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    writer = stream.writeStream.foreachBatch(_score).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 #: Schema of an embeddings feed (matches testdata embeddings.parquet,
 #: minus the label column a delta feed does not have).
 VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"

@@ -354,3 +354,54 @@ def test_stream_bloom_probe_flags_contaminated_docs(spark, tmp_path):
         assert bids[100] == bids[101] == 0 and bids[200] > 0
     finally:
         bloom.unpersist()
+
+
+def test_stream_perplexity_gate_scores_and_routes(spark, tmp_path):
+    """Streaming CCNet-style gate: micro-batch docs are scored by the
+    caller-owned reference LM with batch parity (same nll as the batch
+    operator given the same ref slice); a fluent-under-the-ref doc
+    keeps, a gibberish doc is cut by the cutoff, and a no-transition
+    doc lands with NULL score and keep=false. A second file scores in
+    its own micro-batch with its batch_id stamped."""
+    from etl_validator_github_spark.scale.text import bigram_lm_score
+    from etl_validator_github_spark.streaming.corpus import (
+        stream_perplexity_gate,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, GOOD, "en")], "doc_id: long, text: string, lang: string"
+    ).persist()
+    try:
+        src = tmp_path / "ppsrc"
+        sink, ckpt = tmp_path / "ppsink", tmp_path / "ppckpt"
+        fluent = " ".join(f"tok{i}" for i in range(12))   # ref bigrams
+        gibberish = " ".join(f"zz{i}" for i in range(12))  # all OOV
+        _write_docs(spark, str(src / "d1.parquet"),
+                    [(100, fluent), (101, gibberish), (102, "solo")])
+
+        q = stream_perplexity_gate(spark, str(src), str(sink), str(ckpt),
+                                   ref, nll_cutoff_milli=4000)
+        q.awaitTermination(120)
+        got = {r.doc_id: r for r in spark.read.parquet(str(sink)).collect()}
+        assert bool(got[100].keep) and not bool(got[101].keep)
+        assert got[102].nll_bits_milli is None and not bool(got[102].keep)
+
+        # Batch parity: same scores as bigram_lm_score on the same docs.
+        delta = spark.createDataFrame(
+            [(100, fluent, "x"), (101, gibberish, "x")],
+            "doc_id: long, text: string, source: string",
+        )
+        batch = {r.doc_id: r.nll_bits_milli
+                 for r in bigram_lm_score(delta, ref_docs=ref).collect()}
+        assert {d: got[d].nll_bits_milli for d in (100, 101)} == batch
+
+        _write_docs(spark, str(src / "d2.parquet"), [(200, fluent)])
+        q2 = stream_perplexity_gate(spark, str(src), str(sink), str(ckpt),
+                                    ref, nll_cutoff_milli=4000)
+        q2.awaitTermination(120)
+        rows = spark.read.parquet(str(sink)).collect()
+        assert {r.doc_id for r in rows} == {100, 101, 102, 200}
+        b200 = [r.batch_id for r in rows if r.doc_id == 200][0]
+        assert b200 > max(r.batch_id for r in rows if r.doc_id != 200)
+    finally:
+        ref.unpersist()
