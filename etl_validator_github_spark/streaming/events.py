@@ -239,6 +239,117 @@ def sketch_estimate(spark, register_dir: str) -> DataFrame:
     return fold_registers(_merged_registers(spark, register_dir))
 
 
+def profile_registers(df: DataFrame, spec) -> DataFrame:
+    """Per-column HLL registers in ONE pass: stack unpivots the
+    profiled columns to (grp=column_name, pkey=value-as-string) — the
+    same rows-×-k mid-plan shape the batch profile's exact
+    multi-distinct compiles to — nulls drop (distinct counts exclude
+    them), and the standard register builder hash-aggs the rest."""
+    from etl_validator_github_spark.scale.sketches import hll_registers
+
+    parts = ", ".join(f"'{n}', cast(`{n}` as string)" for n, _ in spec)
+    kv = df.selectExpr(
+        f"stack({len(spec)}, {parts}) AS (grp, pkey)"
+    ).filter("pkey IS NOT NULL")
+    return hll_registers(kv, "grp", "pkey")
+
+
+def stream_table_profile(
+    spark,
+    source_dir: str,
+    schema: str,
+    spec,
+    profile_dir: str,
+    register_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming per-column table profile — the validator's
+    schema/quality-drift primitive maintained incrementally over an
+    unbounded feed, with every piece of state MERGEABLE:
+
+    - null counts and row counts SUM-merge → not idempotent, so each
+      append is stamped with batch_id and the read side dedups
+      redelivered batches (the ``stream_cms_counters`` convention);
+    - min/max MIN/MAX-merge → idempotent;
+    - distinct counts cannot merge exactly without per-key state, so
+      the stream maintains the HLL register log instead (idempotent
+      max merge, ≤ columns × 64 rows per batch — the
+      ``stream_distinct_sketch`` convention) and the report carries
+      the estimate.
+
+    ``spec`` is the (column, kind) tuple the batch
+    ``queries/relational.py::table_profile`` takes; the batch operator
+    runs inside each micro-batch, so batch/stream parity is by
+    construction (pinned in tests/test_streaming_events.py).
+    """
+    from etl_validator_github_spark.queries.relational import table_profile
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            (
+                table_profile(batch_df, spec)
+                .withColumn("n_rows", F.lit(n))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(profile_dir)
+            )
+            profile_registers(batch_df, spec).write.mode("append").parquet(
+                register_dir
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def profile_report(spark, profile_dir: str, register_dir: str) -> DataFrame:
+    """Fold the streamed profile + register logs to the live
+    per-column profile: (column_name, n_rows, n_nulls, n_distinct_est,
+    min_num, max_num, min_str, max_str).
+
+    Duplicate appends of one (batch_id, column_name) carry identical
+    values, so the dedup stage may take MAX of each field; the
+    register fold needs no dedup at all (max merge is idempotent)."""
+    from etl_validator_github_spark.scale.sketches import fold_registers
+
+    log = spark.read.parquet(profile_dir)
+    once = log.groupBy("batch_id", "column_name").agg(
+        *[F.max(c).alias(c) for c in
+          ("n_rows", "n_nulls", "min_num", "max_num", "min_str", "max_str")]
+    )
+    merged = once.groupBy("column_name").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
+    )
+    est = fold_registers(_merged_registers(spark, register_dir))
+    return (
+        merged.join(
+            est.select(F.col("grp").alias("column_name"),
+                       F.col("n_est").alias("n_distinct_est")),
+            "column_name", "left")
+        .select("column_name", "n_rows", "n_nulls", "n_distinct_est",
+                "min_num", "max_num", "min_str", "max_str")
+    )
+
+
 def compact_registers(spark, register_dir: str) -> int:
     """Collapse the append-only register log to one max-merged
     generation, in place. Compaction IS the merge operator — max per

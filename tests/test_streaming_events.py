@@ -387,3 +387,80 @@ def test_stream_session_rollup_emits_finalized_sessions(spark, tmp_path):
     q2 = stream_session_rollup(spark, str(src), str(sink), str(ckpt))
     q2.awaitTermination(120)
     assert spark.read.parquet(str(sink)).count() == 2   # no re-emission
+
+
+def test_stream_table_profile_matches_batch_and_survives_redelivery(
+        spark, tmp_path):
+    """Mergeable streaming profile: after two micro-batch files, the
+    folded report equals the batch table_profile + count of the union
+    (exact fields) and the batch HLL estimate (registers max-merge to
+    identical state). Re-running the stream with a FRESH checkpoint
+    re-appends every batch; the report must not change — sums dedup by
+    batch_id, min/max and registers are idempotent."""
+    from etl_validator_github_spark.queries.relational import table_profile
+    from etl_validator_github_spark.scale.sketches import fold_registers
+    from etl_validator_github_spark.streaming.events import (
+        profile_registers,
+        profile_report,
+        stream_table_profile,
+    )
+
+    schema = "doc_id long, lang string, n_chars long"
+    spec = (("doc_id", "num"), ("lang", "str"), ("n_chars", "num"))
+    rows1 = [(1, "en", 120), (2, "de", None), (3, None, 90)]
+    rows2 = [(4, "en", 300), (5, "fr", 10), (6, "en", None)]
+    src = tmp_path / "pfsrc"
+    prof, regs = tmp_path / "pfprof", tmp_path / "pfregs"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name))
+
+    write("f1.parquet", rows1)
+
+    def run(ck):
+        q = stream_table_profile(
+            spark, str(src), schema, spec, str(prof), str(regs),
+            str(tmp_path / ck))
+        q.awaitTermination(120)
+
+    run("ck1")
+    write("f2.parquet", rows2)
+    run("ck1")
+
+    def snap():
+        return {
+            r.column_name: (r.n_rows, r.n_nulls, r.n_distinct_est,
+                            r.min_num, r.max_num, r.min_str, r.max_str)
+            for r in profile_report(spark, str(prof), str(regs)).collect()
+        }
+
+    got = snap()
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    exp_exact = {
+        r.column_name: (r.n_nulls, r.min_num, r.max_num,
+                        r.min_str, r.max_str)
+        for r in table_profile(union, spec).collect()
+    }
+    exp_est = {
+        r.grp: r.n_est
+        for r in fold_registers(profile_registers(union, spec)).collect()
+    }
+    assert set(got) == {"doc_id", "lang", "n_chars"}
+    for c, (n_rows, n_nulls, n_est, mn, mx, sn, sx) in got.items():
+        assert n_rows == 6
+        assert (n_nulls, mn, mx, sn, sx) == exp_exact[c]
+        assert n_est == exp_est[c]
+    assert got["lang"][1] == 1 and got["n_chars"][1] == 2  # real nulls
+
+    # Redelivery: a retried foreachBatch re-appends the SAME batch's
+    # rows verbatim (same batch_id, same values) — simulate by
+    # duplicating both logs. The report must not change: sums dedup on
+    # batch_id, min/max and registers are idempotent.
+    for d in (prof, regs):
+        src_df = spark.read.parquet(str(d))
+        rows = src_df.collect()  # materialize BEFORE appending to the
+        #                          same directory being read
+        spark.createDataFrame(rows, src_df.schema).write.mode(
+            "append").parquet(str(d))
+    assert snap() == got
