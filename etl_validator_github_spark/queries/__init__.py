@@ -101,6 +101,9 @@ _R8_GATE = (
     "text_bpe_merges",
     "text_bpe_segment",
     "text_bm25_topk",
+    "text_bigram_lm_score",
+    "orders_table_profile",
+    "docs_perplexity_buckets",
     # -- last green verdict r5 (verdict item 1's 20): the 8 benched
     #    headliners that sat out r7 plus the 12 family-represented
     #    entries displaced in r7's rotation. All rotate in here now.
@@ -136,9 +139,6 @@ _R8_GATE = (
     "corpus_quality_drift",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q4_late_orders",
 )
 
 assert len(_R8_GATE) == _DRIVER_GATE, (

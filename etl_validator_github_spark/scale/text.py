@@ -2031,6 +2031,103 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): split each
+# language's corpus into head / middle / tail thirds by LM perplexity
+# — head feeds training as-is, middle is kept with caution, tail is
+# dropped or down-weighted. CCNet sorts each language by KenLM
+# perplexity and cuts at the 33/66 percentiles; a literal per-language
+# sort of a 100 TB corpus is exactly the shape we refuse elsewhere
+# (domain_cap, token_budget), so the cutoffs come from an exact score
+# HISTOGRAM instead: nll_bits_milli is already integer-quantized, so
+# (lang, score) hash-agg is bounded by langs × score-range (thousands
+# of rows no matter the corpus size), the cumulative window runs on
+# that tiny table, and the bucket assignment is one broadcast join —
+# the corpus is scanned twice (scoring + labeling) and never sorted.
+#
+# Cutoff convention (deterministic, tie-safe): p1 = smallest score s
+# with 3·cum(s) ≥ total, p2 = smallest s with 3·cum(s) ≥ 2·total;
+# bucket = head if score ≤ p1, middle if score ≤ p2, else tail. Ties
+# at a boundary all land on the lower bucket, so the split is exact
+# thirds only in the tie-free case — same convention both engines.
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, nll_bits_milli, ppl_bucket) for every doc with
+    ≥ 2 tokens; ppl_bucket ∈ {head, middle, tail} per language."""
+    from pyspark.sql import Window
+
+    scored = (
+        bigram_lm_score(docs)
+        .select("doc_id", "nll_bits_milli")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    hist = scored.groupBy("lang", "nll_bits_milli").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc("nll_bits_milli"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    tot = hist.groupBy("lang").agg(F.sum("n").alias("tot"))
+    cuts = (
+        cum.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(3 * F.col("cum") >= F.col("tot"),
+                         F.col("nll_bits_milli"))).alias("p1"),
+            F.min(F.when(3 * F.col("cum") >= 2 * F.col("tot"),
+                         F.col("nll_bits_milli"))).alias("p2"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id", "lang", "nll_bits_milli",
+            F.when(F.col("nll_bits_milli") <= F.col("p1"), "head")
+            .when(F.col("nll_bits_milli") <= F.col("p2"), "middle")
+            .otherwise("tail").alias("ppl_bucket"),
+        )
+    )
+
+
+def _ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return perplexity_buckets(load(spark, sf_dir, "documents"))
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH lm AS (
+  {_BIGRAM_LM_SQL}
+), scored AS (
+  SELECT lm.doc_id, d.lang, lm.nll_bits_milli
+  FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+), hist AS (
+  SELECT lang, nll_bits_milli AS s, COUNT(*) AS n
+  FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT lang, s,
+         SUM(n) OVER (PARTITION BY lang ORDER BY s ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), tot AS (
+  SELECT lang, SUM(n) AS tot FROM hist GROUP BY 1
+), cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN 3 * cum >= tot THEN s END) AS p1,
+         MIN(CASE WHEN 3 * cum >= 2 * tot THEN s END) AS p2
+  FROM cum JOIN tot USING (lang) GROUP BY 1
+)
+SELECT sc.doc_id, sc.lang, sc.nll_bits_milli,
+       CASE WHEN sc.nll_bits_milli <= c.p1 THEN 'head'
+            WHEN sc.nll_bits_milli <= c.p2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored sc JOIN cuts c USING (lang)
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -2085,5 +2182,10 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "stupid backoff trained on a reference slice, exact "
               "floor-log2 integer bits; broadcast reference tables, "
               "map-only scoring over the token stream."),
+        Query("docs_perplexity_buckets", _ppl_buckets_q,
+              _PPL_BUCKETS_SQL,
+              "CCNet head/middle/tail split per language: exact "
+              "integer-score histogram → tertile cutoffs → broadcast "
+              "bucket label — no per-language corpus sort."),
     ]
 }

@@ -1953,3 +1953,45 @@ def test_prefix_filter_join_parameterized_shingle_size(spark):
                 exp[(a, b)] = (i, u, (1000 * i) // u)
     assert got == exp
     assert (0, 1) in got                          # the near-dup pair found
+
+
+def test_perplexity_buckets_match_pure_python_cutoffs(spark):
+    """Bucket labels mirror the histogram-cutoff rule computed in
+    pure Python from the (already mirror-tested) bigram LM scores."""
+    from etl_validator_github_spark.scale.text import (
+        bigram_lm_score, perplexity_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scores = {
+        r.doc_id: r.nll_bits_milli
+        for r in bigram_lm_score(docs).collect()
+    }
+    langs = {r.doc_id: r.lang
+             for r in docs.select("doc_id", "lang").collect()}
+
+    # Pure-Python mirror: per lang, p1 = smallest s with 3*cum >= tot,
+    # p2 = smallest s with 3*cum >= 2*tot; ties land low.
+    exp = {}
+    by_lang = {}
+    for d, s in scores.items():
+        by_lang.setdefault(langs[d], []).append(s)
+    cuts = {}
+    for lang, ss in by_lang.items():
+        ss.sort()
+        tot = len(ss)
+        p1 = next(s for i, s in enumerate(ss) if 3 * (i + 1) >= tot)
+        p2 = next(s for i, s in enumerate(ss) if 3 * (i + 1) >= 2 * tot)
+        cuts[lang] = (p1, p2)
+    for d, s in scores.items():
+        p1, p2 = cuts[langs[d]]
+        exp[d] = "head" if s <= p1 else ("middle" if s <= p2 else "tail")
+
+    got = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(docs).collect()}
+    assert got == exp
+    # All three buckets populated for every language (non-degenerate
+    # fixture: score distributions are tie-light).
+    for lang in by_lang:
+        seen = {got[d] for d in got if langs[d] == lang}
+        assert seen == {"head", "middle", "tail"}, (lang, seen)
