@@ -1699,6 +1699,57 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# SCD2 interval construction: the other half of the RecordOperation
+# story. changelog_latest_state compacts to CURRENT state; a warehouse
+# also needs the HISTORY — each change record becomes a validity
+# interval [valid_from, valid_to) closed by the key's next change
+# (Kimball type-2 dimension build from a CDC stream). Delete records
+# ('F' status standing in for RecordOperation D, as above) close their
+# predecessor's interval but emit no interval of their own.
+#
+# Scale shape: one shuffle on the key; lead() is in-partition window
+# work over each key's (date, id)-ordered history — no self-join of
+# the changelog against itself, which is the naive SQL formulation
+# and quadratic per key.
+# ---------------------------------------------------------------------------
+
+
+def _changelog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate",
+                      "o_orderstatus")
+        .withColumn("valid_to", F.lead("o_orderdate").over(w))
+        .filter(F.col("o_orderstatus") != "F")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().cast("int").alias("is_current"),
+            F.datediff("valid_to", "o_orderdate").alias("active_days"),
+        )
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate ASC, o_orderkey ASC)
+           AS valid_to
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS valid_from,
+       valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current,
+       CAST(date_diff('day', o_orderdate, valid_to) AS INT) AS active_days
+FROM ordered
+WHERE o_orderstatus <> 'F'
+"""
+
+# ---------------------------------------------------------------------------
 # Schema-drift detection (R24): compare an arriving frame's columns to an
 # expected contract, reporting ok/missing/extra per column — the file-
 # level validation the reference runs before row rules (PIPE:2279-2408).
@@ -2247,6 +2298,10 @@ RELATIONAL_QUERIES: dict[str, Query] = {
               _CHANGELOG_SQL,
               "RecordOperation A/C/D applied as CDC compaction: latest "
               "record per key wins, trailing delete drops the key."),
+        Query("changelog_scd2", _changelog_scd2, _SCD2_SQL,
+              "SCD2 history build from the changelog: per-key lead() "
+              "closes each validity interval, deletes close but don't "
+              "emit — one key shuffle, no changelog self-join."),
     ]
 }
 

@@ -698,3 +698,14 @@ def test_prefix_filter_join_keys_on_shingles(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p
+
+
+def test_scd2_single_key_shuffle_no_self_join(spark, sf_dir):
+    """SCD2 build: ONE exchange (hashpartitioning on o_custkey) feeding
+    an in-partition lead() window — never the naive changelog self-join
+    (quadratic per key), no extra shuffle after the window."""
+    p = plan(spark, sf_dir, "changelog_scd2")
+    assert "Join" not in p, p
+    assert "Window" in p
+    assert _n_exchanges(p) == 1, p
+    assert "o_custkey" in p
