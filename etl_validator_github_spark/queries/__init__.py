@@ -22,12 +22,15 @@ eight benched headliners that sat out r7 under bench.py scrutiny
 (q1_pricing_summary, q3_shipping_priority, bankdata_validate,
 text_stats, dedup_exact, dedup_minhash_lsh, corpus_clean,
 embed_cosine_topk) and the twelve displaced-by-family-representation
-entries — exactly the 34 the verdict enumerates. The remaining 16
-slots back-fill with r6-verdict queries in catalog order; three of
-those slots go to the queries NEW this round (text_bpe_merges,
-text_bpe_segment, text_bm25_topk — rotation priority 2). After this
-window lands green, no catalog entry's latest driver verdict is older
-than r6.
+entries — exactly the 34 the verdict enumerates. Eleven slots go to
+the queries NEW this round (rotation priority 2: the BPE pair, BM25,
+bigram-LM score, table profile, perplexity buckets, SCD2, EWMA,
+PageRank, MERGE upsert, basket pairs); the remaining 5 back-fill with
+r6-verdict queries in catalog order. The r6-green entries displaced by
+the round's new queries (multimodal features/resize, token fertility,
+quality drift, semantic-incremental dedup) keep their r6 verdicts, so
+after this window lands green no catalog entry's latest driver verdict
+is older than r6.
 """
 
 from __future__ import annotations
@@ -104,6 +107,11 @@ _R8_GATE = (
     "text_bigram_lm_score",
     "orders_table_profile",
     "docs_perplexity_buckets",
+    "changelog_scd2",
+    "events_ewma",
+    "nation_trade_pagerank",
+    "orders_merge_upsert",
+    "basket_part_pairs",
     # -- last green verdict r5 (verdict item 1's 20): the 8 benched
     #    headliners that sat out r7 plus the 12 family-represented
     #    entries displaced in r7's rotation. All rotate in here now.
@@ -132,11 +140,6 @@ _R8_GATE = (
     "embed_ivf_topk",
     "dedup_semantic_keep",
     "embed_kmeans",
-    "dedup_semantic_incremental",
-    "multimodal_features",
-    "multimodal_resize",
-    "text_token_fertility",
-    "corpus_quality_drift",
     "q5_local_supplier",
     "q6_forecast_revenue",
 )

@@ -3041,6 +3041,375 @@ def _table_profile_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+# ---------------------------------------------------------------------------
+# Truncated EWMA over the gap-filled grid: the classic exponentially
+# weighted moving average is a recursion (y_t = a·x_t + (1-a)·y_{t-1})
+# no engine's window frames express directly; the standard distributed
+# re-expression truncates the geometric tail — with decay 1/2 the
+# weight of anything older than 8 steps is < 0.4% of the total. Kept
+# integer-exact: the weighted numerator uses power-of-two weights
+# (128, 64, …, 1 over lags 0..7, pre-series hours counting as 0), and
+# the readout quantizes via floor((1000·num)/255) — 255 = Σ weights —
+# so both engines agree bit-for-bit, per contract.py.
+#
+# Scale shape: all work is post-rollup (calendar-bounded grid); the 8
+# lags share ONE window spec, so this adds no exchange beyond the
+# grid's own — same cost class as events_lag_features.
+# ---------------------------------------------------------------------------
+
+_EWMA_WEIGHTS = tuple(2 ** (7 - i) for i in range(8))  # lag 0 → 128 … lag 7 → 1
+
+
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _events_gapfill(spark, sf_dir).select(
+        "event_type", "bucket_hour", "n_events"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_hour")
+    num = F.lit(0).cast("long")
+    for i, wt in enumerate(_EWMA_WEIGHTS):
+        x = F.col("n_events") if i == 0 else F.lag("n_events", i).over(w)
+        num = num + F.coalesce(x, F.lit(0)).cast("long") * F.lit(wt)
+    return (
+        grid.withColumn("ewma_num", num.cast("long"))
+        .withColumn("ewma_milli", F.expr("(1000 * ewma_num) div 255"))
+    )
+
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"{wt} * COALESCE(lag(n_events, {i}) OVER w, 0)" if i else f"{wt} * n_events"
+    for i, wt in enumerate(_EWMA_WEIGHTS)
+)
+
+_EWMA_SQL = f"""
+WITH grid_out AS ({_GAPFILL_SQL}),
+wsum AS (
+  SELECT event_type, bucket_hour, n_events,
+         CAST({_EWMA_TERMS_SQL} AS BIGINT) AS ewma_num
+  FROM grid_out
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour)
+)
+SELECT event_type, bucket_hour, n_events, ewma_num,
+       (1000 * ewma_num) // 255 AS ewma_milli
+FROM wsum
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph, two Jacobi iterations unrolled
+# — the iterative-graph-algorithm shape on DataFrames, same unrolling
+# pattern as embed_kmeans (similarity.py) unrolls Lloyd. Nodes are the
+# 25 nations; a directed edge u→v exists when any supplier in u shipped
+# a lineitem to a customer in v (distinct pairs, self-loops dropped).
+# Integer-exact per contract.py: ranks live at scale 10^12, damping
+# 0.85 is applied as ((85·r) div 100) div outdeg with explicit floor
+# ordering, the teleport term is ((15·SCALE) div 100) div N. Dangling
+# mass (nations with no out-edges at small SF) is dropped — the
+# standard simplification, applied identically in the oracle.
+#
+# Scale shape: the only input-sized work is the one-pass edge build
+# (lineitem ⋈ supplier/orders/customer — the q7 join tree); the edge
+# list folds to ≤ N² rows and is localCheckpoint'ed (lazy) so the
+# iterations reuse it instead of re-running the build per step, the
+# same lineage-barrier pattern as the PQ codebook
+# (similarity.py:1322). Each iteration is broadcast joins over ≤ N²
+# rows — iteration cost is independent of the fact tables, which is
+# what lets the loop run to convergence on a cluster.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+
+
+def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nation.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        nation.select("n_nationkey")
+        .crossJoin(F.broadcast(n_nodes))  # documented 1-row BNLJ fold
+        .select("n_nationkey", "n_nodes",
+                F.expr(f"{_PR_SCALE} div n_nodes").alias("rank"))
+    )
+
+    def step(r: DataFrame) -> DataFrame:
+        inflow = (
+            r.join(F.broadcast(outdeg), r.n_nationkey == outdeg.src)
+            .select("src", F.expr("((85 * rank) div 100) div outdeg")
+                    .alias("contrib"))
+            .join(F.broadcast(edges), "src")
+            .groupBy("dst").agg(F.sum("contrib").alias("inflow"))
+        )
+        return (
+            r.select("n_nationkey", "n_nodes")
+            .join(F.broadcast(inflow),
+                  F.col("n_nationkey") == F.col("dst"), "left")
+            .select(
+                "n_nationkey", "n_nodes",
+                (F.expr(f"((15 * {_PR_SCALE}) div 100) div n_nodes")
+                 + F.coalesce("inflow", F.lit(0))).cast("long").alias("rank"),
+            )
+        )
+
+    r1 = step(ranks)
+    r2 = step(r1)
+    return (
+        nation.select("n_nationkey", "n_name")
+        .join(F.broadcast(outdeg),
+              F.col("n_nationkey") == F.col("src"), "left")
+        .join(F.broadcast(r1.select(F.col("n_nationkey").alias("k1"),
+                                    F.col("rank").alias("rank_1"))),
+              F.col("n_nationkey") == F.col("k1"))
+        .join(F.broadcast(r2.select(F.col("n_nationkey").alias("k2"),
+                                    F.col("rank").alias("rank_2"))),
+              F.col("n_nationkey") == F.col("k2"))
+        .select("n_name",
+                F.coalesce("outdeg", F.lit(0)).cast("int").alias("outdeg"),
+                "rank_1", "rank_2")
+    )
+
+
+_PAGERANK_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE s_nationkey <> c_nationkey
+), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nation),
+r0 AS (
+  SELECT n_nationkey AS k, {_PR_SCALE} // n_nodes AS rank
+  FROM nation CROSS JOIN nn
+), c1 AS (
+  SELECT e.dst, SUM(((85 * r0.rank) // 100) // d.outdeg) AS inflow
+  FROM r0 JOIN deg d ON r0.k = d.src JOIN e ON e.src = d.src GROUP BY 1
+), r1 AS (
+  SELECT n.n_nationkey AS k,
+         ((15 * {_PR_SCALE}) // 100) // nn.n_nodes
+           + COALESCE(c1.inflow, 0) AS rank
+  FROM nation n CROSS JOIN nn LEFT JOIN c1 ON n.n_nationkey = c1.dst
+), c2 AS (
+  SELECT e.dst, SUM(((85 * r1.rank) // 100) // d.outdeg) AS inflow
+  FROM r1 JOIN deg d ON r1.k = d.src JOIN e ON e.src = d.src GROUP BY 1
+), r2 AS (
+  SELECT n.n_nationkey AS k,
+         ((15 * {_PR_SCALE}) // 100) // nn.n_nodes
+           + COALESCE(c2.inflow, 0) AS rank
+  FROM nation n CROSS JOIN nn LEFT JOIN c2 ON n.n_nationkey = c2.dst
+)
+SELECT n.n_name,
+       CAST(COALESCE(d.outdeg, 0) AS INT) AS outdeg,
+       CAST(r1.rank AS BIGINT) AS rank_1,
+       CAST(r2.rank AS BIGINT) AS rank_2
+FROM nation n
+LEFT JOIN deg d ON n.n_nationkey = d.src
+JOIN r1 ON n.n_nationkey = r1.k
+JOIN r2 ON n.n_nationkey = r2.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# MERGE-INTO upsert semantics as ONE full-outer hash join — the batch
+# CDC-apply primitive under Delta/Iceberg MERGE, here as a plain
+# DataFrame operator: WHEN MATCHED AND op='U' THEN UPDATE, WHEN
+# MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED AND op='I' THEN
+# INSERT, unmatched-source U/D are no-ops, untouched target rows pass
+# through. The change batch is derived deterministically from orders
+# (key mod classes) so both engines build byte-identical inputs.
+# Complements changelog_latest_state (which compacts a FULL history);
+# MERGE applies one keyed delta batch to a snapshot.
+#
+# Scale shape: one shuffle on the key for the full-outer join, then
+# map-side CASE routing — no window, no second pass. On a real table
+# the join prunes to touched partitions via partition/file stats
+# (the Z-order layout writer in plans/layout.py is that half).
+# ---------------------------------------------------------------------------
+
+
+def _orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+        "o_orderstatus",
+    )
+    base = (o.filter(F.col("o_orderkey") % 5 != 4)
+            .withColumn("in_base", F.lit(1)))
+    op = (F.when(F.col("o_orderkey") % 10 == 1, F.lit("U"))
+          .when(F.col("o_orderkey") % 10 == 2, F.lit("D"))
+          .when(F.col("o_orderkey") % 5 == 4, F.lit("I")))
+    changes = (
+        o.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "o_orderkey", "op",
+            F.when(F.col("op") == "U", F.col("price_cents") + 500)
+            .when(F.col("op") == "I", F.col("price_cents") + 100)
+            .alias("new_price_cents"),
+        )
+    )
+    j = base.join(changes, "o_orderkey", "full_outer")
+    matched = F.col("in_base").isNotNull()
+    action = (
+        F.when(matched & (F.col("op") == "U"), F.lit("update"))
+        .when(matched & (F.col("op") == "D"), F.lit(None).cast("string"))
+        .when(matched, F.lit("keep"))
+        .when(F.col("op") == "I", F.lit("insert"))
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(
+            "o_orderkey",
+            "action",
+            F.when(F.col("action") == "keep", F.col("price_cents"))
+            .otherwise(F.col("new_price_cents")).alias("out_price_cents"),
+            F.when(F.col("action") == "keep", F.col("o_orderstatus"))
+            .otherwise(F.col("op")).alias("out_status"),
+        )
+    )
+
+
+_MERGE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderstatus
+  FROM orders
+), base AS (
+  SELECT *, 1 AS in_base FROM o WHERE o_orderkey % 5 <> 4
+), changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 1 THEN 'U'
+              WHEN o_orderkey % 10 = 2 THEN 'D'
+              WHEN o_orderkey % 5 = 4 THEN 'I' END AS op,
+         CASE WHEN o_orderkey % 10 = 1 THEN price_cents + 500
+              WHEN o_orderkey % 5 = 4 THEN price_cents + 100 END
+           AS new_price_cents
+  FROM o
+  WHERE o_orderkey % 10 IN (1, 2) OR o_orderkey % 5 = 4
+), m AS (
+  SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         b.in_base, b.price_cents, b.o_orderstatus,
+         c.op, c.new_price_cents,
+         CASE WHEN b.in_base IS NOT NULL AND c.op = 'U' THEN 'update'
+              WHEN b.in_base IS NOT NULL AND c.op = 'D' THEN NULL
+              WHEN b.in_base IS NOT NULL THEN 'keep'
+              WHEN c.op = 'I' THEN 'insert' END AS action
+  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+)
+SELECT o_orderkey, action,
+       CASE WHEN action = 'keep' THEN price_cents
+            ELSE new_price_cents END AS out_price_cents,
+       CASE WHEN action = 'keep' THEN o_orderstatus
+            ELSE op END AS out_status
+FROM m
+WHERE action IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence mining: part pairs ordered together, with
+# support and integer-milli lift — the association-analysis family
+# (FP-growth's first pass is exactly this pair census). The Spark side
+# generates pairs by exploding an in-codegen array comprehension over
+# each order's sorted distinct part set (i<j upper triangle via
+# transform/slice — no join); the ORACLE is the classic relational
+# self-join on order key with p1 < p2, so the driver's hash match is a
+# cross-formulation equivalence proof, same pattern as
+# events_session_windows. Pairs below support 2 are dropped (HAVING),
+# lift_milli = floor(1000·n_ab·N / (n_a·n_b)) in exact integers.
+#
+# Scale shape: pair fan-out is map-side and bounded by (basket size
+# choose 2) per order — TPC-H baskets average ~4 items, so ~6 pairs
+# per order, NOT |parts|². One shuffle to the (p1, p2) hash-agg; item
+# supports ride the same per-order distinct set; support join sides
+# are |parts|-sized → broadcast.
+# ---------------------------------------------------------------------------
+
+_PAIRS_EXPR = """
+flatten(transform(parts, (x, i) ->
+  transform(slice(parts, i + 2, size(parts)), y ->
+    struct(x AS p1, y AS p2))))
+"""
+
+
+def _basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Three consumers (pairs, item supports, order total) need the
+    # per-order set; the lazy checkpoint materializes the scan + the
+    # one l_orderkey shuffle ONCE instead of re-deriving them per
+    # consumer — 1 fact scan + 1 wide shuffle + a compact (key, int
+    # array) intermediate, the same lineage-barrier trade as the PQ
+    # codebook (similarity.py:1322) but on a fact-sized frame, chosen
+    # because the alternative is 3× the scan AND 3× the shuffle.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)
+    )
+    support = (
+        baskets.select(F.explode("parts").alias("p"))
+        .groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pairs = (
+        baskets.select(F.explode(F.expr(_PAIRS_EXPR)).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    sup_a = F.broadcast(support.select(F.col("p").alias("p1"),
+                                       F.col("n").alias("n_a")))
+    sup_b = F.broadcast(support.select(F.col("p").alias("p2"),
+                                       F.col("n").alias("n_b")))
+    return (
+        pairs.join(sup_a, "p1").join(sup_b, "p2")
+        .crossJoin(F.broadcast(totals))  # documented 1-row BNLJ fold
+        .select(
+            "p1", "p2", "n_ab", "n_a", "n_b", "n_orders",
+            F.expr("(1000 * n_ab * n_orders) div (n_a * n_b)")
+            .alias("lift_milli"),
+        )
+    )
+
+
+_BASKET_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+sup AS (SELECT p, COUNT(*) AS n FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_ab
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT p1, p2,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(t.n_orders AS BIGINT) AS n_orders,
+       (1000 * n_ab * t.n_orders) // (sa.n * sb.n) AS lift_milli
+FROM pairs
+JOIN sup sa ON pairs.p1 = sa.p
+JOIN sup sb ON pairs.p2 = sb.p
+CROSS JOIN tot t
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -3093,5 +3462,22 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "distincts, typed min/max) — the validator primitive "
               "under schema/quality drift; one pass, Expand shape for "
               "exact multi-distinct."),
+        Query("events_ewma", _events_ewma, _EWMA_SQL,
+              "Truncated (depth-8, decay 1/2) EWMA over the gap-filled "
+              "hourly grid in exact integers — power-of-two weights, "
+              "one shared window spec, no exchange beyond the grid's."),
+        Query("nation_trade_pagerank", _trade_pagerank, _PAGERANK_SQL,
+              "Two unrolled PageRank iterations over the nation trade "
+              "graph: one-pass edge build, then broadcast-join "
+              "iterations on <= N^2 rows — integer-exact damping."),
+        Query("orders_merge_upsert", _orders_merge_upsert, _MERGE_SQL,
+              "MERGE-INTO semantics (matched update/delete, unmatched "
+              "insert) applied via ONE full-outer hash join + map-side "
+              "CASE routing — the batch CDC-apply primitive."),
+        Query("basket_part_pairs", _basket_part_pairs, _BASKET_SQL,
+              "Market-basket pair census with exact-milli lift: "
+              "in-codegen upper-triangle array comprehension per order "
+              "vs the relational self-join oracle — a cross-"
+              "formulation equivalence proof."),
     ]
 }

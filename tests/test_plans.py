@@ -709,3 +709,53 @@ def test_scd2_single_key_shuffle_no_self_join(spark, sf_dir):
     assert "Window" in p
     assert _n_exchanges(p) == 1, p
     assert "o_custkey" in p
+
+
+def test_ewma_shares_one_window_with_grid_shape(spark, sf_dir):
+    """The 8 EWMA lags share ONE window spec, so the feature pass adds
+    exactly one Window operator and NO exchange beyond the gap-fill
+    grid's own shape (same exchange count as events_lag_features,
+    which consumes the identical grid)."""
+    import re
+    p = plan(spark, sf_dir, "events_ewma")
+    ref = plan(spark, sf_dir, "events_lag_features")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert _n_exchanges(p) == _n_exchanges(ref), (p, ref)
+
+
+def test_pagerank_iterations_are_fact_free(spark, sf_dir):
+    """The checkpointed edge fold is the lineage barrier: the explained
+    plan must contain NO fact-table parquet scans (lineitem/orders are
+    inside the one-shot edge build RDD) — iteration cost is joins over
+    <= N^2 rows, independent of the fact tables."""
+    import re
+    p = plan(spark, sf_dir, "nation_trade_pagerank")
+    locs = re.findall(r"Location:[^\n]*", p)
+    assert locs and all("nation.parquet" in s for s in locs), locs
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_merge_upsert_single_key_shuffle(spark, sf_dir):
+    """MERGE apply = ONE full-outer join on the key (an exchange per
+    side, nothing after) + map-side CASE routing — no window, no
+    second pass over the snapshot."""
+    import re
+    p = plan(spark, sf_dir, "orders_merge_upsert")
+    assert _n_exchanges(p) == 2, p
+    assert "Window" not in p
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
+
+
+def test_basket_pairs_map_side_fanout(spark, sf_dir):
+    """Pair generation is the in-codegen array comprehension exploded
+    map-side — never a lineitem self-join. The checkpointed basket
+    frame is built once (no parquet scans remain in the plan), support
+    joins broadcast."""
+    import re
+    p = plan(spark, sf_dir, "basket_part_pairs")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Generate" in p  # the explode fan-out
