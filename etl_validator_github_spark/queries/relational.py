@@ -3410,6 +3410,215 @@ CROSS JOIN tot t
 """
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph — the canonical "join the
+# graph with itself, carefully" pattern. Edges are the support>=2
+# basket pairs (u < v by id); a triangle is a wedge (a<b, b<c) closed
+# by the (a, c) edge, so the id-orientation alone guarantees each
+# triangle is found exactly once (a<b<c) with no permutation dedup.
+# Output is per-node triangle participation.
+#
+# Scale shape: the edge list is built once behind a lazy checkpoint
+# (three self-join references would otherwise re-run the basket
+# build), and the filtered edge set is orders of magnitude smaller
+# than the fact table, so the wedge join broadcasts. The id
+# orientation bounds wedge fan-out at out-degree²; at 100 TB the
+# standard refinement is DEGREE orientation (point edges low-degree →
+# high-degree), which provably caps wedge count at O(E^1.5) — same
+# plan, one extra degree join to re-orient.
+# ---------------------------------------------------------------------------
+
+
+def _basket_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    return (
+        baskets.select(F.explode(F.expr(_PAIRS_EXPR)).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("u"), F.col("pr.p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+
+
+def _basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _basket_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(F.broadcast(e2), "b")
+        .join(F.broadcast(e3), ["a", "c"])
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+_TRIANGLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — the marketing-analytics read-out: per
+# customer, recency (last order day), frequency (order count),
+# monetary (lifetime cents), each cut into quintiles, concatenated
+# into the 'rfm' segment label. Quintile assignment is computed
+# EXPLICITLY as 1 + ((rn-1)·5) div n from a fully tie-broken
+# row_number (metric DESC, custkey ASC) rather than through ntile(),
+# whose remainder-distribution convention need not agree across
+# engines — the arithmetic form is floor-exact in both.
+#
+# Scale shape: the three global windows run over the CUSTOMER
+# AGGREGATE (|customers| rows, ~1.5% of facts), not the fact table;
+# the single-partition sort is the price of EXACT quintiles. The
+# 100 TB variant replaces exact ranks with DDSketch quantile cutoffs
+# (scale/sketches.py) broadcast back — same output schema, ±ε bucket
+# edges, no global sort.
+# ---------------------------------------------------------------------------
+
+
+def _customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max(F.to_date("o_orderdate")), F.lit("1970-01-01"))
+        .alias("recency_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_cents"),
+    )
+    n = per_cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    out = per_cust.crossJoin(F.broadcast(n))  # documented 1-row BNLJ fold
+    for metric, col in [("recency_day", "r_q"), ("frequency", "f_q"),
+                        ("monetary_cents", "m_q")]:
+        w = Window.orderBy(F.col(metric).desc(), F.col("o_custkey"))
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .withColumn(col, F.expr(
+                "cast(1 + ((__rn - 1) * 5) div n_cust as int)"))
+            .drop("__rn")
+        )
+    return out.select(
+        "o_custkey", "recency_day", "frequency", "monetary_cents",
+        "r_q", "f_q", "m_q",
+        F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(MAX(o_orderdate) AS DATE)) AS INT)
+           AS recency_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_cust FROM per_cust),
+ranked AS (
+  SELECT p.*, n.n_cust,
+         row_number() OVER (ORDER BY recency_day DESC, o_custkey) AS rn_r,
+         row_number() OVER (ORDER BY frequency DESC, o_custkey) AS rn_f,
+         row_number() OVER (ORDER BY monetary_cents DESC, o_custkey) AS rn_m
+  FROM per_cust p CROSS JOIN n
+)
+SELECT o_custkey, recency_day, frequency, monetary_cents,
+       CAST(1 + ((rn_r - 1) * 5) // n_cust AS INT) AS r_q,
+       CAST(1 + ((rn_f - 1) * 5) // n_cust AS INT) AS f_q,
+       CAST(1 + ((rn_m - 1) * 5) // n_cust AS INT) AS m_q,
+       CAST(1 + ((rn_r - 1) * 5) // n_cust AS VARCHAR)
+         || CAST(1 + ((rn_f - 1) * 5) // n_cust AS VARCHAR)
+         || CAST(1 + ((rn_m - 1) * 5) // n_cust AS VARCHAR) AS segment
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (Herfindahl–Hirschman index) per brand: each
+# supplier's revenue share of the brand in integer basis points, HHI =
+# Σ share_bp² div 10000 — the antitrust/market-structure aggregate,
+# exact-integer per contract.py (shares floor to bp BEFORE squaring,
+# identically in both engines).
+#
+# Scale shape: one fact pass → (brand, supplier) partial-agg'd hash
+# aggregation; the brand totals re-agg and the share join operate on
+# |brands × suppliers-per-brand| rows. part joins broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                                "l_extendedprice")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Two consumers (brand totals, share join) would re-run the fact
+    # pass; the lazy checkpoint pins the tiny |brands × suppliers|
+    # aggregate so lineitem is scanned once (similarity.py:1322).
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("rev_cents"))
+        .localCheckpoint(eager=False)
+    )
+    tot = rev.groupBy("p_brand").agg(
+        F.sum("rev_cents").alias("tot_cents"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "p_brand")
+        .withColumn("share_bp", F.expr("(10000 * rev_cents) div tot_cents"))
+        .groupBy("p_brand")
+        .agg(
+            F.first("n_suppliers").cast("int").alias("n_suppliers"),
+            F.first("tot_cents").alias("tot_rev_cents"),
+            F.expr("sum(share_bp * share_bp) div 10000").alias("hhi_bp"),
+        )
+    )
+
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT p_brand, l_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT p_brand, SUM(rev_cents) AS tot_cents,
+         COUNT(*) AS n_suppliers
+  FROM rev GROUP BY 1
+)
+SELECT r.p_brand,
+       CAST(MIN(t.n_suppliers) AS INT) AS n_suppliers,
+       CAST(MIN(t.tot_cents) AS BIGINT) AS tot_rev_cents,
+       CAST(SUM(((10000 * r.rev_cents) // t.tot_cents)
+                * ((10000 * r.rev_cents) // t.tot_cents)) // 10000
+            AS BIGINT) AS hhi_bp
+FROM rev r JOIN tot t ON r.p_brand = t.p_brand
+GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -3479,5 +3688,17 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "in-codegen upper-triangle array comprehension per order "
               "vs the relational self-join oracle — a cross-"
               "formulation equivalence proof."),
+        Query("basket_pair_triangles", _basket_triangles, _TRIANGLES_SQL,
+              "Per-node triangle counts on the co-purchase graph: "
+              "id-oriented wedge join closed against the checkpointed "
+              "edge list — each triangle found exactly once."),
+        Query("customers_rfm_segments", _customers_rfm, _RFM_SQL,
+              "RFM quintile segmentation over the customer aggregate — "
+              "explicit floor-arithmetic quintiles from tie-broken "
+              "row_number (ntile conventions differ across engines)."),
+        Query("brand_supplier_hhi", _brand_hhi, _HHI_SQL,
+              "Herfindahl market-concentration index per brand in "
+              "integer basis points: one fact pass, shares floored to "
+              "bp before squaring."),
     ]
 }

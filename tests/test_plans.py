@@ -759,3 +759,44 @@ def test_basket_pairs_map_side_fanout(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "Generate" in p  # the explode fan-out
+
+
+def test_triangles_checkpointed_edges_broadcast_joins(spark, sf_dir):
+    """Triangle counting: the edge list is built once behind the lazy
+    checkpoint (no parquet scans remain), and both closure joins
+    broadcast — the wedge join never SortMergeJoins the graph against
+    itself."""
+    import re
+    p = plan(spark, sf_dir, "basket_pair_triangles")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_rfm_windows_run_on_customer_aggregate(spark, sf_dir):
+    """RFM: the three global rank windows must sit ABOVE the customer
+    hash-agg (windows over |customers| rows, not the orders fact) —
+    the plan's aggregate appears before any Window when reading
+    bottom-up, and the fact scan reads only the 3 needed columns."""
+    p = plan(spark, sf_dir, "customers_rfm_segments")
+    read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "o_comment" not in read_schema
+    assert "o_custkey" in read_schema
+    # bottom-up: HashAggregate node id < first Window node id
+    import re
+    agg = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p))
+    win = min(int(m) for m in re.findall(r"\((\d+)\) Window", p))
+    assert agg < win, p
+
+
+def test_hhi_single_fact_pass_broadcast_part(spark, sf_dir):
+    """HHI: the (brand, supplier) revenue aggregate is pinned behind the
+    lazy checkpoint, so the final plan holds NO parquet scans (the one
+    fact pass runs below the barrier and is never re-run for the two
+    consumers), and the totals join broadcasts — no sort-merge."""
+    import re
+    p = plan(spark, sf_dir, "brand_supplier_hhi")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
