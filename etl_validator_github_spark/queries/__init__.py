@@ -48,6 +48,7 @@ from etl_validator_github_spark.queries.validation import VALIDATION_QUERIES
 from etl_validator_github_spark.scale.dedup import DEDUP_EXTRA_QUERIES, DEDUP_QUERIES
 from etl_validator_github_spark.scale.multimodal import MULTIMODAL_QUERIES
 from etl_validator_github_spark.scale.packing import PACKING_QUERIES
+from etl_validator_github_spark.scale.retrieval import RETRIEVAL_QUERIES
 from etl_validator_github_spark.scale.similarity import SIMILARITY_QUERIES
 from etl_validator_github_spark.scale.sketches import SKETCH_QUERIES
 from etl_validator_github_spark.scale.snapshots import SNAPSHOT_QUERIES
@@ -60,6 +61,7 @@ _ALL: dict[str, Query] = {
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
+    **RETRIEVAL_QUERIES,
     **SKETCH_QUERIES,
     **MULTIMODAL_QUERIES,
     **PACKING_QUERIES,
@@ -76,7 +78,7 @@ _ALL: dict[str, Query] = {
 # the merge above — fail loudly instead.
 _MODULE_DICTS = (
     VALIDATION_QUERIES, TEXT_QUERIES, DEDUP_QUERIES, SIMILARITY_QUERIES,
-    SKETCH_QUERIES, MULTIMODAL_QUERIES, PACKING_QUERIES, TEXT_EXTRA_QUERIES,
+    RETRIEVAL_QUERIES, SKETCH_QUERIES, MULTIMODAL_QUERIES, PACKING_QUERIES, TEXT_EXTRA_QUERIES,
     DEDUP_EXTRA_QUERIES, SNAPSHOT_QUERIES, RELATIONAL_QUERIES,
     RELATIONAL_EXTRA_QUERIES,
 )

@@ -800,3 +800,15 @@ def test_hhi_single_fact_pass_broadcast_part(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_rrf_fusion_no_smj_no_cartesian(spark, sf_dir):
+    """Hybrid RRF: both branch joins broadcast (BM25 postings join on
+    the broadcast query set; cosine's documented 1-row-side BNLJ), the
+    fusion is union + hash-agg — never a SortMergeJoin (an outer join
+    formulation could not broadcast) and never a CartesianProduct."""
+    p = plan(spark, sf_dir, "retrieval_rrf_fusion")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
