@@ -2128,9 +2128,112 @@ FROM scored sc JOIN cuts c USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram novelty vs a reference slice: per document, the fraction of
+# k-token windows whose hash never occurs in the reference corpus — the
+# standard "how much NEW text does this source add" curation readout
+# (the complement of the n-gram overlap used for eval decontamination,
+# but reported as a per-doc ratio instead of a doc-level flag).
+#
+# Scale shape: window hashing is the same map-only codegen pass as the
+# span-dedup family (dedup.windowed_shingles); the reference hash set
+# is one distinct-agg over the reference slice; novelty is an h-keyed
+# LEFT ANTI join (Bloom-filter-joinable at 100 TB) plus one doc-keyed
+# hash-agg. The corpus is never self-joined.
+# ---------------------------------------------------------------------------
+
+NOVELTY_K = 5
+NOVELTY_REF_SOURCE = "src0"
+
+
+def ngram_novelty(docs: DataFrame, k: int = NOVELTY_K,
+                  ref_source: str = NOVELTY_REF_SOURCE) -> DataFrame:
+    """Per-doc novel-window counts vs the ``ref_source`` slice.
+
+    ``novelty_milli`` is NULL for docs shorter than ``k`` tokens (no
+    windows → ratio undefined); reference docs score 0 by construction
+    and carry ``is_ref = 1`` so downstream filters can drop them.
+    """
+    from etl_validator_github_spark.scale.dedup import (
+        _span_base,
+        _span_windows,
+    )
+
+    base = _span_base(docs)
+    wins = _span_windows(base, k)
+    ref_ids = docs.filter(F.col("source") == ref_source).select("doc_id")
+    ref_hashes = wins.join(ref_ids, "doc_id", "left_semi") \
+        .select("h").distinct()
+    novel = (
+        wins.join(ref_hashes, "h", "left_anti")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_novel"))
+    )
+    per_doc = (
+        base.select(
+            "doc_id",
+            F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(0))
+            .cast("int").alias("n_windows"),
+        )
+        .join(novel, "doc_id", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return per_doc.select(
+        "doc_id",
+        (F.col("source") == ref_source).cast("int").alias("is_ref"),
+        "n_windows",
+        F.coalesce("n_novel", F.lit(0)).cast("int").alias("n_novel"),
+        F.when(
+            F.col("n_windows") > 0,
+            F.expr("div(1000 * coalesce(n_novel, 0), n_windows)"),
+        ).cast("int").alias("novelty_milli"),
+    )
+
+
+def _novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load(spark, sf_dir, "documents"))
+
+
+_NOVELTY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, source, CAST(len(t) AS INT) AS n_tokens, t FROM tok
+), w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(n_tokens - {NOVELTY_K - 1}, 0) + 1),
+             i -> md5(array_to_string(
+                      list_slice(t, i, i + {NOVELTY_K - 1}), ' '))))
+           AS h
+  FROM base
+), ref AS (
+  SELECT DISTINCT w.h
+  FROM w JOIN base USING (doc_id)
+  WHERE base.source = '{NOVELTY_REF_SOURCE}'
+), novel AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_novel
+  FROM w ANTI JOIN ref USING (h)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.source = '{NOVELTY_REF_SOURCE}' AS INT) AS is_ref,
+       CAST(greatest(b.n_tokens - {NOVELTY_K - 1}, 0) AS INT) AS n_windows,
+       CAST(COALESCE(n.n_novel, 0) AS INT) AS n_novel,
+       CAST(CASE WHEN greatest(b.n_tokens - {NOVELTY_K - 1}, 0) > 0
+                 THEN (1000 * COALESCE(n.n_novel, 0))
+                      // greatest(b.n_tokens - {NOVELTY_K - 1}, 0)
+            END AS INT) AS novelty_milli
+FROM base b LEFT JOIN novel n USING (doc_id)
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("text_ngram_novelty", _novelty_q, _NOVELTY_SQL,
+              "Per-doc 5-gram novelty vs the src0 reference slice: "
+              "map-only window hashing, one distinct-agg reference set, "
+              "h-keyed anti join — the corpus is never self-joined."),
         Query("docs_sample_exact_k", _exact_k_q, _EXACT_K_SQL,
               "Exactly-k-per-stratum sample: md5-rank row_number ≤ k "
               "inside each (lang, source) window — reproducible under "

@@ -812,3 +812,14 @@ def test_rrf_fusion_no_smj_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "HashAggregate" in p
+
+
+def test_ngram_novelty_anti_join_on_hash_key(spark, sf_dir):
+    """Novelty must flow as an h-keyed LEFT ANTI join against the
+    distinct reference set — never an all-pairs comparison, and the
+    reference membership probe is the semi/anti family (both sides
+    keyed), not a nested loop."""
+    p = plan(spark, sf_dir, "text_ngram_novelty")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
