@@ -3619,6 +3619,80 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Record linkage: q-gram-blocked edit-distance fuzzy join over part
+# names — the dedup-across-messy-catalogs primitive. Candidate pairs
+# come from a shared-BIGRAM block (content q-grams, q=2): one edit
+# destroys at most q of a string's q-grams, so two strings of length
+# ≥ 6 within edit distance 2 always share a surviving bigram — the
+# blocking is provably lossless here (min fixture name length is 7,
+# asserted in tests), and the brute-force oracle certifies zero false
+# negatives on every run. Verification (levenshtein) touches only the
+# blocked candidates.
+#
+# Scale shape: the DISTINCT-name table is orders of magnitude smaller
+# than the fact table (catalog names repeat); candidates join on the
+# gram key, never all-pairs. At 100 TB the refinement is positional
+# q-grams + a count filter (shared ≥ L−1−dq) to shrink blocks further,
+# and salting for stopword-grams; same plan shape.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def _part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts")
+    )
+    grams = names.select(
+        "p_name",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, length(p_name) - 1), "
+            "          i -> substring(p_name, i, 2))"
+        ))).alias("gram"),
+    )
+    a = grams.select(F.col("gram"), F.col("p_name").alias("name_a"))
+    b = grams.select(F.col("gram"), F.col("p_name").alias("name_b"))
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        # length filter: |len diff| > d cannot be within distance d
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b"))
+            <= FUZZY_MAX_DIST
+        )
+    )
+    matched = cand.select(
+        "name_a", "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= FUZZY_MAX_DIST)
+    na = names.select(F.col("p_name").alias("name_a"),
+                      F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("p_name").alias("name_b"),
+                      F.col("n_parts").alias("n_parts_b"))
+    return (
+        matched.join(F.broadcast(na), "name_a")
+        .join(F.broadcast(nb), "name_b")
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+_FUZZY_SQL = f"""
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS INT) AS n_parts
+  FROM part GROUP BY 1
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -3700,5 +3774,10 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Herfindahl market-concentration index per brand in "
               "integer basis points: one fact pass, shares floored to "
               "bp before squaring."),
+        Query("part_name_fuzzy_matches", _part_fuzzy_matches, _FUZZY_SQL,
+              "Record linkage: bigram-blocked levenshtein≤2 fuzzy join "
+              "over distinct part names — provably lossless blocking "
+              "(len≥6), brute-force oracle certifies no false "
+              "negatives."),
     ]
 }

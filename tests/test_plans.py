@@ -823,3 +823,13 @@ def test_ngram_novelty_anti_join_on_hash_key(spark, sf_dir):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_match_blocks_on_gram_key(spark, sf_dir):
+    """The fuzzy join must generate candidates through the bigram
+    block (a key-equality join), never an all-pairs nested loop, and
+    levenshtein runs only above the candidate join."""
+    p = plan(spark, sf_dir, "part_name_fuzzy_matches")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p

@@ -2026,3 +2026,14 @@ def test_rrf_fusion_hand_math_both_and_single_branch(spark):
     # full ordering is 200, 100, then 300/400 tie on nothing — check order
     order = sorted(rows.values(), key=lambda r: r["fused_rnk"])
     assert [r["doc_id"] for r in order][:2] == [200, 100]
+
+
+def test_fuzzy_blocking_precondition_holds_on_fixture(spark, sf_dir):
+    """The bigram block is lossless for edit distance ≤ 2 only when
+    every name has length ≥ 6 (one edit destroys ≤ 2 bigrams). Assert
+    the precondition on the fixture — if testdata ever ships shorter
+    names, this fails before the oracle-parity mismatch would."""
+    from etl_validator_github_spark.contract import load
+
+    part = load(spark, sf_dir, "part")
+    assert part.selectExpr("min(length(p_name)) m").first()["m"] >= 6
