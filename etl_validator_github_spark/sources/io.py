@@ -37,6 +37,12 @@ def read_bankdata(spark: SparkSession, path: str) -> DataFrame:
         # Beyond the reference's matrix: ORC ships in Spark and is the
         # other columnar lake format users migrate from.
         return spark.read.orc(path)
+    if lower.endswith(".xml"):
+        # Beyond the reference's matrix: XML is native in Spark 4
+        # (built-in `xml` format, SPARK-44265) — no spark-xml package.
+        return (
+            spark.read.format("xml").option("rowTag", "row").load(path)
+        )
     raise ValueError(f"unsupported bank-file extension: {path}")
 
 
@@ -62,6 +68,13 @@ def write_bankdata(
         writer.json(path)
     elif fmt == "orc":
         writer.orc(path)
+    elif fmt == "xml":
+        # Distributed sink (unlike xlsx): each task writes its partition
+        # as a <rows><row>…</row></rows> document. Dates/timestamps
+        # render ISO — round-trip asserted in tests/test_io.py.
+        writer.format("xml").option("rootTag", "rows").option(
+            "rowTag", "row"
+        ).save(path)
     elif fmt == "xlsx":
         # S4: no native Spark xlsx sink; the reference also writes xlsx on a
         # single node (GEN:563-581). Driver-side, small files only; the
