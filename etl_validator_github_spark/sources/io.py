@@ -40,8 +40,11 @@ def read_bankdata(spark: SparkSession, path: str) -> DataFrame:
     if lower.endswith(".xml"):
         # Beyond the reference's matrix: XML is native in Spark 4
         # (built-in `xml` format, SPARK-44265) — no spark-xml package.
+        # inferSchema off: everything reads as string (same contract as
+        # the csv reader above) so zero-padded identifiers survive.
         return (
-            spark.read.format("xml").option("rowTag", "row").load(path)
+            spark.read.format("xml").option("rowTag", "row")
+            .option("inferSchema", "false").load(path)
         )
     raise ValueError(f"unsupported bank-file extension: {path}")
 
