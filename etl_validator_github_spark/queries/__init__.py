@@ -137,13 +137,16 @@ _R8_GATE = (
     "docs_split_assign",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # -- back-fill: r6-verdict queries in catalog order (the other 34
-    #    r6-verdict entries stay past-gate — none older than r6 remain)
-    "embed_ivf_topk",
-    "dedup_semantic_keep",
-    "embed_kmeans",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
+    # -- added mid-r8 (rotation priority 2 outranks r6 back-fill: the
+    #    displaced embed_ivf_topk / dedup_semantic_keep / embed_kmeans /
+    #    q5 / q6 all hold r6-green verdicts already). One mid-r8 query,
+    #    basket_pair_triangles, didn't fit the 50-slot window and leads
+    #    the r9 rotation instead.
+    "retrieval_rrf_fusion",
+    "text_ngram_novelty",
+    "part_name_fuzzy_matches",
+    "customers_rfm_segments",
+    "brand_supplier_hhi",
 )
 
 assert len(_R8_GATE) == _DRIVER_GATE, (
