@@ -1479,6 +1479,240 @@ QUALIFY rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: the combined FAISS-style index (Jégou et al. 2011, "Product
+# quantization for nearest neighbor search") — IVF cells prune the
+# candidate set, PQ/ADC scores the survivors from 4 table lookups per
+# vector. The two halves above compose: `ivf_assignments` is the
+# map-side cell pass, `pq_codebooks`/ADC the compressed scorer; this
+# variant scores raw subvectors (not cell residuals) so the existing
+# codebook oracle carries over — the residual-encoding refinement is
+# the production FAISS step and changes only what feeds _pq_subs.
+#
+# Scale shape: corpus-side work is ONE map pass (cell + 4 codes per
+# vector, centroids and codebook both broadcast 1-row folds); the
+# probe join is a broadcast hash join on the cell key; only the
+# candidate subset (nprobe/K of the corpus per query) reaches the
+# top-k window. This is the 100 TB search architecture: memory per
+# vector is 4 codes + a cell id, and scan cost drops by the IVF
+# pruning factor on top of PQ's 16× compression.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+               k: int = TOP_K, nprobe: int = N_PROBE) -> DataFrame:
+    """Approximate top-k via IVF cell probing + PQ/ADC scoring."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assignments(embeddings, nprobe=nprobe)
+    cb = pq_codebooks(embeddings).localCheckpoint(eager=False)
+    corpus = (
+        assigned.select(
+            "vec_id",
+            F.col("top_cells")[0]["label"].alias("cell"),
+            *[
+                F.expr(f"slice(qv, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})")
+                .alias(f"sub_{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .join(_pq_fold(cb))
+        .select(
+            "vec_id", "cell",
+            *[_pq_code_expr(m).alias(f"code_{m}") for m in range(PQ_M)],
+        )
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries)
+    luts = (
+        _pq_subs(queries.select("vec_id", "qv"))
+        .join(_pq_fold(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *[
+                F.expr(
+                    f"map_from_entries(transform(filter(cb, c -> c.m = {m}), "
+                    f"c -> struct(c.code, "
+                    f"{_DOT.format(a=f'sub_{m}', b='c.dir')} / sqrt(c.dnorm2))))"
+                ).alias(f"lut_{m}")
+                for m in range(PQ_M)
+            ],
+        )
+    )
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.expr("transform(top_cells, t -> t.label)"))
+            .alias("cell"),
+        )
+        .join(luts, "query_id")
+    )
+    # Fixed left-to-right addition — same convention as pq_topk's ADC.
+    score = (
+        (F.element_at("lut_0", F.col("code_0"))
+         + F.element_at("lut_1", F.col("code_1")))
+        + F.element_at("lut_2", F.col("code_2"))
+    ) + F.element_at("lut_3", F.col("code_3"))
+    cands = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_score")
+    )
+
+
+def _ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_sql() -> str:
+    sub_expr = (f"list_slice(qv, m * {PQ_SUBDIM} + 1, "
+                f"(m + 1) * {PQ_SUBDIM})")
+    dot_ss = _SQL_DOT.format(a="s.sub", b="sd.dir")
+    dot_sr = _SQL_DOT.format(a="s.sub", b="r.dir")
+    dot_qr = _SQL_DOT.format(a="q.sub", b="r.dir")
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    ms = ", ".join(str(m) for m in range(PQ_M))
+    adc = " + ".join(
+        f"MAX(CASE WHEN l.m = {m} THEN term END)" for m in range(PQ_M)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), wn AS (
+  SELECT vec_id, label, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2
+  FROM vecs
+), cpart AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM vecs CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM cpart GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), cranked AS (
+  SELECT v.vec_id, c.label,
+         CAST(row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS INT) AS cell_rank
+  FROM wn v CROSS JOIN cells c
+), cassign AS (
+  SELECT vec_id, label AS cell FROM cranked WHERE cell_rank = 1
+), cprobes AS (
+  SELECT vec_id AS query_id, label AS cell
+  FROM cranked WHERE vec_id < {N_QUERIES} AND cell_rank <= {N_PROBE}
+), subs AS (
+  SELECT vec_id, m, {sub_expr} AS sub
+  FROM vecs, UNNEST([{ms}]) t(m)
+), seeds AS (
+  SELECT m, CAST(vec_id AS INT) AS code, sub AS dir,
+         {_SQL_DOT.format(a="sub", b="sub")} AS dnorm2
+  FROM subs WHERE vec_id < {PQ_K}
+), assign0 AS (
+  SELECT s.vec_id, s.m, sd.code,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {dot_ss} / sqrt(sd.dnorm2) DESC,
+                                     sd.code ASC) AS rn
+  FROM subs s JOIN seeds sd ON s.m = sd.m
+), ppart AS (
+  SELECT a.m, a.code, d.dim, CAST(SUM(s.sub[d.dim]) AS BIGINT) AS ds
+  FROM assign0 a
+  JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m
+  CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS dim) d
+  WHERE a.rn = 1
+  GROUP BY 1, 2, 3
+), refined0 AS (
+  SELECT m, code, list(ds ORDER BY dim) AS dir FROM ppart GROUP BY 1, 2
+), refined AS (
+  SELECT m, code, dir, {_SQL_DOT.format(a="dir", b="dir")} AS dnorm2
+  FROM refined0
+), enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, r.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {dot_sr} / sqrt(r.dnorm2) DESC,
+                                       r.code ASC) AS rn
+    FROM subs s JOIN refined r ON s.m = r.m
+  ) x WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, r.m, r.code,
+         {dot_qr} / sqrt(r.dnorm2) AS term
+  FROM subs q JOIN refined r ON q.m = r.m
+  WHERE q.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM cprobes p JOIN cassign a
+    ON p.cell = a.cell AND a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id, {adc} AS approx_score
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = e.m AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_score DESC,
+                                        neighbor_id ASC) AS INT) AS rank,
+       approx_score
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def ivfpq_recall(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                 k: int = TOP_K) -> DataFrame:
+    """(query_id, hits, k): |IVF-PQ top-k ∩ exact top-k| — the combined
+    index pays BOTH pruning loss (IVF) and quantization loss (PQ);
+    this measures the stack end-to-end vs brute-force ground truth."""
+    truth = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivfpq_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    j = truth.join(
+        approx.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return j.groupBy("query_id").agg(F.count("__hit").alias("hits")).select(
+        "query_id", "hits", F.lit(k).alias("k")
+    )
+
+
+def _ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_recall(load(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_recall_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_TOPK_SQL}) t
+), ivfpq AS (
+  SELECT query_id, neighbor_id FROM ({_ivfpq_sql()}) t
+)
+SELECT t.query_id, CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
+       CAST({TOP_K} AS INT) AS k
+FROM truth t LEFT JOIN ivfpq p
+  ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Binary sign quantization + Hamming search: the most aggressive point
 # on the compression curve (int8 report = 8 bits/dim, PQ = 0.5
 # bits/dim here, sign = 1 bit/dim). EMBED_DIM = 64 makes the packed
@@ -1602,6 +1836,15 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Recall@k of the PQ/ADC path vs brute-force ground "
               "truth — measures the quantization cost of the 16× "
               "compression per query (exact integer hit counts)."),
+        Query("embed_ivfpq_topk", _ivfpq_q, _ivfpq_sql(),
+              "IVF-PQ combined index (Jégou 2011): map-side cell + "
+              "4-code encoding per vector, broadcast probe join on the "
+              "cell key, ADC table-lookup scoring — the 100 TB search "
+              "architecture (pruning × 16× compression)."),
+        Query("embed_ivfpq_recall", _ivfpq_recall_q, _ivfpq_recall_sql(),
+              "Recall@k of the combined IVF-PQ stack vs brute-force "
+              "ground truth — pruning loss + quantization loss "
+              "measured end-to-end."),
         Query("embed_ann_lsh", _ann_q, _ann_sql(),
               "Random-hyperplane LSH bucketed ANN candidate pairs."),
         Query("embed_label_centroids", _centroids_q, _CENTROIDS_SQL,

@@ -833,3 +833,17 @@ def test_fuzzy_match_blocks_on_gram_key(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "levenshtein" in p
+
+
+def test_ivfpq_corpus_never_shuffles_for_assignment(spark, sf_dir):
+    """IVF-PQ: cell id and all four PQ codes are computed IN-ROW against
+    broadcast 1-row folds (no Exchange keyed on vec_id), the probe join
+    is a broadcast hash join on the cell key, and the only Window is
+    the final per-query top-k."""
+    import re
+
+    p = plan(spark, sf_dir, "embed_ivfpq_topk")
+    assert "hashpartitioning(vec_id" not in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
