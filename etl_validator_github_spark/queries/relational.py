@@ -7,6 +7,8 @@ query; expressions follow the determinism rules in contract.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3693,6 +3695,76 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic anomaly screen for amount
+# columns (fabricated/synthetic values rarely follow the log-uniform
+# leading-digit law). Expected shares are log10(1+1/d); ln/log10 are
+# NOT correctly rounded across libm implementations, so the expected
+# table is computed ONCE in Python and inlined as integer-milli
+# literals into BOTH plans (the embed_ann_lsh hyperplane precedent).
+# First digit extraction is string-cast of the exact cents BIGINT —
+# identical in any engine, no float formatting involved.
+#
+# Scale shape: one fact pass → 9-row hash-agg; the total re-join is a
+# broadcast of a 1-row fold. Map-side partial aggregation does all the
+# work at 100 TB.
+# ---------------------------------------------------------------------------
+
+#: floor(1000·log10(1+1/d)) for d = 1..9 — evaluated at import time in
+#: Python (one libm, one value) and inlined as literals in both engines.
+_BENFORD_MILLI: dict[int, int] = {
+    d: int(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+}
+
+
+def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(cents("o_totalprice").cast("string"), 1, 1)
+        .cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(
+        [(d, m) for d, m in _BENFORD_MILLI.items()],
+        "digit int, benford_milli int",
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))  # documented 1-row BNLJ fold
+        .join(F.broadcast(expected), "digit")
+        .select(
+            "digit", "n",
+            F.expr("cast((1000 * n) div total as int)").alias("share_milli"),
+            "benford_milli",
+            (F.expr("cast((1000 * n) div total as int)")
+             - F.col("benford_milli")).cast("int").alias("delta_milli"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    expected = " UNION ALL ".join(
+        f"SELECT {d} AS digit, {m} AS benford_milli"
+        for d, m in _BENFORD_MILLI.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT SUM(n) AS total FROM counts),
+expected AS ({expected})
+SELECT c.digit, c.n,
+       CAST((1000 * c.n) // t.total AS INT) AS share_milli,
+       e.benford_milli,
+       CAST((1000 * c.n) // t.total - e.benford_milli AS INT) AS delta_milli
+FROM counts c CROSS JOIN tot t JOIN expected e ON c.digit = e.digit
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -3779,5 +3851,9 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "over distinct part names — provably lossless blocking "
               "(len≥6), brute-force oracle certifies no false "
               "negatives."),
+        Query("orders_benford_digits", _benford_digits, _benford_sql(),
+              "Benford first-digit audit over exact cents: one fact "
+              "pass → 9-row hash-agg; expected log10 shares inlined as "
+              "Python-evaluated integer-milli literals (libm-safe)."),
     ]
 }
