@@ -3765,6 +3765,82 @@ FROM counts c CROSS JOIN tot t JOIN expected e ON c.digit = e.digit
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-key skew audit — the pre-flight check before planning a big
+# join: per candidate key of the fact table, row count, distinct
+# count, and the heaviest key's share in ppm. A top-1 share in the
+# percent range means the shuffled join needs salting or AQE skew
+# splits; this report is how you find that out for 9 figures of rows
+# without eyeballing anything.
+#
+# Scale shape: one fact pass unioned per key column (Spark scans once
+# per branch but each branch reads ONE column; at 100 TB you'd fuse
+# them with a single pass + posexplode if scan dominates) → two-level
+# hash-agg: (key, value) counts, then a per-key top-1 via
+# max(struct(count, value)) — deterministic argmax, ties to the larger
+# value, no window, no sort.
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_key = None
+    for key in _SKEW_KEYS:
+        branch = li.select(
+            F.lit(key).alias("key_col"),
+            F.col(key).cast("long").alias("key_value"),
+        )
+        per_key = branch if per_key is None else per_key.unionByName(branch)
+    counts = per_key.groupBy("key_col", "key_value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("key_col")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max(F.struct("c", "key_value")).alias("__top"),
+        )
+        .select(
+            "key_col", "n_rows", "n_distinct",
+            F.col("__top.c").cast("long").alias("top_count"),
+            F.col("__top.key_value").alias("top_value"),
+            F.expr("cast((1000000 * __top.c) div n_rows as int)")
+            .alias("top_share_ppm"),
+        )
+    )
+
+
+def _skew_sql() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT '{k}' AS key_col, CAST({k} AS BIGINT) AS key_value "
+        f"FROM lineitem"
+        for k in _SKEW_KEYS
+    )
+    return f"""
+WITH long AS ({branches}),
+counts AS (
+  SELECT key_col, key_value, COUNT(*) AS c FROM long GROUP BY 1, 2
+), top AS (
+  SELECT key_col, c AS top_count, key_value AS top_value
+  FROM counts
+  QUALIFY row_number() OVER (PARTITION BY key_col
+                             ORDER BY c DESC, key_value DESC) = 1
+)
+SELECT c.key_col,
+       CAST(SUM(c.c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MIN(t.top_count) AS BIGINT) AS top_count,
+       CAST(MIN(t.top_value) AS BIGINT) AS top_value,
+       CAST((1000000 * MIN(t.top_count)) // SUM(c.c) AS INT)
+         AS top_share_ppm
+FROM counts c JOIN top t USING (key_col)
+GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -3855,5 +3931,9 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Benford first-digit audit over exact cents: one fact "
               "pass → 9-row hash-agg; expected log10 shares inlined as "
               "Python-evaluated integer-milli literals (libm-safe)."),
+        Query("lineitem_skew_report", _skew_report, _skew_sql(),
+              "Join-key skew audit: per fact key, rows / distincts / "
+              "top-1 share in ppm via max(struct) argmax — two "
+              "hash-aggs, no window over the fact table."),
     ]
 }

@@ -2227,9 +2227,71 @@ FROM base b LEFT JOIN novel n USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus vocabulary diversity per language: type-token ratio and hapax
+# share — the lexical-richness readout that catches template-generated
+# or looping text at corpus level (low TTR, thin hapax tail) where
+# per-doc quality gates pass every row individually.
+#
+# Scale shape: explode → two-level hash-agg, both map-side-combining:
+# (lang, token) counts first (the vocab table — far smaller than the
+# token stream), then a per-lang rollup with a conditional count for
+# hapaxes. No window, no sort, no join.
+# ---------------------------------------------------------------------------
+
+
+def vocab_stats(docs: DataFrame) -> DataFrame:
+    tok = docs.select("lang", F.explode(tokens()).alias("token"))
+    vocab = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "lang", "n_tokens", "n_types", "n_hapax",
+            F.expr("cast((1000 * n_types) div n_tokens as int)")
+            .alias("ttr_milli"),
+            F.expr("cast((1000 * n_hapax) div n_types as int)")
+            .alias("hapax_milli"),
+        )
+    )
+
+
+def _vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_stats(load(spark, sf_dir, "documents"))
+
+
+_VOCAB_STATS_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((1000 * COUNT(*)) // SUM(c) AS INT) AS ttr_milli,
+       CAST((1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS INT) AS hapax_milli
+FROM vocab GROUP BY 1
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("corpus_vocab_stats", _vocab_stats_q, _VOCAB_STATS_SQL,
+              "Per-language lexical diversity: type-token ratio + "
+              "hapax share from two map-side-combining hash-aggs — "
+              "catches template/looping corpora that pass per-doc "
+              "gates."),
         Query("text_ngram_novelty", _novelty_q, _NOVELTY_SQL,
               "Per-doc 5-gram novelty vs the src0 reference slice: "
               "map-only window hashing, one distinct-agg reference set, "
