@@ -3841,6 +3841,137 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Transitive closure over the high-value trade graph — WITH RECURSIVE,
+# native in Spark 4 (SPARK-24497) and DuckDB, so the iterative
+# reachability that PageRank had to unroll by hand runs as ONE
+# recursive CTE in BOTH engines (same text modulo the edge build).
+# Edges: nation→nation lanes with ≥ $9.5M total revenue (sparsifies
+# the dense TPC-H trade matrix into a 47-edge graph with genuine
+# 2–3-hop structure at sf0.01). Output: min-hop distance per
+# reachable (src, dst) pair, depth-capped at 4.
+#
+# Scale shape: the edge build is the one fact pass (broadcast dims +
+# hash-agg); recursion then iterates on the EDGE-sized frontier —
+# each step is a broadcast join of frontier × edges, never touching
+# the fact table again. UNION ALL + depth guard keeps both engines'
+# recursion semantics identical; the min() rollup absorbs duplicate
+# walks.
+# ---------------------------------------------------------------------------
+
+_REACH_MIN_REV_CENTS = 950_000_000
+_REACH_MAX_HOPS = 4
+
+
+def _trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.sum(cents("l_extendedprice")).alias("rev_cents"))
+        .filter(F.col("rev_cents") >= _REACH_MIN_REV_CENTS)
+        .select("src", "dst")
+    )
+    edges.createOrReplaceTempView("__trade_edges")
+    return spark.sql(f"""
+WITH RECURSIVE reach(src, dst, hops) AS (
+  SELECT src, dst, 1 FROM __trade_edges
+  UNION ALL
+  SELECT r.src, e.dst, r.hops + 1
+  FROM reach r JOIN __trade_edges e ON r.dst = e.src
+  WHERE r.hops < {_REACH_MAX_HOPS} AND r.src <> e.dst
+)
+SELECT src, dst, CAST(MIN(hops) AS INT) AS min_hops
+FROM reach GROUP BY src, dst
+""")
+
+
+_REACH_SQL = f"""
+WITH RECURSIVE rev AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT src, dst FROM rev WHERE rev_cents >= {_REACH_MIN_REV_CENTS}
+), reach(src, dst, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT r.src, e.dst, r.hops + 1
+  FROM reach r JOIN e ON r.dst = e.src
+  WHERE r.hops < {_REACH_MAX_HOPS} AND r.src <> e.dst
+)
+SELECT src, dst, CAST(MIN(hops) AS INT) AS min_hops
+FROM reach GROUP BY src, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction through the VARIANT type — Spark 4's
+# schema-on-read path for JSON columns (parse_json → variant_get with
+# a type template), exercised over the events table's real `props`
+# JSON strings. VARIANT keeps the parsed tree in a binary form that is
+# ~an order of magnitude faster to re-probe than from_json-per-field
+# re-parsing when queries touch several paths; a missing path yields
+# NULL, not an error, so the extraction doubles as the malformed-data
+# gate.
+#
+# Scale shape: parse + extract are map-only expressions; the rollup is
+# one hash-agg on the tiny event_type key space. At 100 TB the win is
+# storing the column AS variant (shredded parquet) so probes skip
+# parsing entirely — write-side change only, same query.
+# ---------------------------------------------------------------------------
+
+
+def _variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'int')")
+        .alias("m"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("k").isNull().cast("long")).cast("long")
+        .alias("n_null_k"),
+        F.sum(F.col("m").isNull().cast("long")).cast("long")
+        .alias("n_null_missing"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN CAST(props->>'$.k' AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       CAST(SUM(CASE WHEN CAST(props->>'$.missing' AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_missing,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -3935,5 +4066,14 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Join-key skew audit: per fact key, rows / distincts / "
               "top-1 share in ppm via max(struct) argmax — two "
               "hash-aggs, no window over the fact table."),
+        Query("events_variant_props", _variant_props, _VARIANT_SQL,
+              "Schema-on-read over the events JSON props via Spark 4's "
+              "VARIANT (parse_json → typed variant_get; missing paths "
+              "NULL, not errors) — map-only extraction, one hash-agg."),
+        Query("nation_trade_reachability", _trade_reachability, _REACH_SQL,
+              "Transitive closure via native WITH RECURSIVE (Spark 4): "
+              "min-hop distances on the ≥$9.5M trade graph, depth ≤ 4; "
+              "recursion iterates on the edge-sized frontier, the fact "
+              "table is scanned once."),
     ]
 }

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 BLOOM_HELDOUT_DOCS = 10
 
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
-           "minhash", "spans", "ppjoin")
+           "minhash", "spans", "ppjoin", "novelty", "bm25")
 
 
 def main() -> int:
@@ -155,6 +155,23 @@ def main() -> int:
             substring_span_stats,
         )
         timed("spans", lambda: force(substring_span_stats(docs)))
+
+    if "novelty" in ops:
+        from etl_validator_github_spark.scale.text import ngram_novelty
+        # ref slice = synthdocs source 'books' (~1/3 of the corpus —
+        # an upper bound on a curated slice, so the anti-join probes a
+        # worst-case-large reference set).
+        timed("novelty", lambda: force(ngram_novelty(
+            docs, ref_source="books")))
+
+    if "bm25" in ops:
+        from etl_validator_github_spark.scale.text import bm25_topk
+        # synthdocs' vocabulary is tok0..tok63: query on in-vocab terms
+        # so the postings join carries real weight (the catalog's
+        # english terms would prune everything at the broadcast join).
+        timed("bm25", lambda: force(bm25_topk(
+            docs, queries=((1, "tok1 tok2"), (2, "tok3 tok4 tok5"),
+                           (3, "tok6 zzz")))))
 
     if "ppjoin" in ops:
         from etl_validator_github_spark.scale.dedup import (
