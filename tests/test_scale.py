@@ -2037,3 +2037,28 @@ def test_fuzzy_blocking_precondition_holds_on_fixture(spark, sf_dir):
 
     part = load(spark, sf_dir, "part")
     assert part.selectExpr("min(length(p_name)) m").first()["m"] >= 6
+
+
+def test_udtf_chunker_matches_expression_chunker(spark, sf_dir):
+    """The Python UDTF (functions/udtfs.py, lateral row→rows expansion)
+    must produce byte-identical chunks to the expression-based
+    chunk_documents — pinning that the hot-path expression form loses
+    nothing, and that the UDTF/LATERAL surface works end-to-end."""
+    from etl_validator_github_spark.contract import load
+    from etl_validator_github_spark.functions.udtfs import register_udtfs
+    from etl_validator_github_spark.scale.text import (
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    register_udtfs(spark)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    via_udtf = spark.sql(f"""
+        SELECT d.doc_id, d.lang, c.chunk_idx, c.chunk_tokens, c.chunk_hash
+        FROM __udtf_docs d, LATERAL chunk_document(d.text, {CHUNK_TOKENS}) c
+    """)
+    via_expr = chunk_documents(docs)
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_expr.collect()))
+    assert a == b and len(a) > 0

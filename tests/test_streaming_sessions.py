@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from etl_validator_github_spark.streaming.sessions import stream_sessionize
 
 GAP = 100
@@ -46,3 +48,108 @@ def test_sessionizer_closes_on_gap_and_spans_batches(spark, tmp_path):
 
     out2 = {tuple(r) for r in spark.read.parquet(str(sink)).collect()}
     assert out2 == {(0, 0, 20, 3), (0, 500, 520, 2)}
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker requires google.protobuf "
+           "(absent in this sandbox) — declared gate in sessions_tws.py",
+)
+def test_tws_sessionizer_matches_legacy_operator(spark, tmp_path):
+    """transformWithStateInPandas twin (streaming/sessions_tws.py): the
+    new-API sessionizer must emit exactly the legacy operator's closed
+    sessions on the same staged input, including state carried across
+    micro-batches."""
+    from etl_validator_github_spark.streaming.sessions_tws import (
+        stream_sessionize_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    src = tmp_path / "src2"
+    sink, ckpt = tmp_path / "sink2", tmp_path / "ckpt2"
+    _write(src, "01.json", [_ev(0, 0), _ev(1, 10), _ev(2, 20), _ev(3, 500)])
+    q = stream_sessionize_tws(spark, str(src), str(sink), str(ckpt),
+                              gap_s=GAP)
+    q.awaitTermination(120)
+    out = {tuple(r) for r in spark.read.parquet(str(sink)).collect()}
+    assert out == {(0, 0, 20, 3)}
+
+    _write(src, "02.json", [_ev(4, 520), _ev(5, 5000)])
+    q2 = stream_sessionize_tws(spark, str(src), str(sink), str(ckpt),
+                               gap_s=GAP)
+    q2.awaitTermination(120)
+    out2 = {tuple(r) for r in spark.read.parquet(str(sink)).collect()}
+    assert out2 == {(0, 0, 20, 3), (0, 500, 520, 2)}
+
+
+def test_tws_processor_logic_matches_legacy_fn_directly():
+    """The SessionProcessor's fold logic (pure Python, no Spark worker
+    needed) must agree with the legacy _session_fn on the same event
+    stream — pins the semantics even where the protobuf-gated E2E test
+    skips."""
+    import pandas as pd
+
+    from etl_validator_github_spark.streaming.sessions import _session_fn
+    from etl_validator_github_spark.streaming.sessions_tws import (
+        SessionProcessor,
+    )
+
+    batches = [[0, 10, 20, 500], [520, 5000]]
+
+    # legacy: drive update() with a fake GroupState
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    legacy_closed = []
+    st = FakeState()
+    fn = _session_fn(100)
+    for b in batches:
+        for out in fn((0,), [pd.DataFrame({"ts_s": b})], st):
+            legacy_closed += [tuple(r) for r in out.itertuples(index=False)]
+
+    # new API: drive handleInputRows() with a fake ValueState
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    proc = SessionProcessor(100)
+    proc._open = FakeValueState()
+    tws_closed = []
+    for b in batches:
+        for out in proc.handleInputRows(
+            (0,), iter([pd.DataFrame({"ts_s": b})]), None
+        ):
+            tws_closed += [tuple(r) for r in out.itertuples(index=False)]
+
+    assert tws_closed == legacy_closed == [(0, 0, 20, 3), (0, 500, 520, 2)]
