@@ -131,6 +131,74 @@ QUALIFY fused_rnk <= {RRF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the standard contrastive-training data op
+# (DPR, Karpukhin et al. 2020 use exactly this recipe): documents the
+# LEXICAL ranker retrieves highly that the DENSE ranker does NOT
+# consider relevant. Those are the pairs an embedding model learns the
+# most from, because BM25's term overlap fools a lexical matcher while
+# the semantics differ. Composed as the lex list ANTI-JOINED against
+# the dense list per query — k-row inputs, so the mining step costs
+# O(queries × k) like the fusion above.
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """(query_id, doc_id, lex_rnk): lex-ranked docs absent from the
+    dense list — re-ranked densely by lex rank so downstream samplers
+    can take the hardest-first prefix."""
+    neg = lex.join(
+        dense.select("query_id", "doc_id"), ["query_id", "doc_id"],
+        "left_anti",
+    )
+    return neg.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rnk").cast("int").alias("lex_rnk"),
+    ).withColumn(
+        "neg_rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.asc("lex_rnk"), F.asc("doc_id"))
+        ).cast("int"),
+    )
+
+
+def _hard_neg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    embeddings = load(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, k=RRF_BRANCH_K).select("query_id", "doc_id", "rnk")
+    dense = (
+        cosine_topk(embeddings, k=RRF_BRANCH_K)
+        .filter(F.col("query_id").isin(*RRF_QUERY_IDS))
+        .select("query_id", F.col("neighbor_id").alias("doc_id"))
+    )
+    return hard_negatives(lex, dense)
+
+
+_HARD_NEG_SQL = f"""
+WITH lex AS (
+  {_bm25_sql(k=RRF_BRANCH_K)}
+), dense AS (
+  {_TOPK_SQL}
+), neg AS (
+  SELECT l.query_id, l.doc_id, l.rnk AS lex_rnk
+  FROM lex l
+  ANTI JOIN (
+    SELECT query_id, neighbor_id AS doc_id FROM dense
+    WHERE query_id IN ({_QID_LIST}) AND rank <= {RRF_BRANCH_K}
+  ) d USING (query_id, doc_id)
+)
+SELECT CAST(query_id AS INT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rnk AS INT) AS lex_rnk,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY lex_rnk ASC, doc_id ASC) AS INT)
+         AS neg_rnk
+FROM neg
+"""
+
+
 RETRIEVAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -138,6 +206,11 @@ RETRIEVAL_QUERIES: dict[str, Query] = {
               "Hybrid retrieval: BM25 and embedding-cosine top-10 lists "
               "fused by reciprocal-rank fusion in integer micro-units "
               "(1000000 div (60+rank)); fusion cost O(queries × k), "
+              "independent of corpus size."),
+        Query("retrieval_hard_negatives", _hard_neg_q, _HARD_NEG_SQL,
+              "Hard-negative mining (DPR recipe): lexically-retrieved "
+              "docs absent from the dense list, per query — the "
+              "contrastive-training pairs; k-row anti-join, cost "
               "independent of corpus size."),
     ]
 }

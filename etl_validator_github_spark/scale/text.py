@@ -2284,9 +2284,79 @@ FROM vocab GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Consecutive-token de-repetition: collapse immediate token stutter
+# ("the the the") — the repairing counterpart to the Gopher repetition
+# RATIOS (which only flag). Decode-generation artifacts and scraped
+# markup produce exactly this shape.
+#
+# Scale shape: map-only, zero shuffles — one filter/transform pass per
+# document. This is the acceptable-HOF case (cf. the windowed_shingles
+# note): the lambda runs once per TOKEN with no window fan-out, i.e.
+# the same O(n_tokens) the split itself costs, so the interpreted-
+# lambda tax stays proportional to the scan. sequence(1, 0) DESCENDS
+# in Spark, so empty docs take the explicit empty-array branch.
+# ---------------------------------------------------------------------------
+
+_DEREP_POSITIONS = (
+    "CASE WHEN size(__toks) >= 1 THEN "
+    "filter(sequence(1, size(__toks)), i -> i = 1 OR "
+    "element_at(__toks, i) != element_at(__toks, i - 1)) "
+    "ELSE cast(array() as array<int>) END"
+)
+
+
+def derepeat_docs(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_after, n_removed, derep_hash (md5 of the
+    collapsed text) — documents needing repair have n_removed > 0."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("__toks"))
+        .withColumn("__keep", F.expr(_DEREP_POSITIONS))
+        .select(
+            "doc_id",
+            F.size("__toks").cast("int").alias("n_tokens"),
+            F.size("__keep").cast("int").alias("n_after"),
+            (F.size("__toks") - F.size("__keep")).cast("int")
+            .alias("n_removed"),
+            F.md5(F.expr(
+                "concat_ws(' ', transform(__keep, "
+                "i -> element_at(__toks, i)))"
+            )).alias("derep_hash"),
+        )
+    )
+
+
+def _derepeat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derepeat_docs(load(spark, sf_dir, "documents"))
+
+
+_DEREPEAT_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), keep AS (
+  SELECT doc_id, t,
+         list_filter(range(1, len(t) + 1),
+                     i -> i = 1 OR t[i] <> t[i - 1]) AS k
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(len(k) AS INT) AS n_after,
+       CAST(len(t) - len(k) AS INT) AS n_removed,
+       md5(array_to_string(list_transform(k, i -> t[i]), ' '))
+         AS derep_hash
+FROM keep
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("text_derepeat", _derepeat_q, _DEREPEAT_SQL,
+              "Consecutive-token de-repetition (the repair op behind "
+              "the Gopher repetition flags): map-only filter/transform "
+              "pass, zero shuffles; collapsed-text md5 proves the "
+              "transform cross-engine."),
         Query("corpus_vocab_stats", _vocab_stats_q, _VOCAB_STATS_SQL,
               "Per-language lexical diversity: type-token ratio + "
               "hapax share from two map-side-combining hash-aggs — "

@@ -847,3 +847,10 @@ def test_ivfpq_corpus_never_shuffles_for_assignment(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
+
+
+def test_derepeat_is_map_only(spark, sf_dir):
+    """De-repetition must stream through with no Exchange anywhere —
+    one filter/transform projection per row."""
+    p = plan(spark, sf_dir, "text_derepeat")
+    assert "Exchange" not in p
