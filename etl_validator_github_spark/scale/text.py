@@ -2146,14 +2146,24 @@ NOVELTY_K = 5
 NOVELTY_REF_SOURCE = "src0"
 
 
-def ngram_novelty(docs: DataFrame, k: int = NOVELTY_K,
-                  ref_source: str = NOVELTY_REF_SOURCE) -> DataFrame:
-    """Per-doc novel-window counts vs the ``ref_source`` slice.
+def build_novelty_index(ref_docs: DataFrame,
+                        k: int = NOVELTY_K) -> DataFrame:
+    """Distinct k-token window hashes of the reference slice — the
+    persistable index half (the ``build_dedup_index`` convention);
+    the streaming probe reuses it across micro-batches."""
+    from etl_validator_github_spark.scale.dedup import (
+        _span_base,
+        _span_windows,
+    )
 
-    ``novelty_milli`` is NULL for docs shorter than ``k`` tokens (no
-    windows → ratio undefined); reference docs score 0 by construction
-    and carry ``is_ref = 1`` so downstream filters can drop them.
-    """
+    return _span_windows(_span_base(ref_docs), k).select("h").distinct()
+
+
+def novelty_scores(docs: DataFrame, ref_hashes: DataFrame,
+                   k: int = NOVELTY_K) -> DataFrame:
+    """Per-doc novelty vs a prebuilt reference hash set: (doc_id,
+    n_windows, n_novel, novelty_milli); milli is NULL below k tokens
+    (no windows → ratio undefined)."""
     from etl_validator_github_spark.scale.dedup import (
         _span_base,
         _span_windows,
@@ -2161,31 +2171,46 @@ def ngram_novelty(docs: DataFrame, k: int = NOVELTY_K,
 
     base = _span_base(docs)
     wins = _span_windows(base, k)
-    ref_ids = docs.filter(F.col("source") == ref_source).select("doc_id")
-    ref_hashes = wins.join(ref_ids, "doc_id", "left_semi") \
-        .select("h").distinct()
     novel = (
         wins.join(ref_hashes, "h", "left_anti")
         .groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_novel"))
     )
-    per_doc = (
+    return (
         base.select(
             "doc_id",
             F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(0))
             .cast("int").alias("n_windows"),
         )
         .join(novel, "doc_id", "left")
-        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "n_windows",
+            F.coalesce("n_novel", F.lit(0)).cast("int").alias("n_novel"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.expr("div(1000 * coalesce(n_novel, 0), n_windows)"),
+            ).cast("int").alias("novelty_milli"),
+        )
     )
-    return per_doc.select(
-        "doc_id",
-        (F.col("source") == ref_source).cast("int").alias("is_ref"),
-        "n_windows",
-        F.coalesce("n_novel", F.lit(0)).cast("int").alias("n_novel"),
-        F.when(
-            F.col("n_windows") > 0,
-            F.expr("div(1000 * coalesce(n_novel, 0), n_windows)"),
-        ).cast("int").alias("novelty_milli"),
+
+
+def ngram_novelty(docs: DataFrame, k: int = NOVELTY_K,
+                  ref_source: str = NOVELTY_REF_SOURCE) -> DataFrame:
+    """Per-doc novel-window counts vs the ``ref_source`` slice.
+
+    Reference docs score 0 by construction and carry ``is_ref = 1`` so
+    downstream filters can drop them. Composed from the index/probe
+    halves above (which the streaming twin reuses)."""
+    ref_hashes = build_novelty_index(
+        docs.filter(F.col("source") == ref_source), k
+    )
+    return (
+        novelty_scores(docs, ref_hashes, k)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("source") == ref_source).cast("int").alias("is_ref"),
+            "n_windows", "n_novel", "novelty_milli",
+        )
     )
 
 

@@ -221,6 +221,47 @@ def stream_bloom_probe(
     return writer.start()
 
 
+def stream_novelty_probe(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    novelty_index: DataFrame,
+    available_now: bool = True,
+):
+    """Streaming n-gram novelty (scale/text.py ``novelty_scores``): each
+    micro-batch of newly landed documents is scored for the fraction of
+    its k-token windows ABSENT from the persisted reference hash index
+    — the "is this source adding new text" readout on live ingest, the
+    complement of ``stream_span_probe``'s contamination check. Same
+    contract as the other probes: CALLER owns the ``novelty_index``
+    lifetime (pass it persisted; built once via ``build_novelty_index``),
+    per-batch work is |batch| window hashing + one anti-join + one
+    doc-keyed agg, and every sink row carries its micro-batch id (the
+    ``stream_cms_counters`` redelivery-dedup convention).
+    """
+    from etl_validator_github_spark.scale.text import novelty_scores
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        novelty_scores(batch_df, novelty_index).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sink_dir)
+
+    writer = stream.writeStream.foreachBatch(_probe).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_perplexity_gate(
     spark,
     source_dir: str,

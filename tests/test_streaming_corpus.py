@@ -405,3 +405,49 @@ def test_stream_perplexity_gate_scores_and_routes(spark, tmp_path):
         assert b200 > max(r.batch_id for r in rows if r.doc_id != 200)
     finally:
         ref.unpersist()
+
+
+def test_stream_novelty_probe_scores_against_reference(spark, tmp_path):
+    """Streaming novelty probe: a doc copying reference text scores 0
+    novelty, a fresh doc scores 1000, a half-quote lands in between;
+    a later file probes in its own micro-batch against the same
+    persisted index, rows carry batch_id."""
+    from etl_validator_github_spark.scale.text import build_novelty_index
+    from etl_validator_github_spark.streaming.corpus import (
+        stream_novelty_probe,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, GOOD, "en")], "doc_id: long, text: string, lang: string"
+    )
+    idx = build_novelty_index(ref).persist()
+    try:
+        src = tmp_path / "nvsrc"
+        sink, ckpt = tmp_path / "nvsink", tmp_path / "nvckpt"
+        novel = " ".join(f"fresh{i}" for i in range(30))
+        # 20 reference tokens then 10 fresh: windows fully inside the
+        # quote are known, windows crossing/after it are novel.
+        half = " ".join(f"tok{i}" for i in range(20)) + " " + \
+            " ".join(f"new{i}" for i in range(10))
+        _write_docs(spark, str(src / "d1.parquet"),
+                    [(100, GOOD), (101, novel), (102, half)])
+
+        q = stream_novelty_probe(spark, str(src), str(sink), str(ckpt), idx)
+        q.awaitTermination(120)
+        got = {r.doc_id: (r.n_windows, r.n_novel, r.novelty_milli)
+               for r in spark.read.parquet(str(sink)).collect()}
+        assert got[100] == (26, 0, 0)          # verbatim reference copy
+        assert got[101] == (26, 26, 1000)      # fully novel
+        # doc 102: 30 tokens → 26 windows; the 16 windows fully inside
+        # tok0..tok19 are reference windows, the other 10 are novel.
+        assert got[102] == (26, 10, 384)
+
+        _write_docs(spark, str(src / "d2.parquet"), [(200, novel)])
+        q2 = stream_novelty_probe(spark, str(src), str(sink), str(ckpt), idx)
+        q2.awaitTermination(120)
+        rows = spark.read.parquet(str(sink)).collect()
+        assert len(rows) == 4                  # earlier files not re-probed
+        bids = {r.doc_id: r.batch_id for r in rows}
+        assert bids[200] > bids[100]
+    finally:
+        idx.unpersist()
