@@ -3972,6 +3972,150 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — the ETL-validation counterpart of the
+# row-rule catalog, at TABLE granularity: for every FK edge of the
+# star schema, how many child rows point at a missing parent, plus the
+# orphan share in ppm. A lakehouse has no enforced constraints, so
+# this audit IS the constraint check, run after every load.
+#
+# Scale shape: each edge is one LEFT ANTI join from the child to the
+# parent's key projection (runtime-Bloom-joinable; the parent side is
+# keys only). Each edge also re-counts its child table — at 100 TB
+# the counts for edges sharing a child (lineitem×3) come from one
+# cached count, not three scans; kept per-edge here for plan clarity.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    # child, child key, parent, parent key
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(pk)
+        orphans = c.select(F.col(ck).alias(pk)).join(p, pk, "left_anti")
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )  # 1-row × 1-row fold
+            .select(
+                F.lit(f"{child}.{ck}").alias("fk"),
+                F.lit(parent).alias("parent"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.expr("cast((1000000 * n_orphans) div n_child as int)")
+                .alias("orphan_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _fk_audit_sql() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{child}.{ck}' AS fk, '{parent}' AS parent,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM {child} c
+             ANTI JOIN {parent} p ON c.{ck} = p.{pk}) AS BIGINT)
+         AS n_orphans,
+       CAST((1000000 * (SELECT COUNT(*) FROM {child} c
+                        ANTI JOIN {parent} p ON c.{ck} = p.{pk}))
+            // (SELECT COUNT(*) FROM {child}) AS INT) AS orphan_ppm""")
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — the marketing-analytics join of purchases to
+# the most recent preceding click by the same user within a 1-hour
+# lookback. Same carry-forward-window machinery as the as-of join
+# (events_asof_join): ONE shuffle on user_id, a linear in-partition
+# pass with last(..., ignorenulls) — never the naive per-purchase
+# inequality join (O(n²) per user). Ties on ts break by event_id so
+# both engines see one ordering.
+# ---------------------------------------------------------------------------
+
+_ATTRIB_WINDOW_US = 3_600 * 1_000_000
+
+
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts_us"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_click = ev.withColumn(
+        "last_click_us",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts_us")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    purchases = with_click.filter(F.col("event_type") == "purchase")
+    attributed = (
+        F.col("last_click_us").isNotNull()
+        & (F.col("ts_us") - F.col("last_click_us")
+           <= F.lit(_ATTRIB_WINDOW_US))
+    )
+    v = cents("value")
+    return purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(attributed.cast("long")).cast("long").alias("n_attributed"),
+        F.sum(F.when(attributed, v).otherwise(F.lit(0)))
+        .cast("long").alias("attributed_cents"),
+        F.sum(F.when(~attributed, v).otherwise(F.lit(0)))
+        .cast("long").alias("unattributed_cents"),
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+), w AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_us
+  FROM ev
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                      AND ts_us - last_click_us <= {_ATTRIB_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                      AND ts_us - last_click_us <= {_ATTRIB_WINDOW_US}
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS attributed_cents,
+       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                      AND ts_us - last_click_us <= {_ATTRIB_WINDOW_US}
+                     THEN 0
+                     ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS unattributed_cents
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -4066,6 +4210,16 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Join-key skew audit: per fact key, rows / distincts / "
               "top-1 share in ppm via max(struct) argmax — two "
               "hash-aggs, no window over the fact table."),
+        Query("events_attribution", _events_attribution, _ATTRIBUTION_SQL,
+              "Last-touch attribution: purchases joined to the most "
+              "recent same-user click within 1h via the carry-forward "
+              "window (one user_id shuffle, linear pass — never the "
+              "per-purchase inequality join)."),
+        Query("star_schema_fk_audit", _fk_audit, _fk_audit_sql(),
+              "Referential-integrity audit over every FK edge of the "
+              "star schema: orphan counts + ppm share via LEFT ANTI "
+              "joins against key-only parent projections — the "
+              "constraint check a lakehouse doesn't enforce."),
         Query("events_variant_props", _variant_props, _VARIANT_SQL,
               "Schema-on-read over the events JSON props via Spark 4's "
               "VARIANT (parse_json → typed variant_get; missing paths "
