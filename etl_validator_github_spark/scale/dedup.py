@@ -1912,9 +1912,93 @@ WHERE i * 100 >= {PREFIX_T_PCT} * (s1.m + s2.m - i)
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivor selection: keep the LONGEST document of
+# each near-dup cluster (ties → lowest id) instead of the min-id — the
+# curation policy that preserves the most complete copy of a page that
+# was scraped at several truncation lengths. Same candidate → verify →
+# components dataflow as fuzzy_dedup_keep; only the representative rule
+# changes, via an exact max(struct(n_tokens, −doc_id)) argmax per
+# cluster — no window over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def keep_longest_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, n_tokens, keep): keep = 1 on each cluster's
+    longest member (tie → lowest doc_id); singletons keep themselves."""
+    pairs = _jaccard_pairs(docs, JACCARD_THRESHOLD).select("d1", "d2")
+    clusters = duplicate_clusters(pairs)
+    base = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        )
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    best = base.groupBy("cluster_id").agg(
+        F.max(F.struct(
+            F.col("n_tokens").alias("n"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )).alias("__b")
+    )
+    return (
+        base.join(best, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "n_tokens",
+            ((F.col("n_tokens") == F.col("__b.n"))
+             & (F.col("doc_id") == -F.col("__b.neg_id")))
+            .cast("int").alias("keep"),
+        )
+    )
+
+
+def _keep_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keep_longest_dedup(with_copies(load(spark, sf_dir, "documents")))
+
+
+def _keep_longest_sql() -> str:
+    return f"""
+WITH RECURSIVE jp AS ({_jaccard_sql()}),
+sym AS (
+  SELECT d1 AS src, d2 AS dst FROM jp
+  UNION
+  SELECT d2, d1 FROM jp
+),
+reach(v, u) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+),
+clusters AS (
+  SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY 1
+),
+all_docs AS ({_COPIES_SQL}),
+base AS (
+  SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM all_docs d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, cluster_id, n_tokens,
+       CAST(row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_tokens DESC, doc_id ASC) = 1
+            AS INT) AS keep
+FROM base
+"""
+
+
 DEDUP_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("dedup_keep_longest", _keep_longest_q, _keep_longest_sql(),
+              "Quality-aware dedup survivor: keep each near-dup "
+              "cluster's LONGEST member (tie → lowest id) via an exact "
+              "max(struct) argmax — no corpus-wide window; preserves "
+              "the most complete scrape."),
         Query("dedup_prefix_filter_join", _prefix_filter_q,
               _PREFIX_FILTER_SQL,
               "Prefix-filtered EXACT similarity join (PPJoin family): "
