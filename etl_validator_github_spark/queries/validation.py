@@ -235,9 +235,89 @@ def _bankdata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize_errors(errs)
 
 
+# ---------------------------------------------------------------------------
+# Declarative table expectations (operators/expectations.py): the
+# whole check suite — requiredness, uniqueness, domain, range, format —
+# compiled into ONE aggregation job over the table, reported as one
+# row per check with the violation share in ppm. unique(o_custkey) is
+# deliberately included as a FAILING check (customers repeat across
+# orders) so the violation path is non-vacuous.
+# ---------------------------------------------------------------------------
+
+
+def _orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_validator_github_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return run_expectations(orders, [
+        expect_not_null("o_orderkey"),
+        expect_unique("o_orderkey"),
+        expect_unique("o_custkey"),          # fails: customers repeat
+        expect_in_set("o_orderstatus", ("O", "F", "P")),
+        expect_between("o_totalprice", 0.0, 10_000_000.0),
+        expect_matches("o_orderpriority", "^[1-5]-"),
+    ])
+
+
+_EXPECTATIONS_SQL = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+              - CASE WHEN COUNT(*) - COUNT(o_orderkey) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS v_uniq_ok,
+         CAST(COUNT(*) - COUNT(DISTINCT o_custkey)
+              - CASE WHEN COUNT(*) - COUNT(o_custkey) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS v_uniq_ck,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_null_ok,
+         CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'),
+                                     FALSE) THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_set,
+         CAST(SUM(CASE WHEN COALESCE(o_totalprice >= 0.0
+                                     AND o_totalprice <= 10000000.0,
+                                     FALSE) THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_range,
+         CAST(SUM(CASE WHEN COALESCE(
+                  regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS v_re
+  FROM orders
+)
+SELECT "check", "column", n_rows, n_violations,
+       CAST((1000000 * n_violations) // n_rows AS INT) AS violation_ppm
+FROM (
+  SELECT 'not_null(o_orderkey)' AS "check", 'o_orderkey' AS "column",
+         n_rows, v_null_ok AS n_violations FROM agg
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'o_orderkey', n_rows, v_uniq_ok FROM agg
+  UNION ALL
+  SELECT 'unique(o_custkey)', 'o_custkey', n_rows, v_uniq_ck FROM agg
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', 'o_orderstatus', n_rows, v_set FROM agg
+  UNION ALL
+  SELECT 'between(o_totalprice)', 'o_totalprice', n_rows, v_range FROM agg
+  UNION ALL
+  SELECT 'matches(o_orderpriority)', 'o_orderpriority', n_rows, v_re
+  FROM agg
+) t
+"""
+
+
 VALIDATION_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("orders_expectations", _orders_expectations,
+              _EXPECTATIONS_SQL,
+              "Great-Expectations-shaped table checks compiled into ONE "
+              "aggregation job (requiredness/uniqueness/domain/range/"
+              "format), violations in ppm; the failing unique(o_custkey) "
+              "check keeps the violation path non-vacuous."),
         Query("validate_customer_rules", _validate_customer_rules, _VALIDATE_SQL,
               "Rule catalog → single-projection error lists (§2.8 machinery)."),
         Query("validate_error_summary", _validate_error_summary, _SUMMARY_SQL,

@@ -342,3 +342,38 @@ def test_error_folder_window_ignores_preexisting_parquet(tmp_path):
     assert find_unexpected_error_parquet_files(str(error_dir)) == sorted(
         [str(old), str(new)]
     )
+
+
+def test_expectations_hand_data_all_branches(spark):
+    """Expectations on hand data: every check kind hits both the clean
+    and the violating branch, including the NULL conventions (NULL not
+    in set / out of range / counted once for uniqueness)."""
+    from etl_validator_github_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0, "1-HIGH"),
+         (1, "B", -2.0, "9-BAD"),
+         (None, "Z", None, None),
+         (3, "A", 7.0, "2-MED")],
+        "k long, s string, x double, p string",
+    )
+    out = {r["check"]: r["n_violations"]
+           for r in run_expectations(df, [
+               expect_not_null("k"),
+               expect_unique("k"),          # 1,1,NULL,3 → one extra row
+               expect_in_set("s", ("A", "B")),   # Z + none
+               expect_between("x", 0.0, 10.0),   # -2 + NULL
+               expect_matches("p", "^[1-5]-"),   # 9-BAD + NULL
+           ]).collect()}
+    assert out["not_null(k)"] == 1
+    assert out["unique(k)"] == 1      # 4 rows - {1,3} - NULL-slot = 1
+    assert out["in_set(s)"] == 1
+    assert out["between(x)"] == 2
+    assert out["matches(p)"] == 2

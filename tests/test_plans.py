@@ -854,3 +854,13 @@ def test_derepeat_is_map_only(spark, sf_dir):
     one filter/transform projection per row."""
     p = plan(spark, sf_dir, "text_derepeat")
     assert "Exchange" not in p
+
+
+def test_expectations_compile_to_one_aggregation_job(spark, sf_dir):
+    """N expectations over one table must plan as ONE aggregate over
+    ONE scan (conditional counters + count_distinct in the same agg) —
+    never one job per check."""
+    import re
+    p = plan(spark, sf_dir, "orders_expectations")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p
