@@ -94,3 +94,42 @@ def test_zordered_layout_prunes_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(xsorted).agg(F.sum("payload")).collect()[0][0]
     b = spark.read.parquet(zordered).agg(F.sum("payload")).collect()[0][0]
     assert a == b == n * (n - 1) // 2
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    """compact_parquet_dir: a fragmented 64-file directory rewrites to
+    the byte-sized file count, rows identical; with order_by the output
+    row groups are clustered (each file covers a disjoint key range)."""
+    from etl_validator_github_spark.plans.layout import compact_parquet_dir
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(20_000).selectExpr(
+        "id", "id % 97 as k", "repeat('x', 50) as pad"
+    )
+    df.repartition(64).write.parquet(src)
+
+    stats = compact_parquet_dir(spark, src, dst, target_file_mb=128,
+                                order_by="id")
+    assert stats["n_files_in"] == 64
+    assert stats["n_files_out"] < 8
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert back.selectExpr("sum(id) s").first()["s"] == \
+        df.selectExpr("sum(id) s").first()["s"]
+
+    # order_by clustering: per-file id ranges must not overlap.
+    import os
+    import pyarrow.parquet as pq
+    ranges = []
+    for root, _, names in os.walk(dst):
+        for f in names:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                lo = min(md.row_group(i).column(0).statistics.min
+                         for i in range(md.num_row_groups))
+                hi = max(md.row_group(i).column(0).statistics.max
+                         for i in range(md.num_row_groups))
+                ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2, ranges
