@@ -1755,32 +1755,43 @@ def _bm25_contrib(tf, df, dl, n_docs, total_tokens) -> Column:
     return F.round(contrib * F.lit(1000000.0)).cast("long")
 
 
-def bm25_topk(docs: DataFrame,
-              queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
-              k: int = BM25_TOP_K) -> DataFrame:
-    """Top-k documents per query under BM25, scored in integer
-    micro-units (deterministic ranking — no float-sum ordering)."""
-    from pyspark.sql import Window
-
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, text in queries for t in text.split()],
-        "query_id int, term string",
-    )
+def doc_postings(docs: DataFrame) -> DataFrame:
+    """The inverted-postings table (doc_id, dl, term, tf) — the
+    PERSISTABLE index half. A streaming ingest maintains this
+    incrementally (streaming/corpus.py::stream_postings_maintenance):
+    a document's postings are a pure function of its text, so appends
+    are per-batch map+agg work and never touch earlier docs."""
     toks = docs.select(
         "doc_id", F.size(tokens()).alias("dl"),
         F.explode(tokens()).alias("term"),
     )
     # dl is functionally dependent on doc_id, so folding it into the
     # grouping key costs nothing and saves a doc-keyed length join.
-    tf = toks.groupBy("doc_id", "dl", "term").agg(
+    return toks.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    ptf = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+
+
+def bm25_from_postings(postings: DataFrame,
+                       queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+                       k: int = BM25_TOP_K) -> DataFrame:
+    """BM25 top-k scored from a (doc_id, dl, term, tf) postings table;
+    corpus stats (n_docs, total tokens) re-derive from the postings'
+    distinct (doc_id, dl) pairs, so the index is self-contained."""
+    from pyspark.sql import Window
+
+    spark = postings.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in text.split()],
+        "query_id int, term string",
+    )
+    ptf = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
     df_ = ptf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    stats = docs.agg(
+    stats = postings.select("doc_id", "dl").distinct().agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens())).cast("long").alias("total_tokens"),
+        F.sum("dl").cast("long").alias("total_tokens"),
     )
     scored = (
         ptf.join(F.broadcast(qterms), "term")
@@ -1804,6 +1815,15 @@ def bm25_topk(docs: DataFrame,
         agg.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def bm25_topk(docs: DataFrame,
+              queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+              k: int = BM25_TOP_K) -> DataFrame:
+    """Top-k documents per query under BM25, scored in integer
+    micro-units (deterministic ranking — no float-sum ordering).
+    Composed from the index/score halves above."""
+    return bm25_from_postings(doc_postings(docs), queries, k)
 
 
 def _bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
