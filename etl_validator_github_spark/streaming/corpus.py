@@ -262,6 +262,58 @@ def stream_novelty_probe(
     return writer.start()
 
 
+def stream_postings_maintenance(
+    spark,
+    source_dir: str,
+    postings_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental inverted-index build: each micro-batch of newly
+    landed documents appends its (doc_id, dl, term, tf) postings
+    (scale/text.py ``doc_postings``) to a parquet log, stamped with the
+    micro-batch id. A document's postings are a pure function of its
+    own text, so per-batch work is |batch| tokenize + one hash-agg and
+    the index NEVER rewrites earlier documents — the property that
+    makes a 100 TB/day corpus searchable incrementally.
+
+    Readers dedup redeliveries by keeping each doc's FIRST batch
+    (``read_postings_log``) and score with ``bm25_from_postings`` —
+    which re-derives the corpus stats (n_docs, total tokens) from the
+    postings themselves, so the log is the whole index.
+    """
+    from etl_validator_github_spark.scale.text import doc_postings
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        doc_postings(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(postings_dir)
+
+    writer = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_postings_log(spark, postings_dir: str) -> DataFrame:
+    """The live postings table from the log: a redelivered micro-batch
+    appends byte-identical rows under a NEW batch_id, so keeping each
+    doc's first batch (min batch_id, a doc-keyed semi-join) makes the
+    read idempotent under retries."""
+    log = spark.read.parquet(postings_dir)
+    first = log.groupBy("doc_id").agg(F.min("batch_id").alias("batch_id"))
+    return log.join(first, ["doc_id", "batch_id"]).drop("batch_id")
+
+
 def stream_perplexity_gate(
     spark,
     source_dir: str,

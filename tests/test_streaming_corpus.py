@@ -451,3 +451,51 @@ def test_stream_novelty_probe_scores_against_reference(spark, tmp_path):
         assert bids[200] > bids[100]
     finally:
         idx.unpersist()
+
+
+def test_stream_postings_maintenance_matches_batch_bm25(spark, tmp_path):
+    """Incrementally-built postings (two micro-batches) must score
+    BM25 identically to the batch pipeline over the union of the docs,
+    and a redelivered batch's duplicate appends must not change the
+    read (first-batch-wins dedup)."""
+    from etl_validator_github_spark.scale.text import (
+        bm25_from_postings,
+        bm25_topk,
+        doc_postings,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        read_postings_log,
+        stream_postings_maintenance,
+    )
+
+    queries = ((1, "tok1 other3"), (2, "tok2"))
+    src = tmp_path / "pgsrc"
+    plog, ckpt = tmp_path / "pglog", tmp_path / "pgckpt"
+    _write_docs(spark, str(src / "d1.parquet"), [(0, GOOD), (1, GOOD2)])
+    q = stream_postings_maintenance(spark, str(src), str(plog), str(ckpt))
+    q.awaitTermination(120)
+    _write_docs(spark, str(src / "d2.parquet"),
+                [(2, GOOD + " extra"), (3, "tok1 tok1 tok2 plus more")])
+    q2 = stream_postings_maintenance(spark, str(src), str(plog), str(ckpt))
+    q2.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [(0, GOOD), (1, GOOD2), (2, GOOD + " extra"),
+         (3, "tok1 tok1 tok2 plus more")],
+        "doc_id: long, text: string",
+    )
+    want = sorted(map(tuple, bm25_topk(all_docs, queries).collect()))
+    got = sorted(map(tuple, bm25_from_postings(
+        read_postings_log(spark, str(plog)), queries).collect()))
+    assert got == want and len(got) > 0
+
+    # Simulate a redelivery: re-append batch 0's postings under a new
+    # batch_id — the deduped read must be unchanged.
+    import pyspark.sql.functions as F
+    first = spark.createDataFrame([(0, GOOD), (1, GOOD2)],
+                                  "doc_id: long, text: string")
+    doc_postings(first).withColumn("batch_id", F.lit(99)) \
+        .write.mode("append").parquet(str(plog))
+    got2 = sorted(map(tuple, bm25_from_postings(
+        read_postings_log(spark, str(plog)), queries).collect()))
+    assert got2 == want
