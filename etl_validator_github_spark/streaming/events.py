@@ -563,3 +563,76 @@ def stream_windowed_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_expectations_monitor(
+    spark,
+    source_dir: str,
+    schema: str,
+    checks,
+    report_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Continuous data-quality gate: every micro-batch runs the
+    declarative expectation suite (operators/expectations.py — the
+    whole suite is ONE aggregation job per batch) and appends one row
+    per check, stamped with batch_id.
+
+    Only ROW-LEVEL checks are accepted: their (n_rows, n_violations)
+    counters SUM-merge across batches, so the cumulative report is a
+    read-side fold (``read_expectations_report``) with the batch_id
+    redelivery dedup. Uniqueness is deliberately REJECTED here — it is
+    a global property with no mergeable exact form (the same algebra
+    boundary stream_table_profile documents; its HLL register log is
+    the streaming answer for distinctness).
+    """
+    from etl_validator_github_spark.operators.expectations import (
+        run_expectations,
+    )
+
+    if any(c.unique for c in checks):
+        raise ValueError(
+            "unique() checks don't SUM-merge across micro-batches; "
+            "use stream_table_profile's HLL distinct log instead"
+        )
+
+    reader = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).option("maxFilesPerTrigger", 8)
+    stream = getattr(reader, fmt)(source_dir)
+
+    def _gate(batch_df, batch_id: int) -> None:
+        run_expectations(batch_df, checks).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(report_dir)
+
+    writer = stream.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_expectations_report(spark, report_dir: str) -> DataFrame:
+    """Cumulative per-check totals from the monitor log: dedup
+    redelivered batches by (batch_id, check) max, then SUM — exactly
+    the stream_cms_counters merge discipline."""
+    log = spark.read.parquet(report_dir)
+    once = log.groupBy("batch_id", "check", "column").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_violations").alias("n_violations"),
+    )
+    return (
+        once.groupBy("check", "column")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+        .withColumn(
+            "violation_ppm",
+            F.expr("cast((1000000 * n_violations) div n_rows as int)"),
+        )
+    )

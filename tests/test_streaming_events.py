@@ -464,3 +464,76 @@ def test_stream_table_profile_matches_batch_and_survives_redelivery(
         spark.createDataFrame(rows, src_df.schema).write.mode(
             "append").parquet(str(d))
     assert snap() == got
+
+
+def test_stream_expectations_monitor_accumulates_and_dedups(spark, tmp_path):
+    """Expectations monitor: per-batch gate rows accumulate across
+    micro-batches; a redelivered batch's duplicate appends fold out on
+    read; unique() checks are rejected up front."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_unique,
+        run_expectations,
+    )
+    from etl_validator_github_spark.streaming.events import (
+        EVENT_STREAM_SCHEMA,
+        read_expectations_report,
+        stream_expectations_monitor,
+    )
+
+    checks = [
+        expect_in_set("event_type", ("click", "view")),
+        expect_between("value", 0.0, 100.0),
+    ]
+    src = tmp_path / "exsrc"
+    rep, ckpt = tmp_path / "exrep", tmp_path / "exckpt"
+    src.mkdir(parents=True)
+
+    def _ev(eid, typ, val):
+        return {"event_id": eid, "ts_s": eid, "user_id": 0,
+                "event_type": typ, "value": val}
+
+    with open(src / "01.json", "w") as f:
+        for r in [_ev(0, "click", 5.0), _ev(1, "bogus", 5.0),
+                  _ev(2, "view", -3.0)]:
+            f.write(json.dumps(r) + "\n")
+    q = stream_expectations_monitor(
+        spark, str(src), EVENT_STREAM_SCHEMA, checks, str(rep), str(ckpt))
+    q.awaitTermination(120)
+
+    with open(src / "02.json", "w") as f:
+        for r in [_ev(3, "click", 500.0), _ev(4, "view", 1.0)]:
+            f.write(json.dumps(r) + "\n")
+    q2 = stream_expectations_monitor(
+        spark, str(src), EVENT_STREAM_SCHEMA, checks, str(rep), str(ckpt))
+    q2.awaitTermination(120)
+
+    got = {r["check"]: (r["n_rows"], r["n_violations"])
+           for r in read_expectations_report(spark, str(rep)).collect()}
+    assert got["in_set(event_type)"] == (5, 1)   # 'bogus'
+    assert got["between(value)"] == (5, 2)       # -3.0 and 500.0
+
+    # Redelivery: re-append batch 0's gate rows under its SAME batch_id
+    # → the (batch_id, check) max-dedup folds them out.
+    first = spark.createDataFrame(
+        [(0, 0, 0, "click", 5.0), (1, 1, 0, "bogus", 5.0),
+         (2, 2, 0, "view", -3.0)],
+        "event_id long, ts_s long, user_id long, event_type string, value double",
+    )
+    run_expectations(first, checks).withColumn(
+        "batch_id", F.lit(0)
+    ).write.mode("append").parquet(str(rep))
+    got2 = {r["check"]: (r["n_rows"], r["n_violations"])
+            for r in read_expectations_report(spark, str(rep)).collect()}
+    assert got2 == got
+
+    with pytest.raises(ValueError):
+        stream_expectations_monitor(
+            spark, str(src), EVENT_STREAM_SCHEMA,
+            [expect_unique("event_id")], str(rep), str(ckpt))
