@@ -558,6 +558,59 @@ def _cmd_media(args: argparse.Namespace) -> int:
     return 0
 
 
+
+def _parse_check(spec: str):
+    """One --check spec → a Check. Grammar (colon-separated):
+    not_null:COL | unique:COL | in_set:COL:v1|v2|... |
+    between:COL:LO:HI | matches:COL:REGEX (regex may contain colons)."""
+    from etl_validator_github_spark.operators import expectations as ex
+
+    kind, _, rest = spec.partition(":")
+    if kind == "not_null":
+        return ex.expect_not_null(rest)
+    if kind == "unique":
+        return ex.expect_unique(rest)
+    if kind == "in_set":
+        col, _, vals = rest.partition(":")
+        return ex.expect_in_set(col, tuple(vals.split("|")))
+    if kind == "between":
+        col, lo, hi = rest.split(":")
+        return ex.expect_between(col, float(lo), float(hi))
+    if kind == "matches":
+        col, _, pattern = rest.partition(":")
+        return ex.expect_matches(col, pattern)
+    raise SystemExit(f"unknown check kind: {kind!r}")
+
+
+def _cmd_expect(args: argparse.Namespace) -> int:
+    """Declarative data-quality gate over any parquet: run every
+    --check in one aggregation job (operators/expectations.py), print
+    the per-check report, exit 1 if any violation share exceeds
+    --max-violation-ppm (default 0 = any violation fails the gate)."""
+    from etl_validator_github_spark.operators.expectations import (
+        run_expectations,
+    )
+
+    checks = [_parse_check(c) for c in args.check]
+    spark = get_spark(app_name="expectations")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.input)
+    missing = sorted({c.column for c in checks} - set(df.columns))
+    if missing:
+        raise SystemExit(
+            f"{args.input} is missing column(s) {', '.join(missing)}"
+        )
+    rows = run_expectations(df, checks).orderBy("check").collect()
+    failed = False
+    for r in rows:
+        status = "OK" if r["violation_ppm"] <= args.max_violation_ppm \
+            else "FAIL"
+        failed = failed or status == "FAIL"
+        print(f"{status:4} {r['check']:40} rows={r['n_rows']} "
+              f"violations={r['n_violations']} ppm={r['violation_ppm']}")
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_validator_github_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -676,6 +729,21 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument("--output",
                     help="also write the per-doc feature table here")
     md.set_defaults(fn=_cmd_media)
+
+    e = sub.add_parser(
+        "expect",
+        help="declarative data-quality gate over a parquet: all checks "
+             "in one aggregation job, nonzero exit on violations",
+    )
+    e.add_argument("input")
+    e.add_argument("--check", action="append", required=True,
+                   help="not_null:COL | unique:COL | in_set:COL:v1|v2 | "
+                        "between:COL:LO:HI | matches:COL:REGEX "
+                        "(repeatable)")
+    e.add_argument("--max-violation-ppm", type=int, default=0,
+                   help="per-check tolerance before the gate fails "
+                        "(default 0: any violation fails)")
+    e.set_defaults(fn=_cmd_expect)
 
     args = parser.parse_args(argv)
     return args.fn(args)

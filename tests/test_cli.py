@@ -596,3 +596,28 @@ def test_cli_curate_sample_k(spark, tmp_path, capsys):
     assert main(["curate", str(src), "--op", "sample-k", "--k", "2",
                  "--write-docs", "--output", str(out)]) == 0
     assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_cli_expect_gate_passes_and_fails(spark, tmp_path, capsys):
+    """`expect` subcommand: green gate exits 0; a violated check exits
+    1 and prints FAIL with exact counts; ppm tolerance waves it back
+    through."""
+    from etl_validator_github_spark.cli import main
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr(
+        "id", "case when id = 7 then null else 'A' end as s"
+    ).write.parquet(path)
+
+    assert main(["expect", path, "--check", "not_null:id",
+                 "--check", "unique:id"]) == 0
+
+    rc = main(["expect", path, "--check", "not_null:s",
+               "--check", "in_set:s:A|B"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL not_null(s)" in out and "violations=1" in out
+
+    # 1/100 nulls = 10000 ppm → tolerated at 10000.
+    assert main(["expect", path, "--check", "not_null:s",
+                 "--max-violation-ppm", "10000"]) == 0
