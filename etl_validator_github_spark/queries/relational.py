@@ -4116,6 +4116,89 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection per hourly series — the monitoring
+# primitive behind "when did this metric's level shift". The classic
+# statistic Σ(yᵢ − ȳ) needs the float mean; scaling by n keeps it
+# EXACT: CUSUM_k = n·Σ_{i≤k} yᵢ − k·Σy (integer, sign-identical to
+# the textbook form). The change point is the bucket maximizing
+# |CUSUM| (tie → earliest hour), found via max(struct) argmax — no
+# second pass.
+#
+# Scale shape: one input-sized hash-agg (hourly rollup), one window
+# pass over the per-type series (bounded by calendar span × types),
+# one per-type argmax agg. Same cost envelope as the trend query.
+# ---------------------------------------------------------------------------
+
+
+def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_US_PER_HOUR}").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w_ord = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cusum = hourly.select(
+        "event_type", "h",
+        (F.count(F.lit(1)).over(w_all) * F.sum("y").over(w_ord)
+         - F.row_number().over(
+             Window.partitionBy("event_type").orderBy("h"))
+         * F.sum("y").over(w_all)).alias("cusum"),
+        F.count(F.lit(1)).over(w_all).alias("n_buckets"),
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.first("n_buckets").cast("int").alias("n_buckets"),
+            F.max(F.struct(
+                F.abs("cusum").alias("a"),
+                (-F.col("h")).alias("neg_h"),
+                F.col("cusum").alias("c"),
+            )).alias("__b"),
+        )
+        .select(
+            "event_type", "n_buckets",
+            (-F.col("__b.neg_h")).cast("long").alias("change_hour"),
+            F.col("__b.c").cast("long").alias("cusum_scaled"),
+            F.col("__b.a").cast("long").alias("abs_cusum"),
+        )
+    )
+
+
+_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // {_US_PER_HOUR} AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, h,
+         COUNT(*) OVER (PARTITION BY event_type)
+           * SUM(y) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+         - row_number() OVER (PARTITION BY event_type ORDER BY h)
+           * SUM(y) OVER (PARTITION BY event_type) AS cusum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_buckets
+  FROM hourly
+)
+SELECT event_type, CAST(MIN(n_buckets) AS INT) AS n_buckets,
+       CAST(MIN(CASE WHEN rnk = 1 THEN h END) AS BIGINT) AS change_hour,
+       CAST(MIN(CASE WHEN rnk = 1 THEN cusum END) AS BIGINT)
+         AS cusum_scaled,
+       CAST(MIN(CASE WHEN rnk = 1 THEN abs(cusum) END) AS BIGINT)
+         AS abs_cusum
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum) DESC, h ASC) AS rnk
+  FROM c
+) t
+GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -4210,6 +4293,10 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Join-key skew audit: per fact key, rows / distincts / "
               "top-1 share in ppm via max(struct) argmax — two "
               "hash-aggs, no window over the fact table."),
+        Query("events_cusum_changepoint", _events_cusum, _CUSUM_SQL,
+              "CUSUM change-point per hourly series: n-scaled integer "
+              "cumulative deviations, |CUSUM| argmax via max(struct) — "
+              "one rollup, one bounded window pass, no second scan."),
         Query("events_attribution", _events_attribution, _ATTRIBUTION_SQL,
               "Last-touch attribution: purchases joined to the most "
               "recent same-user click within 1h via the carry-forward "

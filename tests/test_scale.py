@@ -2062,3 +2062,37 @@ def test_udtf_chunker_matches_expression_chunker(spark, sf_dir):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_expr.collect()))
     assert a == b and len(a) > 0
+
+
+def test_cusum_hand_computed_changepoint(spark, tmp_path):
+    """CUSUM on a hand-built series with a known level shift: y =
+    [10,10,10,30,30] shifts after bucket 3 → |CUSUM| peaks at the last
+    low bucket (hour 2), scaled stat = n·Σ≤k − k·S = 5·30 − 3·90 =
+    −120."""
+    import pyspark.sql.functions as F
+
+    from etl_validator_github_spark.queries import CATALOG
+    from etl_validator_github_spark.queries.relational import _events_cusum
+
+    # Build a tiny events parquet with one type and the target hourly
+    # counts, then run the catalog query against it.
+    rows = []
+    eid = 0
+    for hour, n in enumerate([10, 10, 10, 30, 30]):
+        for _ in range(n):
+            rows.append((eid, hour * 3_600_000_000, 7, "click", 1.0,
+                         '{"k": 1}'))
+            eid += 1
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+
+    out = _events_cusum(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_buckets"] == 5
+    assert r["change_hour"] == 2
+    assert r["cusum_scaled"] == -120 and r["abs_cusum"] == 120
