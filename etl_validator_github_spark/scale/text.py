@@ -2394,9 +2394,135 @@ FROM keep
 """
 
 
+# ---------------------------------------------------------------------------
+# The curation pipeline CAPSTONE: quality gate → exact dedup → domain
+# cap, composed end-to-end with per-document attrition labels — the
+# "where did my corpus go" report every training-data run ships with.
+# Stages are ORDERED (each sees the previous stage's survivors: the
+# dedup keeper choice ignores quality-failed docs, the cap histogram
+# counts only dedup survivors), which is exactly the composition the
+# single-stage queries can't witness.
+#
+# Scale shape: the union of the stages' own shapes — one map-only
+# quality projection, one content-hash agg + keeper join, one
+# survivor-histogram cutoff with a broadcast cutoff table. Nothing
+# quadratic, nothing driver-side.
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline(docs: DataFrame,
+                      cap: int = DOMAIN_CAP) -> DataFrame:
+    """(doc_id, source, stage): stage ∈ quality | duplicate |
+    domain_cap | kept, applied in that order."""
+    base = docs.select(
+        "doc_id", "source", F.md5("text").alias("h"),
+        quality_flag().alias("q_ok"),
+    )
+    s1 = base.filter(F.col("q_ok"))
+    keepers = s1.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    s2 = (
+        s1.join(keepers, "h")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source")
+    )
+    cap_flags = domain_cap_select(s2, cap).select("doc_id", "cap_keep")
+    return (
+        base.join(keepers, "h", "left")
+        .join(cap_flags, "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.when(~F.col("q_ok"), F.lit("quality"))
+            .when(F.col("doc_id") != F.col("keep_id"),
+                  F.lit("duplicate"))
+            .when(F.coalesce("cap_keep", F.lit(0)) == 0,
+                  F.lit("domain_cap"))
+            .otherwise(F.lit("kept")).alias("stage"),
+        )
+    )
+
+
+def _curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plant exact duplicates (the dedup-family with_copies convention,
+    # source-preserving variant) so the 'duplicate' stage is
+    # non-vacuous.
+    from etl_validator_github_spark.scale.dedup import COPY_OFFSET
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(COPY_OFFSET)).alias("doc_id"),
+        "text", "source",
+    )
+    return curation_pipeline(docs.unionAll(copies))
+
+
+def _curation_sql() -> str:
+    from etl_validator_github_spark.scale.dedup import COPY_OFFSET
+
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET}, text, source FROM documents
+),
+base AS (
+  SELECT doc_id, source, md5(text) AS h,
+         len(string_split(text, ' ')) BETWEEN 20 AND 1000
+         AND len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'in', 'to')))
+             / CAST(len(string_split(text, ' ')) AS INT) < 0.5 AS q_ok
+  FROM all_docs
+), s1 AS (
+  SELECT * FROM base WHERE q_ok
+), keepers AS (
+  SELECT h, MIN(doc_id) AS keep_id FROM s1 GROUP BY 1
+), s2 AS (
+  SELECT s1.doc_id, s1.source
+  FROM s1 JOIN keepers k ON s1.h = k.h AND s1.doc_id = k.keep_id
+), scored AS (
+  SELECT doc_id, source,
+         CAST((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT)
+               % {DOMAIN_CAP_MOD})
+              // {DOMAIN_CAP_MOD // DOMAIN_CAP_BUCKETS} AS INT)
+           AS cap_bucket
+  FROM s2
+), hist AS (
+  SELECT source, cap_bucket, COUNT(*) AS n FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT source, cap_bucket,
+         SUM(n) OVER (PARTITION BY source ORDER BY cap_bucket ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), cutoffs AS (
+  SELECT source, MAX(cap_bucket) AS cutoff
+  FROM cum WHERE cum <= {DOMAIN_CAP} GROUP BY 1
+), cap_flags AS (
+  SELECT s.doc_id,
+         CAST(coalesce(s.cap_bucket <= c.cutoff, FALSE) AS INT)
+           AS cap_keep
+  FROM scored s LEFT JOIN cutoffs c USING (source)
+)
+SELECT b.doc_id, b.source,
+       CASE WHEN NOT b.q_ok THEN 'quality'
+            WHEN b.doc_id <> k.keep_id THEN 'duplicate'
+            WHEN coalesce(cf.cap_keep, 0) = 0 THEN 'domain_cap'
+            ELSE 'kept' END AS stage
+FROM base b
+LEFT JOIN keepers k USING (h)
+LEFT JOIN cap_flags cf USING (doc_id)
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("corpus_curation_pipeline", _curation_q, _curation_sql(),
+              "End-to-end curation capstone: quality gate → exact "
+              "dedup → per-domain cap, composed in order with per-doc "
+              "attrition labels — each stage runs on the previous "
+              "stage's survivors."),
         Query("text_derepeat", _derepeat_q, _DEREPEAT_SQL,
               "Consecutive-token de-repetition (the repair op behind "
               "the Gopher repetition flags): map-only filter/transform "
