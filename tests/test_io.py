@@ -241,3 +241,20 @@ def test_xml_roundtrip(spark, bank, tmp_path):
                 assert got is None or got == ""
             else:
                 assert str(got) == str(exp), (c, got, exp)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema-on-read evolution: a dataset whose later files added a
+    column reads as the UNION schema under mergeSchema, with NULLs for
+    the early files — the lakehouse column-add migration with no
+    rewrite."""
+    base = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 as a") \
+        .write.parquet(base + "/part1")
+    spark.range(5, 10).selectExpr("id", "id * 2 as a", "'new' as b") \
+        .write.parquet(base + "/part2")
+    df = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true").parquet(base)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r["b"] for r in df.collect()}
+    assert rows[0] is None and rows[7] == "new"

@@ -864,3 +864,38 @@ def test_expectations_compile_to_one_aggregation_job(spark, sf_dir):
     p = plan(spark, sf_dir, "orders_expectations")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert "Join" not in p
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Attribution: carry-forward window over ONE user_id exchange, no
+    join anywhere (the naive per-purchase inequality join is the shape
+    this query exists to avoid)."""
+    p = plan(spark, sf_dir, "events_attribution")
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") >= 1
+
+
+def test_cusum_no_second_scan(spark, sf_dir):
+    """CUSUM: one events scan feeds rollup → window → argmax; the
+    change point must not trigger a re-scan join-back."""
+    import re
+    p = plan(spark, sf_dir, "events_cusum_changepoint")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p
+
+
+def test_fk_audit_uses_anti_joins(spark, sf_dir):
+    """FK audit: every orphan check is a LeftAnti against a key-only
+    parent projection — no outer joins, no cartesians beyond the
+    documented 1-row count folds."""
+    p = plan(spark, sf_dir, "star_schema_fk_audit")
+    assert p.count("LeftAnti") >= 6
+    assert "CartesianProduct" not in p
+
+
+def test_hard_negatives_anti_join_on_list_keys(spark, sf_dir):
+    """Hard negatives: the dense list is removed via a (query_id,
+    doc_id)-keyed LeftAnti — never a per-query nested loop."""
+    p = plan(spark, sf_dir, "retrieval_hard_negatives")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
