@@ -63,59 +63,3 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
         .write.mode("overwrite")
         .parquet(path)
     )
-
-
-def compact_parquet_dir(
-    spark,
-    src_dir: str,
-    dst_dir: str,
-    target_file_mb: int = 128,
-    order_by: str | None = None,
-) -> dict:
-    """Small-file compaction — the nightly OPTIMIZE a streaming sink
-    needs: micro-batch appends leave hundreds of KB-sized part files,
-    and at 100 TB the scan cost becomes file-OPEN bound (listing,
-    footers, task scheduling) rather than byte bound.
-
-    Sizes the output from the INPUT's actual on-disk bytes (compressed
-    parquet → compressed parquet, so in/out file sizes track closely):
-    ``n_out = ceil(bytes / target_file_mb)``. With ``order_by`` the
-    rewrite range-partitions + sorts (restoring clustering the appends
-    destroyed — compose with `zorder_key` for 2-D); without, it's a
-    plain ``repartition`` rewrite. Writes to ``dst_dir`` (write-aside;
-    the caller swaps directories atomically, the compact_registers
-    pattern in streaming/events.py).
-
-    Returns {n_files_in, n_files_out, bytes_in} for the caller's audit
-    log.
-    """
-    import math
-    import os
-
-    files = [
-        os.path.join(root, f)
-        for root, _, names in os.walk(src_dir)
-        for f in names
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
-    if not files:
-        raise FileNotFoundError(f"no parquet part files under {src_dir}")
-    bytes_in = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(bytes_in / (target_file_mb * 1024 * 1024)))
-
-    df = spark.read.parquet(src_dir)
-    if order_by is not None:
-        w = df.repartitionByRange(n_out, order_by) \
-              .sortWithinPartitions(order_by)
-    else:
-        w = df.repartition(n_out)
-    w.write.mode("overwrite").parquet(dst_dir)
-
-    n_files_out = sum(
-        1
-        for root, _, names in os.walk(dst_dir)
-        for f in names
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    return {"n_files_in": len(files), "n_files_out": n_files_out,
-            "bytes_in": bytes_in}

@@ -192,7 +192,8 @@ COMPACT_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
-                    target_bytes: int = COMPACT_TARGET_BYTES) -> CompactionReport:
+                    target_bytes: int = COMPACT_TARGET_BYTES,
+                    order_by: str | None = None) -> CompactionReport:
     """Small-files compaction: rewrite a parquet directory into
     ~``target_bytes`` files (the nightly lake-maintenance pass after
     streaming/incremental sinks have appended thousands of tiny files
@@ -206,6 +207,14 @@ def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
     data movement. Content is preserved exactly (same rows, any order);
     the source is left untouched for the caller to swap/retire, the
     same write-then-move choreography as the archive step above.
+
+    ``order_by`` additionally RE-CLUSTERS during the rewrite
+    (repartitionByRange + sortWithinPartitions): appends destroy any
+    clustering the table had, and the compaction pass is the natural
+    place to restore it — each output file then covers a disjoint key
+    range (row-group stats prune again; compose with
+    ``plans.layout.zorder_key`` for two dimensions). Same single
+    shuffle either way.
     """
     sizes = [
         os.path.getsize(p)
@@ -218,7 +227,12 @@ def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
     bytes_before = sum(sizes)
     n_files = max(1, -(-bytes_before // int(target_bytes)))  # ceil div
     df = spark.read.parquet(src_dir)
-    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    if order_by is not None:
+        w = df.repartitionByRange(n_files, order_by) \
+              .sortWithinPartitions(order_by)
+    else:
+        w = df.repartition(n_files)
+    w.write.mode("overwrite").parquet(dst_dir)
     out_files = [
         p for p in glob.glob(os.path.join(dst_dir, "*.parquet"))
         if os.path.isfile(p)

@@ -97,10 +97,10 @@ def test_zordered_layout_prunes_both_dimensions(spark, tmp_path):
 
 
 def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
-    """compact_parquet_dir: a fragmented 64-file directory rewrites to
-    the byte-sized file count, rows identical; with order_by the output
-    row groups are clustered (each file covers a disjoint key range)."""
-    from etl_validator_github_spark.plans.layout import compact_parquet_dir
+    """compact_parquet with order_by: a fragmented 64-file directory
+    rewrites to the byte-sized file count, rows identical, and the
+    output is RE-CLUSTERED — each file covers a disjoint key range."""
+    from etl_validator_github_spark.sources.io import compact_parquet
 
     src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
     df = spark.range(20_000).selectExpr(
@@ -108,12 +108,11 @@ def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
     )
     df.repartition(64).write.parquet(src)
 
-    stats = compact_parquet_dir(spark, src, dst, target_file_mb=128,
-                                order_by="id")
-    assert stats["n_files_in"] == 64
-    assert stats["n_files_out"] < 8
+    stats = compact_parquet(spark, src, dst, order_by="id")
+    assert stats.files_before == 64
+    assert stats.files_after < 8
     back = spark.read.parquet(dst)
-    assert back.count() == 20_000
+    assert stats.rows == 20_000 and back.count() == 20_000
     assert back.selectExpr("sum(id) s").first()["s"] == \
         df.selectExpr("sum(id) s").first()["s"]
 
