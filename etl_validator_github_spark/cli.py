@@ -611,6 +611,39 @@ def _cmd_expect(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+
+_SQL_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over a testdata-layout directory: registers every
+    <table>.parquet under --dir as a temp view and runs the statement
+    through spark.sql — the Spark-idiomatic stand-in for the
+    reference's run_sql_test.py utility (REF run_sql_test.py: execute a
+    statement against the warehouse and print rows), with Catalyst
+    instead of a warehouse connection."""
+    spark = get_spark(app_name="sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    import os
+
+    registered = []
+    for t in _SQL_TABLES:
+        path = os.path.join(args.dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+            registered.append(t)
+    if not registered:
+        raise SystemExit(f"no testdata tables under {args.dir}")
+    df = spark.sql(args.statement)
+    if args.explain:
+        from etl_validator_github_spark.plans.session import explain_str
+
+        print(explain_str(df))
+    df.show(args.max_rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_validator_github_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -744,6 +777,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-check tolerance before the gate fails "
                         "(default 0: any violation fails)")
     e.set_defaults(fn=_cmd_expect)
+
+    sq = sub.add_parser(
+        "sql",
+        help="ad-hoc SQL over a testdata-layout directory of parquet "
+             "tables (temp views + spark.sql)",
+    )
+    sq.add_argument("statement")
+    sq.add_argument("--dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--max-rows", type=int, default=50)
+    sq.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan first")
+    sq.set_defaults(fn=_cmd_sql)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1672,6 +1672,94 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def matryoshka_recall(embeddings: DataFrame, prefix_dims: int = 16,
+                      n_queries: int = N_QUERIES,
+                      k: int = TOP_K) -> DataFrame:
+    """Recall@k of PREFIX-truncated cosine search vs full-dimension
+    ground truth — the Matryoshka representation eval (Kusupati et al.
+    2022, arXiv:2205.13147): if embeddings were MRL-trained, the first
+    ``prefix_dims`` dims retrieve almost as well at dims/64 of the
+    memory and dot-product cost. On non-MRL vectors (this fixture) the
+    measured loss is the point: it quantifies what naive truncation
+    costs, per query. Same exact-integer machinery as cosine_topk —
+    truncation is a ``slice`` before quantization."""
+    truncated = embeddings.select(
+        "vec_id",
+        F.expr(f"slice(embedding, 1, {prefix_dims})").alias("embedding"),
+    )
+    truth = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk(truncated, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    j = truth.join(
+        approx.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return j.groupBy("query_id").agg(F.count("__hit").alias("hits")).select(
+        "query_id", "hits", F.lit(k).alias("k"),
+        F.lit(prefix_dims).alias("prefix_dims"),
+    )
+
+
+def _matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_recall(load(spark, sf_dir, "embeddings"))
+
+
+_MATRYOSHKA_PREFIX = 16
+
+_MATRYOSHKA_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), with_norm AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS norm2
+  FROM vecs
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])) AS BIGINT)
+             / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_sim
+    FROM with_norm q JOIN with_norm c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC)
+          <= {TOP_K}
+), tvecs AS (
+  SELECT vec_id,
+         list_transform(embedding[1:{_MATRYOSHKA_PREFIX}],
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), twn AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS norm2
+  FROM tvecs
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])) AS BIGINT)
+             / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_sim
+    FROM twn q JOIN twn c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) t
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC)
+          <= {TOP_K}
+)
+SELECT t.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+       CAST({TOP_K} AS INT) AS k,
+       CAST({_MATRYOSHKA_PREFIX} AS INT) AS prefix_dims
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 def ivfpq_recall(embeddings: DataFrame, n_queries: int = N_QUERIES,
                  k: int = TOP_K) -> DataFrame:
     """(query_id, hits, k): |IVF-PQ top-k ∩ exact top-k| — the combined
@@ -1841,6 +1929,11 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "4-code encoding per vector, broadcast probe join on the "
               "cell key, ADC table-lookup scoring — the 100 TB search "
               "architecture (pruning × 16× compression)."),
+        Query("embed_matryoshka_recall", _matryoshka_q, _MATRYOSHKA_SQL,
+              "Matryoshka truncation eval (MRL, Kusupati 2022): "
+              "recall@k of 16-dim-prefix cosine search vs 64-dim "
+              "ground truth — what 4× cheaper dot products cost, per "
+              "query."),
         Query("embed_ivfpq_recall", _ivfpq_recall_q, _ivfpq_recall_sql(),
               "Recall@k of the combined IVF-PQ stack vs brute-force "
               "ground truth — pruning loss + quantization loss "

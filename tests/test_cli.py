@@ -621,3 +621,20 @@ def test_cli_expect_gate_passes_and_fails(spark, tmp_path, capsys):
     # 1/100 nulls = 10000 ppm → tolerated at 10000.
     assert main(["expect", path, "--check", "not_null:s",
                  "--max-violation-ppm", "10000"]) == 0
+
+
+def test_cli_sql_runs_over_testdata_views(tmp_path, capsys):
+    """`sql` subcommand: registers <table>.parquet views under --dir
+    and prints spark.sql results (the run_sql_test.py stand-in)."""
+    import os
+
+    from etl_validator_github_spark.cli import main
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rc = main(["sql",
+               "SELECT o_orderstatus, count(*) n FROM orders "
+               "GROUP BY 1 ORDER BY 1",
+               "--dir", sf])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "o_orderstatus" in out and "|F" in out.replace(" ", "")
