@@ -23,14 +23,20 @@ eight benched headliners that sat out r7 under bench.py scrutiny
 text_stats, dedup_exact, dedup_minhash_lsh, corpus_clean,
 embed_cosine_topk) and the twelve displaced-by-family-representation
 entries — exactly the 34 the verdict enumerates. Eleven slots go to
-the queries NEW this round (rotation priority 2: the BPE pair, BM25,
-bigram-LM score, table profile, perplexity buckets, SCD2, EWMA,
-PageRank, MERGE upsert, basket pairs); the remaining 5 back-fill with
-r6-verdict queries in catalog order. The r6-green entries displaced by
-the round's new queries (multimodal features/resize, token fertility,
-quality drift, semantic-incremental dedup) keep their r6 verdicts, so
-after this window lands green no catalog entry's latest driver verdict
-is older than r6.
+the queries NEW early this round (rotation priority 2: the BPE pair,
+BM25, bigram-LM score, table profile, perplexity buckets, SCD2, EWMA,
+PageRank, MERGE upsert, basket pairs); the final 5 slots, initially
+r6-verdict back-fill, were re-taken mid-round by newer priority-2
+queries (RRF fusion, n-gram novelty, fuzzy record linkage, RFM,
+brand HHI) — the displaced back-fill (embed_ivf_topk,
+dedup_semantic_keep, embed_kmeans, q5, q6) and the other r6-green
+entries all keep their r6 verdicts, so after this window lands green
+no catalog entry's latest driver verdict is older than r6. The many
+mid/late-r8 additions past the window (hard negatives, IVF-PQ +
+Matryoshka recalls, curation capstone, expectations, FK audit,
+attribution, CUSUM, Benford, skew report, vocab stats, derepeat,
+keep-longest, variant/recursive-CTE/UDTF surfaces, triangles) lead
+the r9 rotation as never-driver-checked.
 """
 
 from __future__ import annotations
