@@ -4199,6 +4199,148 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the data-governance counterpart of the PII scrub
+# (scale/text.py): before publishing a table, check that every
+# quasi-identifier combination (here nation × market segment) hides
+# each row among ≥ k peers. Output is one row per anonymity level with
+# the at-risk population, plus the minimum group size — the number a
+# privacy review asks for first.
+#
+# Scale shape: one hash-agg on the quasi-identifier key, then a
+# histogram-of-group-sizes agg (distinct-group-count-sized input).
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    return (
+        groups.select(
+            F.when(F.col("g") < _K_ANON, F.lit("at_risk"))
+            .otherwise(F.lit("anonymous")).alias("status"),
+            "g",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("g").cast("long").alias("n_rows"),
+            F.min("g").cast("long").alias("min_group_size"),
+            F.max("g").cast("long").alias("max_group_size"),
+        )
+    )
+
+
+_K_ANON_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS g
+  FROM customer GROUP BY 1, 2
+)
+SELECT CASE WHEN g < {_K_ANON} THEN 'at_risk' ELSE 'anonymous' END
+         AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(g) AS BIGINT) AS n_rows,
+       CAST(MIN(g) AS BIGINT) AS min_group_size,
+       CAST(MAX(g) AS BIGINT) AS max_group_size
+FROM groups GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Consistent-universe sampling — the referential-integrity-preserving
+# downsample (BigQuery/Snowflake "sample by hash of the entity key"):
+# pick ~10% of CUSTOMERS by md5 threshold, then take exactly their
+# orders and their lineitems. Row-level Bernoulli on each table would
+# break every FK; hashing the ENTITY key keeps the subset closed under
+# joins, so the sample is a working miniature warehouse.
+#
+# Scale shape: the customer filter is map-only (hash threshold); orders
+# filter joins the sampled-key set (runtime-Bloom-joinable semi-join);
+# lineitem reaches customers through orders with a second semi-join.
+# Output: per-table before/after counts + sampled-universe revenue.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MOD = 10
+
+
+def _universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    picked = cust.filter(
+        F.expr("cast(conv(substring(md5(cast(c_custkey as string)), 1, 8), "
+               f"16, 10) as bigint) % {_SAMPLE_MOD} = 0")
+    ).select("c_custkey")
+    s_orders = orders.join(
+        picked, orders.o_custkey == picked.c_custkey, "left_semi"
+    )
+    s_li = li.join(
+        s_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+
+    def row(name, full_df, sample_df, rev_col=None):
+        rev = (F.sum(cents(rev_col)) if rev_col is not None
+               else F.lit(0)).alias("rev_cents")
+        full = full_df.agg(F.count(F.lit(1)).alias("n_full"))
+        samp = sample_df.agg(F.count(F.lit(1)).alias("n_sample"), rev)
+        return full.crossJoin(samp).select(  # two 1-row folds
+            F.lit(name).alias("table"),
+            F.col("n_full").cast("long").alias("n_full"),
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.expr("cast((1000000 * n_sample) div n_full as int)")
+            .alias("sample_ppm"),
+            F.coalesce(F.col("rev_cents"), F.lit(0)).cast("long")
+            .alias("rev_cents"),
+        )
+
+    return (
+        row("customer", cust, picked)
+        .unionByName(row("orders", orders, s_orders, "o_totalprice"))
+        .unionByName(row("lineitem", li, s_li, "l_extendedprice"))
+    )
+
+
+_UNIVERSE_SAMPLE_SQL = f"""
+WITH picked AS (
+  SELECT c_custkey FROM customer
+  WHERE CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
+                                    1, 8)) AS BIGINT)
+        % {_SAMPLE_MOD} = 0
+), s_orders AS (
+  SELECT * FROM orders SEMI JOIN picked ON o_custkey = c_custkey
+), s_li AS (
+  SELECT * FROM lineitem SEMI JOIN s_orders ON l_orderkey = o_orderkey
+)
+SELECT 'customer' AS "table",
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_full,
+       CAST((SELECT COUNT(*) FROM picked) AS BIGINT) AS n_sample,
+       CAST((1000000 * (SELECT COUNT(*) FROM picked))
+            // (SELECT COUNT(*) FROM customer) AS INT) AS sample_ppm,
+       CAST(0 AS BIGINT) AS rev_cents
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM s_orders),
+       CAST((1000000 * (SELECT COUNT(*) FROM s_orders))
+            // (SELECT COUNT(*) FROM orders) AS INT),
+       CAST(COALESCE((SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      FROM s_orders), 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM s_li),
+       CAST((1000000 * (SELECT COUNT(*) FROM s_li))
+            // (SELECT COUNT(*) FROM lineitem) AS INT),
+       CAST(COALESCE((SELECT SUM(CAST(round(l_extendedprice * 100)
+                                      AS BIGINT)) FROM s_li), 0) AS BIGINT)
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -4293,6 +4435,17 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Join-key skew audit: per fact key, rows / distincts / "
               "top-1 share in ppm via max(struct) argmax — two "
               "hash-aggs, no window over the fact table."),
+        Query("customers_k_anonymity", _k_anonymity, _K_ANON_SQL,
+              "k-anonymity audit over the (nation, segment) "
+              "quasi-identifiers: group-size histogram with the "
+              "at-risk population below k=5 — one hash-agg plus a "
+              "group-count-sized rollup."),
+        Query("warehouse_universe_sample", _universe_sample,
+              _UNIVERSE_SAMPLE_SQL,
+              "Consistent-universe downsample: ~10% of customers by "
+              "key hash, their orders/lineitems via semi-joins — a "
+              "referentially-closed miniature warehouse; per-table "
+              "before/after counts + sampled revenue."),
         Query("events_cusum_changepoint", _events_cusum, _CUSUM_SQL,
               "CUSUM change-point per hourly series: n-scaled integer "
               "cumulative deviations, |CUSUM| argmax via max(struct) — "
