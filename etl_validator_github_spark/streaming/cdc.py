@@ -1,0 +1,94 @@
+"""Streaming CDC apply: a changelog stream (the reference's
+RecordOperation A/C/D semantics, DM_bankfile_validate_pipeline's
+changelog model — see queries/relational.py::changelog_latest_state for
+the batch twin) maintained into a KEYED PARQUET STATE TABLE.
+
+Per micro-batch, inside ``foreachBatch``:
+
+1. reduce the batch to one winning row per key (max (seq) — the batch
+   may carry several ops for one key);
+2. ``state' = (state ANTI JOIN batch-keys) ∪ (batch winners where op ≠
+   'D')`` — two keyed joins, work ∝ |state| + |batch|;
+3. write ``state'`` to a fresh generation directory and swap it in by
+   rename (write-aside then rename-swap — the crash-safe choreography
+   ``streaming/events.py::compact_registers`` uses: the live directory
+   is replaced atomically-enough that a crash leaves either the old or
+   the new generation, never a partial).
+
+Applying the SAME batch twice is a no-op by construction (the anti-join
+removes exactly the keys the union re-adds), so foreachBatch retries
+are safe without sink transactions.
+
+At 100 TB the state rewrite is the cost: a real deployment partitions
+the state by key range and rewrites only partitions the batch touches
+(or uses a table format with MERGE). The operator keeps the full
+rewrite for clarity; the join shapes are the part that carries.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Changelog feed schema: key, monotone sequence, op ∈ A/C/D, payload.
+CDC_STREAM_SCHEMA = "key long, seq long, op string, payload string"
+
+
+def apply_changelog_batch(state: DataFrame | None,
+                          batch: DataFrame) -> DataFrame:
+    """One CDC application step (pure, testable): latest op per key
+    wins within the batch; 'D' removes the key, 'A'/'C' upsert."""
+    w = F.max(F.struct("seq", "op", "payload")).alias("__w")
+    winners = (
+        batch.groupBy("key").agg(w)
+        .select("key", F.col("__w.seq").alias("seq"),
+                F.col("__w.op").alias("op"),
+                F.col("__w.payload").alias("payload"))
+    )
+    upserts = winners.filter(F.col("op") != "D") \
+        .select("key", "seq", "payload")
+    if state is None:
+        return upserts
+    untouched = state.join(winners.select("key"), "key", "left_anti")
+    return untouched.unionByName(upserts)
+
+
+def stream_cdc_apply(
+    spark,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Changelog file stream → maintained state table at ``state_dir``."""
+    stream = (
+        spark.readStream.schema(CDC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        state = (
+            spark.read.parquet(state_dir)
+            if os.path.exists(state_dir) else None
+        )
+        new = apply_changelog_batch(state, batch_df)
+        staged = f"{state_dir}.gen-{batch_id}"
+        new.write.mode("overwrite").parquet(staged)
+        # rename-swap next to the live dir (same filesystem): old aside,
+        # new in, old deleted last — a crash leaves a whole generation.
+        old = f"{state_dir}.old-{batch_id}"
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
+        os.rename(staged, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
