@@ -47,7 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 BLOOM_HELDOUT_DOCS = 10
 
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
-           "minhash", "spans", "ppjoin", "novelty", "bm25")
+           "minhash", "spans", "ppjoin", "novelty", "bm25", "curation")
 
 
 def main() -> int:
@@ -172,6 +172,10 @@ def main() -> int:
         timed("bm25", lambda: force(bm25_topk(
             docs, queries=((1, "tok1 tok2"), (2, "tok3 tok4 tok5"),
                            (3, "tok6 zzz")))))
+
+    if "curation" in ops:
+        from etl_validator_github_spark.scale.text import curation_pipeline
+        timed("curation", lambda: force(curation_pipeline(docs)))
 
     if "ppjoin" in ops:
         from etl_validator_github_spark.scale.dedup import (
