@@ -4341,6 +4341,140 @@ SELECT 'lineitem',
 """
 
 
+# ---------------------------------------------------------------------------
+# Chi-square independence audit — are two categorical columns
+# (order priority × status) independent? The third member of the
+# statistical data-quality family (Benford = digit law, CUSUM = level
+# shifts, chi² = association). Exact-integer formulation: with
+# observed O, row total R, column total C, grand total N, the per-cell
+# term (O·N − R·C)² / (N·R·C) is computed as a FLOORED micro-unit —
+# per-cell floor-then-sum is deterministic under any engine (the same
+# discipline as the HHI basis-point floor).
+#
+# Scale shape: one fact pass → |priorities × statuses| contingency
+# hash-agg; the margins re-aggregate the tiny table and broadcast
+# back. dof rides along so a reader can look up the critical value.
+# ---------------------------------------------------------------------------
+
+
+def _chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    obs = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("o")
+    ).localCheckpoint(eager=False)  # 3 margin consumers, one fact pass
+    rows_ = obs.groupBy("o_orderpriority").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("o_orderstatus").agg(F.sum("o").alias("c"))
+    n_ = obs.agg(F.sum("o").alias("n"),
+                 F.count_distinct("o_orderpriority").alias("n_rows_dim"),
+                 F.count_distinct("o_orderstatus").alias("n_cols_dim"))
+    cell = (
+        obs.join(F.broadcast(rows_), "o_orderpriority")
+        .join(F.broadcast(cols_), "o_orderstatus")
+        .crossJoin(F.broadcast(n_))  # 1-row fold
+        .select(
+            F.expr("(1000000 * (o * n - r * c) * (o * n - r * c)) "
+                   "div (n * r * c)").alias("term_micro"),
+            "n_rows_dim", "n_cols_dim",
+        )
+    )
+    return cell.groupBy("n_rows_dim", "n_cols_dim").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+    ).select(
+        "n_cells",
+        ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1))
+        .cast("int").alias("dof"),
+        "chi2_micro",
+    )
+
+
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT o_orderpriority, SUM(o) AS r FROM obs GROUP BY 1
+), c AS (
+  SELECT o_orderstatus, SUM(o) AS c FROM obs GROUP BY 1
+), n AS (
+  SELECT SUM(o) AS n,
+         COUNT(DISTINCT o_orderpriority) AS n_rows_dim,
+         COUNT(DISTINCT o_orderstatus) AS n_cols_dim
+  FROM obs
+)
+SELECT CAST(COUNT(*) AS INT) AS n_cells,
+       CAST(MIN((n.n_rows_dim - 1) * (n.n_cols_dim - 1)) AS INT) AS dof,
+       CAST(SUM((1000000 * (obs.o * n.n - r.r * c.c)
+                 * (obs.o * n.n - r.r * c.c))
+                // (n.n * r.r * c.c)) AS BIGINT) AS chi2_micro
+FROM obs
+JOIN r USING (o_orderpriority)
+JOIN c USING (o_orderstatus)
+CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification — the inventory-analytics standard:
+# rank customers by lifetime revenue, class A while the cumulative
+# share ≤ 80%, B ≤ 95%, C above. Cumulative shares stay exact
+# (integer cents cumsum vs total·threshold products — no division at
+# all), ranks fully tie-broken by custkey. The global sort runs over
+# the CUSTOMER AGGREGATE, the same bounded-window justification as
+# RFM; at 100 TB the sketch-cutoff variant applies (DDSketch edges).
+# ---------------------------------------------------------------------------
+
+
+def _customers_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    w = (
+        Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = per_cust.agg(F.sum("rev_cents").alias("tot"))
+    ranked = (
+        per_cust.crossJoin(F.broadcast(tot))  # 1-row fold
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .withColumn(
+            "abc_class",
+            F.when(F.expr("100 * cum_cents <= 80 * tot"), F.lit("A"))
+            .when(F.expr("100 * cum_cents <= 95 * tot"), F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return ranked.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("class_rev_cents"),
+        F.min("rev_cents").cast("long").alias("min_rev_cents"),
+    )
+
+
+_ABC_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), tot AS (SELECT SUM(rev_cents) AS tot FROM per_cust),
+ranked AS (
+  SELECT p.rev_cents, t.tot,
+         SUM(p.rev_cents) OVER (ORDER BY p.rev_cents DESC, p.o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM per_cust p CROSS JOIN tot t
+)
+SELECT CASE WHEN 100 * cum_cents <= 80 * tot THEN 'A'
+            WHEN 100 * cum_cents <= 95 * tot THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_cents) AS BIGINT) AS class_rev_cents,
+       CAST(MIN(rev_cents) AS BIGINT) AS min_rev_cents
+FROM ranked GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -4435,6 +4569,14 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Join-key skew audit: per fact key, rows / distincts / "
               "top-1 share in ppm via max(struct) argmax — two "
               "hash-aggs, no window over the fact table."),
+        Query("orders_chi2_independence", _chi2_priority_status, _CHI2_SQL,
+              "Chi-square independence audit (priority × status): "
+              "exact-integer per-cell micro terms, floor-then-sum; one "
+              "fact pass, margins broadcast back."),
+        Query("customers_abc_classes", _customers_abc, _ABC_SQL,
+              "Pareto/ABC revenue classification: exact cents cumsum "
+              "vs total·threshold products (division-free), over the "
+              "customer aggregate."),
         Query("customers_k_anonymity", _k_anonymity, _K_ANON_SQL,
               "k-anonymity audit over the (nation, segment) "
               "quasi-identifiers: group-size histogram with the "
