@@ -2312,6 +2312,79 @@ def _vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(load(spark, sf_dir, "documents"))
 
 
+def zipf_slope(docs: DataFrame) -> DataFrame:
+    """Per-language Zipf exponent estimate: OLS slope of floor-log2
+    frequency against floor-log2 rank — natural text sits near −1;
+    template/looping corpora flatten toward 0 and heavy boilerplate
+    steepens past −1. Same exact-integer OLS identity as the trend
+    query (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in milli via floor on
+    the identical double quotient), with x = length(bin(rank)) − 1 and
+    y = length(bin(freq)) − 1 — both exact in any engine.
+
+    Scale shape: (lang, token) hash-agg → per-lang rank window over
+    the VOCAB table (types, not tokens) → 5-integer-moment agg."""
+    from pyspark.sql import Window
+
+    vocab = docs.select("lang", F.explode(tokens()).alias("token")) \
+        .groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    xy = vocab.select(
+        "lang",
+        (F.length(F.bin(F.row_number().over(w))) - 1).cast("long")
+        .alias("x"),
+        (F.length(F.bin("c")) - 1).cast("long").alias("y"),
+    )
+    agg = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "lang", F.col("n").cast("long").alias("n_types"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den != 0,
+               F.floor(F.lit(1000.0) * num / den)).cast("long")
+        .alias("zipf_slope_milli"),
+    )
+
+
+def _zipf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_slope(load(spark, sf_dir, "documents"))
+
+
+_ZIPF_SQL = """
+WITH vocab AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  GROUP BY 1, 2
+), xy AS (
+  SELECT lang,
+         CAST(length(bin(row_number() OVER (
+             PARTITION BY lang ORDER BY c DESC, token ASC))) - 1
+           AS BIGINT) AS x,
+         CAST(length(bin(c)) - 1 AS BIGINT) AS y
+  FROM vocab
+), agg AS (
+  SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n_types,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx <> 0 THEN
+            floor(1000.0 * (n * sxy - sx * sy)
+                  / (n * sxx - sx * sx)) END AS BIGINT)
+         AS zipf_slope_milli
+FROM agg
+"""
+
+
 _VOCAB_STATS_SQL = """
 WITH tok AS (
   SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
@@ -2528,6 +2601,10 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "the Gopher repetition flags): map-only filter/transform "
               "pass, zero shuffles; collapsed-text md5 proves the "
               "transform cross-engine."),
+        Query("corpus_zipf_slope", _zipf_q, _ZIPF_SQL,
+              "Zipf exponent per language: exact-integer OLS of "
+              "floor-log2 freq on floor-log2 rank over the vocab "
+              "table — template corpora flatten toward 0."),
         Query("corpus_vocab_stats", _vocab_stats_q, _VOCAB_STATS_SQL,
               "Per-language lexical diversity: type-token ratio + "
               "hapax share from two map-side-combining hash-aggs — "
