@@ -644,6 +644,34 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+
+def _cmd_retrieve(args: argparse.Namespace) -> int:
+    """BM25 retrieval over any documents parquet (doc_id + text
+    columns): each --query string becomes a ranked top-k list through
+    the inverted-postings scorer (scale/text.py bm25_topk)."""
+    from etl_validator_github_spark.scale.text import bm25_topk
+
+    spark = get_spark(app_name="retrieve")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    missing = sorted({"doc_id", "text"} - set(docs.columns))
+    if missing:
+        raise SystemExit(
+            f"{args.input} is missing column(s) {', '.join(missing)}"
+        )
+    queries = tuple((i + 1, q) for i, q in enumerate(args.query))
+    out = bm25_topk(docs, queries=queries, k=args.k) \
+        .orderBy("query_id", "rnk").collect()
+    for i, q in queries:
+        print(f"query {i}: {q!r}")
+        for r in out:
+            if r["query_id"] == i:
+                print(f"  #{r['rnk']}: doc {r['doc_id']} "
+                      f"score={r['score_micro'] / 1e6:.4f} "
+                      f"({r['n_terms']} terms matched)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_validator_github_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -789,6 +817,18 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--explain", action="store_true",
                     help="print the formatted physical plan first")
     sq.set_defaults(fn=_cmd_sql)
+
+    rt = sub.add_parser(
+        "retrieve",
+        help="BM25 top-k retrieval over a documents parquet "
+             "(inverted postings, integer-exact ranking)",
+    )
+    rt.add_argument("input")
+    rt.add_argument("--query", action="append", required=True,
+                    help="query string (repeatable; each gets its own "
+                         "ranked list)")
+    rt.add_argument("-k", type=int, default=5)
+    rt.set_defaults(fn=_cmd_retrieve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

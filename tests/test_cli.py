@@ -638,3 +638,21 @@ def test_cli_sql_runs_over_testdata_views(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "o_orderstatus" in out and "|F" in out.replace(" ", "")
+
+
+def test_cli_retrieve_ranks_documents(spark, tmp_path, capsys):
+    """`retrieve` subcommand: ad-hoc BM25 lists over a documents
+    parquet; the doc containing the query terms ranks first."""
+    from etl_validator_github_spark.cli import main
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha alpha zzz qqq"),
+         (2, "unrelated words only here")],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    rc = main(["retrieve", path, "--query", "alpha zzz", "-k", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "query 1: 'alpha zzz'" in out
+    assert "#1: doc 1" in out   # doc 1 matches both terms

@@ -8,7 +8,7 @@ the parquet copy. One JSON line per run.
 
 Usage:
     python tools/measure_1m.py [--docs 1000000] \
-        [--ops gen,exact,stats,bloom,bloom_strings,minhash,spans,ppjoin]
+        [--ops gen,exact,stats,bloom,bloom_strings,minhash,spans,ppjoin,novelty,bm25,curation]
 
 Methodology notes (kept stable across rounds for comparability):
 - every operator is forced with a noop-format write, NOT ``.count()``:
