@@ -2096,3 +2096,27 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     assert r["n_buckets"] == 5
     assert r["change_hour"] == 2
     assert r["cusum_scaled"] == -120 and r["abs_cusum"] == 120
+
+
+@pytest.mark.parametrize("name", [
+    "retrieval_rrf_fusion", "text_ngram_novelty", "brand_supplier_hhi",
+    "events_cusum_changepoint", "corpus_curation_pipeline",
+    "customers_abc_classes",
+])
+def test_results_partition_independent(spark, sf_dir, name):
+    """The contract.py claim, spot-pinned on this round's queries:
+    results are identical under different shuffle-partition counts
+    (integer-quantized aggregation + tie-broken ranking make the plan
+    repartitionable at will — the property that lets a 100 TB run pick
+    its parallelism freely)."""
+    from etl_validator_github_spark.queries import CATALOG
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, CATALOG[name].build(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, CATALOG[name].build(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0
