@@ -132,6 +132,69 @@ def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_scores(load(spark, sf_dir, "documents"))
 
 
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Classifier-eval readout for the lang-id heuristic: the
+    (label, prediction) confusion matrix with per-cell recall share in
+    milli — the standard way to see WHERE a quality/routing classifier
+    fails, not just how often (`matches_label` only gives accuracy).
+
+    Scale shape: the per-doc scorer is the map-only pass above; the
+    matrix is one hash-agg on the 4×4 key space plus a broadcast of
+    the per-label totals.
+    """
+    scored = lang_scores(docs).select("lang", "predicted_lang")
+    cells = scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("label_total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang", "predicted_lang",
+            F.col("n").cast("long").alias("n"),
+            F.expr("cast((1000 * n) div label_total as int)")
+            .alias("share_milli"),
+        )
+    )
+
+
+def _lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_confusion(load(spark, sf_dir, "documents"))
+
+
+def _lang_confusion_sql() -> str:
+    s = {lg: _sql_count_in(ws) for lg, ws in LANG_MARKERS.items()}
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         CAST({s['en']} AS INT) AS score_en,
+         CAST({s['de']} AS INT) AS score_de,
+         CAST({s['es']} AS INT) AS score_es,
+         CAST({s['fr']} AS INT) AS score_fr
+  FROM tok
+), pred AS (
+  SELECT lang,
+         CASE WHEN score_en >= score_de AND score_en >= score_es
+                   AND score_en >= score_fr THEN 'en'
+              WHEN score_de >= score_es AND score_de >= score_fr
+                   THEN 'de'
+              WHEN score_es >= score_fr THEN 'es'
+              ELSE 'fr' END AS predicted_lang
+  FROM scored
+), cells AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), totals AS (
+  SELECT lang, SUM(n) AS label_total FROM cells GROUP BY 1
+)
+SELECT c.lang, c.predicted_lang, c.n,
+       CAST((1000 * c.n) // t.label_total AS INT) AS share_milli
+FROM cells c JOIN totals t USING (lang)
+"""
+
+
 def _lang_sql() -> str:
     s = {lg: _sql_count_in(ws) for lg, ws in LANG_MARKERS.items()}
     return f"""
@@ -2601,6 +2664,12 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "the Gopher repetition flags): map-only filter/transform "
               "pass, zero shuffles; collapsed-text md5 proves the "
               "transform cross-engine."),
+        Query("text_lang_confusion", _lang_confusion_q,
+              _lang_confusion_sql(),
+              "Confusion matrix of the lang-id heuristic vs labels "
+              "with per-cell recall share in milli — the "
+              "classifier-eval readout; 4×4 hash-agg over the map-only "
+              "scorer."),
         Query("corpus_zipf_slope", _zipf_q, _ZIPF_SQL,
               "Zipf exponent per language: exact-integer OLS of "
               "floor-log2 freq on floor-log2 rank over the vocab "
