@@ -591,9 +591,13 @@ def _cmd_expect(args: argparse.Namespace) -> int:
         run_expectations,
     )
 
-    checks = [_parse_check(c) for c in args.check]
+    # Column construction (F.col inside the expect_* builders) needs an
+    # active SparkContext in classic PySpark — start the session BEFORE
+    # parsing checks, or a standalone `expect` invocation asserts inside
+    # pyspark before reaching any user-facing error.
     spark = get_spark(app_name="expectations")
     spark.sparkContext.setLogLevel("ERROR")
+    checks = [_parse_check(c) for c in args.check]
     df = spark.read.parquet(args.input)
     missing = sorted({c.column for c in checks} - set(df.columns))
     if missing:
@@ -601,6 +605,12 @@ def _cmd_expect(args: argparse.Namespace) -> int:
             f"{args.input} is missing column(s) {', '.join(missing)}"
         )
     rows = run_expectations(df, checks).orderBy("check").collect()
+    # n_rows == 0 makes violation_ppm NULL (0-denominator integer div);
+    # an empty table can't meaningfully pass a data-quality gate, so
+    # fail it explicitly instead of crashing on None <= int (ADVICE r8).
+    if rows and rows[0]["n_rows"] == 0:
+        print(f"FAIL empty input: {args.input} has 0 rows")
+        return 1
     failed = False
     for r in rows:
         status = "OK" if r["violation_ppm"] <= args.max_violation_ppm \

@@ -113,8 +113,15 @@ def run_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
     return (
         agg.select(F.explode(F.array(*entries)).alias("e"))
         .select("e.*")
+        # 0-row input: violation counters are vacuously 0 and the ppm
+        # denominator is 0 — guard the div (ANSI Spark raises
+        # DIVIDE_BY_ZERO, non-ANSI yields NULL; make it NULL in both,
+        # callers decide what an empty-table gate means — cli._cmd_expect
+        # fails it explicitly).
+        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
         .withColumn(
             "violation_ppm",
-            F.expr("cast((1000000 * n_violations) div n_rows as int)"),
+            F.expr("cast(if(n_rows = 0, NULL,"
+                   " (1000000 * n_violations) div n_rows) as int)"),
         )
     )

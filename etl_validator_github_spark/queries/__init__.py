@@ -4,7 +4,7 @@ where SQL-expressible.
 
 Ordering is load-bearing: the driver's correctness gate checks the FIRST
 50 catalog entries in insertion order. Since round 6 the gate window is
-an EXPLICIT list (``_R8_GATE``) rather than a composition of module
+an EXPLICIT list (``_R9_GATE``) rather than a composition of module
 dicts, so each round's rotation is a single visible edit.
 
 Rotation policy (highest priority first):
@@ -12,31 +12,30 @@ Rotation policy (highest priority first):
 2. queries added or semantically changed this round,
 3. back-fill with the queries whose last green verdict is oldest.
 
-Round-8 window under that policy (per the r7 verdict's explicit ask):
-the fourteen late-r7 queries that have never held a driver verdict
-(docs_bloom_decontaminate, events_user_overlap_sketch, the three
-multimodal_audio_* queries, embed_hamming_topk, the six events_*
-time-series queries, docs_sample_exact_k, dedup_prefix_filter_join),
-then the twenty queries whose last green verdict is r5 — including the
-eight benched headliners that sat out r7 under bench.py scrutiny
-(q1_pricing_summary, q3_shipping_priority, bankdata_validate,
-text_stats, dedup_exact, dedup_minhash_lsh, corpus_clean,
-embed_cosine_topk) and the twelve displaced-by-family-representation
-entries — exactly the 34 the verdict enumerates. Eleven slots go to
-the queries NEW early this round (rotation priority 2: the BPE pair,
-BM25, bigram-LM score, table profile, perplexity buckets, SCD2, EWMA,
-PageRank, MERGE upsert, basket pairs); the final 5 slots, initially
-r6-verdict back-fill, were re-taken mid-round by newer priority-2
-queries (RRF fusion, n-gram novelty, fuzzy record linkage, RFM,
-brand HHI) — the displaced back-fill (embed_ivf_topk,
-dedup_semantic_keep, embed_kmeans, q5, q6) and the other r6-green
-entries all keep their r6 verdicts, so after this window lands green
-no catalog entry's latest driver verdict is older than r6. The many
-mid/late-r8 additions past the window (hard negatives, IVF-PQ +
-Matryoshka recalls, curation capstone, expectations, FK audit,
-attribution, CUSUM, Benford, skew report, vocab stats, derepeat,
-keep-longest, variant/recursive-CTE/UDTF surfaces, triangles) lead
-the r9 rotation as never-driver-checked.
+Round-9 window under that policy (per the r8 verdict's explicit ask):
+the twenty-three r8-late queries that have never held a driver verdict
+(IVF-PQ topk + both new recall evals, hard negatives, curation-pipeline
+capstone, derepeat, lang-ID confusion matrix, Zipf slope, vocab stats,
+keep-longest, expectations, triangles, Benford, skew report,
+chi-square, ABC, k-anonymity, universe sample, CUSUM, attribution,
+FK audit, variant props, reachability), then 27 of the 47 queries whose
+last green verdict is r6. The r8 verdict's backfill enumeration names
+28 queries for those 27 slots (TPC-H q4/q7/q9/q10/q11/q13-q17/q19-q21
+= 13, seven events queries, embed_kmeans, embed_ivf_topk, two
+multimodal, two dedup_semantic, date/string_functions = 28); we keep
+the 27 earliest in catalog order and the 28th, events_hourly_anomalies,
+leads the r10 rotation with the remaining 19 r6-stale entries
+(events_hourly_rollup, q5, q6, q18, top_customers,
+customers_with_high_value_orders, latest_order_per_customer,
+duplicate_customer_priority, priorities_per_customer,
+min_balance_suppliers, order_value_percentiles, status_priority_cube,
+trailing_30d_window, sql_api_segment_balances, null_safe_tier_join,
+status_rollup, rollup_order_counts, text_token_fertility,
+corpus_quality_drift). After this window lands green, zero catalog
+entries are never-driver-checked and 20 r6-stale remain for r10 —
+exactly the two-round clearance the r8 verdict prescribed. Queries
+added new in r9 sit past the window and join the r10 rotation as
+never-driver-checked (r10 then holds 20 + new ≤ 50).
 """
 
 from __future__ import annotations
@@ -78,7 +77,7 @@ _ALL: dict[str, Query] = {
     **RELATIONAL_EXTRA_QUERIES,
 }
 
-#: The round-8 driver gate window, in gate-priority order (see module
+#: The round-9 driver gate window, in gate-priority order (see module
 #: docstring for the rotation rationale of each block).
 # A name collision between module dicts would silently drop a query in
 # the merge above — fail loudly instead.
@@ -92,83 +91,77 @@ assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
     "duplicate query name across module catalogs"
 )
 
-_R8_GATE = (
-    # -- added late in r7, never driver-checked (verdict item 1's 14)
-    "docs_bloom_decontaminate",
-    "events_user_overlap_sketch",
-    "multimodal_audio_stats",
-    "multimodal_audio_downsample",
-    "multimodal_audio_vad",
-    "embed_hamming_topk",
-    "events_hourly_gapfill",
-    "events_hourly_trend",
-    "events_winsorized_stats",
-    "events_lag_features",
-    "events_session_windows",
-    "events_sliding_windows",
-    "docs_sample_exact_k",
-    "dedup_prefix_filter_join",
-    # -- new in r8, never driver-checked (rotation priority 2)
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "text_bm25_topk",
-    "text_bigram_lm_score",
-    "orders_table_profile",
-    "docs_perplexity_buckets",
-    "changelog_scd2",
-    "events_ewma",
-    "nation_trade_pagerank",
-    "orders_merge_upsert",
-    "basket_part_pairs",
-    # -- last green verdict r5 (verdict item 1's 20): the 8 benched
-    #    headliners that sat out r7 plus the 12 family-represented
-    #    entries displaced in r7's rotation. All rotate in here now.
-    "bankdata_validate",
-    "text_stats",
-    "text_quality_embeddings",
-    "text_fingerprint",
-    "text_top_terms",
-    "text_chunks",
-    "docs_sample_stratified",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "corpus_clean",
-    "embed_cosine_topk",
-    "embed_label_centroids",
-    "embed_ann_recall",
-    "mixture_upsample",
-    "text_normalize",
-    "dedup_lsh_recall",
-    "dedup_cluster_sizes",
-    "docs_split_assign",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # -- added mid-r8 (rotation priority 2 outranks r6 back-fill: the
-    #    displaced embed_ivf_topk / dedup_semantic_keep / embed_kmeans /
-    #    q5 / q6 all hold r6-green verdicts already). One mid-r8 query,
-    #    basket_pair_triangles, didn't fit the 50-slot window and leads
-    #    the r9 rotation instead.
-    "retrieval_rrf_fusion",
-    "text_ngram_novelty",
-    "part_name_fuzzy_matches",
-    "customers_rfm_segments",
-    "brand_supplier_hhi",
+_R9_GATE = (
+    # -- added late in r8, never driver-checked (verdict item 2's 23)
+    "embed_ivfpq_topk",
+    "embed_ivfpq_recall",
+    "embed_matryoshka_recall",
+    "retrieval_hard_negatives",
+    "corpus_curation_pipeline",
+    "text_derepeat",
+    "text_lang_confusion",
+    "corpus_zipf_slope",
+    "corpus_vocab_stats",
+    "dedup_keep_longest",
+    "orders_expectations",
+    "basket_pair_triangles",
+    "orders_benford_digits",
+    "lineitem_skew_report",
+    "orders_chi2_independence",
+    "customers_abc_classes",
+    "customers_k_anonymity",
+    "warehouse_universe_sample",
+    "events_cusum_changepoint",
+    "events_attribution",
+    "star_schema_fk_audit",
+    "events_variant_props",
+    "nation_trade_reachability",
+    # -- last green verdict r6: the 27 earliest (catalog order) of
+    #    the r8 verdict's enumerated backfill; events_hourly_anomalies
+    #    (the 28th name) leads r10 with the other 19 r6-stale entries.
+    "embed_ivf_topk",
+    "dedup_semantic_keep",
+    "embed_kmeans",
+    "dedup_semantic_incremental",
+    "multimodal_features",
+    "multimodal_resize",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q4_late_orders",
+    "q13_order_count_distribution",
+    "q19_disjunctive_predicates",
+    "string_functions",
+    "date_functions",
+    "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
+    "q7_bilateral_trade",
+    "q9_product_profit",
+    "events_type_pivot",
+    "q20_brand_volume_suppliers",
+    "q21_sole_late_supplier",
+    "q11_important_balances",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "events_retention",
+    "events_transitions",
 )
 
-assert len(_R8_GATE) == _DRIVER_GATE, (
+assert len(_R9_GATE) == _DRIVER_GATE, (
     f"gate window must hold exactly {_DRIVER_GATE} entries, "
-    f"got {len(_R8_GATE)}"
+    f"got {len(_R9_GATE)}"
 )
-assert len(set(_R8_GATE)) == len(_R8_GATE), "duplicate names in the gate"
-assert set(_R8_GATE) <= set(_ALL), (
-    f"gate names missing from the catalog: {set(_R8_GATE) - set(_ALL)}"
+assert len(set(_R9_GATE)) == len(_R9_GATE), "duplicate names in the gate"
+assert set(_R9_GATE) <= set(_ALL), (
+    f"gate names missing from the catalog: {set(_R9_GATE) - set(_ALL)}"
 )
 
 CATALOG: dict[str, Query] = {
-    **{name: _ALL[name] for name in _R8_GATE},
-    # Past-gate remainder (every entry here is r6-or-r7-driver-green
+    **{name: _ALL[name] for name in _R9_GATE},
+    # Past-gate remainder (every entry here is r6/r7/r8-driver-green
     # and parity-mirrored): module registration order.
-    **{name: q for name, q in _ALL.items() if name not in set(_R8_GATE)},
+    **{name: q for name, q in _ALL.items() if name not in set(_R9_GATE)},
 }
 
 __all__ = ["CATALOG", "Query", "catalog_to_oracles", "catalog_to_queries"]

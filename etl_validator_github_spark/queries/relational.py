@@ -8,6 +8,7 @@ query; expressions follow the determinism rules in contract.py.
 from __future__ import annotations
 
 import math
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3883,18 +3884,27 @@ def _trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rev_cents") >= _REACH_MIN_REV_CENTS)
         .select("src", "dst")
     )
-    edges.createOrReplaceTempView("__trade_edges")
-    return spark.sql(f"""
+    # WITH RECURSIVE needs a named relation, but a session-global name
+    # would race concurrent builds and leak (ADVICE r8): use a per-call
+    # unique view and drop it once spark.sql has ANALYZED the statement
+    # (view resolution is eager at analysis, so the returned DataFrame's
+    # plan no longer references the name).
+    view = f"__trade_edges_{uuid.uuid4().hex}"
+    edges.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
 WITH RECURSIVE reach(src, dst, hops) AS (
-  SELECT src, dst, 1 FROM __trade_edges
+  SELECT src, dst, 1 FROM {view}
   UNION ALL
   SELECT r.src, e.dst, r.hops + 1
-  FROM reach r JOIN __trade_edges e ON r.dst = e.src
+  FROM reach r JOIN {view} e ON r.dst = e.src
   WHERE r.hops < {_REACH_MAX_HOPS} AND r.src <> e.dst
 )
 SELECT src, dst, CAST(MIN(hops) AS INT) AS min_hops
 FROM reach GROUP BY src, dst
 """)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 _REACH_SQL = f"""
@@ -4351,6 +4361,21 @@ SELECT 'lineitem',
 # per-cell floor-then-sum is deterministic under any engine (the same
 # discipline as the HHI basis-point floor).
 #
+# Overflow discipline (ADVICE r8): the naive int64 form
+# ``1000000·d² div m`` (d = O·N − R·C, m = N·R·C) scales as N⁴·10⁶ and
+# wraps silently in non-ANSI Spark around N ≈ 10⁵ while DuckDB raises —
+# engine divergence exactly where the 100 TB framing matters. The
+# per-cell term is instead computed 128-bit-wide — DECIMAL(38,0) in
+# Spark, HUGEINT in DuckDB — via the exact decomposition
+#   floor(10⁶·d²/m) = (d² div m)·10⁶ + ((d² mod m)·10⁶) div m
+# (all operands non-negative, so Spark's truncating ``div`` and
+# DuckDB's flooring ``//`` agree). Every intermediate fits 38 digits
+# for N ≤ 3·10⁹ orders (binding term d² ≤ N⁴ < 10³⁸); beyond that
+# BOTH engines raise rather than silently diverging (Spark 4 ANSI
+# decimal overflow, DuckDB INT128 overflow). At 100 TB a real
+# deployment shards the contingency audit by partition key (e.g.
+# month) long before any shard holds 3e9 rows.
+#
 # Scale shape: one fact pass → |priorities × statuses| contingency
 # hash-agg; the margins re-aggregate the tiny table and broadcast
 # back. dof rides along so a reader can look up the critical value.
@@ -4371,9 +4396,23 @@ def _chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.join(F.broadcast(rows_), "o_orderpriority")
         .join(F.broadcast(cols_), "o_orderstatus")
         .crossJoin(F.broadcast(n_))  # 1-row fold
+        # 128-bit-wide cell term (see overflow discipline above):
+        # d, m, d² all DECIMAL(38,0)-exact for N ≤ 3e9; ``div`` on
+        # decimals yields BIGINT, so term_micro lands as long.
         .select(
-            F.expr("(1000000 * (o * n - r * c) * (o * n - r * c)) "
-                   "div (n * r * c)").alias("term_micro"),
+            F.expr(
+                "CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) "
+                "- CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"
+            ).alias("d"),
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)) "
+                "* CAST(c AS DECIMAL(38,0))"
+            ).alias("m"),
+            "n_rows_dim", "n_cols_dim",
+        )
+        .select(
+            F.expr("((d * d) div m) * 1000000 "
+                   "+ (((d * d) % m) * 1000000) div m").alias("term_micro"),
             "n_rows_dim", "n_cols_dim",
         )
     )
@@ -4402,15 +4441,22 @@ WITH obs AS (
          COUNT(DISTINCT o_orderstatus) AS n_cols_dim
   FROM obs
 )
+, cell AS (
+  -- 128-bit cell term (HUGEINT), same div/mod decomposition as the
+  -- Spark plan: floor(1e6*d^2/m) = (d^2//m)*1e6 + ((d^2%m)*1e6)//m.
+  SELECT CAST(obs.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c AS d,
+         CAST(n.n AS HUGEINT) * r.r * c.c AS m,
+         n.n_rows_dim, n.n_cols_dim
+  FROM obs
+  JOIN r USING (o_orderpriority)
+  JOIN c USING (o_orderstatus)
+  CROSS JOIN n
+)
 SELECT CAST(COUNT(*) AS INT) AS n_cells,
-       CAST(MIN((n.n_rows_dim - 1) * (n.n_cols_dim - 1)) AS INT) AS dof,
-       CAST(SUM((1000000 * (obs.o * n.n - r.r * c.c)
-                 * (obs.o * n.n - r.r * c.c))
-                // (n.n * r.r * c.c)) AS BIGINT) AS chi2_micro
-FROM obs
-JOIN r USING (o_orderpriority)
-JOIN c USING (o_orderstatus)
-CROSS JOIN n
+       CAST(MIN((n_rows_dim - 1) * (n_cols_dim - 1)) AS INT) AS dof,
+       CAST(SUM(((d * d) // m) * 1000000
+                + (((d * d) % m) * 1000000) // m) AS BIGINT) AS chi2_micro
+FROM cell
 """
 
 

@@ -11,9 +11,16 @@ Per micro-batch, inside ``foreachBatch``:
    'D')`` — two keyed joins, work ∝ |state| + |batch|;
 3. write ``state'`` to a fresh generation directory and swap it in by
    rename (write-aside then rename-swap — the crash-safe choreography
-   ``streaming/events.py::compact_registers`` uses: the live directory
-   is replaced atomically-enough that a crash leaves either the old or
-   the new generation, never a partial).
+   ``streaming/events.py::compact_registers`` uses). The swap itself is
+   two renames, so a crash BETWEEN them leaves no live ``state_dir`` —
+   ``_recover_state_dir`` closes that window: on every batch (and so on
+   restart) a missing ``state_dir`` with a leftover ``.old-<id>`` aside
+   is restored by renaming the aside back, and stale ``.gen-*`` staged
+   dirs (partial or complete-but-unswapped) are deleted before the
+   retried batch rebuilds them. Net effect: a crash at ANY point leaves
+   either the old or the new generation recoverable, never a partial,
+   and the foreachBatch retry converges (re-applying the same batch is
+   a no-op by construction).
 
 Applying the SAME batch twice is a no-op by construction (the anti-join
 removes exactly the keys the union re-adds), so foreachBatch retries
@@ -56,6 +63,41 @@ def apply_changelog_batch(state: DataFrame | None,
     return untouched.unionByName(upserts)
 
 
+def _recover_state_dir(state_dir: str) -> None:
+    """Heal the rename-swap crash window before applying a batch.
+
+    If the process died between ``os.rename(state_dir, old)`` and
+    ``os.rename(staged, state_dir)`` there is no live ``state_dir`` but
+    a complete previous generation sits at ``state_dir.old-<id>`` —
+    restore it (highest id wins if several somehow accumulated).
+    Leftover ``state_dir.gen-<id>`` staging dirs are stale regardless of
+    completeness (the retried batch rebuilds its stage from scratch) and
+    leftover ``.old-<id>`` asides next to a LIVE state_dir are the
+    post-swap crash window — both are deleted.
+    """
+    parent = os.path.dirname(state_dir) or "."
+    base = os.path.basename(state_dir)
+    if not os.path.isdir(parent):
+        return
+    asides, staged = [], []
+    for entry in os.listdir(parent):
+        path = os.path.join(parent, entry)
+        if entry.startswith(f"{base}.old-"):
+            asides.append(path)
+        elif entry.startswith(f"{base}.gen-"):
+            staged.append(path)
+    if not os.path.exists(state_dir) and asides:
+        def _gen_id(p: str) -> int:
+            try:
+                return int(p.rsplit("-", 1)[1])
+            except ValueError:
+                return -1
+        asides.sort(key=_gen_id)
+        os.rename(asides.pop(), state_dir)
+    for path in asides + staged:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def stream_cdc_apply(
     spark,
     source_dir: str,
@@ -71,6 +113,7 @@ def stream_cdc_apply(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_state_dir(state_dir)
         state = (
             spark.read.parquet(state_dir)
             if os.path.exists(state_dir) else None

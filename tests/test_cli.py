@@ -623,6 +623,55 @@ def test_cli_expect_gate_passes_and_fails(spark, tmp_path, capsys):
                  "--max-violation-ppm", "10000"]) == 0
 
 
+def test_cli_expect_empty_input_fails_cleanly(spark, tmp_path, capsys):
+    """An empty table cannot pass a data-quality gate: exit 1 with an
+    explicit message, not a TypeError on a NULL ppm (ADVICE r8) nor an
+    ANSI DIVIDE_BY_ZERO from inside run_expectations."""
+    from etl_validator_github_spark.cli import main
+
+    path = str(tmp_path / "empty.parquet")
+    spark.range(0).selectExpr("id").write.parquet(path)
+
+    rc = main(["expect", path, "--check", "not_null:id",
+               "--check", "unique:id"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "empty input" in out and "0 rows" in out
+
+
+def test_cli_expect_standalone_subprocess_golden(tmp_path):
+    """Golden-output drive of the user-facing entry as a REAL
+    subprocess (no pre-existing SparkSession): pins both the output
+    format and the start-session-before-parsing-checks ordering —
+    building a Column before any SparkContext exists asserts deep in
+    pyspark."""
+    import re
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_validator_github_spark", "expect",
+         "/root/testdata/sf0.001/orders.parquet",
+         "--check", "not_null:o_orderkey",
+         "--check", "unique:o_orderkey",
+         "--check", "in_set:o_orderstatus:O|F|P"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    got = sorted(
+        re.sub(r"rows=\d+", "rows=N", line.strip())
+        for line in res.stdout.splitlines() if line.startswith("OK")
+    )
+    assert got == [
+        "OK   in_set(o_orderstatus)                    rows=N "
+        "violations=0 ppm=0",
+        "OK   not_null(o_orderkey)                     rows=N "
+        "violations=0 ppm=0",
+        "OK   unique(o_orderkey)                       rows=N "
+        "violations=0 ppm=0",
+    ]
+
+
 def test_cli_sql_runs_over_testdata_views(tmp_path, capsys):
     """`sql` subcommand: registers <table>.parquet views under --dir
     and prints spark.sql results (the run_sql_test.py stand-in)."""

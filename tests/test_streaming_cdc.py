@@ -95,3 +95,75 @@ def test_cdc_matches_batch_changelog_semantics(spark, tmp_path):
     want = {r["key"]: (r["seq"], r["payload"])
             for r in apply_changelog_batch(None, full).collect()}
     assert _state(spark, state) == want
+
+
+def test_cdc_recover_mid_swap_crash_restores_previous_generation(tmp_path):
+    """Crash between os.rename(state_dir, old) and os.rename(staged,
+    state_dir): no live state_dir, a complete previous generation at
+    .old-<id>, a complete-but-unswapped stage at .gen-<id>.  Recovery
+    must restore the aside (so the retried batch sees the maintained
+    state, not None) and delete the stale stage."""
+    from etl_validator_github_spark.streaming.cdc import _recover_state_dir
+
+    state = tmp_path / "state"
+    aside = tmp_path / "state.old-7"
+    staged = tmp_path / "state.gen-7"
+    aside.mkdir()
+    (aside / "part-00000.parquet").write_bytes(b"previous-generation")
+    staged.mkdir()
+    (staged / "part-00000.parquet").write_bytes(b"unswapped-stage")
+
+    _recover_state_dir(str(state))
+
+    assert state.is_dir()
+    assert (state / "part-00000.parquet").read_bytes() == b"previous-generation"
+    assert not aside.exists()
+    assert not staged.exists()
+
+
+def test_cdc_recover_post_swap_crash_keeps_live_state(tmp_path):
+    """Crash after the new generation swapped in but before the old
+    aside was deleted: the live state_dir must be kept verbatim and the
+    leftover aside removed."""
+    from etl_validator_github_spark.streaming.cdc import _recover_state_dir
+
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"new-generation")
+    aside = tmp_path / "state.old-3"
+    aside.mkdir()
+    (aside / "part-00000.parquet").write_bytes(b"old-generation")
+
+    _recover_state_dir(str(state))
+
+    assert (state / "part-00000.parquet").read_bytes() == b"new-generation"
+    assert not aside.exists()
+
+
+def test_cdc_stream_resumes_through_simulated_mid_swap_crash(spark, tmp_path):
+    """End-to-end: run batch 1, simulate the mid-swap crash by hand
+    (state_dir renamed aside, stage left behind), then run batch 2 on a
+    fresh stream start — previously maintained keys must survive."""
+    import shutil
+
+    from etl_validator_github_spark.streaming.cdc import stream_cdc_apply
+
+    src = tmp_path / "log"
+    state, ckpt = tmp_path / "state", tmp_path / "ckpt"
+    _write(src, "01.json", [(1, 10, "A", "v1"), (2, 11, "A", "v2")])
+    q = stream_cdc_apply(spark, str(src), str(state), str(ckpt))
+    q.awaitTermination(120)
+    assert _state(spark, state) == {1: (10, "v1"), 2: (11, "v2")}
+
+    # Simulate the crash window left by a died swap of batch 99.
+    os.rename(state, tmp_path / "state.old-99")
+    shutil.copytree(tmp_path / "state.old-99", tmp_path / "state.gen-99")
+
+    _write(src, "02.json", [(2, 20, "D", None), (3, 21, "A", "v3")])
+    q = stream_cdc_apply(spark, str(src), str(state), str(ckpt))
+    q.awaitTermination(120)
+    # Key 1 (maintained only by pre-crash generations) must survive.
+    assert _state(spark, state) == {1: (10, "v1"), 3: (21, "v3")}
+    leftovers = [p for p in os.listdir(tmp_path)
+                 if p.startswith("state.old-") or p.startswith("state.gen-")]
+    assert leftovers == []
