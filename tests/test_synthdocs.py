@@ -124,3 +124,51 @@ def test_synthdocs_stream_drains_once_and_matches_batch(spark, tmp_path):
 
     run()                                       # checkpointed no-op
     assert spark.read.parquet(sink).count() == 730
+
+
+def test_synthdocs_shingle_distribution_has_real_text_shape():
+    """Distribution-shape guard (the r8 lesson institutionalized): the
+    r7 1M-doc dedup numbers were invalid because the old token formula
+    collapsed 134M 5-gram windows into 53k distinct shingles (df ~2400)
+    and nothing asserted corpus shape. Pin the generator's shingle
+    statistics on a 10k-doc sample so a future token-formula tweak
+    cannot silently re-degenerate every shingle-keyed measurement
+    (minhash, span dedup, PPJoin, Bloom, novelty).
+
+    Bounds (measured: 99.94% distinct, max df 2 on originals; the old
+    degenerate formula scores 4.5% distinct, max df 138 on the same
+    sample — far outside, so this test fails on it):
+      - >= 99% of 5-gram windows are distinct across the corpus,
+      - no shingle appears in more than 4 documents.
+    Pure-Python doc_row, no Spark needed.
+    """
+    from collections import Counter
+
+    from etl_validator_github_spark.sources.synthdocs import (
+        DUP_EVERY,
+        doc_row,
+    )
+
+    K = 5
+    df = Counter()
+    windows = 0
+    # Originals only: planted every-DUP_EVERY-th copies duplicate whole
+    # texts BY DESIGN and would (correctly) double those docs' df.
+    for doc_id in range(10_000):
+        if doc_id % DUP_EVERY == 0 and doc_id > 0:
+            continue
+        toks = doc_row(246, doc_id)[1].split()
+        windows += max(0, len(toks) - K + 1)
+        for g in {" ".join(toks[i:i + K])
+                  for i in range(len(toks) - K + 1)}:
+            df[g] += 1
+
+    distinct_share = len(df) / windows
+    assert distinct_share >= 0.99, (
+        f"shingle space degenerated: only {distinct_share:.2%} of "
+        f"{windows} windows are distinct — re-check the token formula"
+    )
+    assert max(df.values()) <= 4, (
+        f"max document frequency {max(df.values())} — shingle-keyed "
+        "operators would fan out df^2 candidates per key"
+    )
