@@ -2220,9 +2220,28 @@ FROM scored sc JOIN cuts c USING (lang)
 #
 # Scale shape: window hashing is the same map-only codegen pass as the
 # span-dedup family (dedup.windowed_shingles); the reference hash set
-# is one distinct-agg over the reference slice; novelty is an h-keyed
-# LEFT ANTI join (Bloom-filter-joinable at 100 TB) plus one doc-keyed
-# hash-agg. The corpus is never self-joined.
+# is one distinct-agg over the reference slice. Novelty is computed as
+# the SEMI-JOIN COMPLEMENT — n_novel = n_windows − n_overlap, with
+# n_overlap from an h-keyed LEFT SEMI join — rather than a left-anti
+# join, for two scale reasons (the r8 verdict's spill item): (a) the
+# join OUTPUT shrinks from ~every window (novel text barely overlaps
+# the reference) to only the overlapping ones, so the downstream
+# doc-keyed agg reads a sliver; (b) Spark's runtime row-level bloom
+# filter (InjectRuntimeFilter) applies to the probe side of
+# inner/semi joins but can never prune the stream side of an ANTI
+# join (a "maybe-matches" filter would drop rows that belong in the
+# output), so the semi formulation is the one the engine can
+# bloom-reduce before the exchange at cluster scale. The join key
+# stays the md5 hex STRING: a measured attempt to narrow it to a
+# 60-bit BIGINT via conv(substring(h,1,15),16,10) cost MORE than the
+# string shuffle it saved (~94 s vs ~35 s warm at 1M docs — conv's
+# radix parse on 150M rows dwarfs the byte savings), so exactness and
+# the cheaper expression win. Note an explicit pre-join
+# ``repartition(n, h)`` can NOT widen this exchange:
+# PushDownLeftSemiAntiJoin re-orders the semi join below the
+# repartition, so wide runs size the exchange via
+# spark.sql.shuffle.partitions / AQE instead (tools/measure_1m.py
+# does). The corpus is never self-joined.
 # ---------------------------------------------------------------------------
 
 NOVELTY_K = 5
@@ -2246,7 +2265,11 @@ def novelty_scores(docs: DataFrame, ref_hashes: DataFrame,
                    k: int = NOVELTY_K) -> DataFrame:
     """Per-doc novelty vs a prebuilt reference hash set: (doc_id,
     n_windows, n_novel, novelty_milli); milli is NULL below k tokens
-    (no windows → ratio undefined)."""
+    (no windows → ratio undefined).
+
+    ``n_novel = n_windows − n_overlap`` via a left-semi join on the
+    window hash (see the scale-shape note above for why semi beats
+    anti here)."""
     from etl_validator_github_spark.scale.dedup import (
         _span_base,
         _span_windows,
@@ -2254,9 +2277,10 @@ def novelty_scores(docs: DataFrame, ref_hashes: DataFrame,
 
     base = _span_base(docs)
     wins = _span_windows(base, k)
-    novel = (
-        wins.join(ref_hashes, "h", "left_anti")
-        .groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_novel"))
+    overlap = (
+        wins.join(ref_hashes, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
     )
     return (
         base.select(
@@ -2264,13 +2288,15 @@ def novelty_scores(docs: DataFrame, ref_hashes: DataFrame,
             F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(0))
             .cast("int").alias("n_windows"),
         )
-        .join(novel, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
         .select(
             "doc_id", "n_windows",
-            F.coalesce("n_novel", F.lit(0)).cast("int").alias("n_novel"),
+            (F.col("n_windows") - F.coalesce("n_overlap", F.lit(0)))
+            .cast("int").alias("n_novel"),
             F.when(
                 F.col("n_windows") > 0,
-                F.expr("div(1000 * coalesce(n_novel, 0), n_windows)"),
+                F.expr("div(1000 * (n_windows - coalesce(n_overlap, 0)),"
+                       " n_windows)"),
             ).cast("int").alias("novelty_milli"),
         )
     )

@@ -814,13 +814,15 @@ def test_rrf_fusion_no_smj_no_cartesian(spark, sf_dir):
     assert "HashAggregate" in p
 
 
-def test_ngram_novelty_anti_join_on_hash_key(spark, sf_dir):
-    """Novelty must flow as an h-keyed LEFT ANTI join against the
-    distinct reference set — never an all-pairs comparison, and the
-    reference membership probe is the semi/anti family (both sides
-    keyed), not a nested loop."""
+def test_ngram_novelty_semi_complement_on_hash_key(spark, sf_dir):
+    """Novelty must flow as the h-keyed LEFT SEMI complement
+    (n_novel = n_windows − n_overlap) against the distinct reference
+    set — never a LEFT ANTI (whose stream side Spark's runtime bloom
+    filter can never prune, and whose output is ~every window on
+    mostly-novel corpora) and never an all-pairs comparison."""
     p = plan(spark, sf_dir, "text_ngram_novelty")
-    assert "LeftAnti" in p
+    assert "LeftSemi" in p
+    assert "LeftAnti" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 

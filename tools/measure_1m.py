@@ -47,7 +47,8 @@ from pyspark.sql import functions as F  # noqa: E402
 BLOOM_HELDOUT_DOCS = 10
 
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
-           "minhash", "spans", "ppjoin", "novelty", "bm25", "curation")
+           "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
+           "bpe", "keeplongest", "rrf", "bm25_delta")
 
 
 def main() -> int:
@@ -159,10 +160,17 @@ def main() -> int:
     if "novelty" in ops:
         from etl_validator_github_spark.scale.text import ngram_novelty
         # ref slice = synthdocs source 'books' (~1/3 of the corpus —
-        # an upper bound on a curated slice, so the anti-join probes a
-        # worst-case-large reference set).
-        timed("novelty", lambda: force(ngram_novelty(
-            docs, ref_source="books")))
+        # an upper bound on a curated slice, so the semi join probes a
+        # worst-case-large reference set). Widen the h64 exchange for
+        # this op only (a pre-join repartition can't — Catalyst pushes
+        # the semi join below it); at cluster scale AQE plays this role.
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        try:
+            timed("novelty", lambda: force(ngram_novelty(
+                docs, ref_source="books")))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     if "bm25" in ops:
         from etl_validator_github_spark.scale.text import bm25_topk
@@ -176,6 +184,66 @@ def main() -> int:
     if "curation" in ops:
         from etl_validator_github_spark.scale.text import curation_pipeline
         timed("curation", lambda: force(curation_pipeline(docs)))
+
+    if "bpe" in ops:
+        from etl_validator_github_spark.scale.text import bpe_train
+        # unrolled merge loop (pair-count hash-agg + broadcast winner
+        # per iteration) over the full 134M-token corpus.
+        timed("bpe", lambda: force(bpe_train(docs)))
+
+    if "keeplongest" in ops:
+        from etl_validator_github_spark.scale.dedup import keep_longest_dedup
+        timed("keeplongest", lambda: force(keep_longest_dedup(docs)))
+
+    if "rrf" in ops:
+        from etl_validator_github_spark.scale.retrieval import rrf_fuse
+        # Corpus-size-independence proof: RRF's contract input is two
+        # ranked lists of <= k rows per query — NEVER the corpus. The
+        # lists here reference 1M-corpus doc_ids but the fusion cost is
+        # (queries x k) = 1000 x 100 rows per side; if this measures in
+        # ~agg-of-200k-rows time (vs the 100+ s any corpus-wide op
+        # costs at 1M), fusion provably does not scale with the corpus.
+        n_q, topk = 1000, 100
+        lists = spark.range(n_q * topk).selectExpr(
+            "cast(id div {k} as int) as query_id".format(k=topk),
+            "cast(id % {k} + 1 as int) as rnk".format(k=topk),
+        )
+        lex = lists.selectExpr(
+            "query_id", "abs(hash(query_id, rnk, 1)) % 1000000 as doc_id",
+            "rnk")
+        dense = lists.selectExpr(
+            "query_id", "abs(hash(query_id, rnk, 2)) % 1000000 as doc_id",
+            "rnk")
+        timed("rrf", lambda: force(rrf_fuse(lex, dense)))
+
+    if "bm25_delta" in ops:
+        from etl_validator_github_spark.scale.text import (
+            bm25_from_postings,
+            doc_postings,
+        )
+        # Operational answer to the full-rebuild cost: persist the
+        # (doc_id, dl, term, tf) postings once, then ingest a 100k-doc
+        # delta by appending ONLY the new docs' groups (the streaming
+        # maintenance path, streaming/corpus.py, measured batch-style).
+        pdir = os.path.join(args.workdir, "postings_1m.parquet")
+        shutil.rmtree(pdir, ignore_errors=True)
+        timed("bm25_postings_full", lambda: (
+            doc_postings(docs).write.mode("overwrite").parquet(pdir)))
+        n_total = args.docs + 100_000
+        delta = (
+            spark.read.format("synthdocs")
+            .option("docs", str(n_total))
+            .option("docs_per_shard", str(max(n_total // 32, 1)))
+            .load()
+            .filter(F.col("doc_id") >= args.docs)
+        )
+        timed("bm25_postings_delta", lambda: (
+            doc_postings(delta).write.mode("append").parquet(pdir)))
+        timed("bm25_score_from_postings", lambda: force(
+            bm25_from_postings(
+                spark.read.parquet(pdir),
+                queries=((1, "tok1 tok2"), (2, "tok3 tok4 tok5"),
+                         (3, "tok6 zzz")))))
 
     if "ppjoin" in ops:
         from etl_validator_github_spark.scale.dedup import (
