@@ -4521,6 +4521,382 @@ FROM ranked GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per market segment — the
+# inequality readout completing the concentration family (HHI = market
+# concentration, ABC = Pareto classes, Gini = distributional
+# inequality). Exact integers throughout: with revenues x_1 ≤ … ≤ x_n
+# (ascending, custkey tie-break) the population Gini is
+#   G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+# reported as a floored micro-unit via the same 128-bit div/mod
+# decomposition as the chi-square audit (numerator ≤ n²·max_x exceeds
+# int64 around n ≈ 10⁶ per segment; DECIMAL(38,0)/HUGEINT carries it
+# to n ≈ 10⁹ and both engines fail loudly beyond).
+#
+# Scale shape: per-customer hash-agg → segment join → the rank window
+# runs over the CUSTOMER AGGREGATE partitioned BY SEGMENT (the ABC/RFM
+# bounded-window justification, further divided by the segment key).
+# ---------------------------------------------------------------------------
+
+
+def _customers_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("rev_cents"), F.asc("c_custkey")
+    )
+    ranked = per.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("rev_cents"),
+        F.sum(F.expr(
+            "CAST(i AS DECIMAL(38,0)) * CAST(rev_cents AS DECIMAL(38,0))"
+        )).alias("swx"),
+    )
+    return (
+        agg.select(
+            "c_mktsegment", "n_customers", "rev_cents",
+            F.expr(
+                "2 * swx - (CAST(n_customers AS DECIMAL(38,0)) + 1)"
+                " * CAST(rev_cents AS DECIMAL(38,0))"
+            ).alias("num"),
+            F.expr(
+                "CAST(n_customers AS DECIMAL(38,0))"
+                " * CAST(rev_cents AS DECIMAL(38,0))"
+            ).alias("den"),
+        )
+        .select(
+            "c_mktsegment", "n_customers", "rev_cents",
+            F.expr("(num div den) * 1000000"
+                   " + ((num % den) * 1000000) div den")
+            .cast("long").alias("gini_micro"),
+        )
+    )
+
+
+_GINI_SQL = """
+WITH per AS (
+  SELECT c_mktsegment, o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, rev_cents,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev_cents ASC, o_custkey ASC) AS i
+  FROM per
+), agg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+         SUM(CAST(i AS HUGEINT) * rev_cents) AS swx
+  FROM ranked GROUP BY 1
+), frac AS (
+  SELECT c_mktsegment, n_customers, rev_cents,
+         2 * swx - (CAST(n_customers AS HUGEINT) + 1) * rev_cents AS num,
+         CAST(n_customers AS HUGEINT) * rev_cents AS den
+  FROM agg
+)
+SELECT c_mktsegment, n_customers, rev_cents,
+       CAST((num // den) * 1000000
+            + ((num % den) * 1000000) // den AS BIGINT) AS gini_micro
+FROM frac
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via median absolute deviation — the outlier rule
+# that survives the heavy tails the 2-sigma rule (events_hourly_anomalies)
+# is blind to. Rank-exact discrete medians (the value at row_number
+# ceil(n/2) under a fully tie-broken order — percentile_cont/ntile are
+# NOT cross-engine-stable, value-at-rank is), deviations in exact
+# cents, flag when dev > 3·MAD.
+#
+# Scale shape: two window passes partitioned by event_type + two tiny
+# broadcast joins back on the type key; no global sort.
+# ---------------------------------------------------------------------------
+
+
+def _events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("v")
+    )
+    w_v = Window.partitionBy("event_type").orderBy("v", "event_id")
+    n_w = Window.partitionBy("event_type")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w_v))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("v").alias("median_cents"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v") - F.col("median_cents"))
+    )
+    w_d = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_d))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("median_cents").cast("long").alias("median_cents"),
+            F.min("mad_cents").cast("long").alias("mad_cents"),
+            F.sum((F.col("dev") > 3 * F.col("mad_cents")).cast("long"))
+            .cast("long").alias("n_outliers"),
+        )
+    )
+
+
+_MAD_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), med AS (
+  SELECT event_type, v AS median_cents FROM (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY v, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM ev)
+  WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT ev.event_id, ev.event_type, ev.v, med.median_cents,
+         abs(ev.v - med.median_cents) AS dev
+  FROM ev JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, dev AS mad_cents FROM (
+    SELECT event_type, dev,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev)
+  WHERE rn = (n + 1) // 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(median_cents) AS BIGINT) AS median_cents,
+       CAST(MIN(mad_cents) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev > 3 * mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast scorecard — the sanity baseline every
+# forecasting pipeline reports before any model: predict each hour
+# with the same hour yesterday, score against the naive
+# predict-last-hour baseline (the MASE denominator, Hyndman 2006).
+# Exact integers: hourly counts, absolute-error sums, floored milli
+# ratio. mase_milli < 1000 ⟺ daily seasonality is real signal.
+#
+# Scale shape: one hourly rollup (hash-agg), then TWO keyed self-joins
+# on (type, hour−1) and (type, hour−24) — calendar joins, not row-lag
+# windows, so missing hours never silently misalign the lags.
+# ---------------------------------------------------------------------------
+
+
+def _events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cur = hourly.select(
+        "event_type", F.col("h").alias("h_cur"), F.col("c").alias("c_cur")
+    )
+    lag1 = hourly.select(
+        F.col("event_type").alias("et_l1"),
+        F.col("h").alias("h_l1"), F.col("c").alias("c_l1"),
+    )
+    lag24 = hourly.select(
+        F.col("event_type").alias("et_l24"),
+        F.col("h").alias("h_l24"), F.col("c").alias("c_l24"),
+    )
+    joined = (
+        cur.join(
+            lag1,
+            (F.col("event_type") == F.col("et_l1"))
+            & F.expr("h_l1 = h_cur - INTERVAL 1 HOUR"),
+        )
+        .join(
+            lag24,
+            (F.col("event_type") == F.col("et_l24"))
+            & F.expr("h_l24 = h_cur - INTERVAL 24 HOUR"),
+        )
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours_scored"),
+            F.sum(F.abs(F.col("c_cur") - F.col("c_l24")))
+            .cast("long").alias("sae_seasonal"),
+            F.sum(F.abs(F.col("c_cur") - F.col("c_l1")))
+            .cast("long").alias("sae_naive"),
+        )
+        .select(
+            "event_type", "n_hours_scored", "sae_seasonal", "sae_naive",
+            F.expr("if(sae_naive = 0, NULL,"
+                   " (1000 * sae_seasonal) div sae_naive)")
+            .cast("long").alias("mase_milli"),
+        )
+    )
+
+
+_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT cur.event_type, cur.c AS c_cur, l1.c AS c_l1, l24.c AS c_l24
+  FROM hourly cur
+  JOIN hourly l1 ON l1.event_type = cur.event_type
+                AND l1.h = cur.h - INTERVAL 1 HOUR
+  JOIN hourly l24 ON l24.event_type = cur.event_type
+                 AND l24.h = cur.h - INTERVAL 24 HOUR
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours_scored,
+         CAST(SUM(abs(c_cur - c_l24)) AS BIGINT) AS sae_seasonal,
+         CAST(SUM(abs(c_cur - c_l1)) AS BIGINT) AS sae_naive
+  FROM joined GROUP BY 1
+)
+SELECT event_type, n_hours_scored, sae_seasonal, sae_naive,
+       CAST(CASE WHEN sae_naive = 0 THEN NULL
+                 ELSE (1000 * sae_seasonal) // sae_naive
+            END AS BIGINT) AS mase_milli
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Order backlog timeline — the interval prefix-sum every operations
+# dashboard runs: +1 the month an order opens, −1 the month its last
+# lineitem ships (the fixture lineitem carries l_shipdate only),
+# cumulative sum = end-of-month open backlog.
+# The running sum's window covers MONTHS (~84 for TPC-H), not orders —
+# the bounded-window justification again; the per-order close date is
+# one hash-agg over lineitem.
+# ---------------------------------------------------------------------------
+
+
+def _orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    opened = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.lit(1).alias("delta"),
+    )
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("closed_on"))
+        .select(
+            F.date_trunc("month", "closed_on").alias("m"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    monthly = opened.unionByName(closed).groupBy("m").agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("long").alias("n_opened"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long").alias("n_closed"),
+    )
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        F.col("m").cast("date").alias("month"),
+        "n_opened", "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w)
+        .cast("long").alias("backlog_eom"),
+    )
+
+
+_BACKLOG_SQL = """
+WITH opened AS (
+  SELECT date_trunc('month', o_orderdate) AS m, 1 AS delta FROM orders
+), closed AS (
+  SELECT date_trunc('month', MAX(l_shipdate)) AS m, -1 AS delta
+  FROM lineitem GROUP BY l_orderkey
+), monthly AS (
+  SELECT m,
+         CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_opened,
+         CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_closed
+  FROM (SELECT * FROM opened UNION ALL SELECT * FROM closed)
+  GROUP BY 1
+)
+SELECT CAST(m AS DATE) AS month, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed)
+            OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS backlog_eom
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt surface — the wide→long reshape (DataFrame.unpivot,
+# Spark 3.4+; SQL UNPIVOT) exercised over part's numeric metrics, with
+# a per-(brand, metric) rollup on the long form. The melt itself is a
+# zero-shuffle Expand; only the rollup exchanges.
+# ---------------------------------------------------------------------------
+
+
+def _part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_brand",
+        cents("p_retailprice").alias("retailprice_cents"),
+        F.col("p_size").cast("long").alias("size_units"),
+    )
+    long_form = part.unpivot(
+        ids=["p_brand"],
+        values=["retailprice_cents", "size_units"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return long_form.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("v").cast("long").alias("total"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS retailprice_cents,
+         CAST(p_size AS BIGINT) AS size_units
+  FROM part
+), long_form AS (
+  UNPIVOT wide ON retailprice_cents, size_units
+  INTO NAME metric VALUE v
+)
+SELECT p_brand, metric,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(v) AS BIGINT) AS total,
+       CAST(MIN(v) AS BIGINT) AS min_v,
+       CAST(MAX(v) AS BIGINT) AS max_v
+FROM long_form
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -4657,5 +5033,26 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "min-hop distances on the ≥$9.5M trade graph, depth ≤ 4; "
               "recursion iterates on the edge-sized frontier, the fact "
               "table is scanned once."),
+        Query("customers_revenue_gini", _customers_gini, _GINI_SQL,
+              "Gini inequality of customer revenue per market segment "
+              "in exact micro-units: segment-partitioned rank window "
+              "over the customer aggregate, 128-bit numerator."),
+        Query("events_mad_outliers", _events_mad_outliers, _MAD_SQL,
+              "Robust outliers per event type via rank-exact median + "
+              "MAD (value-at-row-number, never percentile_cont); flag "
+              "when |x−med| > 3·MAD, all integer cents."),
+        Query("events_seasonal_naive", _events_seasonal_naive,
+              _SEASONAL_SQL,
+              "Seasonal-naive forecast scorecard: hourly rollup + two "
+              "calendar self-joins (h−1, h−24), exact MASE-style milli "
+              "ratio of absolute-error sums."),
+        Query("orders_backlog_timeline", _orders_backlog, _BACKLOG_SQL,
+              "Open-order backlog by month: ±1 interval events from "
+              "order open / last-ship close, cumulative sum over "
+              "the bounded month axis."),
+        Query("part_metrics_unpivot", _part_unpivot, _UNPIVOT_SQL,
+              "Wide→long reshape through DataFrame.unpivot / SQL "
+              "UNPIVOT (zero-shuffle Expand) with a per-(brand, "
+              "metric) rollup on the long form."),
     ]
 }

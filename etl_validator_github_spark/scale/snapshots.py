@@ -153,6 +153,112 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Split-leakage audit — the eval-integrity complement of decontamination:
+# after assigning train/val/test, find CONTENT that appears in more than
+# one split (exact duplicates straddling a split boundary leak training
+# text into evaluation). Reported per split pair so the
+# train↔val / train↔test edges (the ones that invalidate evals) are
+# separately visible from val↔test.
+#
+# Scale shape: one md5 projection per doc → ONE content-hash hash-agg
+# with conditional per-split counters → a 1-row fold exploded into the
+# three pair rows. Text never moves through the shuffle (only 32-char
+# hashes); work ∝ corpus, output O(1). At 100 TB this rides the same
+# content-hash aggregation the exact-dedup pass already computes.
+# ---------------------------------------------------------------------------
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Per ordered split pair: distinct leaked contents and the doc
+    counts on each side of the leak (docs whose text also occurs in
+    the other split)."""
+    h = md5_mod("doc_id", _SPLIT_MOD)
+    split = (
+        F.when(h < SPLIT_TRAIN, F.lit("train"))
+        .when(h < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_content = (
+        docs.select(F.md5("text").alias("content"), split.alias("split"))
+        .groupBy("content")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias("c_train"),
+            F.sum((F.col("split") == "val").cast("long")).alias("c_val"),
+            F.sum((F.col("split") == "test").cast("long")).alias("c_test"),
+        )
+    )
+    pair_aggs = []
+    for a, b in (("train", "val"), ("train", "test"), ("val", "test")):
+        both = (F.col(f"c_{a}") > 0) & (F.col(f"c_{b}") > 0)
+        pair_aggs.append(F.struct(
+            F.lit(f"{a}|{b}").alias("split_pair"),
+            F.sum(both.cast("long")).cast("long").alias("n_leaked_contents"),
+            F.sum(F.when(both, F.col(f"c_{a}")).otherwise(F.lit(0)))
+            .cast("long").alias("n_docs_left"),
+            F.sum(F.when(both, F.col(f"c_{b}")).otherwise(F.lit(0)))
+            .cast("long").alias("n_docs_right"),
+        ))
+    # One global aggregate → explode into the three pair rows (the
+    # union-of-selects form would re-derive the agg per branch).
+    return (
+        per_content.agg(F.array(*pair_aggs).alias("pairs"))
+        .select(F.explode("pairs").alias("p"))
+        .select("p.*")
+    )
+
+
+def _leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_leakage(load(spark, sf_dir, "documents"))
+
+
+_LEAKAGE_SQL = f"""
+WITH assigned AS (
+  SELECT md5(text) AS content,
+         CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT)
+                   % {_SPLIT_MOD} < {SPLIT_TRAIN} THEN 'train'
+              WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT)
+                   % {_SPLIT_MOD} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), per_content AS (
+  SELECT content,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_val,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_test
+  FROM assigned GROUP BY 1
+)
+SELECT 'train|val' AS split_pair,
+       CAST(SUM(CASE WHEN c_train > 0 AND c_val > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked_contents,
+       CAST(SUM(CASE WHEN c_train > 0 AND c_val > 0 THEN c_train ELSE 0 END)
+            AS BIGINT) AS n_docs_left,
+       CAST(SUM(CASE WHEN c_train > 0 AND c_val > 0 THEN c_val ELSE 0 END)
+            AS BIGINT) AS n_docs_right
+FROM per_content
+UNION ALL
+SELECT 'train|test',
+       CAST(SUM(CASE WHEN c_train > 0 AND c_test > 0 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN c_train > 0 AND c_test > 0 THEN c_train ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN c_train > 0 AND c_test > 0 THEN c_test ELSE 0 END)
+            AS BIGINT)
+FROM per_content
+UNION ALL
+SELECT 'val|test',
+       CAST(SUM(CASE WHEN c_val > 0 AND c_test > 0 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN c_val > 0 AND c_test > 0 THEN c_val ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN c_val > 0 AND c_test > 0 THEN c_test ELSE 0 END)
+            AS BIGINT)
+FROM per_content
+"""
+
+
 def snapshot_schema_drift(old: DataFrame, new: DataFrame) -> dict[str, list]:
     """Schema-level diff between two corpus versions — the lake-scale
     analogue of the bank pipeline's R24 file check (schema.py): columns
@@ -316,5 +422,9 @@ SNAPSHOT_QUERIES: dict[str, Query] = {
         Query("docs_split_assign", _splits_q, _SPLITS_SQL,
               "Deterministic md5-threshold train/val/test split with "
               "per-(lang, source, split) doc/token rollup."),
+        Query("docs_split_leakage", _leakage_q, _LEAKAGE_SQL,
+              "Eval-integrity audit: exact-duplicate content straddling "
+              "a split boundary, reported per split pair from one "
+              "content-hash aggregation."),
     ]
 }

@@ -2306,21 +2306,33 @@ def ngram_novelty(docs: DataFrame, k: int = NOVELTY_K,
                   ref_source: str = NOVELTY_REF_SOURCE) -> DataFrame:
     """Per-doc novel-window counts vs the ``ref_source`` slice.
 
-    Reference docs score 0 by construction and carry ``is_ref = 1`` so
-    downstream filters can drop them. Composed from the index/probe
-    halves above (which the streaming twin reuses)."""
-    ref_hashes = build_novelty_index(
-        docs.filter(F.col("source") == ref_source), k
+    Reference docs score 0 BY CONSTRUCTION (every one of their windows
+    is in the index they define), so their windows never enter the
+    probe shuffle at all: the ref slice becomes a map-only projection
+    of literals and only non-ref docs flow through ``novelty_scores``.
+    At a 1/3-corpus reference slice that removes a third of the
+    exchange AND nearly all semi-join matches (novel text rarely
+    overlaps), and the is_ref flag needs no join-back — the two
+    branches just union. Composed from the index/probe halves above
+    (which the streaming twin reuses)."""
+    ref_docs = docs.filter(F.col("source") == ref_source)
+    ref_hashes = build_novelty_index(ref_docs, k)
+    nonref_scored = novelty_scores(
+        docs.filter(F.col("source") != ref_source), ref_hashes, k
+    ).select(
+        "doc_id", F.lit(0).alias("is_ref"),
+        "n_windows", "n_novel", "novelty_milli",
     )
-    return (
-        novelty_scores(docs, ref_hashes, k)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select(
-            "doc_id",
-            (F.col("source") == ref_source).cast("int").alias("is_ref"),
-            "n_windows", "n_novel", "novelty_milli",
-        )
+    n_win = F.greatest(
+        F.size(F.split("text", " ")) - F.lit(k - 1), F.lit(0)
+    ).cast("int")
+    ref_rows = ref_docs.select(
+        "doc_id", F.lit(1).alias("is_ref"),
+        n_win.alias("n_windows"),
+        F.lit(0).cast("int").alias("n_novel"),
+        F.when(n_win > 0, F.lit(0)).cast("int").alias("novelty_milli"),
     )
+    return nonref_scored.unionByName(ref_rows)
 
 
 def _novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2399,6 +2411,80 @@ def vocab_stats(docs: DataFrame) -> DataFrame:
 
 def _vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(load(spark, sf_dir, "documents"))
+
+
+def vocab_coverage_curve(docs: DataFrame) -> DataFrame:
+    """Cumulative token-mass coverage by rank-bucketed vocabulary — the
+    tokenizer-sizing readout: what share of the corpus does a vocab of
+    the top 2^b types cover? Types rank desc by (freq, token); buckets
+    are floor-log2(rank) (the engine-exact ``length(bin(rank)) − 1``
+    convention, see zipf_slope); coverage is a floored milli share of
+    all tokens.
+
+    Scale shape: (token) hash-agg → rank window over the VOCAB table
+    (types, not tokens — the zipf_slope bounded-window justification)
+    → ~⌈log2 |vocab|⌉-row bucket rollup with a cumulative sum over
+    that tiny axis."""
+    from pyspark.sql import Window
+
+    vocab = docs.select(F.explode(tokens()).alias("token")) \
+        .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    bucketed = (
+        vocab.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.expr("cast(length(bin(rnk)) - 1 as int)").alias("bucket"),
+            "c",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("bucket_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = bucketed.agg(F.sum("bucket_tokens").alias("tot"))
+    return (
+        bucketed.crossJoin(F.broadcast(total))  # 1-row fold
+        .select(
+            "bucket", "n_types", "bucket_tokens",
+            F.sum("bucket_tokens").over(w_cum).alias("cum_tokens"),
+            "tot",
+        )
+        .select(
+            "bucket", "n_types", "bucket_tokens",
+            F.expr("cast((1000 * cum_tokens) div tot as int)")
+            .alias("cum_coverage_milli"),
+        )
+    )
+
+
+def _coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage_curve(load(spark, sf_dir, "documents"))
+
+
+_COVERAGE_CURVE_SQL = """
+WITH vocab AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counted AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM vocab GROUP BY 1
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rnk
+  FROM counted
+), bucketed AS (
+  SELECT CAST(length(bin(rnk)) - 1 AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS bucket_tokens
+  FROM ranked GROUP BY 1
+), tot AS (SELECT SUM(bucket_tokens) AS tot FROM bucketed)
+SELECT bucket, n_types, bucket_tokens,
+       CAST((1000 * SUM(bucket_tokens)
+                    OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+            // (SELECT tot FROM tot) AS INT) AS cum_coverage_milli
+FROM bucketed
+"""
 
 
 def zipf_slope(docs: DataFrame) -> DataFrame:
@@ -2705,6 +2791,11 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "hapax share from two map-side-combining hash-aggs — "
               "catches template/looping corpora that pass per-doc "
               "gates."),
+        Query("corpus_vocab_coverage", _coverage_curve_q,
+              _COVERAGE_CURVE_SQL,
+              "Tokenizer-sizing curve: cumulative token-mass coverage "
+              "of the top 2^b vocab types per floor-log2 rank bucket, "
+              "rank window over types only."),
         Query("text_ngram_novelty", _novelty_q, _NOVELTY_SQL,
               "Per-doc 5-gram novelty vs the src0 reference slice: "
               "map-only window hashing, one distinct-agg reference set, "

@@ -901,3 +901,69 @@ def test_hard_negatives_anti_join_on_list_keys(spark, sf_dir):
     p = plan(spark, sf_dir, "retrieval_hard_negatives")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_split_leakage_is_join_free_hash_agg(spark, sf_dir):
+    """Split leakage: one content-hash aggregation + a 1-row fold
+    exploded into pair rows — no join anywhere, text never shuffles
+    (the exchange carries only the 32-char content hash + counters)."""
+    p = plan(spark, sf_dir, "docs_split_leakage")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_gini_windows_partition_by_segment(spark, sf_dir):
+    """Gini: the rank window must be PARTITIONED by market segment
+    (never a single global sort) over the customer aggregate."""
+    p = plan(spark, sf_dir, "customers_revenue_gini")
+    assert "Window" in p
+    import re
+    win = next(ln for ln in p.splitlines()
+               if "Arguments" in ln and "row_number" in ln)
+    assert "c_mktsegment" in win, win
+    assert "CartesianProduct" not in p
+
+
+def test_mad_outliers_windows_keyed_by_type(spark, sf_dir):
+    """MAD outliers: two rank windows partitioned by event_type and
+    type-keyed broadcast joins back — no global sort, no cartesian."""
+    p = plan(spark, sf_dir, "events_mad_outliers")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_seasonal_naive_joins_on_calendar_keys(spark, sf_dir):
+    """Seasonal naive: the h−1/h−24 lags are keyed equi-joins over the
+    HOURLY ROLLUP (post-aggregate), never windows over raw events and
+    never a nested loop."""
+    p = plan(spark, sf_dir, "events_seasonal_naive")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+
+
+def test_backlog_single_bounded_window(spark, sf_dir):
+    """Backlog: the cumulative sum runs over the month axis AFTER the
+    monthly aggregation (window input is bounded by calendar span)."""
+    p = plan(spark, sf_dir, "orders_backlog_timeline")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_unpivot_plans_expand_without_join(spark, sf_dir):
+    """UNPIVOT/melt: the wide→long reshape is a zero-shuffle Expand;
+    only the rollup exchanges. No join of any kind."""
+    p = plan(spark, sf_dir, "part_metrics_unpivot")
+    assert "Expand" in p, p
+    assert "Join" not in p
+    assert _n_exchanges(p) <= 1, p
+
+
+def test_vocab_coverage_windows_over_types_only(spark, sf_dir):
+    """Coverage curve: the rank window's input is the (token) vocab
+    AGGREGATE — the explode of raw tokens must sit below a
+    HashAggregate, not feed the window directly."""
+    p = plan(spark, sf_dir, "corpus_vocab_coverage")
+    assert "Window" in p
+    assert "CartesianProduct" not in p

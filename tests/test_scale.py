@@ -2102,6 +2102,10 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     "retrieval_rrf_fusion", "text_ngram_novelty", "brand_supplier_hhi",
     "events_cusum_changepoint", "corpus_curation_pipeline",
     "customers_abc_classes",
+    # r9 additions
+    "docs_split_leakage", "customers_revenue_gini", "events_mad_outliers",
+    "events_seasonal_naive", "orders_backlog_timeline",
+    "part_metrics_unpivot", "corpus_vocab_coverage",
 ])
 def test_results_partition_independent(spark, sf_dir, name):
     """The contract.py claim, spot-pinned on this round's queries:
