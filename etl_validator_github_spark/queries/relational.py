@@ -4897,6 +4897,164 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS — the third member of the multi-level
+# aggregation family (CUBE = status_priority_cube, ROLLUP =
+# rollup_order_counts): a hand-picked set list with per-column
+# GROUPING() flags, the form a reporting layer emits when it wants
+# specific subtotal combinations and not the full lattice. One pass,
+# Expand shape — |sets| × the input streams through a single hash-agg.
+# ---------------------------------------------------------------------------
+
+
+def _lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_returnflag"),
+            F.grouping("l_linestatus").cast("int").alias("g_linestatus"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents("l_extendedprice")).cast("long").alias("rev_cents"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_returnflag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile ranks — percent_rank / cume_dist re-derived as
+# floored integer milli ratios from rank and count (the native
+# functions return doubles whose ×1000-floor could straddle an ulp
+# cross-engine; (rank−1, n−1, cume) are integers, so the floors are
+# exact). Windows partitioned by market segment over the customer
+# aggregate — the bounded-window discipline.
+# ---------------------------------------------------------------------------
+
+
+def _customers_percentile_ranks(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("rev_cents"), F.asc("c_custkey")
+    )
+    w_cume = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("rev_cents")
+    ).rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    n_w = Window.partitionBy("c_mktsegment")
+    return (
+        per.select(
+            "c_custkey", "c_mktsegment", "rev_cents",
+            F.row_number().over(w).cast("int").alias("rnk"),
+            F.count(F.lit(1)).over(w_cume).alias("cume"),
+            F.count(F.lit(1)).over(n_w).alias("n"),
+        )
+        .select(
+            "c_custkey", "c_mktsegment", "rev_cents", "rnk",
+            F.expr("cast(if(n = 1, 0,"
+                   " (1000 * (rnk - 1)) div (n - 1)) as int)")
+            .alias("pr_milli"),
+            F.expr("cast((1000 * cume) div n as int)").alias("cd_milli"),
+        )
+    )
+
+
+_PERCENTILE_RANKS_SQL = """
+WITH per AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_custkey, c_mktsegment, rev_cents,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev_cents, c_custkey) AS rnk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment
+                        ORDER BY rev_cents
+                        RANGE UNBOUNDED PRECEDING) AS cume,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM per
+)
+SELECT c_custkey, c_mktsegment, rev_cents, CAST(rnk AS INT) AS rnk,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE (1000 * (rnk - 1)) // (n - 1) END AS INT) AS pr_milli,
+       CAST((1000 * cume) // n AS INT) AS cd_milli
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands — consecutive-month order streaks per customer (the
+# classic streak pattern): distinct active months → the month_index −
+# row_number island key → per-customer streak stats. All windows
+# partitioned by customer; month_index is pure integer calendar math.
+# ---------------------------------------------------------------------------
+
+
+def _customers_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    islands = months.withColumn(
+        "grp", F.col("mi") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.sum("len").cast("int").alias("n_active_months"),
+        F.count(F.lit(1)).cast("int").alias("n_streaks"),
+        F.max("len").cast("int").alias("longest_streak"),
+    )
+
+
+_STREAKS_SQL = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mi
+  FROM orders
+), islands AS (
+  SELECT o_custkey, mi,
+         mi - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mi) AS grp
+  FROM months
+), streaks AS (
+  SELECT o_custkey, grp, COUNT(*) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(SUM(len) AS INT) AS n_active_months,
+       CAST(COUNT(*) AS INT) AS n_streaks,
+       CAST(MAX(len) AS INT) AS longest_streak
+FROM streaks GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -5054,5 +5212,18 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Wide→long reshape through DataFrame.unpivot / SQL "
               "UNPIVOT (zero-shuffle Expand) with a per-(brand, "
               "metric) rollup on the long form."),
+        Query("lineitem_grouping_sets", _lineitem_grouping_sets,
+              _GROUPING_SETS_SQL,
+              "Explicit GROUPING SETS with per-column GROUPING() "
+              "flags (DataFrame.groupingSets, Spark 4) — hand-picked "
+              "subtotal combinations in one Expand pass."),
+        Query("customers_percentile_ranks", _customers_percentile_ranks,
+              _PERCENTILE_RANKS_SQL,
+              "percent_rank/cume_dist as exact floored milli ratios "
+              "from integer rank+count windows, segment-partitioned."),
+        Query("customers_order_streaks", _customers_order_streaks,
+              _STREAKS_SQL,
+              "Gaps & islands: consecutive-month order streaks per "
+              "customer via the month_index − row_number island key."),
     ]
 }

@@ -967,3 +967,36 @@ def test_vocab_coverage_windows_over_types_only(spark, sf_dir):
     p = plan(spark, sf_dir, "corpus_vocab_coverage")
     assert "Window" in p
     assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """Explicit GROUPING SETS must plan as ONE Expand over one scan —
+    never a union of per-set aggregates re-scanning the input."""
+    import re
+
+    p = plan(spark, sf_dir, "lineitem_grouping_sets")
+    assert "Expand" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p
+
+
+def test_percentile_ranks_windows_by_segment(spark, sf_dir):
+    """Percentile ranks: every window partitioned by segment over the
+    customer aggregate; no global sort, no cartesian."""
+    p = plan(spark, sf_dir, "customers_percentile_ranks")
+    assert "Window" in p
+    win = next(ln for ln in p.splitlines()
+               if "Arguments" in ln and "row_number" in ln)
+    assert "c_mktsegment" in win, win
+    assert "CartesianProduct" not in p
+
+
+def test_order_streaks_customer_partitioned(spark, sf_dir):
+    """Streaks: the island window partitions by customer; the whole op
+    is distinct → window → two hash-aggs, no join."""
+    p = plan(spark, sf_dir, "customers_order_streaks")
+    assert "Window" in p
+    win = next(ln for ln in p.splitlines()
+               if "Arguments" in ln and "row_number" in ln)
+    assert "o_custkey" in win, win
+    assert "Join" not in p

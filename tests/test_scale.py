@@ -2106,6 +2106,8 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     "docs_split_leakage", "customers_revenue_gini", "events_mad_outliers",
     "events_seasonal_naive", "orders_backlog_timeline",
     "part_metrics_unpivot", "corpus_vocab_coverage",
+    "lineitem_grouping_sets", "customers_percentile_ranks",
+    "customers_order_streaks",
 ])
 def test_results_partition_independent(spark, sf_dir, name):
     """The contract.py claim, spot-pinned on this round's queries:
@@ -2115,12 +2117,18 @@ def test_results_partition_independent(spark, sf_dir, name):
     its parallelism freely)."""
     from etl_validator_github_spark.queries import CATALOG
 
+    # None-safe total order: subtotal rows (GROUPING SETS) carry NULLs.
+    def rows(df):
+        return sorted(
+            (tuple((v is None, repr(v)) for v in r) for r in df.collect()),
+        )
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = sorted(map(tuple, CATALOG[name].build(spark, sf_dir).collect()))
+        a = rows(CATALOG[name].build(spark, sf_dir))
         spark.conf.set("spark.sql.shuffle.partitions", "17")
-        b = sorted(map(tuple, CATALOG[name].build(spark, sf_dir).collect()))
+        b = rows(CATALOG[name].build(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b and len(a) > 0
