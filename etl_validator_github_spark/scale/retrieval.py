@@ -199,6 +199,180 @@ FROM neg
 """
 
 
+# ---------------------------------------------------------------------------
+# Lexical self-retrieval eval — the recall/rank scorecard the BM25
+# branch was missing (the dense family already has ann/lsh/pq/
+# matryoshka recalls): queries are 10-token phrases SLICED FROM probe
+# documents, the relevant set is every doc whose text contains the
+# exact phrase (the probe itself plus its duplicates/quoters), and the
+# report is recall@k + the probe's own rank. Qrels are derived from
+# the data identically in both engines — no hand-labeled fixture.
+#
+# Scale shape: the scoring is the standard postings join (work ∝
+# matching postings); the relevance pass is ONE broadcast of
+# |probes| phrases against the corpus (the `decontaminate` guarded-
+# broadcast pattern — bounded by the probe count, never by the
+# corpus); everything after is k-row-per-query arithmetic.
+# ---------------------------------------------------------------------------
+
+#: Probe documents whose 10-token slices become the eval queries.
+#: Slice geometry picked empirically at sf0.01: 10 tokens from offset 7
+#: give 7/8 probes perfect self-recall with one visible failure — a
+#: 4-token slice was stopword-dominated and scored 1/8 (an eval that
+#: mostly reports zero teaches nothing).
+BM25_EVAL_PROBE_IDS = (10, 30, 50, 70, 90, 110, 130, 150)
+BM25_EVAL_SLICE_START = 7   # 1-based token offset of the phrase
+BM25_EVAL_SLICE_LEN = 10
+BM25_EVAL_K = 10
+
+
+def bm25_self_retrieval(docs: DataFrame,
+                        probe_ids: tuple[int, ...] = BM25_EVAL_PROBE_IDS,
+                        k: int = BM25_EVAL_K) -> DataFrame:
+    """Per probe query: n_relevant, n_hits_relevant, self_rank (NULL
+    if the probe doc fell outside the top-k), recall@k in milli."""
+    from etl_validator_github_spark.scale.text import (
+        bm25_from_postings,
+        doc_postings,
+    )
+
+    probes = docs.filter(F.col("doc_id").isin(*probe_ids)).select(
+        F.col("doc_id").cast("int").alias("query_id"),
+        F.slice(F.split("text", " "), BM25_EVAL_SLICE_START,
+                BM25_EVAL_SLICE_LEN).alias("qtoks"),
+    )
+    qterms = probes.select(
+        "query_id", F.explode("qtoks").alias("term")
+    )
+    # Both small derived tables feed multiple consumers below — the
+    # standard lazy localCheckpoint barrier stops each consumer from
+    # re-running the postings join / corpus relevance scan.
+    hits = bm25_from_postings(doc_postings(docs), qterms, k) \
+        .localCheckpoint(eager=False)
+    phrases = probes.select(
+        "query_id", F.array_join("qtoks", " ").alias("phrase")
+    )
+    relevant = (
+        docs.select("doc_id", "text")
+        .crossJoin(F.broadcast(phrases))  # |probes|-row guarded fold
+        .filter(F.expr("contains(text, phrase)"))
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    rel_stats = relevant.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_relevant")
+    )
+    hit_rel = (
+        hits.join(relevant, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits_relevant"))
+    )
+    self_rank = (
+        hits.filter(F.col("doc_id") == F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("rnk").cast("int").alias("self_rank"))
+    )
+    return (
+        rel_stats
+        .join(hit_rel, "query_id", "left")
+        .join(self_rank, "query_id", "left")
+        .select(
+            "query_id", "n_relevant",
+            F.coalesce("n_hits_relevant", F.lit(0)).cast("int")
+            .alias("n_hits_relevant"),
+            F.col("self_rank").cast("int").alias("self_rank"),
+            F.expr("cast((1000 * coalesce(n_hits_relevant, 0))"
+                   " div n_relevant as int)").alias("recall_milli"),
+        )
+    )
+
+
+def _bm25_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_self_retrieval(load(spark, sf_dir, "documents"))
+
+
+def _bm25_recall_sql() -> str:
+    from etl_validator_github_spark.scale.text import (
+        BM25_B,
+        BM25_K1,
+    )
+
+    ids = ", ".join(str(i) for i in BM25_EVAL_PROBE_IDS)
+    lo = BM25_EVAL_SLICE_START
+    hi = BM25_EVAL_SLICE_START + BM25_EVAL_SLICE_LEN - 1
+    return f"""
+WITH probes AS (
+  SELECT CAST(doc_id AS INT) AS query_id,
+         list_slice(string_split(text, ' '), {lo}, {hi}) AS qtoks,
+         array_to_string(list_slice(string_split(text, ' '),
+                                    {lo}, {hi}), ' ') AS phrase
+  FROM documents WHERE doc_id IN ({ids})
+), q AS (
+  SELECT query_id, unnest(qtoks) AS term FROM probes
+), tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+), ptf AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ptf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(
+           LN(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(p.tf AS DOUBLE) * {BM25_K1 + 1.0})
+              / (CAST(p.tf AS DOUBLE)
+                 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                    * (CAST(p.dl AS DOUBLE)
+                       / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))))
+           * 1000000.0) AS BIGINT) AS contrib_micro
+  FROM ptf p
+  JOIN q ON p.term = q.term
+  JOIN df d ON p.term = d.term
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_micro DESC, doc_id ASC)
+              AS INT) AS rnk
+  FROM agg
+  QUALIFY rnk <= {BM25_EVAL_K}
+), relevant AS (
+  SELECT p.query_id, d.doc_id
+  FROM documents d CROSS JOIN probes p
+  WHERE contains(d.text, p.phrase)
+), rs AS (
+  SELECT query_id, CAST(COUNT(*) AS INT) AS n_relevant
+  FROM relevant GROUP BY 1
+), hr AS (
+  SELECT r.query_id, CAST(COUNT(*) AS INT) AS n_hits_relevant
+  FROM ranked r JOIN relevant USING (query_id, doc_id) GROUP BY 1
+), sr AS (
+  SELECT query_id, CAST(MIN(rnk) AS INT) AS self_rank
+  FROM ranked WHERE doc_id = query_id GROUP BY 1
+)
+SELECT rs.query_id, rs.n_relevant,
+       CAST(COALESCE(hr.n_hits_relevant, 0) AS INT) AS n_hits_relevant,
+       sr.self_rank,
+       CAST((1000 * COALESCE(hr.n_hits_relevant, 0)) // rs.n_relevant
+            AS INT) AS recall_milli
+FROM rs
+LEFT JOIN hr USING (query_id)
+LEFT JOIN sr USING (query_id)
+"""
+
+
 RETRIEVAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -212,5 +386,10 @@ RETRIEVAL_QUERIES: dict[str, Query] = {
               "docs absent from the dense list, per query — the "
               "contrastive-training pairs; k-row anti-join, cost "
               "independent of corpus size."),
+        Query("retrieval_bm25_recall", _bm25_recall_q, _bm25_recall_sql(),
+              "Lexical self-retrieval eval: 10-token phrases sliced "
+              "from probe docs, relevance = exact-phrase containment; "
+              "recall@10 + the probe's own rank, qrels derived from "
+              "the data in both engines."),
     ]
 }

@@ -1844,10 +1844,15 @@ def bm25_from_postings(postings: DataFrame,
     from pyspark.sql import Window
 
     spark = postings.sparkSession
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, text in queries for t in text.split()],
-        "query_id int, term string",
-    )
+    if isinstance(queries, DataFrame):
+        # Data-derived query batch: (query_id int, term string) rows —
+        # the self-retrieval eval builds its queries FROM the corpus.
+        qterms = queries
+    else:
+        qterms = spark.createDataFrame(
+            [(qid, t) for qid, text in queries for t in text.split()],
+            "query_id int, term string",
+        )
     ptf = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     )

@@ -1000,3 +1000,12 @@ def test_order_streaks_customer_partitioned(spark, sf_dir):
                if "Arguments" in ln and "row_number" in ln)
     assert "o_custkey" in win, win
     assert "Join" not in p
+
+
+def test_bm25_recall_bounds_its_broadcast(spark, sf_dir):
+    """Self-retrieval eval: scoring stays a term-keyed postings join
+    (no corpus cross-join); the only nested-loop is the
+    probe-count-bounded phrase broadcast for the relevance pass."""
+    p = plan(spark, sf_dir, "retrieval_bm25_recall")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
