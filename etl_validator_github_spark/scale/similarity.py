@@ -810,6 +810,148 @@ FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Semantic-dedup threshold sweep — the tuning readout a curation run
+# wants BEFORE committing to a cosine cutoff: survivors at every
+# candidate threshold from ONE pair pass. The expensive work (cell
+# assignment + within-cell pairs) is identical to a single
+# `semantic_dedup_keep` run; the sweep reduces pairs to a per-vector
+# max-cosine once and then evaluates every threshold as a conditional
+# counter over that tiny table — k thresholds cost k comparisons, not
+# k dedup runs.
+# ---------------------------------------------------------------------------
+
+#: Candidate cosine cutoffs, in milli (0.80 … 0.99).
+SWEEP_THRESHOLDS_MILLI = (800, 850, 900, 950, 990)
+
+
+def semantic_threshold_sweep(
+    corpus: DataFrame,
+    centroid_source: DataFrame,
+    max_cell_pop: int = MAX_CELL_PAIR_POP,
+) -> DataFrame:
+    """(threshold_milli, n_total, n_dropped, n_kept) per candidate
+    cutoff; drop rule identical to ``semantic_dedup_keep`` (the larger
+    vec_id of a ≥-threshold within-cell pair drops)."""
+    assigned = cell_assignments(
+        quantized(corpus), ivf_cells(centroid_source), nprobe=1
+    ).select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    )
+    pairable = assigned.join(
+        F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
+    )
+    a, b = pairable.alias("a"), pairable.alias("b")
+    cos = (
+        F.expr(_DOT.format(a="a.qv", b="b.qv"))
+        / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
+    )
+    per_vec = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    total = assigned.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    counters = per_vec.agg(*[
+        F.coalesce(
+            F.sum((F.col("max_cos") >= F.lit(t) / F.lit(1000.0))
+                  .cast("long")),
+            F.lit(0),
+        ).alias(f"d_{t}")
+        for t in SWEEP_THRESHOLDS_MILLI
+    ])
+    rows = [
+        F.struct(
+            F.lit(t).cast("int").alias("threshold_milli"),
+            F.col("n_total"),
+            F.col(f"d_{t}").cast("long").alias("n_dropped"),
+            (F.col("n_total") - F.col(f"d_{t}")).cast("long")
+            .alias("n_kept"),
+        )
+        for t in SWEEP_THRESHOLDS_MILLI
+    ]
+    # 1-row fold × 1-row fold, exploded into one row per threshold.
+    return (
+        counters.crossJoin(F.broadcast(total))
+        .select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+    )
+
+
+def _sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings")
+    return semantic_threshold_sweep(with_vector_copies(base), base)
+
+
+def _sweep_sql() -> str:
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    dot_ab = _SQL_DOT.format(a="a.qv", b="b.qv")
+    values = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS_MILLI)
+    return f"""
+WITH emb_aug AS ({_VEC_COPIES_SQL}),
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM emb_aug
+), with_norm AS (
+  SELECT vec_id, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2 FROM vecs
+), base_vecs AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM base_vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), ranked AS (
+  SELECT v.vec_id, v.qv, v.norm2, c.label,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS rnk
+  FROM with_norm v CROSS JOIN cells c
+), assign AS (
+  SELECT vec_id, label AS cell, qv, norm2 FROM ranked WHERE rnk = 1
+), pop AS (
+  SELECT cell, COUNT(*) AS n FROM assign GROUP BY 1
+), small AS (
+  SELECT cell FROM pop WHERE n <= {MAX_CELL_PAIR_POP}
+), per_vec AS (
+  SELECT b.vec_id,
+         MAX({dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2))) AS max_cos
+  FROM assign a
+  JOIN small sc ON a.cell = sc.cell
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign),
+t(threshold_milli) AS (VALUES {values}),
+counted AS (
+  SELECT t.threshold_milli,
+         CAST(COALESCE(SUM(CASE WHEN p.max_cos >= t.threshold_milli / 1000.0
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped
+  FROM t LEFT JOIN per_vec p ON TRUE
+  GROUP BY 1
+)
+SELECT CAST(c.threshold_milli AS INT) AS threshold_milli,
+       tot.n_total, c.n_dropped,
+       CAST(tot.n_total - c.n_dropped AS BIGINT) AS n_kept
+FROM counted c CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic Lloyd k-means — the iterative-algorithm representative,
 # with FULL oracle parity: a fixed iteration count unrolls into plain
 # SQL, so DuckDB recomputes the identical clustering (seeds are the
@@ -1915,6 +2057,10 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Binary sign quantization: 64 dims pack to ONE BIGINT "
               "(256× vs float32), Hamming = bit_count(xor) per pair in "
               "pure codegen; true cosine rides along per neighbor."),
+        Query("dedup_semantic_threshold_sweep", _sweep_q, _sweep_sql(),
+              "Cutoff tuning from ONE pair pass: survivors at every "
+              "candidate cosine threshold via a per-vector max-cos "
+              "reduction + conditional counters."),
         Query("embed_pq_topk", _pq_q, _pq_sql(),
               "Product-quantization ADC search: 4×16-dim codebooks "
               "(first-K seeds + one Lloyd step, exact-integer "

@@ -2418,6 +2418,76 @@ def _vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(load(spark, sf_dir, "documents"))
 
 
+#: Keywords returned per document.
+KEYWORDS_PER_DOC = 3
+
+
+def doc_keywords(docs: DataFrame, k: int = KEYWORDS_PER_DOC) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the feature-extraction op
+    a search indexer or topic labeler runs over every doc.
+
+    Integer-exact variant: score = tf · (fl2(n_docs) − fl2(df)) with
+    fl2 the floor-log2 ``length(bin(x)) − 1`` convention — the idf's
+    shape without ln's cross-libm rounding. Ties break by term asc.
+
+    Scale shape: one (doc, term) tf hash-agg (the postings table), a
+    term-keyed df agg broadcast back, then a doc-partitioned top-k
+    window (WindowGroupLimit — no full per-doc sorts)."""
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))  # 1-row fold
+        .select(
+            "doc_id", "term",
+            F.expr("tf * ((length(bin(n_docs)) - 1)"
+                   " - (length(bin(df)) - 1))").cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "term", "score")
+    )
+
+
+def _keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_keywords(load(spark, sf_dir, "documents"))
+
+
+_KEYWORDS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * ((length(bin(n.n_docs)) - 1)
+                       - (length(bin(df.df)) - 1)) AS BIGINT) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {KEYWORDS_PER_DOC}
+"""
+
+
 def vocab_coverage_curve(docs: DataFrame) -> DataFrame:
     """Cumulative token-mass coverage by rank-bucketed vocabulary — the
     tokenizer-sizing readout: what share of the corpus does a vocab of
@@ -2801,6 +2871,10 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "Tokenizer-sizing curve: cumulative token-mass coverage "
               "of the top 2^b vocab types per floor-log2 rank bucket, "
               "rank window over types only."),
+        Query("text_doc_keywords", _keywords_q, _KEYWORDS_SQL,
+              "Per-doc top-3 TF-IDF keywords (integer floor-log2 idf): "
+              "tf hash-agg + broadcast df + doc-partitioned top-k "
+              "window."),
         Query("text_ngram_novelty", _novelty_q, _NOVELTY_SQL,
               "Per-doc 5-gram novelty vs the src0 reference slice: "
               "map-only window hashing, one distinct-agg reference set, "

@@ -1009,3 +1009,23 @@ def test_bm25_recall_bounds_its_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "retrieval_bm25_recall")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 2, p
+
+
+def test_threshold_sweep_single_pair_pass(spark, sf_dir):
+    """The sweep must not multiply the pair join per threshold: the
+    thresholds are conditional counters over ONE per-vector max-cos
+    aggregate (join count independent of the threshold list)."""
+    p = plan(spark, sf_dir, "dedup_semantic_threshold_sweep")
+    assert "CartesianProduct" not in p
+    # One candidate-pair self-join however many thresholds are swept.
+    assert p.count("SortMergeJoin") + p.count(
+        "BroadcastHashJoin") <= 6, p
+
+
+def test_doc_keywords_uses_group_limit(spark, sf_dir):
+    """Per-doc top-k must plan a WindowGroupLimit (rank pushdown), and
+    the df side broadcasts — the postings table never re-shuffles for
+    the idf join."""
+    p = plan(spark, sf_dir, "text_doc_keywords")
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p

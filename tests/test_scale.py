@@ -2107,7 +2107,8 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     "events_seasonal_naive", "orders_backlog_timeline",
     "part_metrics_unpivot", "corpus_vocab_coverage",
     "lineitem_grouping_sets", "customers_percentile_ranks",
-    "customers_order_streaks",
+    "customers_order_streaks", "retrieval_bm25_recall",
+    "dedup_semantic_threshold_sweep", "text_doc_keywords",
 ])
 def test_results_partition_independent(spark, sf_dir, name):
     """The contract.py claim, spot-pinned on this round's queries:
