@@ -4898,6 +4898,61 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Exact value deciles — the LTV-decile table every growth dashboard
+# carries, binned by floor arithmetic on row_number (``ntile`` is NOT
+# cross-engine-stable for ties/remainders — see contract.py), so
+# decile = ((rank − 1) · 10) div n is bit-identical anywhere. Window
+# over the USER AGGREGATE (the ABC/RFM bounded-window justification).
+# ---------------------------------------------------------------------------
+
+
+def _events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(cents("value")).alias("ltv_cents")
+    )
+    w = Window.orderBy(F.desc("ltv_cents"), F.asc("user_id"))
+    n_w = Window.partitionBy()
+    binned = (
+        per_user
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .select(
+            "ltv_cents",
+            F.expr("cast(((rnk - 1) * 10) div n as int)").alias("decile"),
+        )
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("ltv_cents").cast("long").alias("decile_cents"),
+        F.max("ltv_cents").cast("long").alias("max_cents"),
+        F.min("ltv_cents").cast("long").alias("min_cents"),
+    )
+
+
+_USER_DECILES_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS ltv_cents
+  FROM events GROUP BY 1
+), binned AS (
+  SELECT ltv_cents,
+         CAST(((ROW_NUMBER() OVER (ORDER BY ltv_cents DESC, user_id ASC)
+                - 1) * 10)
+              // (COUNT(*) OVER ()) AS INT) AS decile
+  FROM per_user
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(ltv_cents) AS BIGINT) AS decile_cents,
+       CAST(MAX(ltv_cents) AS BIGINT) AS max_cents,
+       CAST(MIN(ltv_cents) AS BIGINT) AS min_cents
+FROM binned GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Explicit GROUPING SETS — the third member of the multi-level
 # aggregation family (CUBE = status_priority_cube, ROLLUP =
 # rollup_order_counts): a hand-picked set list with per-column
@@ -5225,5 +5280,10 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               _STREAKS_SQL,
               "Gaps & islands: consecutive-month order streaks per "
               "customer via the month_index − row_number island key."),
+        Query("events_user_deciles", _events_user_deciles,
+              _USER_DECILES_SQL,
+              "Exact LTV deciles via floor arithmetic on row_number "
+              "(ntile is not cross-engine-stable); window over the "
+              "user aggregate."),
     ]
 }

@@ -1173,6 +1173,89 @@ FROM per_video
 """
 
 
+# ---------------------------------------------------------------------------
+# Zero-crossing rate — the classic cheap audio feature (speech/music/
+# noise discrimination): count of consecutive-sample sign flips per
+# clip, reported with an exact milli rate. Same contract as the other
+# audio ops: the Spark side REALLY decodes (RIFF codec in Arrow-batched
+# mapInPandas + a vectorized numpy signbit diff), the oracle recomputes
+# the identical answer from the fixture waveform's closed form with a
+# per-doc lag window over the regenerated samples.
+# ---------------------------------------------------------------------------
+
+AUDIO_ZCR_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", IntegerType()),
+    StructField("n_crossings", IntegerType()),
+    StructField("zcr_milli", IntegerType()),
+])
+
+
+def audio_zcr(payloads: DataFrame) -> DataFrame:
+    """Per clip: sample count, sign-flip count ((x ≥ 0) changing
+    between neighbors), and 1000·crossings div (n−1)."""
+    import numpy as np
+
+    def zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_ZCR_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, samples = decode_audio(bytes(payload))
+                a = np.asarray(samples, dtype=np.int64)
+                nonneg = a >= 0
+                n_cross = int((nonneg[1:] != nonneg[:-1]).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["n_crossings"].append(n_cross)
+                out["zcr_milli"].append(
+                    (1000 * n_cross) // (len(samples) - 1)
+                    if len(samples) > 1 else 0
+                )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "n_crossings": pd.Series(out["n_crossings"], dtype="int32"),
+                "zcr_milli": pd.Series(out["zcr_milli"], dtype="int32"),
+            })
+
+    return payloads.mapInPandas(zcr, AUDIO_ZCR_SCHEMA)
+
+
+def _audio_zcr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return audio_zcr(attach_audio_payload(docs))
+
+
+_AUDIO_ZCR_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, h32,
+         {AUDIO_MIN_SAMPLES} + h32 % {AUDIO_N_MOD} AS n
+  FROM h
+), s AS (
+  SELECT doc_id, n, i,
+         (h32 + {AUDIO_STRIDE} * i) % 4096 - 2048 AS x
+  FROM meta, unnest(range(0, n)) AS t(i)
+), flips AS (
+  SELECT doc_id, n,
+         CASE WHEN (x >= 0) != (lag(x) OVER (PARTITION BY doc_id
+                                             ORDER BY i) >= 0)
+              THEN 1 ELSE 0 END AS flip
+  FROM s
+)
+SELECT doc_id,
+       CAST(MAX(n) AS INT) AS n_samples,
+       CAST(SUM(flip) AS INT) AS n_crossings,
+       CAST(CASE WHEN MAX(n) > 1
+                 THEN (1000 * SUM(flip)) // (MAX(n) - 1)
+                 ELSE 0 END AS INT) AS zcr_milli
+FROM flips GROUP BY 1
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1204,6 +1287,10 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "from the real decoder, voiced islands via the gaps-and-"
               "islands window, longest-run + exact voiced energy per "
               "doc."),
+        Query("multimodal_audio_zcr", _audio_zcr_q, _AUDIO_ZCR_SQL,
+              "Zero-crossing rate per clip from the real decoder "
+              "(numpy signbit diff in mapInPandas); oracle recomputes "
+              "from the fixture waveform's closed form."),
         Query("multimodal_dhash_neardup", _dhash_q, _DHASH_SQL,
               "Perceptual image near-dup: 64-bit dHash over the real "
               "netpbm decoder, simhash pigeonhole blocking — pairs "

@@ -1029,3 +1029,21 @@ def test_doc_keywords_uses_group_limit(spark, sf_dir):
     p = plan(spark, sf_dir, "text_doc_keywords")
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_audio_zcr_is_map_only_python_stage(spark, sf_dir):
+    """ZCR: decode + feature stay one Arrow-batched Python stage over
+    the scan — no exchange anywhere (the per-clip answer needs no
+    shuffle)."""
+    p = plan(spark, sf_dir, "multimodal_audio_zcr")
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p, p
+
+
+def test_user_deciles_bin_after_user_aggregate(spark, sf_dir):
+    """Deciles: the rank window's input is the per-user aggregate
+    (bounded), and binning is floor arithmetic — no ntile anywhere."""
+    p = plan(spark, sf_dir, "events_user_deciles")
+    assert "Window" in p
+    assert "ntile" not in p
+    assert "CartesianProduct" not in p

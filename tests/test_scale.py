@@ -2109,6 +2109,7 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     "lineitem_grouping_sets", "customers_percentile_ranks",
     "customers_order_streaks", "retrieval_bm25_recall",
     "dedup_semantic_threshold_sweep", "text_doc_keywords",
+    "multimodal_audio_zcr", "events_user_deciles",
 ])
 def test_results_partition_independent(spark, sf_dir, name):
     """The contract.py claim, spot-pinned on this round's queries:
