@@ -4522,7 +4522,8 @@ FROM ranked GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# Gini coefficient of customer revenue per market segment — the
+# Gini coefficient (Gini 1912, the rank-sum formulation of Sen 1973)
+# of customer revenue per market segment — the
 # inequality readout completing the concentration family (HHI = market
 # concentration, ABC = Pareto classes, Gini = distributional
 # inequality). Exact integers throughout: with revenues x_1 ≤ … ≤ x_n
@@ -4612,7 +4613,8 @@ FROM frac
 
 
 # ---------------------------------------------------------------------------
-# Robust outliers via median absolute deviation — the outlier rule
+# Robust outliers via median absolute deviation (Hampel 1974; the
+# 3·MAD rule of Leys et al. 2013) — the outlier rule
 # that survives the heavy tails the 2-sigma rule (events_hourly_anomalies)
 # is blind to. Rank-exact discrete medians (the value at row_number
 # ceil(n/2) under a fully tie-broken order — percentile_cont/ntile are
@@ -4700,7 +4702,8 @@ GROUP BY 1
 # Seasonal-naive forecast scorecard — the sanity baseline every
 # forecasting pipeline reports before any model: predict each hour
 # with the same hour yesterday, score against the naive
-# predict-last-hour baseline (the MASE denominator, Hyndman 2006).
+# predict-last-hour baseline (the MASE denominator, Hyndman &
+# Koehler 2006).
 # Exact integers: hourly counts, absolute-error sums, floored milli
 # ratio. mase_milli < 1000 ⟺ daily seasonality is real signal.
 #

@@ -1174,7 +1174,8 @@ FROM per_video
 
 
 # ---------------------------------------------------------------------------
-# Zero-crossing rate — the classic cheap audio feature (speech/music/
+# Zero-crossing rate (Rabiner & Schafer 1978) — the classic cheap
+# audio feature (speech/music/
 # noise discrimination): count of consecutive-sample sign flips per
 # clip, reported with an exact milli rate. Same contract as the other
 # audio ops: the Spark side REALLY decodes (RIFF codec in Arrow-batched

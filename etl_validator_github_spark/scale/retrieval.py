@@ -200,7 +200,8 @@ FROM neg
 
 
 # ---------------------------------------------------------------------------
-# Lexical self-retrieval eval — the recall/rank scorecard the BM25
+# Lexical self-retrieval eval (the BEIR-style recall@k protocol,
+# Thakur et al. 2021, with data-derived qrels) — the scorecard the BM25
 # branch was missing (the dense family already has ann/lsh/pq/
 # matryoshka recalls): queries are 10-token phrases SLICED FROM probe
 # documents, the relevant set is every doc whose text contains the
