@@ -90,9 +90,19 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
 
     def timed(name, fn, repeat=None):
+        import gc
+
         runs = []
         out = None
         for _ in range(max(repeat or args.repeat, 1)):
+            # Release the previous repeat's DataFrames BEFORE timing:
+            # operators that localCheckpoint (the cluster fixpoint)
+            # leave RDD blocks pinned until Python GC drops the last
+            # reference and the ContextCleaner reclaims them — without
+            # this, blocks accumulate across same-process repeats and
+            # later runs thrash (measured: keeplongest 33 s → 261 s by
+            # repeat three).
+            gc.collect()
             t0 = time.perf_counter()
             try:
                 out = fn()
