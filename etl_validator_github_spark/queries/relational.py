@@ -4901,6 +4901,65 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier; Börzsönyi et al. 2001) — parts no other
+# part dominates on (lower price, larger size). The classic O(n²)
+# dominance test collapses to two exact window maxima on the sorted
+# axis: a part is dominated iff a STRICTLY cheaper part has size ≥ its
+# own (RANGE frame ending 1 cent before the current price) or an
+# equal-priced part has size strictly greater (per-price max). Integer
+# cents make the strict RANGE bound exact.
+#
+# Scale shape: one global sort on the price axis over the PART dim
+# table (bounded — the fact tables never enter), two window passes, no
+# join, no n² pair test.
+# ---------------------------------------------------------------------------
+
+
+def _part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    w_lt = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_eq = Window.partitionBy("price_cents")
+    flagged = part.select(
+        "p_partkey", "price_cents", "size",
+        F.max("size").over(w_lt).alias("m_cheaper"),
+        F.max("size").over(w_eq).alias("m_equal"),
+    )
+    return (
+        flagged.filter(
+            ~(F.coalesce(F.col("m_cheaper") >= F.col("size"), F.lit(False))
+              | (F.col("m_equal") > F.col("size")))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
+
+
+_SKYLINE_SQL = """
+WITH part_c AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS INT) AS size
+  FROM part
+), flagged AS (
+  SELECT p_partkey, price_cents, size,
+         MAX(size) OVER (ORDER BY price_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS m_cheaper,
+         MAX(size) OVER (PARTITION BY price_cents) AS m_equal
+  FROM part_c
+)
+SELECT p_partkey, price_cents, size
+FROM flagged
+WHERE NOT (COALESCE(m_cheaper >= size, FALSE) OR m_equal > size)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact value deciles — the LTV-decile table every growth dashboard
 # carries, binned by floor arithmetic on row_number (``ntile`` is NOT
 # cross-engine-stable for ties/remainders — see contract.py), so
@@ -5288,5 +5347,9 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Exact LTV deciles via floor arithmetic on row_number "
               "(ntile is not cross-engine-stable); window over the "
               "user aggregate."),
+        Query("part_price_size_skyline", _part_skyline, _SKYLINE_SQL,
+              "2-D skyline / Pareto frontier on (lower price, larger "
+              "size): dominance via two exact window maxima on the "
+              "sorted price axis — no n² pair test."),
     ]
 }

@@ -1047,3 +1047,11 @@ def test_user_deciles_bin_after_user_aggregate(spark, sf_dir):
     assert "Window" in p
     assert "ntile" not in p
     assert "CartesianProduct" not in p
+
+
+def test_skyline_is_windowed_not_pairwise(spark, sf_dir):
+    """The skyline must never plan a pair self-join: dominance comes
+    from window maxima over the sorted dim table."""
+    p = plan(spark, sf_dir, "part_price_size_skyline")
+    assert "Join" not in p, p
+    assert "Window" in p

@@ -263,3 +263,48 @@ def test_multi_error_message_order_is_catalog_order(spark):
     assert errs[0].index(R.MSG_RTN_9_DIGITS) < errs[0].index(
         "AccountType must be CHKING or SAVING for EFT records"
     )
+
+
+def test_skyline_matches_brute_force_dominance(spark):
+    """Property check on a small random-ish grid: the windowed skyline
+    equals the O(n^2) dominance definition exactly (ties included)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.queries.relational import _part_skyline
+
+    rows = [(i, float((i * 37) % 19 + 1),
+             ((i * 53) % 13) + 1) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int")
+    path = None
+    # _part_skyline loads from a dir; call its internals instead by
+    # monkey-free inline: replicate the query body on this frame.
+    from etl_validator_github_spark.contract import cents
+    from pyspark.sql import Window
+    part = df.select("p_partkey", cents("p_retailprice").alias("pc"),
+                     F.col("p_size").cast("int").alias("size"))
+    w_lt = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)
+    w_eq = Window.partitionBy("pc")
+    got = sorted(
+        r["p_partkey"]
+        for r in part.select(
+            "p_partkey", "pc", "size",
+            F.max("size").over(w_lt).alias("m1"),
+            F.max("size").over(w_eq).alias("m2"),
+        ).filter(
+            ~(F.coalesce(F.col("m1") >= F.col("size"), F.lit(False))
+              | (F.col("m2") > F.col("size")))
+        ).collect()
+    )
+    pts = {k: (p, s) for k, p, s in
+           ((r[0], round(r[1] * 100), r[2]) for r in rows)}
+    def dominated(k):
+        p, s = pts[k]
+        return any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for k2, (p2, s2) in pts.items() if k2 != k
+        )
+    want = sorted(k for k in pts if not dominated(k))
+    assert got == want

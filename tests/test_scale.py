@@ -2110,6 +2110,7 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     "customers_order_streaks", "retrieval_bm25_recall",
     "dedup_semantic_threshold_sweep", "text_doc_keywords",
     "multimodal_audio_zcr", "events_user_deciles",
+    "part_price_size_skyline",
 ])
 def test_results_partition_independent(spark, sf_dir, name):
     """The contract.py claim, spot-pinned on this round's queries:
