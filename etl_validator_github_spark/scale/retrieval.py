@@ -256,7 +256,11 @@ def bm25_self_retrieval(docs: DataFrame,
     relevant = (
         docs.select("doc_id", "text")
         .crossJoin(F.broadcast(phrases))  # |probes|-row guarded fold
-        .filter(F.expr("contains(text, phrase)"))
+        # Space-padded containment so the phrase matches only on token
+        # boundaries (a raw substring check can match inside longer
+        # tokens at the slice edges, inflating n_relevant).
+        .filter(F.expr("contains(concat(' ', text, ' '),"
+                       " concat(' ', phrase, ' '))"))
         .select("query_id", "doc_id")
         .localCheckpoint(eager=False)
     )
@@ -352,7 +356,7 @@ WITH probes AS (
 ), relevant AS (
   SELECT p.query_id, d.doc_id
   FROM documents d CROSS JOIN probes p
-  WHERE contains(d.text, p.phrase)
+  WHERE contains(concat(' ', d.text, ' '), concat(' ', p.phrase, ' '))
 ), rs AS (
   SELECT query_id, CAST(COUNT(*) AS INT) AS n_relevant
   FROM relevant GROUP BY 1

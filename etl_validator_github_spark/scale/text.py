@@ -2319,11 +2319,14 @@ def ngram_novelty(docs: DataFrame, k: int = NOVELTY_K,
     exchange AND nearly all semi-join matches (novel text rarely
     overlaps), and the is_ref flag needs no join-back — the two
     branches just union. Composed from the index/probe halves above
-    (which the streaming twin reuses)."""
-    ref_docs = docs.filter(F.col("source") == ref_source)
+    (which the streaming twin reuses). The split is null-safe: a doc
+    with NULL source is scored as non-ref rather than vanishing from
+    both branches (the oracle's LEFT JOIN keeps such docs too)."""
+    is_ref = F.col("source").eqNullSafe(F.lit(ref_source))
+    ref_docs = docs.filter(is_ref)
     ref_hashes = build_novelty_index(ref_docs, k)
     nonref_scored = novelty_scores(
-        docs.filter(F.col("source") != ref_source), ref_hashes, k
+        docs.filter(~is_ref), ref_hashes, k
     ).select(
         "doc_id", F.lit(0).alias("is_ref"),
         "n_windows", "n_novel", "novelty_milli",
@@ -2367,7 +2370,8 @@ WITH tok AS (
   GROUP BY 1
 )
 SELECT b.doc_id,
-       CAST(b.source = '{NOVELTY_REF_SOURCE}' AS INT) AS is_ref,
+       CAST(b.source IS NOT DISTINCT FROM '{NOVELTY_REF_SOURCE}' AS INT)
+         AS is_ref,
        CAST(greatest(b.n_tokens - {NOVELTY_K - 1}, 0) AS INT) AS n_windows,
        CAST(COALESCE(n.n_novel, 0) AS INT) AS n_novel,
        CAST(CASE WHEN greatest(b.n_tokens - {NOVELTY_K - 1}, 0) > 0

@@ -917,7 +917,6 @@ def test_gini_windows_partition_by_segment(spark, sf_dir):
     (never a single global sort) over the customer aggregate."""
     p = plan(spark, sf_dir, "customers_revenue_gini")
     assert "Window" in p
-    import re
     win = next(ln for ln in p.splitlines()
                if "Arguments" in ln and "row_number" in ln)
     assert "c_mktsegment" in win, win

@@ -278,7 +278,6 @@ def test_skyline_matches_brute_force_dominance(spark):
              ((i * 53) % 13) + 1) for i in range(60)]
     df = spark.createDataFrame(
         rows, "p_partkey long, p_retailprice double, p_size int")
-    path = None
     # _part_skyline loads from a dir; call its internals instead by
     # monkey-free inline: replicate the query body on this frame.
     from etl_validator_github_spark.contract import cents

@@ -248,7 +248,9 @@ def main() -> int:
             .filter(F.col("doc_id") >= args.docs)
         )
         timed("bm25_postings_delta", lambda: (
-            doc_postings(delta).write.mode("append").parquet(pdir)))
+            doc_postings(delta).write.mode("append").parquet(pdir)),
+            repeat=1)  # a second append would duplicate the delta's tf
+        # groups in the persisted index and corrupt the score timing
         timed("bm25_score_from_postings", lambda: force(
             bm25_from_postings(
                 spark.read.parquet(pdir),
