@@ -4903,32 +4903,69 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 # 2-D skyline (Pareto frontier; Börzsönyi et al. 2001) — parts no other
 # part dominates on (lower price, larger size). The classic O(n²)
-# dominance test collapses to two exact window maxima on the sorted
-# axis: a part is dominated iff a STRICTLY cheaper part has size ≥ its
-# own (RANGE frame ending 1 cent before the current price) or an
-# equal-priced part has size strictly greater (per-price max). Integer
+# dominance test collapses to two exact running maxima on the sorted
+# price axis: a part is dominated iff a STRICTLY cheaper part has size
+# ≥ its own or an equal-priced part has size strictly greater. Integer
 # cents make the strict RANGE bound exact.
 #
-# Scale shape: one global sort on the price axis over the PART dim
-# table (bounded — the fact tables never enter), two window passes, no
-# join, no n² pair test.
+# Scale shape: prefix-max DECOMPOSITION, never a global sort. The price
+# axis is range-bucketed (bucket count bounded by the PRICE DOMAIN, not
+# the row count — it does not grow at 100× data); per-bucket max(size)
+# is one hash-agg; the running max over strictly-lower buckets is a
+# broadcast inequality self-join of that tiny bucket table (O(B²)
+# comparisons with B fixed ≈ domain/width — a documented bounded fold,
+# like the repo's 1-row crossJoin folds); each part row then needs only
+# a BUCKET-PARTITIONED window for its intra-bucket strictly-cheaper max
+# and equal-price max (both RANGE frames over one partitionBy(bkt)
+# sort, so Catalyst evaluates them in a single Window exchange). No
+# unpartitioned window, no single-partition sort anywhere in the plan
+# (pinned by tests/test_plans.py::test_skyline_has_no_global_sort).
 # ---------------------------------------------------------------------------
 
+#: Price-axis bucket width (cents) for the skyline prefix-max
+#: decomposition. TPC-H part prices span ~[90000, 210000) cents, so
+#: 100-cent buckets give ~1.2k buckets — small enough to broadcast,
+#: wide enough that per-bucket windows stay tiny.
+SKYLINE_BUCKET_CENTS = 100
 
-def _part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load(spark, sf_dir, "part").select(
-        "p_partkey",
-        cents("p_retailprice").alias("price_cents"),
-        F.col("p_size").cast("int").alias("size"),
+
+def skyline_2d(part: DataFrame) -> DataFrame:
+    """Skyline of (minimize ``price_cents``, maximize ``size``) over a
+    frame with columns ``p_partkey, price_cents, size``."""
+    part = part.withColumn(
+        "bkt", F.expr(f"price_cents div {SKYLINE_BUCKET_CENTS}")
     )
-    w_lt = Window.orderBy("price_cents").rangeBetween(
-        Window.unboundedPreceding, -1
+    # Standard lazy barrier: the tiny bucket aggregate feeds both sides
+    # of the self-join below — without it each side re-scans part.
+    bmax = part.groupBy("bkt").agg(F.max("size").alias("bmax")) \
+        .localCheckpoint(eager=False)
+    prev = (
+        bmax.join(
+            F.broadcast(
+                bmax.select(F.col("bkt").alias("pbkt"),
+                            F.col("bmax").alias("pmax"))
+            ),
+            F.col("pbkt") < F.col("bkt"),
+            "left",
+        )
+        .groupBy("bkt")
+        .agg(F.max("pmax").alias("m_prev"))
     )
-    w_eq = Window.partitionBy("price_cents")
-    flagged = part.select(
+    w_in = Window.partitionBy("bkt").orderBy("price_cents")
+    flagged = part.join(F.broadcast(prev), "bkt").select(
         "p_partkey", "price_cents", "size",
-        F.max("size").over(w_lt).alias("m_cheaper"),
-        F.max("size").over(w_eq).alias("m_equal"),
+        # strictly-cheaper max = max over lower buckets (broadcast)
+        # vs. strictly-lower prices inside this bucket (RANGE to -1);
+        # greatest() ignores a NULL side, NULL only if both are.
+        F.greatest(
+            F.col("m_prev"),
+            F.max("size").over(
+                w_in.rangeBetween(Window.unboundedPreceding, -1)
+            ),
+        ).alias("m_cheaper"),
+        # equal prices never span buckets, so the same partitioned
+        # sort serves the per-price max via a [0, 0] RANGE frame.
+        F.max("size").over(w_in.rangeBetween(0, 0)).alias("m_equal"),
     )
     return (
         flagged.filter(
@@ -4936,6 +4973,16 @@ def _part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
               | (F.col("m_equal") > F.col("size")))
         )
         .select("p_partkey", "price_cents", "size")
+    )
+
+
+def _part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skyline_2d(
+        load(spark, sf_dir, "part").select(
+            "p_partkey",
+            cents("p_retailprice").alias("price_cents"),
+            F.col("p_size").cast("int").alias("size"),
+        )
     )
 
 

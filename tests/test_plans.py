@@ -1048,9 +1048,16 @@ def test_user_deciles_bin_after_user_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_skyline_is_windowed_not_pairwise(spark, sf_dir):
-    """The skyline must never plan a pair self-join: dominance comes
-    from window maxima over the sorted dim table."""
+def test_skyline_has_no_global_sort(spark, sf_dir):
+    """The skyline must never sort every part row through one task:
+    the prefix max is decomposed over price buckets, so the plan has
+    NO SinglePartition exchange (no unpartitioned window, no global
+    sort) and no part×part pairwise test. The only joins allowed are
+    the broadcast of the tiny bucket table (domain-bounded) — the
+    inequality self-join over it is a BroadcastNestedLoopJoin by
+    construction, never a CartesianProduct."""
     p = plan(spark, sf_dir, "part_price_size_skyline")
-    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
     assert "Window" in p
+    assert "BroadcastHashJoin" in p  # bucket prefix-max joined back

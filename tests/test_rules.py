@@ -266,37 +266,24 @@ def test_multi_error_message_order_is_catalog_order(spark):
 
 
 def test_skyline_matches_brute_force_dominance(spark):
-    """Property check on a small random-ish grid: the windowed skyline
-    equals the O(n^2) dominance definition exactly (ties included)."""
-    import itertools
-
+    """Property check on a small random-ish grid: the bucketed
+    prefix-max skyline equals the O(n^2) dominance definition exactly
+    (ties included). Prices are spread across several 100-cent buckets
+    so the cross-bucket prefix-max path is exercised, not just the
+    intra-bucket window."""
     from pyspark.sql import functions as F
 
-    from etl_validator_github_spark.queries.relational import _part_skyline
+    from etl_validator_github_spark.contract import cents
+    from etl_validator_github_spark.queries.relational import skyline_2d
 
     rows = [(i, float((i * 37) % 19 + 1),
              ((i * 53) % 13) + 1) for i in range(60)]
     df = spark.createDataFrame(
         rows, "p_partkey long, p_retailprice double, p_size int")
-    # _part_skyline loads from a dir; call its internals instead by
-    # monkey-free inline: replicate the query body on this frame.
-    from etl_validator_github_spark.contract import cents
-    from pyspark.sql import Window
-    part = df.select("p_partkey", cents("p_retailprice").alias("pc"),
-                     F.col("p_size").cast("int").alias("size"))
-    w_lt = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)
-    w_eq = Window.partitionBy("pc")
-    got = sorted(
-        r["p_partkey"]
-        for r in part.select(
-            "p_partkey", "pc", "size",
-            F.max("size").over(w_lt).alias("m1"),
-            F.max("size").over(w_eq).alias("m2"),
-        ).filter(
-            ~(F.coalesce(F.col("m1") >= F.col("size"), F.lit(False))
-              | (F.col("m2") > F.col("size")))
-        ).collect()
-    )
+    part = df.select(
+        "p_partkey", cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"))
+    got = sorted(r["p_partkey"] for r in skyline_2d(part).collect())
     pts = {k: (p, s) for k, p, s in
            ((r[0], round(r[1] * 100), r[2]) for r in rows)}
     def dominated(k):
