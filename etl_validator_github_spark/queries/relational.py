@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_validator_github_spark.contract import Query, cents, load
+from etl_validator_github_spark.functions.ranks import global_row_number
 
 # ---------------------------------------------------------------------------
 # Q1: pricing summary (scan → filter → hash agg; the flagship bench query).
@@ -3494,12 +3495,13 @@ FROM nodes GROUP BY 1
 # whose remainder-distribution convention need not agree across
 # engines — the arithmetic form is floor-exact in both.
 #
-# Scale shape: the three global windows run over the CUSTOMER
-# AGGREGATE (|customers| rows, ~1.5% of facts), not the fact table;
-# the single-partition sort is the price of EXACT quintiles. The
-# 100 TB variant replaces exact ranks with DDSketch quantile cutoffs
-# (scale/sketches.py) broadcast back — same output schema, ±ε bucket
-# edges, no global sort.
+# Scale shape: the three ranks run over the CUSTOMER AGGREGATE
+# (|customers| rows, ~1.5% of facts), not the fact table, and each is
+# an exact range-partitioned rank (functions/ranks.py: balanced range
+# shuffle + broadcast per-partition offsets — no single-partition
+# sort, the same output bit-for-bit). A sketch variant with DDSketch
+# quantile cutoffs broadcast back (scale/sketches.py) trades ±ε bucket
+# edges for one pass when three range shuffles are too many.
 # ---------------------------------------------------------------------------
 
 
@@ -3515,9 +3517,11 @@ def _customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_cust.crossJoin(F.broadcast(n))  # documented 1-row BNLJ fold
     for metric, col in [("recency_day", "r_q"), ("frequency", "f_q"),
                         ("monetary_cents", "m_q")]:
-        w = Window.orderBy(F.col(metric).desc(), F.col("o_custkey"))
         out = (
-            out.withColumn("__rn", F.row_number().over(w))
+            global_row_number(
+                out, [F.col(metric).desc(), F.col("o_custkey")],
+                rank_col="__rn",
+            )
             .withColumn(col, F.expr(
                 "cast(1 + ((__rn - 1) * 5) div n_cust as int)"))
             .drop("__rn")
@@ -4476,14 +4480,17 @@ def _customers_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).alias("rev_cents")
     )
-    w = (
-        Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     tot = per_cust.agg(F.sum("rev_cents").alias("tot"))
+    # Exact running revenue without a single-partition sort: the
+    # range-partitioned prefix decomposition (functions/ranks.py).
     ranked = (
-        per_cust.crossJoin(F.broadcast(tot))  # 1-row fold
-        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        global_row_number(
+            per_cust.crossJoin(F.broadcast(tot)),  # 1-row fold
+            [F.desc("rev_cents"), F.asc("o_custkey")],
+            rank_col="__rn",
+            cumsum={"cum_cents": "rev_cents"},
+        )
+        .drop("__rn")
         .withColumn(
             "abc_class",
             F.when(F.expr("100 * cum_cents <= 80 * tot"), F.lit("A"))
@@ -4534,9 +4541,11 @@ FROM ranked GROUP BY 1
 # int64 around n ≈ 10⁶ per segment; DECIMAL(38,0)/HUGEINT carries it
 # to n ≈ 10⁹ and both engines fail loudly beyond).
 #
-# Scale shape: per-customer hash-agg → segment join → the rank window
-# runs over the CUSTOMER AGGREGATE partitioned BY SEGMENT (the ABC/RFM
-# bounded-window justification, further divided by the segment key).
+# Scale shape: per-customer hash-agg → segment join → the per-segment
+# rank is an exact range-partitioned rank (functions/ranks.py, grouped
+# by segment): each segment's customers are range-split across MANY
+# tasks, so no task ever sorts a whole segment (5 segments would
+# otherwise mean 1/5 of all customers through one task at 100×).
 # ---------------------------------------------------------------------------
 
 
@@ -4550,10 +4559,10 @@ def _customers_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.asc("rev_cents"), F.asc("c_custkey")
+    ranked = global_row_number(
+        per, [F.asc("rev_cents"), F.asc("c_custkey")],
+        by=["c_mktsegment"], rank_col="i",
     )
-    ranked = per.withColumn("i", F.row_number().over(w))
     agg = ranked.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("rev_cents").cast("long").alias("rev_cents"),
@@ -5010,8 +5019,10 @@ WHERE NOT (COALESCE(m_cheaper >= size, FALSE) OR m_equal > size)
 # Exact value deciles — the LTV-decile table every growth dashboard
 # carries, binned by floor arithmetic on row_number (``ntile`` is NOT
 # cross-engine-stable for ties/remainders — see contract.py), so
-# decile = ((rank − 1) · 10) div n is bit-identical anywhere. Window
-# over the USER AGGREGATE (the ABC/RFM bounded-window justification).
+# decile = ((rank − 1) · 10) div n is bit-identical anywhere. The rank
+# over the USER AGGREGATE is an exact range-partitioned rank
+# (functions/ranks.py) and the total count a broadcast 1-row fold —
+# no single-partition sort, no whole-table window.
 # ---------------------------------------------------------------------------
 
 
@@ -5020,12 +5031,13 @@ def _events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.sum(cents("value")).alias("ltv_cents")
     )
-    w = Window.orderBy(F.desc("ltv_cents"), F.asc("user_id"))
-    n_w = Window.partitionBy()
+    n = per_user.agg(F.count(F.lit(1)).alias("n"))
     binned = (
-        per_user
-        .withColumn("rnk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        global_row_number(
+            per_user, [F.desc("ltv_cents"), F.asc("user_id")],
+            rank_col="rnk",
+        )
+        .crossJoin(F.broadcast(n))  # 1-row fold
         .select(
             "ltv_cents",
             F.expr("cast(((rnk - 1) * 10) div n as int)").alias("decile"),

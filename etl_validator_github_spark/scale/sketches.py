@@ -443,9 +443,16 @@ def cms_token_report(docs: DataFrame, k: int = CMS_TOPK) -> DataFrame:
     toks = docs.select(F.explode(tokens()).alias("tok"))
     counters = cms_counters(toks)
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_true"))
-    w = Window.orderBy(F.desc("n_true"), F.asc("tok"))
+    # Exact top-k over the vocab aggregate without a single-partition
+    # sort (functions/ranks.py — same rationale as vocab_coverage).
+    from etl_validator_github_spark.functions.ranks import (
+        global_row_number,
+    )
+
     top = (
-        true_counts.withColumn("rk", F.row_number().over(w))
+        global_row_number(
+            true_counts, [F.desc("n_true"), F.asc("tok")], rank_col="rk",
+        )
         .filter(F.col("rk") <= k)
         .drop("rk")
     )

@@ -2500,17 +2500,23 @@ def vocab_coverage_curve(docs: DataFrame) -> DataFrame:
     convention, see zipf_slope); coverage is a floored milli share of
     all tokens.
 
-    Scale shape: (token) hash-agg → rank window over the VOCAB table
-    (types, not tokens — the zipf_slope bounded-window justification)
-    → ~⌈log2 |vocab|⌉-row bucket rollup with a cumulative sum over
-    that tiny axis."""
+    Scale shape: (token) hash-agg → exact range-partitioned rank over
+    the VOCAB table (functions/ranks.py — a real-corpus vocabulary can
+    reach hundreds of millions of types, so even the type table never
+    funnels through one sort task) → ~⌈log2 |vocab|⌉-row bucket rollup
+    with a cumulative sum over that tiny axis."""
     from pyspark.sql import Window
+
+    from etl_validator_github_spark.functions.ranks import (
+        global_row_number,
+    )
 
     vocab = docs.select(F.explode(tokens()).alias("token")) \
         .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("token"))
     bucketed = (
-        vocab.withColumn("rnk", F.row_number().over(w))
+        global_row_number(
+            vocab, [F.desc("c"), F.asc("token")], rank_col="rnk",
+        )
         .select(
             F.expr("cast(length(bin(rnk)) - 1 as int)").alias("bucket"),
             "c",

@@ -774,20 +774,18 @@ def test_triangles_checkpointed_edges_broadcast_joins(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
-def test_rfm_windows_run_on_customer_aggregate(spark, sf_dir):
-    """RFM: the three global rank windows must sit ABOVE the customer
-    hash-agg (windows over |customers| rows, not the orders fact) —
-    the plan's aggregate appears before any Window when reading
-    bottom-up, and the fact scan reads only the 3 needed columns."""
+def test_rfm_ranks_have_no_single_partition_sort(spark, sf_dir):
+    """RFM: the quintile ranks are range-partitioned exact ranks
+    (functions/ranks.py), so the final plan has NO SinglePartition
+    exchange — no task ever sorts the whole customer aggregate — and
+    every Window is partitioned by the range-partition id. (The
+    pre-checkpoint lineage — agg below rank, pruned fact scan — sits
+    behind the helper's pid-pinning localCheckpoint barrier and is
+    pinned separately by tests/test_ranks.py.)"""
     p = plan(spark, sf_dir, "customers_rfm_segments")
-    read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
-    assert "o_comment" not in read_schema
-    assert "o_custkey" in read_schema
-    # bottom-up: HashAggregate node id < first Window node id
-    import re
-    agg = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p))
-    win = min(int(m) for m in re.findall(r"\((\d+)\) Window", p))
-    assert agg < win, p
+    assert "SinglePartition" not in p, p
+    assert "Window" in p
+    assert "_pid" in p
 
 
 def test_hhi_single_fact_pass_broadcast_part(spark, sf_dir):
