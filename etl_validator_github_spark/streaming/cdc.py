@@ -98,6 +98,36 @@ def _recover_state_dir(state_dir: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _swap_generation(state_dir: str, staged: str, batch_id: int) -> None:
+    """Rename-swap next to the live dir (same filesystem): old aside,
+    new in, old deleted last — a crash at ANY point leaves a whole
+    generation for ``_recover_state_dir`` to restore or keep
+    (exhaustively pinned by the kill-point test in
+    tests/test_streaming_cdc.py)."""
+    old = f"{state_dir}.old-{batch_id}"
+    if os.path.exists(state_dir):
+        os.rename(state_dir, old)
+    os.rename(staged, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def apply_batch_to_dir(spark, batch_df: DataFrame, state_dir: str,
+                       batch_id: int) -> None:
+    """One foreachBatch application against the parquet state table:
+    heal any crash window, apply the changelog step, stage the new
+    generation, swap it in. Idempotent under retries (re-applying the
+    same batch is a no-op by construction)."""
+    _recover_state_dir(state_dir)
+    state = (
+        spark.read.parquet(state_dir)
+        if os.path.exists(state_dir) else None
+    )
+    new = apply_changelog_batch(state, batch_df)
+    staged = f"{state_dir}.gen-{batch_id}"
+    new.write.mode("overwrite").parquet(staged)
+    _swap_generation(state_dir, staged, batch_id)
+
+
 def stream_cdc_apply(
     spark,
     source_dir: str,
@@ -113,21 +143,7 @@ def stream_cdc_apply(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_state_dir(state_dir)
-        state = (
-            spark.read.parquet(state_dir)
-            if os.path.exists(state_dir) else None
-        )
-        new = apply_changelog_batch(state, batch_df)
-        staged = f"{state_dir}.gen-{batch_id}"
-        new.write.mode("overwrite").parquet(staged)
-        # rename-swap next to the live dir (same filesystem): old aside,
-        # new in, old deleted last — a crash leaves a whole generation.
-        old = f"{state_dir}.old-{batch_id}"
-        if os.path.exists(state_dir):
-            os.rename(state_dir, old)
-        os.rename(staged, state_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        apply_batch_to_dir(spark, batch_df, state_dir, batch_id)
 
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -167,3 +167,66 @@ def test_cdc_stream_resumes_through_simulated_mid_swap_crash(spark, tmp_path):
     leftovers = [p for p in os.listdir(tmp_path)
                  if p.startswith("state.old-") or p.startswith("state.gen-")]
     assert leftovers == []
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kill_after", [0, 1, 2, 3])
+def test_cdc_every_swap_kill_point_converges(spark, tmp_path, monkeypatch,
+                                             kill_after):
+    """Exhaustive kill-point property: crash the REAL swap choreography
+    after each filesystem op in sequence (0 = stage written but no
+    rename yet, 1 = after state→old, 2 = after staged→state, 3 = no
+    crash), then retry the same batch through the real apply path.
+    EVERY interleaving must converge to the same final state with no
+    stale .old-/.gen- leftovers."""
+    from etl_validator_github_spark.streaming import cdc
+
+    state = tmp_path / "state"
+    # Batch 0 establishes the previous generation normally.
+    b0 = spark.createDataFrame(
+        [(1, 10, "A", "v1"), (2, 11, "A", "v2")], cdc.CDC_STREAM_SCHEMA)
+    cdc.apply_batch_to_dir(spark, b0, str(state), 0)
+    assert _state(spark, state) == {1: (10, "v1"), 2: (11, "v2")}
+
+    b1 = spark.createDataFrame(
+        [(2, 20, "D", None), (3, 21, "A", "v3")], cdc.CDC_STREAM_SCHEMA)
+    want = {1: (10, "v1"), 3: (21, "v3")}
+
+    class Killed(Exception):
+        pass
+
+    ops = {"n": 0}
+    real_rename, real_rmtree = os.rename, cdc.shutil.rmtree
+
+    def kill_then(fn):
+        def wrapped(*a, **kw):
+            if ops["n"] >= kill_after:
+                raise Killed()
+            ops["n"] += 1
+            return fn(*a, **kw)
+        return wrapped
+
+    monkeypatch.setattr(cdc.os, "rename", kill_then(real_rename))
+    monkeypatch.setattr(cdc.shutil, "rmtree", kill_then(real_rmtree))
+    try:
+        cdc.apply_batch_to_dir(spark, b1, str(state), 1)
+        crashed = False
+    except Killed:
+        crashed = True
+    assert crashed == (kill_after < 3)
+    monkeypatch.setattr(cdc.os, "rename", real_rename)
+    monkeypatch.setattr(cdc.shutil, "rmtree", real_rmtree)
+
+    # Invariant after recovery alone: a whole generation is live.
+    cdc._recover_state_dir(str(state))
+    live = _state(spark, state)
+    assert live in ({1: (10, "v1"), 2: (11, "v2")}, want), live
+
+    # The foreachBatch retry (same batch, same id) must converge.
+    cdc.apply_batch_to_dir(spark, b1, str(state), 1)
+    assert _state(spark, state) == want
+    leftovers = [p for p in os.listdir(tmp_path)
+                 if p.startswith("state.old-") or p.startswith("state.gen-")]
+    assert leftovers == []

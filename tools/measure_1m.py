@@ -51,17 +51,73 @@ ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "bpe", "keeplongest", "rrf", "bm25_delta")
 
 
+def _run_isolated(args, ops) -> int:
+    """Per-op subprocess driver: each op gets a fresh Python + JVM, so
+    'warm' repeats measure the op, not the residue of its predecessors.
+    The parquet corpus is generated once (the 'gen' child) and reused
+    read-only by every later child via the shared --workdir."""
+    import subprocess
+
+    # The corpus must exist before any non-gen child runs.
+    if "gen" not in ops:
+        pq = os.path.join(args.workdir, f"docs_{args.docs}.parquet")
+        if not os.path.exists(pq):
+            ops = ["gen", *ops]
+    merged_t: dict[str, object] = {}
+    merged_c: dict[str, int] = {}
+    load0 = os.getloadavg()[0]
+    for op in ops:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--docs", str(args.docs), "--ops", op,
+            "--workdir", args.workdir, "--repeat", str(args.repeat),
+            "--no-isolate",
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        sys.stderr.write(res.stderr)
+        line = next(
+            (ln for ln in reversed(res.stdout.splitlines())
+             if ln.startswith("{")), None)
+        if res.returncode != 0 or line is None:
+            merged_t[op] = f"err: child exited {res.returncode}"
+            continue
+        child = json.loads(line)
+        merged_t.update(child.get("timings_sec", {}))
+        merged_c.update(child.get("row_counts", {}))
+    print(json.dumps({
+        "docs": args.docs,
+        "isolated": True,
+        "timings_sec": merged_t,
+        "row_counts": merged_c,
+        "load_avg_1m": {"start": round(load0, 2),
+                        "end": round(os.getloadavg()[0], 2)},
+        "n_cpus": os.cpu_count(),
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--ops", default=",".join(ALL_OPS))
     ap.add_argument("--workdir", default="/tmp/spark_graft_1m")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--isolate", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run each op in its own subprocess (fresh JVM) "
+                         "so GC/shuffle/broadcast state from one op "
+                         "cannot bleed into the next op's timings — "
+                         "same-process op sequences degraded warm "
+                         "repeats up to 2.8x (BPE 34.7 s -> 92.8 s by "
+                         "repeat two when run after the full op chain)")
     args = ap.parse_args()
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
     unknown = set(ops) - set(ALL_OPS)
     if unknown:
         ap.error(f"unknown ops: {sorted(unknown)}")
+
+    if args.isolate and len(ops) > 1:
+        return _run_isolated(args, ops)
 
     from etl_validator_github_spark.plans.session import get_spark
     from etl_validator_github_spark.sources import synthdocs
