@@ -5231,6 +5231,454 @@ FROM streaks GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact global order statistics over the FACT table — the workload
+# ``global_row_number`` (functions/ranks.py) exists for. A naive exact
+# median/quartile is row_number() over an UNPARTITIONED window: every
+# lineitem row through one sort task. Here the total order is
+# range-partitioned, ranks are local-row-number + broadcast offsets,
+# and the three quartile targets (value at rank ceil(n·k/4), the
+# rank-exact discrete convention used across the catalog —
+# percentile_cont is not cross-engine-stable) are a 3-row broadcast
+# join back. No task ever sees more than one range slice.
+# ---------------------------------------------------------------------------
+
+
+def _lineitem_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("price_cents"),
+        "l_orderkey", "l_linenumber",
+    )
+    ranked = global_row_number(
+        li, ["price_cents", "l_orderkey", "l_linenumber"], rank_col="rnk"
+    )
+    n = li.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        spark.range(1, 4)
+        .select(F.col("id").cast("int").alias("quartile"))
+        .crossJoin(F.broadcast(n))  # documented 1-row BNLJ fold
+        .select(
+            "quartile",
+            F.expr("cast((n * quartile + 3) div 4 as int)").alias("target"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(targets), F.col("rnk") == F.col("target"))
+        .select(
+            "quartile",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("price_cents").cast("long").alias("price_cents"),
+        )
+    )
+
+
+_QUARTILES_SQL = """
+WITH li AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), ranked AS (
+  SELECT price_cents,
+         ROW_NUMBER() OVER (ORDER BY price_cents, l_orderkey,
+                            l_linenumber) AS rnk
+  FROM li
+), n AS (SELECT COUNT(*) AS n FROM li),
+targets AS (
+  SELECT t.quartile, (n.n * t.quartile + 3) // 4 AS target
+  FROM n, (VALUES (1), (2), (3)) AS t(quartile)
+)
+SELECT CAST(t.quartile AS INT) AS quartile,
+       CAST(r.rnk AS INT) AS rnk,
+       r.price_cents
+FROM ranked r JOIN targets t ON r.rnk = t.target
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift statistic between the event-value
+# distributions of two halves of the stream (even/odd event_id — the
+# deterministic stand-in for "yesterday vs today") — the standard
+# check that a feature's distribution hasn't shifted between training
+# snapshots. D = max_x |F̂₁(x) − F̂₂(x)| computed EXACTLY on the cents
+# grid: per-value counts, running totals via the range-partitioned
+# cumsum (``global_row_number`` — the value axis grows with data, so
+# an unpartitioned window would single-task it), then one max. The
+# max of |cum₁·n₂ − cum₂·n₁| shares a single denominator n₁·n₂, so
+# division happens once, after the max, in the 128-bit div/mod
+# decomposition (chi2/gini pattern).
+# ---------------------------------------------------------------------------
+
+
+def _events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        cents("value").alias("v"),
+        (F.col("event_id") % 2 == 0).cast("long").alias("is_l"),
+    )
+    byv = ev.groupBy("v").agg(
+        F.sum("is_l").alias("c_l"),
+        F.sum(F.lit(1) - F.col("is_l")).alias("c_r"),
+    ).localCheckpoint(eager=False)  # totals + cumsum branches share it
+    cum = global_row_number(
+        byv, ["v"], rank_col="_i", cumsum={"cum_l": "c_l", "cum_r": "c_r"}
+    )
+    tot = byv.groupBy().agg(
+        F.sum("c_l").cast("long").alias("n_left"),
+        F.sum("c_r").cast("long").alias("n_right"),
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))  # documented 1-row BNLJ fold
+        .select(
+            "n_left", "n_right",
+            F.expr(
+                "abs(CAST(cum_l AS DECIMAL(38,0)) * n_right"
+                " - CAST(cum_r AS DECIMAL(38,0)) * n_left)"
+            ).alias("d"),
+        )
+        .groupBy("n_left", "n_right")
+        .agg(F.max("d").alias("num"))
+    )
+    return (
+        dmax.withColumn(
+            "den",
+            F.expr("CAST(n_left AS DECIMAL(38,0))"
+                   " * CAST(n_right AS DECIMAL(38,0))"),
+        )
+        .select(
+            "n_left", "n_right",
+            F.expr("(num div den) * 1000000"
+                   " + ((num % den) * 1000000) div den")
+            .cast("long").alias("ks_micro"),
+        )
+    )
+
+
+_KS_DRIFT_SQL = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_l
+  FROM events
+), byv AS (
+  SELECT v, CAST(SUM(is_l) AS BIGINT) AS c_l,
+         CAST(SUM(1 - is_l) AS BIGINT) AS c_r
+  FROM ev GROUP BY 1
+), cum AS (
+  SELECT SUM(c_l) OVER w AS cum_l, SUM(c_r) OVER w AS cum_r
+  FROM byv
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(SUM(c_l) AS BIGINT) AS n_left,
+         CAST(SUM(c_r) AS BIGINT) AS n_right
+  FROM byv
+), dm AS (
+  SELECT n_left, n_right,
+         MAX(abs(CAST(cum_l AS HUGEINT) * n_right
+                 - CAST(cum_r AS HUGEINT) * n_left)) AS num
+  FROM cum, tot GROUP BY 1, 2
+)
+SELECT n_left, n_right,
+       CAST((num // den) * 1000000
+            + ((num % den) * 1000000) // den AS BIGINT) AS ks_micro
+FROM (SELECT n_left, n_right, num,
+             CAST(n_left AS HUGEINT) * n_right AS den FROM dm)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value matrix: customers grouped by first-order month,
+# revenue accumulated by month offset — the classic growth-analytics
+# triangle (and the LTV curve a data-mixture buyer reads). Exact cents
+# throughout; the cumulative window is partitioned by cohort over the
+# per-(cohort, offset) AGGREGATE, so its width is bounded by the
+# calendar span squared, not by customers.
+#
+# Scale shape: one orders scan → per-customer min (hash-agg) → custkey
+# shuffle join back (co-partitioned at scale) → (cohort, offset)
+# hash-agg → calendar-bounded window.
+# ---------------------------------------------------------------------------
+
+
+def _customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("midx"),
+        cents("o_totalprice").alias("rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("midx").alias("cidx"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("cidx", (F.col("midx") - F.col("cidx")).alias("month_offset"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cidx").orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_rev_cents", F.sum("rev_cents").over(w).cast("long")
+        )
+        .select(
+            F.expr("concat(cast(cidx div 12 as string), '-',"
+                   " lpad(cast(cidx % 12 + 1 as string), 2, '0'))")
+            .alias("cohort_month"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            "n_orders", "rev_cents", "cum_rev_cents",
+        )
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev
+  FROM orders
+), fst AS (
+  SELECT o_custkey, MIN(midx) AS cidx FROM o GROUP BY 1
+), cells AS (
+  SELECT cidx, midx - cidx AS month_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(rev) AS BIGINT) AS rev_cents
+  FROM o JOIN fst USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT concat(CAST(cidx // 12 AS VARCHAR), '-',
+              lpad(CAST(cidx % 12 + 1 AS VARCHAR), 2, '0')) AS cohort_month,
+       CAST(month_offset AS INT) AS month_offset,
+       n_orders, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cidx ORDER BY month_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_rev_cents
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# Purchase-cadence histogram: days between a customer's consecutive
+# orders, bucketed by week — inter-arrival analysis (the
+# time-between-events complement of customers_order_streaks' monthly
+# islands). The lag window is partitioned by customer (parallel at any
+# scale); the output is bounded by the calendar span in weeks.
+# ---------------------------------------------------------------------------
+
+
+def _customers_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(F.datediff("d", "prev_d").alias("gap_days"))
+    )
+    return (
+        gaps.groupBy(F.expr("cast(gap_days div 7 as int)").alias("gap_weeks"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("sum_gap_days"),
+        )
+    )
+
+
+_ORDER_GAPS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders
+), gaps AS (
+  SELECT datediff('day', lag(d) OVER (PARTITION BY o_custkey
+                                      ORDER BY d, o_orderkey), d) AS gap_days
+  FROM o
+)
+SELECT CAST(gap_days // 7 AS INT) AS gap_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bipartite degree census of the supplier↔part graph implied by the
+# fact table — the shape report that decides join strategy (skew,
+# broadcastability) before running anything expensive on a graph. Two
+# hash-agg levels per side over ONE shared distinct-edge frame (lazy
+# checkpoint — two branches would otherwise re-run the distinct's
+# shuffle); output is bounded by the max degree.
+# ---------------------------------------------------------------------------
+
+
+def _supplier_part_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def hist(key: str, side: str) -> DataFrame:
+        return (
+            sp.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .select(
+                F.lit(side).alias("side"),
+                F.col("degree").cast("int").alias("degree"),
+                "n_nodes",
+            )
+        )
+
+    return hist("l_suppkey", "supplier").unionByName(hist("l_partkey", "part"))
+
+
+_DEGREE_SQL = """
+WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+s AS (SELECT l_suppkey, COUNT(*) AS degree FROM sp GROUP BY 1),
+p AS (SELECT l_partkey, COUNT(*) AS degree FROM sp GROUP BY 1)
+SELECT 'supplier' AS side, CAST(degree AS INT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM s GROUP BY 2
+UNION ALL
+SELECT 'part' AS side, CAST(degree AS INT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM p GROUP BY 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discount→quantity response slope per return flag: the OLS regression
+# aggregate n·Σxy−Σx·Σy over n·Σx²−(Σx)² in EXACT integers (x =
+# discount percentage points, y = quantity cents), following
+# events_hourly_trend — but here the numerator can be negative, so the
+# quotient is sign-split (truncation toward zero is then identical to
+# DuckDB's floor on the non-negative magnitude) and decomposed through
+# the 128-bit div/mod pattern. One hash-agg over the fact table; the
+# slope arithmetic runs on the 3-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _lineitem_discount_elasticity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
+        cents("l_quantity").alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        agg.select(
+            "l_returnflag", "n",
+            F.expr("CAST(n AS DECIMAL(38,0)) * sxy"
+                   " - CAST(sx AS DECIMAL(38,0)) * sy").alias("num"),
+            F.expr("nullif(CAST(n AS DECIMAL(38,0)) * sxx"
+                   " - CAST(sx AS DECIMAL(38,0)) * sx, 0)").alias("den"),
+        )
+        .select(
+            "l_returnflag", "n",
+            F.expr(
+                "cast((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(num) div den) * 1000000"
+                "    + ((abs(num) % den) * 1000000) div den) as bigint)"
+            ).alias("slope_micro"),
+        )
+    )
+
+
+_ELASTICITY_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity * 100) AS BIGINT) AS y
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM li GROUP BY 1
+), frac AS (
+  SELECT l_returnflag, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         nullif(CAST(n AS HUGEINT) * sxx
+                - CAST(sx AS HUGEINT) * sx, 0) AS den
+  FROM agg
+)
+SELECT l_returnflag, n,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((abs(num) // den) * 1000000
+               + ((abs(num) % den) * 1000000) // den) AS BIGINT)
+       AS slope_micro
+FROM frac
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-of-year seasonality index: each calendar month's revenue share
+# against a uniform month (index 1 000 000 = exactly average) — the
+# seasonal profile behind events_seasonal_naive, on the orders table.
+# One hash-agg to 12 rows; the index division is the 128-bit div/mod
+# decomposition against the single grand total.
+# ---------------------------------------------------------------------------
+
+
+def _orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents("o_totalprice")).cast("long").alias("rev_cents"),
+        )
+        .localCheckpoint(eager=False)  # total + per-month branches share
+    )
+    tot = per.groupBy().agg(
+        F.expr("CAST(sum(rev_cents) AS DECIMAL(38,0))").alias("total")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))  # documented 1-row BNLJ fold
+        .select(
+            F.col("month").cast("int").alias("month"),
+            "n_orders", "rev_cents",
+            F.expr(
+                "cast(((CAST(rev_cents AS DECIMAL(38,0)) * 12) div total)"
+                " * 1000000"
+                " + (((CAST(rev_cents AS DECIMAL(38,0)) * 12) % total)"
+                "    * 1000000) div total as bigint)"
+            ).alias("season_index_micro"),
+        )
+    )
+
+
+_SEASONALITY_SQL = """
+WITH per AS (
+  SELECT month(o_orderdate) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(SUM(rev_cents) AS HUGEINT) AS total FROM per)
+SELECT CAST(month AS INT) AS month, n_orders, rev_cents,
+       CAST(((CAST(rev_cents AS HUGEINT) * 12) // total) * 1000000
+            + (((CAST(rev_cents AS HUGEINT) * 12) % total) * 1000000)
+              // total AS BIGINT) AS season_index_micro
+FROM per, tot
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -5410,5 +5858,40 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "2-D skyline / Pareto frontier on (lower price, larger "
               "size): dominance via two exact window maxima on the "
               "sorted price axis — no n² pair test."),
+        Query("lineitem_exact_quartiles", _lineitem_exact_quartiles,
+              _QUARTILES_SQL,
+              "Exact global quartiles of the fact table via "
+              "range-partitioned ranks (functions/ranks.py) — value at "
+              "rank ceil(n·k/4), no single-task sort."),
+        Query("events_ks_drift", _events_ks_drift, _KS_DRIFT_SQL,
+              "Two-sample Kolmogorov–Smirnov drift statistic between "
+              "stream halves, exact on the cents grid: "
+              "range-partitioned cumulative counts, one shared-"
+              "denominator 128-bit division after the max."),
+        Query("customers_cohort_ltv", _customers_cohort_ltv,
+              _COHORT_LTV_SQL,
+              "Cohort LTV triangle: first-order-month cohorts × month "
+              "offset with cumulative revenue — window over the "
+              "calendar-bounded aggregate only."),
+        Query("customers_order_gaps", _customers_order_gaps,
+              _ORDER_GAPS_SQL,
+              "Purchase-cadence histogram: per-customer inter-order "
+              "gaps via a customer-partitioned lag window, bucketed "
+              "to weeks."),
+        Query("supplier_part_degrees", _supplier_part_degrees,
+              _DEGREE_SQL,
+              "Bipartite degree census of the supplier↔part graph: "
+              "two-level hash-aggs over one shared distinct-edge "
+              "frame — the skew report read before join planning."),
+        Query("lineitem_discount_elasticity", _lineitem_discount_elasticity,
+              _ELASTICITY_SQL,
+              "OLS discount→quantity slope per return flag in exact "
+              "integers, sign-split 128-bit div/mod quotient — "
+              "regression as a single hash-agg."),
+        Query("orders_seasonality_index", _orders_seasonality,
+              _SEASONALITY_SQL,
+              "Month-of-year revenue seasonality index vs a uniform "
+              "month (micro-units), 12-row aggregate + one 128-bit "
+              "division per row."),
     ]
 }

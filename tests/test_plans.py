@@ -1059,3 +1059,73 @@ def test_skyline_has_no_global_sort(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "Window" in p
     assert "BroadcastHashJoin" in p  # bucket prefix-max joined back
+
+
+def _single_partition_consumers(p: str) -> list[str]:
+    """Node names that directly consume a SinglePartition exchange in a
+    formatted plan (nodes are listed in execution order, so the line
+    ``(N) <Name>`` right after the exchange's block is its consumer).
+    A SinglePartition exchange feeding a grand-total HashAggregate
+    moves one pre-combined row per upstream partition — fine at any
+    scale; feeding a Sort/Window it funnels the DATA through one task."""
+    import re as _re
+
+    nodes = _re.findall(r"^\((\d+)\) ([A-Za-z]+)", p, flags=_re.M)
+    sp_ids = set()
+    cur = None
+    for line in p.splitlines():
+        m = _re.match(r"^\((\d+)\) ", line)
+        if m:
+            cur = int(m.group(1))
+        elif "SinglePartition" in line and cur is not None:
+            sp_ids.add(cur)
+    out = []
+    for i, (nid, name) in enumerate(nodes):
+        if int(nid) in sp_ids and i + 1 < len(nodes):
+            out.append(nodes[i + 1][1])
+    return out
+
+
+def test_exact_quartiles_have_no_single_partition_sort(spark, sf_dir):
+    """Global quartiles over the FACT table run through the
+    range-partitioned rank decomposition (functions/ranks.py): the
+    only SinglePartition exchange allowed is the 1-row-per-partition
+    grand-total count reduce — never a Sort or Window over the rows."""
+    p = plan(spark, sf_dir, "lineitem_exact_quartiles")
+    assert set(_single_partition_consumers(p)) <= {"HashAggregate"}, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p  # 3-row target table
+
+
+def test_ks_drift_has_no_single_partition_cumsum(spark, sf_dir):
+    """The KS cumulative counts run over the value axis (grows with
+    data) — they must use the range-partitioned cumsum, never an
+    unpartitioned running-sum window; SinglePartition may appear only
+    as grand-total aggregate reduces."""
+    p = plan(spark, sf_dir, "events_ks_drift")
+    assert set(_single_partition_consumers(p)) <= {"HashAggregate"}, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_cohort_ltv_window_partitioned_by_cohort(spark, sf_dir):
+    """The LTV cumsum windows over the calendar-bounded aggregate,
+    partitioned by cohort; the fact-sized work is hash-aggs and one
+    custkey-keyed join."""
+    p = plan(spark, sf_dir, "customers_cohort_ltv")
+    assert "SinglePartition" not in p, p
+    assert "ntile" not in p
+
+
+def test_order_gaps_lag_is_customer_partitioned(spark, sf_dir):
+    p = plan(spark, sf_dir, "customers_order_gaps")
+    assert "SinglePartition" not in p, p
+    assert "Window" in p
+
+
+def test_discount_elasticity_is_one_hash_agg(spark, sf_dir):
+    """The regression aggregate is a single hash-agg over the scan —
+    no window, no join, no sort before aggregation."""
+    p = plan(spark, sf_dir, "lineitem_discount_elasticity")
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+    assert "HashAggregate" in p
