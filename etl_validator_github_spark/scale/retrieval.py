@@ -227,11 +227,15 @@ BM25_EVAL_SLICE_LEN = 10
 BM25_EVAL_K = 10
 
 
-def bm25_self_retrieval(docs: DataFrame,
-                        probe_ids: tuple[int, ...] = BM25_EVAL_PROBE_IDS,
-                        k: int = BM25_EVAL_K) -> DataFrame:
-    """Per probe query: n_relevant, n_hits_relevant, self_rank (NULL
-    if the probe doc fell outside the top-k), recall@k in milli."""
+def _self_eval_frames(
+    docs: DataFrame,
+    probe_ids: tuple[int, ...],
+    k: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared eval plumbing for the self-retrieval scorecards: returns
+    (probes, hits, relevant) — the sliced phrase queries, the BM25
+    top-k per query, and the data-derived qrels. Both heavy frames sit
+    behind lazy checkpoints so each consumer reuses them."""
     from etl_validator_github_spark.scale.text import (
         bm25_from_postings,
         doc_postings,
@@ -264,6 +268,15 @@ def bm25_self_retrieval(docs: DataFrame,
         .select("query_id", "doc_id")
         .localCheckpoint(eager=False)
     )
+    return probes, hits, relevant
+
+
+def bm25_self_retrieval(docs: DataFrame,
+                        probe_ids: tuple[int, ...] = BM25_EVAL_PROBE_IDS,
+                        k: int = BM25_EVAL_K) -> DataFrame:
+    """Per probe query: n_relevant, n_hits_relevant, self_rank (NULL
+    if the probe doc fell outside the top-k), recall@k in milli."""
+    probes, hits, relevant = _self_eval_frames(docs, probe_ids, k)
     rel_stats = relevant.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_relevant")
     )
@@ -292,11 +305,45 @@ def bm25_self_retrieval(docs: DataFrame,
     )
 
 
+def bm25_self_mrr(docs: DataFrame,
+                  probe_ids: tuple[int, ...] = BM25_EVAL_PROBE_IDS,
+                  k: int = BM25_EVAL_K) -> DataFrame:
+    """Mean-reciprocal-rank scorecard over the same derived qrels:
+    per probe query, the rank of the FIRST relevant hit in the top-k
+    and its reciprocal in micro-units (0 when nothing relevant made
+    the cut — the convention that makes MRR averageable). Complements
+    recall@k: recall counts coverage, RR measures how high the first
+    good answer sits."""
+    probes, hits, relevant = _self_eval_frames(docs, probe_ids, k)
+    fr = (
+        hits.join(relevant, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.min("rnk").cast("int").alias("first_rel_rank"))
+    )
+    return (
+        probes.select("query_id")
+        .join(fr, "query_id", "left")
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.expr("cast(coalesce(1000000 div first_rel_rank, 0)"
+                   " as bigint)").alias("rr_micro"),
+        )
+    )
+
+
 def _bm25_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_self_retrieval(load(spark, sf_dir, "documents"))
 
 
-def _bm25_recall_sql() -> str:
+def _bm25_mrr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_self_mrr(load(spark, sf_dir, "documents"))
+
+
+def _bm25_eval_cte() -> str:
+    """Shared oracle CTE chain (probes → scoring → ranked top-k →
+    derived qrels) for the self-retrieval scorecards — the SQL mirror
+    of ``_self_eval_frames``."""
     from etl_validator_github_spark.scale.text import (
         BM25_B,
         BM25_K1,
@@ -357,7 +404,11 @@ WITH probes AS (
   SELECT p.query_id, d.doc_id
   FROM documents d CROSS JOIN probes p
   WHERE contains(concat(' ', d.text, ' '), concat(' ', p.phrase, ' '))
-), rs AS (
+)"""
+
+
+def _bm25_recall_sql() -> str:
+    return _bm25_eval_cte() + """, rs AS (
   SELECT query_id, CAST(COUNT(*) AS INT) AS n_relevant
   FROM relevant GROUP BY 1
 ), hr AS (
@@ -375,6 +426,20 @@ SELECT rs.query_id, rs.n_relevant,
 FROM rs
 LEFT JOIN hr USING (query_id)
 LEFT JOIN sr USING (query_id)
+"""
+
+
+def _bm25_mrr_sql() -> str:
+    return _bm25_eval_cte() + """, fr AS (
+  SELECT r.query_id, CAST(MIN(r.rnk) AS INT) AS first_rel_rank
+  FROM ranked r JOIN relevant USING (query_id, doc_id)
+  GROUP BY 1
+)
+SELECT p.query_id, fr.first_rel_rank,
+       CAST(COALESCE(1000000 // fr.first_rel_rank, 0) AS BIGINT)
+         AS rr_micro
+FROM (SELECT query_id FROM probes) p
+LEFT JOIN fr USING (query_id)
 """
 
 
@@ -396,5 +461,10 @@ RETRIEVAL_QUERIES: dict[str, Query] = {
               "from probe docs, relevance = exact-phrase containment; "
               "recall@10 + the probe's own rank, qrels derived from "
               "the data in both engines."),
+        Query("retrieval_bm25_mrr", _bm25_mrr_q, _bm25_mrr_sql(),
+              "Reciprocal-rank scorecard over the same derived qrels: "
+              "rank of the first relevant hit per query, rr in "
+              "micro-units (0 when the top-k has no relevant doc) — "
+              "the shared eval CTE chain feeds both scorecards."),
     ]
 }

@@ -2848,6 +2848,166 @@ LEFT JOIN cap_flags cf USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocation mining (Church & Hanks 1990) over DOCUMENT
+# co-occurrence: which top-vocabulary word pairs appear in the same
+# document far more often than independence predicts — the association
+# score behind phrase induction and topic seeding. PMI is log-shaped,
+# so it uses the catalog's exact floor-log2 convention per term:
+# pmi_bits = fl2(n_ab) + fl2(N) − fl2(n_a) − fl2(n_b).
+#
+# Scale shape: pair fan-out is capped by the top-V vocabulary (V=40 →
+# ≤ C(40,2) distinct pairs), generated map-side from each doc's sorted
+# filtered token set (the basket-pairs comprehension — no self-join of
+# the token stream; the ORACLE is the classic relational self-join, so
+# the hash match is a cross-formulation equivalence proof). One corpus
+# explode behind a lazy checkpoint feeds both the df census and the
+# pair pass.
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB_K = 40
+
+_PMI_PAIRS_EXPR = """
+flatten(transform(ws, (x, i) ->
+  transform(slice(ws, i + 2, size(ws)), y ->
+    struct(x AS p1, y AS p2))))
+"""
+
+
+def word_pmi(docs: DataFrame, k: int = PMI_VOCAB_K) -> DataFrame:
+    toks = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens()))
+                    .alias("w"))
+        .localCheckpoint(eager=False)  # df census + pair pass share it
+    )
+    dfc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    top = (
+        dfc.orderBy(F.desc("n_w"), F.asc("w")).limit(k)
+        .localCheckpoint(eager=False)  # filter + two count joins
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        toks.join(F.broadcast(top.select("w")), "w")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("w")).alias("ws"))
+    )
+    pairs = (
+        per_doc.select(F.explode(F.expr(_PMI_PAIRS_EXPR)).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("w1"), F.col("pr.p2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+
+    def fl2(col: Column) -> Column:
+        return F.length(F.bin(col)) - F.lit(1)
+
+    na = F.broadcast(top.select(F.col("w").alias("w1"),
+                                F.col("n_w").alias("n_a")))
+    nb = F.broadcast(top.select(F.col("w").alias("w2"),
+                                F.col("n_w").alias("n_b")))
+    return (
+        pairs.join(na, "w1").join(nb, "w2")
+        .crossJoin(F.broadcast(n_docs))  # documented 1-row BNLJ fold
+        .select(
+            "w1", "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (fl2(F.col("n_ab")) + fl2(F.col("n_docs"))
+             - fl2(F.col("n_a")) - fl2(F.col("n_b")))
+            .cast("int").alias("pmi_bits"),
+        )
+    )
+
+
+def _word_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_pmi(load(spark, sf_dir, "documents"))
+
+
+_WORD_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+), dfc AS (
+  SELECT w, COUNT(*) AS n_w FROM toks GROUP BY 1
+), top AS (
+  SELECT w, n_w FROM dfc ORDER BY n_w DESC, w LIMIT {PMI_VOCAB_K}
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+f AS (SELECT t.doc_id, t.w FROM toks t JOIN top USING (w)),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_ab
+  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT w1, w2,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ta.n_w AS BIGINT) AS n_a,
+       CAST(tb.n_w AS BIGINT) AS n_b,
+       CAST((length(bin(n_ab)) - 1) + (length(bin(nd.n_docs)) - 1)
+            - (length(bin(ta.n_w)) - 1) - (length(bin(tb.n_w)) - 1)
+            AS INT) AS pmi_bits
+FROM pairs
+JOIN top ta ON pairs.w1 = ta.w
+JOIN top tb ON pairs.w2 = tb.w
+CROSS JOIN nd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplication-rate calibration against document length: exact-dup rate
+# per floor-log2(n_chars) bucket — the audit that tells you whether
+# your dedup pressure concentrates in short boilerplate or long
+# templates (and whether a length-gated quality filter would change
+# the dedup bill). One md5 hash-agg for cluster sizes, joined back on
+# the hash key (co-partitioned with the agg at scale), then a
+# bucket-level rollup bounded by ~64 rows.
+# ---------------------------------------------------------------------------
+
+
+def dup_rate_by_length(docs: DataFrame) -> DataFrame:
+    d = docs.select(
+        "doc_id", F.md5("text").alias("h"),
+        F.expr("cast(length(bin(n_chars + 1)) - 1 as int)")
+        .alias("len_bucket"),
+    )
+    sizes = d.groupBy("h").agg(F.count(F.lit(1)).alias("csz"))
+    return (
+        d.join(sizes, "h")
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("csz") > 1).cast("long")).cast("long")
+            .alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_micro",
+            F.expr("cast((1000000 * n_dup_docs) div n_docs as bigint)"),
+        )
+    )
+
+
+def _dup_by_length_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_rate_by_length(load(spark, sf_dir, "documents"))
+
+
+_DUP_BY_LENGTH_SQL = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(length(bin(n_chars + 1)) - 1 AS INT) AS len_bucket
+  FROM documents
+), sz AS (SELECT h, COUNT(*) AS csz FROM d GROUP BY 1)
+SELECT len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST((1000000 * SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_micro
+FROM d JOIN sz USING (h)
+GROUP BY 1
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -2945,5 +3105,15 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "CCNet head/middle/tail split per language: exact "
               "integer-score histogram → tertile cutoffs → broadcast "
               "bucket label — no per-language corpus sort."),
+        Query("text_pmi_collocations", _word_pmi_q, _WORD_PMI_SQL,
+              "PMI collocation mining over document co-occurrence "
+              "(top-V vocab, exact floor-log2 bits): map-side pair "
+              "comprehension vs the oracle's relational self-join — "
+              "a cross-formulation equivalence proof."),
+        Query("docs_dup_rate_by_length", _dup_by_length_q,
+              _DUP_BY_LENGTH_SQL,
+              "Exact-dup rate per floor-log2 length bucket: where the "
+              "dedup pressure lives — one md5 cluster-size hash-agg "
+              "joined back on its own key, ~64-row rollup."),
     ]
 }

@@ -1129,3 +1129,19 @@ def test_discount_elasticity_is_one_hash_agg(spark, sf_dir):
     assert "Window" not in p, p
     assert "Join" not in p, p
     assert "HashAggregate" in p
+
+
+def test_pmi_pairs_are_map_side(spark, sf_dir):
+    """PMI pair generation must be the map-side comprehension over each
+    doc's filtered token set — never a self-join of the token stream.
+    The only BNLJ allowed is the documented 1-row n_docs fold."""
+    p = plan(spark, sf_dir, "text_pmi_collocations")
+    assert "CartesianProduct" not in p, p
+    assert "Generate" in p  # explode of the pair comprehension
+
+
+def test_dup_rate_by_length_is_two_hash_aggs(spark, sf_dir):
+    p = plan(spark, sf_dir, "docs_dup_rate_by_length")
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashAggregate" in p
