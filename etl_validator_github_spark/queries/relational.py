@@ -5663,6 +5663,76 @@ def _orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-hour KS drift vs the corpus-wide value distribution — the batch
+# scorecard of the streaming drift monitor (streaming/drift.py shares
+# the exact-integer core in functions/stats.py, so monitor and
+# backfill can never disagree). Each hour's empirical CDF is compared
+# to the global reference on the merged cents grid; hours whose KS
+# spikes are the windows a feature-drift alert would fire on.
+#
+# Scale shape: two hash-aggs build the histograms; the merged axis is
+# a union + re-aggregate (no full-outer join); cumulative counts run
+# under hour-partitioned windows; one 128-bit division per hour.
+# ---------------------------------------------------------------------------
+
+
+def _events_hourly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_validator_github_spark.functions.stats import ks_vs_reference
+
+    ev = load_events(spark, sf_dir).select(
+        (F.expr(f"ts_us div {_US_PER_HOUR}") * F.lit(3600))
+        .alias("hour_epoch"),
+        cents("value").alias("v"),
+    ).localCheckpoint(eager=False)  # hourly + reference hists share it
+    counts = ev.groupBy("hour_epoch", "v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ref = ev.groupBy("v").agg(F.count(F.lit(1)).alias("n_ref"))
+    return ks_vs_reference(counts, ref, ["hour_epoch"])
+
+
+_HOURLY_KS_SQL = f"""
+WITH ev AS (
+  SELECT (epoch_us(ts) // {_US_PER_HOUR}) * 3600 AS hour_epoch,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), counts AS (
+  SELECT hour_epoch, v, CAST(COUNT(*) AS BIGINT) AS c_l FROM ev
+  GROUP BY 1, 2
+), ref AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c_r FROM ev GROUP BY 1
+), merged AS (
+  SELECT hour_epoch, v, SUM(c_l) AS c_l, SUM(c_r) AS c_r FROM (
+    SELECT hour_epoch, v, c_l, 0 AS c_r FROM counts
+    UNION ALL
+    SELECT h.hour_epoch, r.v, 0 AS c_l, r.c_r
+    FROM (SELECT DISTINCT hour_epoch FROM counts) h CROSS JOIN ref r
+  ) GROUP BY 1, 2
+), cum AS (
+  SELECT hour_epoch,
+         SUM(c_l) OVER w AS cum_l, SUM(c_r) OVER w AS cum_r,
+         SUM(c_l) OVER g AS n_l, SUM(c_r) OVER g AS n_r
+  FROM merged
+  WINDOW w AS (PARTITION BY hour_epoch ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         g AS (PARTITION BY hour_epoch)
+), dm AS (
+  SELECT hour_epoch,
+         CAST(n_l AS BIGINT) AS n_window,
+         CAST(n_r AS BIGINT) AS n_ref,
+         MAX(abs(CAST(cum_l AS HUGEINT) * n_r
+                 - CAST(cum_r AS HUGEINT) * n_l)) AS num
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT hour_epoch, n_window, n_ref,
+       CAST((num // den) * 1000000
+            + ((num % den) * 1000000) // den AS BIGINT) AS ks_micro
+FROM (SELECT hour_epoch, n_window, n_ref, num,
+             CAST(n_window AS HUGEINT) * n_ref AS den FROM dm)
+"""
+
+
 _SEASONALITY_SQL = """
 WITH per AS (
   SELECT month(o_orderdate) AS month,
@@ -5893,5 +5963,11 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Month-of-year revenue seasonality index vs a uniform "
               "month (micro-units), 12-row aggregate + one 128-bit "
               "division per row."),
+        Query("events_hourly_ks_drift", _events_hourly_ks_drift,
+              _HOURLY_KS_SQL,
+              "Per-hour KS drift vs the corpus-wide value "
+              "distribution — the batch scorecard of the streaming "
+              "drift monitor, sharing functions/stats.py's "
+              "exact-integer KS core."),
     ]
 }
