@@ -564,6 +564,70 @@ def cell_assignments(vectors: DataFrame, cells: DataFrame,
     )
 
 
+def cell_assignments_np(vectors: DataFrame, cells: DataFrame,
+                        nprobe: int = N_PROBE) -> DataFrame:
+    """Arrow/numpy twin of ``cell_assignments`` — bit-identical output
+    (pinned by tests/test_similarity_np.py), ~2 orders of magnitude
+    faster when the cell count grows.
+
+    The expression path evaluates an interpreted lambda fold per
+    (vector × cell × dim): measured 45 s per 100k vectors at 1024
+    cells × 64 dims on local[32] — the IVF family's scale bend. Here
+    the same dots are ONE dgemm per Arrow batch: quantized components
+    are ≤10⁶ in magnitude, so every product (≤10¹²) and 64-term
+    partial sum (≤6.4·10¹³) is exactly representable in float64 —
+    BLAS may reassociate freely and still return the exact integer
+    dot, and the cos = dot / (sqrt·sqrt) arithmetic is then the same
+    IEEE ops as the expression path. Ordering mirrors array_sort on
+    (negcos, label) via lexsort.
+
+    The centroid table is fetched driver-side once (the numpy twin of
+    ``F.broadcast`` — bounded by construction: one row per label) and
+    closed over by the mapInPandas batches; the corpus streams through
+    Arrow, nothing vector-sized ever collects.
+    """
+    import numpy as np
+
+    cell_rows = sorted(
+        ((r["label"], r["cv"], r["cnorm2"]) for r in cells.collect()),
+        key=lambda t: t[0],
+    )
+    labels = np.array([t[0] for t in cell_rows], dtype=np.int64)
+    cmat = np.array([t[1] for t in cell_rows], dtype=np.float64)  # L×d
+    cnorm = np.sqrt(np.array([t[2] for t in cell_rows],
+                             dtype=np.float64))
+
+    out_schema = (
+        "vec_id bigint, qv array<bigint>, norm2 bigint, "
+        "top_cells array<struct<negcos: double, label: int>>"
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(pdf["qv"].tolist(), dtype=np.float64)  # n×d
+            vnorm = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
+            # exact integer dots via dgemm (see docstring), then the
+            # same (dot / (sqrt*sqrt)) the expression path computes.
+            negcos = -(v @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+            # array_sort orders struct(negcos, label) ascending with
+            # label as tie-break: lexsort(minor first).
+            order = np.lexsort(
+                (np.broadcast_to(labels, negcos.shape), negcos), axis=1
+            )[:, :nprobe]
+            top = [
+                [{"negcos": float(negcos[i, j]), "label": int(labels[j])}
+                 for j in row]
+                for i, row in enumerate(order)
+            ]
+            pdf = pdf[["vec_id", "qv", "norm2"]].copy()
+            pdf["top_cells"] = top
+            yield pdf
+
+    return vectors.mapInPandas(_assign, out_schema)
+
+
 def ivf_assignments(embeddings: DataFrame,
                     nprobe: int = N_PROBE) -> DataFrame:
     """Nearest-cell list against centroids built from the same corpus."""
@@ -828,17 +892,32 @@ def semantic_threshold_sweep(
     corpus: DataFrame,
     centroid_source: DataFrame,
     max_cell_pop: int = MAX_CELL_PAIR_POP,
+    np_assign: bool = False,
+    materialize_assignment: bool = False,
 ) -> DataFrame:
     """(threshold_milli, n_total, n_dropped, n_kept) per candidate
     cutoff; drop rule identical to ``semantic_dedup_keep`` (the larger
-    vec_id of a ≥-threshold within-cell pair drops)."""
-    assigned = cell_assignments(
+    vec_id of a ≥-threshold within-cell pair drops).
+
+    Scale opt-ins (defaults keep the fixture-scale plan the oracle was
+    pinned against; values are identical either way):
+    ``np_assign`` routes the cell assignment through the dgemm twin
+    (``cell_assignments_np`` — the expression path's interpreted
+    per-cell lambda is the family's measured scale bend);
+    ``materialize_assignment`` checkpoints the assignment once instead
+    of re-evaluating it for each of its four consumers (pair sides,
+    pairable census, total) — at 100 TB you'd persist it explicitly.
+    """
+    assign = cell_assignments_np if np_assign else cell_assignments
+    assigned = assign(
         quantized(corpus), ivf_cells(centroid_source), nprobe=1
     ).select(
         "vec_id",
         F.col("top_cells")[0]["label"].alias("cell"),
         "qv", "norm2",
     )
+    if materialize_assignment:
+        assigned = assigned.localCheckpoint(eager=False)
     pairable = assigned.join(
         F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
     )

@@ -1,0 +1,71 @@
+"""Bit-parity of the dgemm cell-assignment twin.
+
+``cell_assignments_np`` must return EXACTLY what the expression path
+returns — same dots (both are exact integers: the expression path sums
+bigints, the numpy path sums float64 values that are all exactly
+representable), same cos doubles (same IEEE ops on the same operands),
+same (negcos, label) ordering, same nprobe slice. Pinned on the
+fixture embeddings and on a synthetic many-cell corpus with engineered
+ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_validator_github_spark.scale.similarity import (
+    cell_assignments,
+    cell_assignments_np,
+    ivf_cells,
+    quantized,
+    semantic_threshold_sweep,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    out = []
+    for r in df.collect():
+        out.append((
+            r["vec_id"], tuple(r["qv"]), r["norm2"],
+            tuple((c["negcos"], c["label"]) for c in r["top_cells"]),
+        ))
+    return sorted(out)
+
+
+def test_np_assignment_matches_expression_on_fixture(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs, cells = quantized(emb), ivf_cells(emb)
+    for nprobe in (1, 3):
+        a = _rows(cell_assignments(vecs, cells, nprobe=nprobe))
+        b = _rows(cell_assignments_np(vecs, cells, nprobe=nprobe))
+        assert a == b
+
+
+def test_np_assignment_matches_on_synthetic_ties(spark):
+    # 2000 vectors over 64 cells; duplicate vectors under different ids
+    # force exact cos ties across cells built from identical label
+    # populations, exercising the label tie-break.
+    emb = spark.range(2000).selectExpr(
+        "id as vec_id",
+        "cast(id % 64 as int) as label",
+        "transform(sequence(0, 15), i -> cast("
+        "((id % 500) * 37 + i * 11) % 201 - 100 as float) / 100.0f)"
+        " as embedding",
+    )
+    vecs, cells = quantized(emb), ivf_cells(emb)
+    a = _rows(cell_assignments(vecs, cells, nprobe=2))
+    b = _rows(cell_assignments_np(vecs, cells, nprobe=2))
+    assert a == b
+
+
+def test_sweep_scale_optins_change_nothing(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = semantic_threshold_sweep(emb, emb)
+    fast = semantic_threshold_sweep(
+        emb, emb, np_assign=True, materialize_assignment=True
+    )
+    key = ["threshold_milli", "n_total", "n_dropped", "n_kept"]
+    assert sorted(map(tuple, base.select(*key).collect())) == \
+        sorted(map(tuple, fast.select(*key).collect()))

@@ -48,6 +48,7 @@ BLOOM_HELDOUT_DOCS = 10
 
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
+           "sweep", "vocab_coverage",
            "bpe", "keeplongest", "rrf", "bm25_delta")
 
 
@@ -323,6 +324,47 @@ def main() -> int:
         # degeneration, measured at 20k). See prefix_filter_pairs.
         timed("ppjoin", lambda: force(prefix_filter_pairs(
             docs, shingle_tokens=5)))
+
+    if "sweep" in ops:
+        from etl_validator_github_spark.scale.similarity import (
+            semantic_threshold_sweep,
+        )
+        # 1M synthetic 64-dim vectors over 1024 IVF cells (~sqrt-N cell
+        # count, the SemDeDup operating point): cell pops ~1k stay far
+        # below MAX_CELL_PAIR_POP, so every cell pairs. The sweep's
+        # claim under test: ONE pair join feeds every threshold, so
+        # cost is independent of how many cutoffs are swept. Vector
+        # generation is persisted untimed; the timing covers
+        # assignment + pair join + per-vector max + threshold fold.
+        edir = os.path.join(args.workdir, f"emb_{args.docs}.parquet")
+        if not os.path.exists(edir):
+            (spark.range(args.docs).selectExpr(
+                "id as vec_id",
+                "cast(abs(hash(id)) % 1024 as int) as label",
+                "transform(sequence(0, 63), i -> cast("
+                "((id * 1103515245 + i * 12345) % 2001 - 1000) / 1000.0"
+                " as float)) as embedding",
+            ).write.parquet(edir))
+        emb = spark.read.parquet(edir)
+        # The scale path: dgemm assignment + one materialized pass
+        # (bit-parity with the fixture plan pinned in
+        # tests/test_similarity_np.py). The fixture-default plan is
+        # measured on a 20k slice as the before/after — its
+        # interpreted per-cell lambda fold is the family's bend.
+        timed("sweep", lambda: force(semantic_threshold_sweep(
+            emb, emb, np_assign=True, materialize_assignment=True)))
+        slice20k = emb.filter(F.col("vec_id") < 20_000)
+        timed("sweep_expr_20k", lambda: force(semantic_threshold_sweep(
+            slice20k, slice20k)), repeat=1)
+
+    if "vocab_coverage" in ops:
+        from etl_validator_github_spark.scale.text import (
+            vocab_coverage_curve,
+        )
+        # The r9 verdict's scale-watch: the coverage curve's rank pass
+        # over the vocab table — now the range-partitioned exact rank
+        # (functions/ranks.py), measured here over the full corpus.
+        timed("vocab_coverage", lambda: force(vocab_coverage_curve(docs)))
 
     print(json.dumps({
         "docs": args.docs,
