@@ -5664,6 +5664,198 @@ def _orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-type peak hour-of-day via max_by/arg_max — the argmax aggregate
+# surface (one hash-agg, no window, no join-back: the classic
+# "row_number = 1" plan needs a sort per group; max_by carries the
+# argument through the existing aggregation). Neither engine defines
+# tie order, so the tie-break is encoded INTO the ordering key:
+# n·100 + (99 − hour) prefers the larger count, then the EARLIER hour
+# — deterministic in both engines with a plain BIGINT key (DuckDB's
+# arg_max accepts no struct keys).
+# ---------------------------------------------------------------------------
+
+
+def _events_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"(ts_us div {_US_PER_HOUR}) % 24").alias("hour"),
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.expr("max_by(hour, n * 100 + (99 - hour))")
+            .cast("int").alias("peak_hour"),
+            F.max("n").cast("long").alias("peak_events"),
+            F.sum("n").cast("long").alias("total_events"),
+        )
+        .withColumn(
+            "peak_share_milli",
+            F.expr("cast((1000 * peak_events) div total_events as int)"),
+        )
+    )
+
+
+_PEAK_HOUR_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(arg_max(hour, n * 100 + (99 - hour)) AS INT) AS peak_hour,
+       CAST(MAX(n) AS BIGINT) AS peak_events,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST((1000 * MAX(n)) // SUM(n) AS INT) AS peak_share_milli
+FROM hourly GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer Pearson correlation of account balance vs realized
+# revenue per market segment: both moments' numerators in DECIMAL(38,0),
+# then ONE float division per segment — floor() on the identical
+# double quotient in both engines (the possibly-negative-numerator
+# convention from docs_importance_resample; sqrt/multiply/divide are
+# the same IEEE ops on the same operands). One shuffle join + one
+# hash-agg; the correlation arithmetic runs on the 5-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _customers_balance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents("c_acctbal").alias("x")
+    )
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    per = cust.join(rev, F.col("c_custkey") == F.col("o_custkey"))
+    agg = per.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    return agg.select(
+        "c_mktsegment", "n",
+        F.expr(
+            "cast(floor(cast(CAST(n AS DECIMAL(38,0)) * sxy"
+            "                - CAST(sx AS DECIMAL(38,0)) * sy as double)"
+            " / nullif(sqrt(cast(CAST(n AS DECIMAL(38,0)) * sxx"
+            "                    - CAST(sx AS DECIMAL(38,0)) * sx"
+            "                    as double))"
+            "          * sqrt(cast(CAST(n AS DECIMAL(38,0)) * syy"
+            "                      - CAST(sy AS DECIMAL(38,0)) * sy"
+            "                      as double)), 0.0d)"
+            " * 1000000.0d) as bigint)"
+        ).alias("corr_micro"),
+    )
+
+
+_BALANCE_CORR_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS x, y
+  FROM customer JOIN rev ON c_custkey = o_custkey
+), agg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM per GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       CAST(floor(CAST(CAST(n AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / nullif(sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                     - CAST(sx AS HUGEINT) * sx
+                                     AS DOUBLE))
+                           * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                       - CAST(sy AS HUGEINT) * sy
+                                       AS DOUBLE)), 0.0)
+                  * 1000000.0) AS BIGINT) AS corr_micro
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Arrival burstiness per event type: the Fano factor of hourly counts,
+# Var/Mean = (n·Q − S²) / (n·S) over the hourly-count series — 10⁶ ≈
+# Poisson, higher = bursty arrivals (the capacity-planning readout).
+# Two hash-aggs end in a per-type 128-bit div/mod division; the
+# numerator n·Q−S² is a variance numerator, so non-negative.
+# ---------------------------------------------------------------------------
+
+
+def _events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type",
+                 F.expr(f"ts_us div {_US_PER_HOUR}").alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q"),
+    )
+    return (
+        agg.select(
+            "event_type", "n_hours", "n_events",
+            F.expr("CAST(n_hours AS DECIMAL(38,0)) * q"
+                   " - CAST(n_events AS DECIMAL(38,0)) * n_events")
+            .alias("num"),
+            F.expr("CAST(n_hours AS DECIMAL(38,0))"
+                   " * CAST(n_events AS DECIMAL(38,0))").alias("den"),
+        )
+        .select(
+            "event_type", "n_hours", "n_events",
+            F.expr("(num div den) * 1000000"
+                   " + ((num % den) * 1000000) div den")
+            .cast("long").alias("fano_micro"),
+        )
+    )
+
+
+_BURSTINESS_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(x) AS BIGINT) AS n_events,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM hourly GROUP BY 1
+), frac AS (
+  SELECT event_type, n_hours, n_events,
+         CAST(n_hours AS HUGEINT) * q
+           - CAST(n_events AS HUGEINT) * n_events AS num,
+         CAST(n_hours AS HUGEINT) * n_events AS den
+  FROM agg
+)
+SELECT event_type, n_hours, n_events,
+       CAST((num // den) * 1000000
+            + ((num % den) * 1000000) // den AS BIGINT) AS fano_micro
+FROM frac
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-hour KS drift vs the corpus-wide value distribution — the batch
 # scorecard of the streaming drift monitor (streaming/drift.py shares
 # the exact-integer core in functions/stats.py, so monitor and
@@ -5969,5 +6161,18 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "distribution — the batch scorecard of the streaming "
               "drift monitor, sharing functions/stats.py's "
               "exact-integer KS core."),
+        Query("events_peak_hour", _events_peak_hour, _PEAK_HOUR_SQL,
+              "Per-type peak hour-of-day via max_by/arg_max with the "
+              "tie-break encoded into the BIGINT ordering key — the "
+              "argmax aggregate, no per-group sort."),
+        Query("customers_balance_corr", _customers_balance_corr,
+              _BALANCE_CORR_SQL,
+              "Exact-integer Pearson correlation (balance vs revenue) "
+              "per segment: DECIMAL(38,0) moment numerators, one "
+              "floored double division per segment."),
+        Query("events_burstiness", _events_burstiness, _BURSTINESS_SQL,
+              "Fano factor of hourly arrivals per event type "
+              "(Var/Mean, 1e6 ≈ Poisson): two hash-aggs + a 128-bit "
+              "div/mod per type."),
     ]
 }

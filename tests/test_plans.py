@@ -1145,3 +1145,19 @@ def test_dup_rate_by_length_is_two_hash_aggs(spark, sf_dir):
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
     assert "HashAggregate" in p
+
+
+def test_peak_hour_uses_argmax_not_window(spark, sf_dir):
+    """max_by carries the argument through the hash-agg — the plan has
+    no Window and no Sort (the row_number-=-1 formulation needs a sort
+    per group)."""
+    p = plan(spark, sf_dir, "events_peak_hour")
+    assert "Window" not in p, p
+    assert "max_by" in p
+
+
+def test_burstiness_is_two_hash_aggs(spark, sf_dir):
+    p = plan(spark, sf_dir, "events_burstiness")
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+    assert "HashAggregate" in p
