@@ -766,7 +766,9 @@ def _pairable_cells(assigned: DataFrame,
 
 def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
                         threshold: float = NEAR_DUP_COS,
-                        max_cell_pop: int = MAX_CELL_PAIR_POP) -> DataFrame:
+                        max_cell_pop: int = MAX_CELL_PAIR_POP,
+                        np_assign: bool = False,
+                        materialize_assignment: bool = False) -> DataFrame:
     """(vec_id, cell, keep) for every corpus vector.
 
     ``centroid_source`` supplies the labeled vectors the IVF cells are
@@ -780,15 +782,21 @@ def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
     reuse common subplans, so the corpus takes three MAP passes — no
     extra shuffles. A production caller at 100 TB persists (or writes
     out) the assignment first; here the gated fixture run stays
-    materialization-free by design.
+    materialization-free by design. The same scale opt-ins as
+    ``semantic_threshold_sweep`` (values identical, defaults keep the
+    oracle-pinned plan): ``np_assign`` = the dgemm assignment twin,
+    ``materialize_assignment`` = checkpoint instead of re-evaluating.
     """
-    assigned = cell_assignments(
+    assign = cell_assignments_np if np_assign else cell_assignments
+    assigned = assign(
         quantized(corpus), ivf_cells(centroid_source), nprobe=1
     ).select(
         "vec_id",
         F.col("top_cells")[0]["label"].alias("cell"),
         "qv", "norm2",
     )
+    if materialize_assignment:
+        assigned = assigned.localCheckpoint(eager=False)
     pairable = assigned.join(
         F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
     )

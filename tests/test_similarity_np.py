@@ -69,3 +69,20 @@ def test_sweep_scale_optins_change_nothing(spark):
     key = ["threshold_milli", "n_total", "n_dropped", "n_kept"]
     assert sorted(map(tuple, base.select(*key).collect())) == \
         sorted(map(tuple, fast.select(*key).collect()))
+
+
+def test_keep_scale_optins_change_nothing(spark):
+    from etl_validator_github_spark.scale.similarity import (
+        semantic_dedup_keep,
+        with_vector_copies,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    aug = with_vector_copies(emb)
+    base = semantic_dedup_keep(aug, emb)
+    fast = semantic_dedup_keep(
+        aug, emb, np_assign=True, materialize_assignment=True
+    )
+    cols = ["vec_id", "cell", "keep"]
+    assert sorted(map(tuple, base.select(*cols).collect())) == \
+        sorted(map(tuple, fast.select(*cols).collect()))
