@@ -764,11 +764,55 @@ def _pairable_cells(assigned: DataFrame,
     )
 
 
+def _per_vec_max_cos_np(pairable: DataFrame) -> DataFrame:
+    """Per vector: max cosine against any LOWER-id vector in the same
+    cell — the dgemm twin of the within-cell pair join (the other half
+    of the family's scale bend: at 1M vectors the pair pass is ~500M
+    interpreted 64-dim lambda folds). One blockwise gram per cell via
+    applyInPandas; dots are exact in float64 (quantized micros, see
+    cell_assignments_np) and the cos arithmetic is the same IEEE ops
+    as the join expression, so the per-vector max is over an identical
+    value set. Emits exactly the join formulation's output set: every
+    vector with at least one lower-id cellmate. Block size bounds the
+    gram slab at ~cell_pop × 1024 doubles (≤80 MB at the 10k pop cap).
+    Precondition (same as the expression path): no zero-norm vectors —
+    a NaN cos would rank differently (Spark treats NaN as greatest,
+    numpy propagates it)."""
+    import numpy as np
+    import pandas as pd
+
+    def _per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        p = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        if p < 2:
+            return pd.DataFrame(
+                {"vec_id": ids[:0], "max_cos": np.empty(0)}
+            )
+        v = np.array(pdf["qv"].tolist(), dtype=np.float64)
+        sn = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
+        out = np.empty(p - 1)
+        block = 1024
+        for j0 in range(1, p, block):
+            j1 = min(j0 + block, p)
+            g = (v[:j1] @ v[j0:j1].T) / (sn[:j1, None] * sn[None, j0:j1])
+            rows = np.arange(j1)[:, None]
+            cols = np.arange(j0, j1)[None, :]
+            g[rows >= cols] = -np.inf  # strict upper triangle: i < j
+            out[j0 - 1:j1 - 1] = g.max(axis=0)
+        return pd.DataFrame({"vec_id": ids[1:], "max_cos": out})
+
+    return pairable.groupBy("cell").applyInPandas(
+        _per_cell, "vec_id bigint, max_cos double"
+    )
+
+
 def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
                         threshold: float = NEAR_DUP_COS,
                         max_cell_pop: int = MAX_CELL_PAIR_POP,
                         np_assign: bool = False,
-                        materialize_assignment: bool = False) -> DataFrame:
+                        materialize_assignment: bool = False,
+                        np_pairs: bool = False) -> DataFrame:
     """(vec_id, cell, keep) for every corpus vector.
 
     ``centroid_source`` supplies the labeled vectors the IVF cells are
@@ -800,21 +844,28 @@ def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
     pairable = assigned.join(
         F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
     )
-    a, b = pairable.alias("a"), pairable.alias("b")
-    cos = (
-        F.expr(_DOT.format(a="a.qv", b="b.qv"))
-        / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
-    )
-    drops = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    if np_pairs:
+        drops = (
+            _per_vec_max_cos_np(pairable)
+            .filter(F.col("max_cos") >= threshold)
+            .select("vec_id")
         )
-        .filter(cos >= threshold)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
+    else:
+        a, b = pairable.alias("a"), pairable.alias("b")
+        cos = (
+            F.expr(_DOT.format(a="a.qv", b="b.qv"))
+            / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
+        )
+        drops = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(cos >= threshold)
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
     return assigned.join(
         drops.withColumn("__drop", F.lit(1)), "vec_id", "left"
     ).select(
@@ -902,6 +953,7 @@ def semantic_threshold_sweep(
     max_cell_pop: int = MAX_CELL_PAIR_POP,
     np_assign: bool = False,
     materialize_assignment: bool = False,
+    np_pairs: bool = False,
 ) -> DataFrame:
     """(threshold_milli, n_total, n_dropped, n_kept) per candidate
     cutoff; drop rule identical to ``semantic_dedup_keep`` (the larger
@@ -914,7 +966,10 @@ def semantic_threshold_sweep(
     per-cell lambda is the family's measured scale bend);
     ``materialize_assignment`` checkpoints the assignment once instead
     of re-evaluating it for each of its four consumers (pair sides,
-    pairable census, total) — at 100 TB you'd persist it explicitly.
+    pairable census, total) — at 100 TB you'd persist it explicitly;
+    ``np_pairs`` replaces the within-cell pair join's interpreted
+    per-pair dot fold with the blockwise per-cell gram
+    (``_per_vec_max_cos_np``).
     """
     assign = cell_assignments_np if np_assign else cell_assignments
     assigned = assign(
@@ -929,21 +984,24 @@ def semantic_threshold_sweep(
     pairable = assigned.join(
         F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
     )
-    a, b = pairable.alias("a"), pairable.alias("b")
-    cos = (
-        F.expr(_DOT.format(a="a.qv", b="b.qv"))
-        / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
-    )
-    per_vec = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    if np_pairs:
+        per_vec = _per_vec_max_cos_np(pairable)
+    else:
+        a, b = pairable.alias("a"), pairable.alias("b")
+        cos = (
+            F.expr(_DOT.format(a="a.qv", b="b.qv"))
+            / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
         )
-        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
-        .groupBy("vec_id")
-        .agg(F.max("cos").alias("max_cos"))
-    )
+        per_vec = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
+            .groupBy("vec_id")
+            .agg(F.max("cos").alias("max_cos"))
+        )
     total = assigned.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     counters = per_vec.agg(*[
         F.coalesce(

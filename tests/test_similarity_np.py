@@ -60,11 +60,44 @@ def test_np_assignment_matches_on_synthetic_ties(spark):
     assert a == b
 
 
+def test_per_vec_max_cos_np_matches_join_across_blocks(spark):
+    # Cell populations of 1250 exceed the 1024 gram block, so the
+    # blockwise strict-upper-triangle masking is exercised; values
+    # must equal the join + max formulation exactly.
+    from etl_validator_github_spark.scale.similarity import (
+        _DOT,
+        _per_vec_max_cos_np,
+    )
+
+    pairable = spark.range(2500).selectExpr(
+        "id as vec_id",
+        "cast(id % 2 as int) as cell",
+        "transform(sequence(0, 7), i -> (id % 97) * 13 + i * 7 - 50)"
+        " as qv",
+    ).withColumn("norm2", F.expr(_DOT.format(a="qv", b="qv")))
+    a, b = pairable.alias("a"), pairable.alias("b")
+    cos = (
+        F.expr(_DOT.format(a="a.qv", b="b.qv"))
+        / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
+    )
+    want = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
+        .groupBy("vec_id").agg(F.max("cos").alias("max_cos"))
+    )
+    got = _per_vec_max_cos_np(pairable)
+    w = {r["vec_id"]: r["max_cos"] for r in want.collect()}
+    g = {r["vec_id"]: r["max_cos"] for r in got.collect()}
+    assert g == w
+
+
 def test_sweep_scale_optins_change_nothing(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     base = semantic_threshold_sweep(emb, emb)
     fast = semantic_threshold_sweep(
-        emb, emb, np_assign=True, materialize_assignment=True
+        emb, emb, np_assign=True, materialize_assignment=True,
+        np_pairs=True,
     )
     key = ["threshold_milli", "n_total", "n_dropped", "n_kept"]
     assert sorted(map(tuple, base.select(*key).collect())) == \
@@ -81,7 +114,8 @@ def test_keep_scale_optins_change_nothing(spark):
     aug = with_vector_copies(emb)
     base = semantic_dedup_keep(aug, emb)
     fast = semantic_dedup_keep(
-        aug, emb, np_assign=True, materialize_assignment=True
+        aug, emb, np_assign=True, materialize_assignment=True,
+        np_pairs=True,
     )
     cols = ["vec_id", "cell", "keep"]
     assert sorted(map(tuple, base.select(*cols).collect())) == \

@@ -48,7 +48,7 @@ BLOOM_HELDOUT_DOCS = 10
 
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
-           "sweep", "vocab_coverage",
+           "sweep", "sweep_expr", "vocab_coverage",
            "bpe", "keeplongest", "rrf", "bm25_delta")
 
 
@@ -352,7 +352,15 @@ def main() -> int:
         # measured on a 20k slice as the before/after — its
         # interpreted per-cell lambda fold is the family's bend.
         timed("sweep", lambda: force(semantic_threshold_sweep(
-            emb, emb, np_assign=True, materialize_assignment=True)))
+            emb, emb, np_assign=True, materialize_assignment=True,
+            np_pairs=True)))
+
+    if "sweep_expr" in ops:
+        # The fixture-default expression plan, measured on a 20k slice
+        # as the before/after for the dgemm opt-ins (interpreted
+        # per-cell lambda folds; a full 1M run would take hours).
+        edir = os.path.join(args.workdir, f"emb_{args.docs}.parquet")
+        emb = spark.read.parquet(edir)
         slice20k = emb.filter(F.col("vec_id") < 20_000)
         timed("sweep_expr_20k", lambda: force(semantic_threshold_sweep(
             slice20k, slice20k)), repeat=1)
