@@ -5941,6 +5941,283 @@ FROM per, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Fulfillment latency (order date → first shipment) as exact per-priority
+# percentiles. The percentile is computed from the (priority, days)
+# HISTOGRAM, never a rank window over raw orders: one co-keyed join
+# (lineitem pre-aggregated to its order grain), one hash-agg to a
+# ~5×130-row grid, then windows over that bounded grid only. The
+# percentile rule is division-free — the smallest latency whose
+# cumulative count satisfies cum·100 ≥ n·k — so both engines compare
+# exact integers and ties are impossible.
+# ---------------------------------------------------------------------------
+
+
+def _orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    lat = (
+        load(spark, sf_dir, "orders")
+        .join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate"))
+            .cast("int").alias("lat_days"),
+        )
+    )
+    hist = lat.groupBy("o_orderpriority", "lat_days").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority").orderBy("lat_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority", "lat_days",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(g).alias("n"),
+    )
+
+    def _pct(k: int) -> Column:
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * k, F.col("lat_days"))
+        ).cast("int")
+
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("cum").cast("long").alias("n_orders"),
+        _pct(50).alias("p50_days"),
+        _pct(90).alias("p90_days"),
+        _pct(99).alias("p99_days"),
+        F.max("lat_days").cast("int").alias("max_days"),
+    )
+
+
+_FULFILLMENT_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+), lat AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(first_ship AS DATE)) AS INT) AS lat_days
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+), hist AS (
+  SELECT o_orderpriority, lat_days, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lat GROUP BY 1, 2
+), cum AS (
+  SELECT o_orderpriority, lat_days,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM hist
+)
+SELECT o_orderpriority,
+       CAST(MAX(cum) AS BIGINT) AS n_orders,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN lat_days END) AS INT)
+         AS p50_days,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN lat_days END) AS INT)
+         AS p90_days,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lat_days END) AS INT)
+         AS p99_days,
+       CAST(MAX(lat_days) AS INT) AS max_days
+FROM cum GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly arrival series per event type at lags
+# 1h and 24h — the seasonality probe behind the seasonal-naive model's
+# lag choices. The hourly rollup is the only fact-table pass (shared
+# via a lazy localCheckpoint); each lag is a broadcast self-join of
+# that bounded series shifted by the lag, and the Pearson correlation
+# is the exact-integer moment pattern (DECIMAL(38,0) numerators, one
+# floored double division per (type, lag)). Pairs exist only where
+# BOTH hours are present — gaps contribute nothing rather than fake
+# zeros, matching how the gap-filled grid treats missing hours as
+# explicit.
+# ---------------------------------------------------------------------------
+
+
+def _events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", F.expr(f"ts_us div {_US_PER_HOUR}").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = None
+    for lag in (1, 24):
+        shifted = hourly.select(
+            F.col("event_type").alias("et2"),
+            (F.col("h") + F.lit(lag)).alias("h2"),
+            F.col("x").alias("y"),
+        )
+        p = hourly.join(
+            F.broadcast(shifted),
+            (F.col("event_type") == F.col("et2")) & (F.col("h") == F.col("h2")),
+        ).select("event_type", F.lit(lag).alias("lag"), "x", "y")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    return agg.select(
+        "event_type", "lag", "n_pairs",
+        F.expr(
+            "cast(floor(cast(CAST(n_pairs AS DECIMAL(38,0)) * sxy"
+            "                - CAST(sx AS DECIMAL(38,0)) * sy as double)"
+            " / nullif(sqrt(cast(CAST(n_pairs AS DECIMAL(38,0)) * sxx"
+            "                    - CAST(sx AS DECIMAL(38,0)) * sx"
+            "                    as double))"
+            "          * sqrt(cast(CAST(n_pairs AS DECIMAL(38,0)) * syy"
+            "                      - CAST(sy AS DECIMAL(38,0)) * sy"
+            "                      as double)), 0.0d)"
+            " * 1000000.0d) as bigint)"
+        ).alias("acf_micro"),
+    )
+
+
+_HOURLY_AUTOCORR_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, 1 AS lag, a.x AS x, b.x AS y
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h = b.h + 1
+  UNION ALL
+  SELECT a.event_type, 24 AS lag, a.x AS x, b.x AS y
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h = b.h + 24
+), agg AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+       CAST(floor(CAST(CAST(n_pairs AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / nullif(sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx
+                                     - CAST(sx AS HUGEINT) * sx
+                                     AS DOUBLE))
+                           * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy
+                                       - CAST(sy AS HUGEINT) * sy
+                                       AS DOUBLE)), 0.0)
+                  * 1000000.0) AS BIGINT) AS acf_micro
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA of extended price across return flags, computed per
+# line status — "does the return flag explain price variance?" as a
+# single fact-table hash-agg. Both sums of squares are exact-integer
+# micro terms: ssb = Σ_g ⌊10⁶·S_g²/n_g⌋ − ⌊10⁶·S²/N⌋ (128-bit div on
+# non-negative values, identical in both engines), ssw = 10⁶·Q − the
+# same Σ_g term, and the F statistic is one div/mod 128-bit quotient
+# of (ssb·(N−k), ssw·(k−1)). No window, no second scan — the group
+# frame is k rows per status.
+# ---------------------------------------------------------------------------
+
+
+def _lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_returnflag", cents("l_extendedprice").alias("x")
+    )
+    grp = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q_g"),
+    )
+    # ⌊10⁶·S_g²/n_g⌋ via the div/mod decomposition (Spark's decimal
+    # `div` yields BIGINT, and the undecomposed quotient overflows it):
+    # floor(a·10⁶/n) = floor(a/n)·10⁶ + floor((a mod n)·10⁶/n), exact.
+    _between = (
+        "CAST((CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g"
+        "      AS DECIMAL(38,0)) * 1000000"
+        " + ((CAST(s_g AS DECIMAL(38,0)) * s_g) % n_g) * 1000000 div n_g"
+    )
+    _total = (
+        "CAST((CAST(s AS DECIMAL(38,0)) * s) div n_rows"
+        "      AS DECIMAL(38,0)) * 1000000"
+        " + ((CAST(s AS DECIMAL(38,0)) * s) % n_rows) * 1000000 div n_rows"
+    )
+    agg = grp.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_rows"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(F.expr(_between)).cast("decimal(38,0)").alias("sum_between"),
+    )
+    return agg.select(
+        "l_linestatus", "n_rows", "k_groups",
+        F.expr(
+            f"greatest(sum_between - ({_total}),"
+            " CAST(0 AS DECIMAL(38,0)))"
+        ).cast("decimal(38,0)").alias("ssb_micro"),
+        F.expr("q * 1000000 - sum_between")
+        .cast("decimal(38,0)").alias("ssw_micro"),
+    ).select(
+        "l_linestatus", "n_rows", "k_groups", "ssb_micro", "ssw_micro",
+        F.expr(
+            "CASE WHEN ssw_micro = 0 OR k_groups < 2 THEN NULL ELSE"
+            " cast((ssb_micro * (n_rows - k_groups) * 1000000)"
+            "        div (ssw_micro * (k_groups - 1)) as bigint)"
+            " END"
+        ).alias("f_micro"),
+    )
+
+
+_ANOVA_SQL = """
+WITH grp AS (
+  SELECT l_linestatus, l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS s_g,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS q_g
+  FROM lineitem GROUP BY 1, 2
+), agg AS (
+  SELECT l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n_rows,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         SUM(q_g) AS q,
+         SUM((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS sum_between
+  FROM grp GROUP BY 1
+), terms AS (
+  SELECT l_linestatus, n_rows, k_groups,
+         greatest(sum_between
+                  - (CAST(s AS HUGEINT) * s * 1000000) // n_rows,
+                  CAST(0 AS HUGEINT)) AS ssb_micro,
+         q * 1000000 - sum_between AS ssw_micro
+  FROM agg
+)
+SELECT l_linestatus, n_rows, k_groups,
+       CAST(ssb_micro AS DECIMAL(38,0)) AS ssb_micro,
+       CAST(ssw_micro AS DECIMAL(38,0)) AS ssw_micro,
+       CASE WHEN ssw_micro = 0 OR k_groups < 2 THEN NULL ELSE
+         CAST((ssb_micro * (n_rows - k_groups) * 1000000)
+              // (ssw_micro * (k_groups - 1)) AS BIGINT)
+       END AS f_micro
+FROM terms
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
