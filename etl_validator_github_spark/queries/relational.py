@@ -6451,5 +6451,20 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "Fano factor of hourly arrivals per event type "
               "(Var/Mean, 1e6 ≈ Poisson): two hash-aggs + a 128-bit "
               "div/mod per type."),
+        Query("orders_fulfillment_latency", _orders_fulfillment_latency,
+              _FULFILLMENT_SQL,
+              "Order→first-shipment latency percentiles per priority "
+              "from the (priority, days) histogram — windows over the "
+              "bounded grid only, never a rank over raw orders."),
+        Query("events_hourly_autocorr", _events_hourly_autocorr,
+              _HOURLY_AUTOCORR_SQL,
+              "Hourly-arrival autocorrelation at lags 1h/24h per event "
+              "type: one fact-table rollup, broadcast shifted "
+              "self-joins, exact-integer Pearson moments."),
+        Query("lineitem_returnflag_anova", _lineitem_returnflag_anova,
+              _ANOVA_SQL,
+              "One-way ANOVA of price across return flags per line "
+              "status: exact-integer between/within sums of squares "
+              "from a single hash-agg, 128-bit F quotient."),
     ]
 }
