@@ -3008,9 +3008,181 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Learned quality filter (the CCNet/GPT-3-style classifier stage): a
+# Bernoulli-NB-inspired token-weight model TRAINED IN-DATA on teacher
+# labels (the shared `quality_flag` heuristic) over the doc_id%10<3
+# split, then scored corpus-wide. Exact-integer end to end: per-token
+# weight = ⌊10⁶·(c_pos+1)/(c_pos+c_neg+2)⌋ (Laplace-smoothed positive
+# rate, floored BIGINT division — no log, no floats), per-doc score =
+# the floored mean weight of its in-vocabulary tokens, decision =
+# score ≥ the floored train prior. Scale shape: training is ONE
+# hash-agg over the 30% train slice; the pruned vocabulary (occurrence
+# count ≥ VOCAB_MIN) is vocabulary-bounded and BROADCAST, so scoring
+# is explode → broadcast hash join → doc-grain partial agg — no
+# corpus-vs-corpus shuffle anywhere. On this synthetic word-soup
+# corpus the model demonstrates the mechanism (as LANG_MARKERS notes),
+# with label correlation carried by doc length via token multiplicity.
+# Public method: Joulin 2016 (fastText) / Wenzek 2019 (CCNet) reduced
+# to exact-integer NB token voting.
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_TRAIN_MOD = 10
+CLASSIFIER_TRAIN_LT = 3
+CLASSIFIER_VOCAB_MIN = 5
+
+
+def _labeled_docs(docs: DataFrame) -> DataFrame:
+    t = tokens()
+    n_tokens = F.size(t)
+    stop_ratio = _count_in(t, _STOPWORDS) / n_tokens
+    label = (
+        (n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio < 0.5)
+    ).cast("int")
+    return docs.select(
+        "doc_id", "lang", t.alias("__toks"), label.alias("label")
+    )
+
+
+def quality_classifier_weights(lab: DataFrame) -> DataFrame:
+    """(token, w_micro) learned from the labeled train slice: one
+    explode + hash-agg, pruned to occurrences ≥ CLASSIFIER_VOCAB_MIN."""
+    occ = lab.select("label", F.explode("__toks").alias("token"))
+    counts = occ.groupBy("token").agg(
+        F.sum("label").cast("long").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("label")).cast("long").alias("c_neg"),
+    )
+    return counts.filter(
+        F.col("c_pos") + F.col("c_neg") >= CLASSIFIER_VOCAB_MIN
+    ).select(
+        "token",
+        F.expr("(1000000 * (c_pos + 1)) div (c_pos + c_neg + 2)")
+        .alias("w_micro"),
+    )
+
+
+def quality_classifier_score(lab: DataFrame, weights: DataFrame,
+                             prior: DataFrame) -> DataFrame:
+    """Per-doc classifier scores for every labeled doc: explode →
+    broadcast vocab join → doc-grain floored mean; zero-hit docs fall
+    back to the prior (and therefore predict the majority class)."""
+    hits = (
+        lab.select("doc_id", F.explode("__toks").alias("token"))
+        .join(F.broadcast(weights), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("w_micro").cast("long").alias("sum_w"),
+        )
+    )
+    return (
+        lab.select("doc_id", "lang", "label")
+        .join(hits, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id", "lang", "label",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(
+                F.expr("sum_w div n_hits"), F.col("prior_micro")
+            ).cast("long").alias("score_micro"),
+            "prior_micro",
+        )
+    )
+
+
+def _classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _labeled_docs(load(spark, sf_dir, "documents"))
+    train = lab.filter(
+        F.col("doc_id") % CLASSIFIER_TRAIN_MOD < CLASSIFIER_TRAIN_LT
+    )
+    # The decision threshold is the OCCURRENCE-level base rate, not the
+    # doc-level prior: per-doc scores are means of per-occurrence
+    # weights, so their neutral point is the occurrence prior (doc and
+    # occurrence priors differ whenever the label correlates with doc
+    # length, which the length-band teacher label guarantees).
+    prior = (
+        train.select(F.explode("__toks").alias("t"), "label")
+        .agg(
+            F.expr("(1000000 * sum(label)) div count(1)")
+            .cast("long").alias("prior_micro")
+        )
+    )
+    scored = quality_classifier_score(
+        lab, quality_classifier_weights(train), prior
+    )
+    return (
+        scored.select(
+            "lang", "label",
+            (F.col("score_micro") >= F.col("prior_micro"))
+            .cast("int").alias("predicted"),
+            "n_hits", "score_micro",
+        )
+        .groupBy("lang", "label", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("int")).cast("long")
+            .alias("n_scored"),
+            F.expr("sum(score_micro) div count(1)").cast("long")
+            .alias("avg_score_micro"),
+        )
+    )
+
+
+_CLASSIFIER_SQL = f"""
+WITH lab AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              AND {_sql_count_in(_STOPWORDS).replace('toks', "string_split(text, ' ')")}
+                  / len(string_split(text, ' ')) < 0.5 AS INT) AS label
+  FROM documents
+), train AS (
+  SELECT * FROM lab
+  WHERE doc_id % {CLASSIFIER_TRAIN_MOD} < {CLASSIFIER_TRAIN_LT}
+), prior AS (
+  SELECT (1000000 * CAST(SUM(label) AS BIGINT)) // COUNT(*) AS prior_micro
+  FROM (SELECT label, unnest(toks) AS t FROM train)
+), counts AS (
+  SELECT token,
+         CAST(SUM(label) AS BIGINT) AS c_pos,
+         CAST(SUM(1 - label) AS BIGINT) AS c_neg
+  FROM (SELECT label, unnest(toks) AS token FROM train)
+  GROUP BY 1
+), weights AS (
+  SELECT token, (1000000 * (c_pos + 1)) // (c_pos + c_neg + 2) AS w_micro
+  FROM counts WHERE c_pos + c_neg >= {CLASSIFIER_VOCAB_MIN}
+), hits AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM(w_micro) AS BIGINT) AS sum_w
+  FROM (SELECT doc_id, unnest(toks) AS token FROM lab)
+  JOIN weights USING (token)
+  GROUP BY 1
+), scored AS (
+  SELECT lang, label,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(h.sum_w // h.n_hits, p.prior_micro) AS score_micro,
+         p.prior_micro
+  FROM lab LEFT JOIN hits h USING (doc_id) CROSS JOIN prior p
+)
+SELECT lang, label,
+       CAST(score_micro >= prior_micro AS INT) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(SUM(score_micro) // COUNT(*) AS BIGINT) AS avg_score_micro
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("text_quality_classifier", _classifier_q, _CLASSIFIER_SQL,
+              "Learned quality filter: NB-inspired token weights "
+              "trained on the doc_id%10<3 split with heuristic teacher "
+              "labels, scored corpus-wide via a broadcast vocab join — "
+              "exact-integer weights, no floats."),
         Query("corpus_curation_pipeline", _curation_q, _curation_sql(),
               "End-to-end curation capstone: quality gate → exact "
               "dedup → per-domain cap, composed in order with per-doc "

@@ -2135,3 +2135,49 @@ def test_results_partition_independent(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b and len(a) > 0
+
+
+def test_quality_classifier_learns_stopword_signal(spark):
+    """On a constructed corpus where label-0 docs are stopword soup and
+    label-1 docs are content words, the learned token weights must
+    separate the two vocabularies and the scored predictions must
+    recover the labels (the mechanism the synthetic-testdata parity
+    query can only exercise near the decision boundary)."""
+    from etl_validator_github_spark.scale.text import (
+        _labeled_docs,
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    content = "alpha beta gamma delta " * 10          # 40 tokens, 4 words
+    soup = "the of and to in a the of and to " * 4    # 40 tokens, stopwords
+    rows = [(i, content.strip(), "en", "s", 1) for i in range(20)] + [
+        (i + 20, soup.strip(), "en", "s", 1) for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    lab = _labeled_docs(docs)
+    # Teacher labels: content docs pass the stopword-ratio gate,
+    # soup docs fail it (ratio 1.0 >= 0.5); both pass the length band.
+    got = {r["doc_id"]: r["label"] for r in lab.select("doc_id", "label").collect()}
+    assert all(got[i] == 1 for i in range(20))
+    assert all(got[i + 20] == 0 for i in range(20))
+
+    weights = quality_classifier_weights(lab)
+    w = {r["token"]: r["w_micro"] for r in weights.collect()}
+    assert min(w[t] for t in ("alpha", "beta", "gamma", "delta")) > 900_000
+    assert max(w[t] for t in ("the", "of", "and", "to", "in", "a")) < 100_000
+
+    prior = lab.select(F.explode("__toks").alias("t"), "label").agg(
+        F.expr("(1000000 * sum(label)) div count(1)")
+        .cast("long").alias("prior_micro")
+    )
+    scored = quality_classifier_score(lab, weights, prior)
+    pred = {
+        r["doc_id"]: int(r["score_micro"] >= r["prior_micro"])
+        for r in scored.collect()
+    }
+    assert all(pred[i] == 1 for i in range(20))
+    assert all(pred[i + 20] == 0 for i in range(20))
