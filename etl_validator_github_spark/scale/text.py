@@ -3090,8 +3090,10 @@ def quality_classifier_score(lab: DataFrame, weights: DataFrame,
     )
 
 
-def _classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lab = _labeled_docs(load(spark, sf_dir, "documents"))
+def quality_classifier_report(docs: DataFrame) -> DataFrame:
+    """Train-on-split + score-corpus-wide + confusion rollup over a raw
+    documents frame (the composable form measure_1m times at 1M)."""
+    lab = _labeled_docs(docs)
     train = lab.filter(
         F.col("doc_id") % CLASSIFIER_TRAIN_MOD < CLASSIFIER_TRAIN_LT
     )
@@ -3126,6 +3128,10 @@ def _classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_score_micro"),
         )
     )
+
+
+def _classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier_report(load(spark, sf_dir, "documents"))
 
 
 _CLASSIFIER_SQL = f"""

@@ -48,7 +48,7 @@ BLOOM_HELDOUT_DOCS = 10
 
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
-           "sweep", "sweep_expr", "vocab_coverage",
+           "sweep", "sweep_expr", "vocab_coverage", "classifier",
            "bpe", "keeplongest", "rrf", "bm25_delta")
 
 
@@ -373,6 +373,15 @@ def main() -> int:
         # over the vocab table — now the range-partitioned exact rank
         # (functions/ranks.py), measured here over the full corpus.
         timed("vocab_coverage", lambda: force(vocab_coverage_curve(docs)))
+
+    if "classifier" in ops:
+        from etl_validator_github_spark.scale.text import (
+            quality_classifier_report,
+        )
+        # Learned quality filter: ONE hash-agg over the 30% train
+        # slice, broadcast vocab, explode + broadcast join + doc-grain
+        # agg over the full corpus — no corpus-vs-corpus shuffle.
+        timed("classifier", lambda: force(quality_classifier_report(docs)))
 
     print(json.dumps({
         "docs": args.docs,
