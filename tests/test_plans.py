@@ -1161,3 +1161,43 @@ def test_burstiness_is_two_hash_aggs(spark, sf_dir):
     assert "Window" not in p, p
     assert "Join" not in p, p
     assert "HashAggregate" in p
+
+
+def test_fulfillment_latency_windows_partition_by_priority(spark, sf_dir):
+    """The latency percentiles come from the (priority, days) histogram
+    — every window is priority-partitioned over that bounded grid, and
+    the fact-sized work is the order-grain min-shipdate agg plus one
+    co-keyed join."""
+    p = plan(spark, sf_dir, "orders_fulfillment_latency")
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashAggregate" in p
+
+
+def test_hourly_autocorr_broadcasts_shifted_series(spark, sf_dir):
+    """One fact-table rollup; each lag is a broadcast self-join of the
+    bounded hourly series — no sort-merge of the raw events, no
+    window."""
+    p = plan(spark, sf_dir, "events_hourly_autocorr")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
+def test_returnflag_anova_is_one_hash_agg(spark, sf_dir):
+    """Both sums of squares reduce from a single (status, flag) grain
+    hash-agg — no window, no join, no second fact pass."""
+    p = plan(spark, sf_dir, "lineitem_returnflag_anova")
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+    assert "HashAggregate" in p
+
+
+def test_quality_classifier_broadcasts_vocab(spark, sf_dir):
+    """Scoring joins the exploded corpus against the PRUNED vocabulary
+    — that side must broadcast (it's vocabulary-bounded), and the only
+    nested-loop join is the documented 1-row prior fold."""
+    p = plan(spark, sf_dir, "text_quality_classifier")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p

@@ -2111,6 +2111,8 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     "dedup_semantic_threshold_sweep", "text_doc_keywords",
     "multimodal_audio_zcr", "events_user_deciles",
     "part_price_size_skyline",
+    "orders_fulfillment_latency", "events_hourly_autocorr",
+    "lineitem_returnflag_anova", "text_quality_classifier",
 ])
 def test_results_partition_independent(spark, sf_dir, name):
     """The contract.py claim, spot-pinned on this round's queries:
