@@ -1,0 +1,149 @@
+"""Property-based cross-checks of the round-10 exact-integer stats.
+
+`lineitem_returnflag_anova` rests on a div/mod decomposition of
+⌊10⁶·S²/n⌋ (Spark's decimal `div` returns BIGINT, so the undecomposed
+quotient overflows); `orders_fulfillment_latency` rests on a
+division-free histogram-percentile rule. Both are fuzzed here against
+independent pure-Python big-int references, so an off-by-one in either
+identity can't survive. Each example materializes a minimal parquet
+sf_dir because the catalog queries read tables by name — the same
+surface the driver exercises."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_validator_github_spark.queries import CATALOG
+
+_slow = settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_STATUSES = ("O", "F")
+_FLAGS = ("N", "A", "R")
+
+
+def _sf_dir(tmp_path_factory_dir, frames: dict[str, pd.DataFrame]) -> str:
+    d = tmp_path_factory_dir / f"sf_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    for name, pdf in frames.items():
+        pdf.to_parquet(d / f"{name}.parquet", index=False)
+    return str(d)
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(_STATUSES),
+            st.sampled_from(_FLAGS),
+            st.integers(min_value=1, max_value=10_000_000),  # price cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_anova_matches_bigint_reference(spark, tmp_path, rows):
+    li = pd.DataFrame(
+        {
+            "l_linestatus": [r[0] for r in rows],
+            "l_returnflag": [r[1] for r in rows],
+            "l_extendedprice": [r[2] / 100.0 for r in rows],
+        }
+    )
+    sf = _sf_dir(tmp_path, {"lineitem": li})
+    got = {
+        r["l_linestatus"]: (
+            r["n_rows"], r["k_groups"], int(r["ssb_micro"]),
+            int(r["ssw_micro"]),
+            None if r["f_micro"] is None else int(r["f_micro"]),
+        )
+        for r in CATALOG["lineitem_returnflag_anova"].build(spark, sf).collect()
+    }
+
+    want = {}
+    for status in {r[0] for r in rows}:
+        groups: dict[str, list[int]] = {}
+        for s, f, c in rows:
+            if s == status:
+                groups.setdefault(f, []).append(c)
+        n = sum(len(v) for v in groups.values())
+        k = len(groups)
+        s_tot = sum(sum(v) for v in groups.values())
+        q = sum(c * c for v in groups.values() for c in v)
+        sum_between = sum(
+            (sum(v) * sum(v) * 10**6) // len(v) for v in groups.values()
+        )
+        ssb = max(sum_between - (s_tot * s_tot * 10**6) // n, 0)
+        ssw = q * 10**6 - sum_between
+        f_micro = (
+            None
+            if ssw == 0 or k < 2
+            else (ssb * (n - k) * 10**6) // (ssw * (k - 1))
+        )
+        want[status] = (n, k, ssb, ssw, f_micro)
+    assert got == want
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(("1-URGENT", "2-HIGH")),
+            st.integers(min_value=0, max_value=130),  # latency days
+            st.integers(min_value=1, max_value=3),    # lineitems per order
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fulfillment_percentiles_match_histogram_reference(
+    spark, tmp_path, rows
+):
+    base = pd.Timestamp("1995-01-01")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(rows)),
+            "o_orderpriority": [r[0] for r in rows],
+            "o_orderdate": [base.date()] * len(rows),
+        }
+    )
+    li_rows = []
+    for okey, (_, lat, n_li) in enumerate(rows):
+        # Extra lineitems ship LATER than the first — min() must pick lat.
+        for j in range(n_li):
+            li_rows.append((okey, (base + pd.Timedelta(days=lat + 7 * j)).date()))
+    lineitem = pd.DataFrame(li_rows, columns=["l_orderkey", "l_shipdate"])
+    sf = _sf_dir(tmp_path, {"orders": orders, "lineitem": lineitem})
+    got = {
+        r["o_orderpriority"]: (
+            r["n_orders"], r["p50_days"], r["p90_days"], r["p99_days"],
+            r["max_days"],
+        )
+        for r in CATALOG["orders_fulfillment_latency"].build(spark, sf).collect()
+    }
+
+    want = {}
+    for pri in {r[0] for r in rows}:
+        lats = sorted(lat for p, lat, _ in rows if p == pri)
+        n = len(lats)
+
+        def pct(k: int, lats=lats, n=n):
+            cum = 0
+            seen = 0
+            for v in sorted(set(lats)):
+                seen += lats.count(v)
+                cum = seen
+                if cum * 100 >= n * k:
+                    return v
+            return None
+
+        want[pri] = (n, pct(50), pct(90), pct(99), max(lats))
+    assert got == want
