@@ -3044,9 +3044,55 @@ def _labeled_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_token_counts(lab: DataFrame) -> DataFrame:
+    """(doc_id, label, token, tf) — the classifier's per-doc sufficient
+    statistics. A doc's rows are a pure function of its own text, so a
+    streaming ingest can APPEND them per micro-batch and the learned
+    weights never rewrite earlier docs (the ``doc_postings`` contract;
+    see streaming/corpus.py::stream_classifier_counts)."""
+    return (
+        lab.select("doc_id", "label", F.explode("__toks").alias("token"))
+        .groupBy("doc_id", "label", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def classifier_weights_from_counts(counts: DataFrame) -> DataFrame:
+    """Fold (doc_id, label, token, tf) sufficient statistics into the
+    pruned (token, w_micro) weight table — Σtf·label ≡ the occurrence
+    counts the batch trainer aggregates directly."""
+    tok = counts.groupBy("token").agg(
+        F.sum(F.col("tf") * F.col("label")).cast("long").alias("c_pos"),
+        F.sum(F.col("tf") * (F.lit(1) - F.col("label"))).cast("long")
+        .alias("c_neg"),
+    )
+    return tok.filter(
+        F.col("c_pos") + F.col("c_neg") >= CLASSIFIER_VOCAB_MIN
+    ).select(
+        "token",
+        F.expr("(1000000 * (c_pos + 1)) div (c_pos + c_neg + 2)")
+        .alias("w_micro"),
+    )
+
+
+def classifier_prior_from_counts(counts: DataFrame) -> DataFrame:
+    """The occurrence-level base rate (the decision threshold) from the
+    same sufficient statistics — 1 row, prior_micro."""
+    return counts.agg(
+        F.expr("(1000000 * sum(tf * label)) div sum(tf)")
+        .cast("long").alias("prior_micro")
+    )
+
+
 def quality_classifier_weights(lab: DataFrame) -> DataFrame:
     """(token, w_micro) learned from the labeled train slice: one
-    explode + hash-agg, pruned to occurrences ≥ CLASSIFIER_VOCAB_MIN."""
+    explode + hash-agg DIRECTLY at token grain (map-side partial
+    combine keeps the exchange vocabulary-bounded — routing through
+    ``doc_token_counts`` would shuffle at the ~64M-group (doc, token)
+    grain instead, the BM25-build cost class). The streaming path pays
+    that grain on purpose, per small micro-batch, to buy append-only
+    incrementality; equality of the two folds is pinned in
+    tests/test_streaming_corpus.py."""
     occ = lab.select("label", F.explode("__toks").alias("token"))
     counts = occ.groupBy("token").agg(
         F.sum("label").cast("long").alias("c_pos"),

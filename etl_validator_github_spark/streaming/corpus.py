@@ -474,3 +474,61 @@ def cms_log_counters(spark, counter_dir: str) -> DataFrame:
         F.max("n").alias("n")
     )
     return once.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def stream_classifier_counts(
+    spark,
+    source_dir: str,
+    counts_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental quality-classifier training: each micro-batch of
+    newly landed documents derives its teacher labels in-batch
+    (scale/text.py::_labeled_docs — a pure function of the doc text)
+    and appends its (doc_id, label, token, tf) sufficient statistics
+    to a parquet log, stamped with the micro-batch id. The NB weight
+    table is additive in these statistics, so the model updates with
+    work ∝ delta and never rewrites earlier docs — the same
+    append-only contract as ``stream_postings_maintenance``, applied
+    to model training instead of indexing.
+
+    Redelivery discipline is the doc-keyed one (postings, not CMS):
+    a redelivered batch appends byte-identical doc rows under a new
+    batch_id, and the read-side fold keeps each doc's FIRST batch
+    (``read_classifier_counts_log``) before summing to token grain.
+    """
+    from etl_validator_github_spark.scale.text import (
+        _labeled_docs,
+        doc_token_counts,
+    )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        doc_token_counts(_labeled_docs(batch_df)).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(counts_dir)
+
+    writer = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_classifier_counts_log(spark, counts_dir: str) -> DataFrame:
+    """The live sufficient-statistics table from the log: keep each
+    doc's first batch (min batch_id — redeliveries append identical
+    rows under later ids), then the fold to weights/prior is
+    scale/text.py::classifier_weights_from_counts /
+    classifier_prior_from_counts."""
+    log = spark.read.parquet(counts_dir)
+    first = log.groupBy("doc_id").agg(F.min("batch_id").alias("batch_id"))
+    return log.join(first, ["doc_id", "batch_id"]).drop("batch_id")

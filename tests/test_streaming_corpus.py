@@ -499,3 +499,65 @@ def test_stream_postings_maintenance_matches_batch_bm25(spark, tmp_path):
     got2 = sorted(map(tuple, bm25_from_postings(
         read_postings_log(spark, str(plog)), queries).collect()))
     assert got2 == want
+
+
+def test_stream_classifier_counts_match_batch_weights(spark, tmp_path):
+    """Incrementally-streamed sufficient statistics (two micro-batches
+    + a restart) must fold to EXACTLY the batch-trained classifier
+    weight table and occurrence prior over the union of the docs, and
+    a redelivered batch must not change the fold (first-batch-wins)."""
+    from etl_validator_github_spark.scale.text import (
+        _labeled_docs,
+        classifier_prior_from_counts,
+        classifier_weights_from_counts,
+        doc_token_counts,
+        quality_classifier_weights,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        read_classifier_counts_log,
+        stream_classifier_counts,
+    )
+
+    soup = "the of and to in a " * 5          # 30 stopword tokens → label 0
+    rows1 = [(0, GOOD), (1, soup.strip())]
+    rows2 = [(2, GOOD2), (3, (GOOD + " " + soup).strip())]
+    src = tmp_path / "clsrc"
+    clog, ckpt = tmp_path / "cllog", tmp_path / "clckpt"
+    _write_docs(spark, str(src / "d1.parquet"), rows1)
+    q = stream_classifier_counts(spark, str(src), str(clog), str(ckpt))
+    q.awaitTermination(120)
+    _write_docs(spark, str(src / "d2.parquet"), rows2)
+    q2 = stream_classifier_counts(spark, str(src), str(clog), str(ckpt))
+    q2.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [(i, t, "en", "crawl", len(t)) for i, t in rows1 + rows2],
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    lab = _labeled_docs(all_docs)
+    want_w = sorted(map(tuple, quality_classifier_weights(lab).collect()))
+    assert len(want_w) > 0  # stopwords repeat past the vocab prune
+
+    log = read_classifier_counts_log(spark, str(clog))
+    got_w = sorted(map(tuple, classifier_weights_from_counts(log).collect()))
+    assert got_w == want_w
+
+    want_p = classifier_prior_from_counts(doc_token_counts(lab)).collect()
+    got_p = classifier_prior_from_counts(log).collect()
+    assert [tuple(r) for r in got_p] == [tuple(r) for r in want_p]
+
+    # Redelivery: re-append batch-1 docs' counts under a new batch_id —
+    # the first-batch-wins fold must be unchanged.
+    import pyspark.sql.functions as F
+    first = spark.createDataFrame(
+        [(i, t, "en", "crawl", len(t)) for i, t in rows1],
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    doc_token_counts(_labeled_docs(first)).withColumn(
+        "batch_id", F.lit(99)
+    ).write.mode("append").parquet(str(clog))
+    got_w2 = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+    assert got_w2 == want_w
