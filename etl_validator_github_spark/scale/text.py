@@ -3032,7 +3032,7 @@ CLASSIFIER_TRAIN_LT = 3
 CLASSIFIER_VOCAB_MIN = 5
 
 
-def _labeled_docs(docs: DataFrame) -> DataFrame:
+def labeled_docs(docs: DataFrame) -> DataFrame:
     t = tokens()
     n_tokens = F.size(t)
     stop_ratio = _count_in(t, _STOPWORDS) / n_tokens
@@ -3139,7 +3139,7 @@ def quality_classifier_score(lab: DataFrame, weights: DataFrame,
 def quality_classifier_report(docs: DataFrame) -> DataFrame:
     """Train-on-split + score-corpus-wide + confusion rollup over a raw
     documents frame (the composable form measure_1m times at 1M)."""
-    lab = _labeled_docs(docs)
+    lab = labeled_docs(docs)
     train = lab.filter(
         F.col("doc_id") % CLASSIFIER_TRAIN_MOD < CLASSIFIER_TRAIN_LT
     )

@@ -485,7 +485,7 @@ def stream_classifier_counts(
 ):
     """Incremental quality-classifier training: each micro-batch of
     newly landed documents derives its teacher labels in-batch
-    (scale/text.py::_labeled_docs — a pure function of the doc text)
+    (scale/text.py::labeled_docs — a pure function of the doc text)
     and appends its (doc_id, label, token, tf) sufficient statistics
     to a parquet log, stamped with the micro-batch id. The NB weight
     table is additive in these statistics, so the model updates with
@@ -499,7 +499,7 @@ def stream_classifier_counts(
     (``read_classifier_counts_log``) before summing to token grain.
     """
     from etl_validator_github_spark.scale.text import (
-        _labeled_docs,
+        labeled_docs,
         doc_token_counts,
     )
 
@@ -511,7 +511,7 @@ def stream_classifier_counts(
     )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        doc_token_counts(_labeled_docs(batch_df)).withColumn(
+        doc_token_counts(labeled_docs(batch_df)).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(counts_dir)
 

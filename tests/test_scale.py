@@ -2146,7 +2146,7 @@ def test_quality_classifier_learns_stopword_signal(spark):
     recover the labels (the mechanism the synthetic-testdata parity
     query can only exercise near the decision boundary)."""
     from etl_validator_github_spark.scale.text import (
-        _labeled_docs,
+        labeled_docs,
         quality_classifier_score,
         quality_classifier_weights,
     )
@@ -2160,7 +2160,7 @@ def test_quality_classifier_learns_stopword_signal(spark):
         rows, "doc_id: long, text: string, lang: string, source: string,"
         " n_chars: long",
     )
-    lab = _labeled_docs(docs)
+    lab = labeled_docs(docs)
     # Teacher labels: content docs pass the stopword-ratio gate,
     # soup docs fail it (ratio 1.0 >= 0.5); both pass the length band.
     got = {r["doc_id"]: r["label"] for r in lab.select("doc_id", "label").collect()}

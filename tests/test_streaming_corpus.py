@@ -507,7 +507,7 @@ def test_stream_classifier_counts_match_batch_weights(spark, tmp_path):
     weight table and occurrence prior over the union of the docs, and
     a redelivered batch must not change the fold (first-batch-wins)."""
     from etl_validator_github_spark.scale.text import (
-        _labeled_docs,
+        labeled_docs,
         classifier_prior_from_counts,
         classifier_weights_from_counts,
         doc_token_counts,
@@ -535,7 +535,7 @@ def test_stream_classifier_counts_match_batch_weights(spark, tmp_path):
         "doc_id: long, text: string, lang: string, source: string,"
         " n_chars: long",
     )
-    lab = _labeled_docs(all_docs)
+    lab = labeled_docs(all_docs)
     want_w = sorted(map(tuple, quality_classifier_weights(lab).collect()))
     assert len(want_w) > 0  # stopwords repeat past the vocab prune
 
@@ -555,7 +555,7 @@ def test_stream_classifier_counts_match_batch_weights(spark, tmp_path):
         "doc_id: long, text: string, lang: string, source: string,"
         " n_chars: long",
     )
-    doc_token_counts(_labeled_docs(first)).withColumn(
+    doc_token_counts(labeled_docs(first)).withColumn(
         "batch_id", F.lit(99)
     ).write.mode("append").parquet(str(clog))
     got_w2 = sorted(map(tuple, classifier_weights_from_counts(
