@@ -1097,6 +1097,119 @@ FROM counted c CROSS JOIN tot
 
 
 # ---------------------------------------------------------------------------
+# Semantic split-leakage audit — the eval-integrity complement to the
+# exact-hash `docs_split_leakage` (snapshots.py): an eval example whose
+# TRAIN-split near-duplicate clears the cosine threshold inflates every
+# benchmark number without any byte-identical text to catch. Same
+# IVF-cell machinery as semantic_dedup_keep (assignment + within-cell
+# pairs, over-populated cells excluded), restricted to cross-split
+# (eval × train) pairs — so at 100 TB the cost class is identical to
+# one semantic-dedup pass and strictly smaller on the join output. The
+# split rule is vec_id-deterministic with a modulus coprime to the
+# planted-copy offsets, so the fixture's exact/jitter copies land
+# across splits and the audit is non-vacuous. Public method: SemDeDup
+# (Abbas 2023) cells applied to the decontamination question of
+# Brown 2020 §4 (train-test overlap), embedding-space instead of
+# n-gram.
+# ---------------------------------------------------------------------------
+
+#: Eval split = vec_id % 3 == 0 (coprime to the %5-aligned copy
+#: offsets, so copies of train vectors can land in eval and vice
+#: versa).
+SPLIT_EVAL_MOD = 3
+
+
+def semantic_split_leakage(corpus: DataFrame, centroid_source: DataFrame,
+                           threshold: float = NEAR_DUP_COS,
+                           max_cell_pop: int = MAX_CELL_PAIR_POP
+                           ) -> DataFrame:
+    """(vec_id, cell, n_train_dups) for every EVAL vector that has at
+    least one train-split near-duplicate (cos ≥ threshold) in its IVF
+    cell — the rows an eval-decontamination pass must quarantine."""
+    assigned = cell_assignments(
+        quantized(corpus), ivf_cells(centroid_source), nprobe=1
+    ).select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    )
+    pairable = assigned.join(
+        F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
+    )
+    ev = pairable.filter(F.col("vec_id") % SPLIT_EVAL_MOD == 0).alias("e")
+    tr = pairable.filter(F.col("vec_id") % SPLIT_EVAL_MOD != 0).alias("t")
+    cos = (
+        F.expr(_DOT.format(a="e.qv", b="t.qv"))
+        / (F.sqrt("e.norm2") * F.sqrt("t.norm2"))
+    )
+    return (
+        ev.join(tr, F.col("e.cell") == F.col("t.cell"))
+        .filter(cos >= threshold)
+        .groupBy(
+            F.col("e.vec_id").alias("vec_id"),
+            F.col("e.cell").cast("int").alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_dups"))
+    )
+
+
+def _split_leak_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings")
+    return semantic_split_leakage(with_vector_copies(base), base)
+
+
+def _split_leak_sql() -> str:
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    dot_et = _SQL_DOT.format(a="e.qv", b="t.qv")
+    return f"""
+WITH emb_aug AS ({_VEC_COPIES_SQL}),
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM emb_aug
+), with_norm AS (
+  SELECT vec_id, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2 FROM vecs
+), base_vecs AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM base_vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), ranked AS (
+  SELECT v.vec_id, v.qv, v.norm2, c.label,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+                    c.label ASC) AS rnk
+  FROM with_norm v CROSS JOIN cells c
+), assign AS (
+  SELECT vec_id, label AS cell, qv, norm2 FROM ranked WHERE rnk = 1
+), pop AS (
+  SELECT cell, COUNT(*) AS n FROM assign GROUP BY 1
+), small AS (
+  SELECT cell FROM pop WHERE n <= {MAX_CELL_PAIR_POP}
+), pairable AS (
+  SELECT a.* FROM assign a JOIN small s ON a.cell = s.cell
+)
+SELECT e.vec_id, CAST(e.cell AS INT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_train_dups
+FROM pairable e JOIN pairable t ON e.cell = t.cell
+WHERE e.vec_id % {SPLIT_EVAL_MOD} = 0
+  AND t.vec_id % {SPLIT_EVAL_MOD} <> 0
+  AND {dot_et} / (sqrt(e.norm2) * sqrt(t.norm2)) >= {NEAR_DUP_COS}
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic Lloyd k-means — the iterative-algorithm representative,
 # with FULL oracle parity: a fixed iteration count unrolls into plain
 # SQL, so DuckDB recomputes the identical clustering (seeds are the
@@ -2202,6 +2315,10 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Binary sign quantization: 64 dims pack to ONE BIGINT "
               "(256× vs float32), Hamming = bit_count(xor) per pair in "
               "pure codegen; true cosine rides along per neighbor."),
+        Query("embed_split_leakage", _split_leak_q, _split_leak_sql(),
+              "Semantic train/eval split-leakage audit: eval vectors "
+              "with a train near-dup (cos ≥ 0.9) in their IVF cell — "
+              "the embedding-space decontamination readout."),
         Query("dedup_semantic_threshold_sweep", _sweep_q, _sweep_sql(),
               "Cutoff tuning from ONE pair pass: survivors at every "
               "candidate cosine threshold via a per-vector max-cos "
