@@ -1119,23 +1119,79 @@ FROM counted c CROSS JOIN tot
 SPLIT_EVAL_MOD = 3
 
 
+def _split_leak_counts_np(pairable: DataFrame,
+                          threshold: float) -> DataFrame:
+    """dgemm twin of the cross-split pair join (the same scale opt-in
+    family as ``_per_vec_max_cos_np``): per cell, one blockwise gram
+    between the eval rows and the train rows, counting train neighbors
+    at cos ≥ threshold per eval vector. Dots are exact in float64
+    (quantized micros) and the cos arithmetic is the same IEEE ops as
+    the join expression, so the ≥-threshold count is over an identical
+    value set — bit-parity pinned in tests/test_similarity_np.py."""
+    import numpy as np
+    import pandas as pd
+
+    def _per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_eval = (pdf["vec_id"] % SPLIT_EVAL_MOD == 0).to_numpy()
+        ev, tr = pdf[is_eval], pdf[~is_eval]
+        empty = pd.DataFrame({
+            "vec_id": np.empty(0, dtype=np.int64),
+            "cell": np.empty(0, dtype=np.int32),
+            "n_train_dups": np.empty(0, dtype=np.int64),
+        })
+        if len(ev) == 0 or len(tr) == 0:
+            return empty
+        v_e = np.array(ev["qv"].tolist(), dtype=np.float64)
+        v_t = np.array(tr["qv"].tolist(), dtype=np.float64)
+        sn_e = np.sqrt(ev["norm2"].to_numpy(dtype=np.float64))
+        sn_t = np.sqrt(tr["norm2"].to_numpy(dtype=np.float64))
+        counts = np.zeros(len(ev), dtype=np.int64)
+        block = 1024
+        for j0 in range(0, len(tr), block):
+            j1 = min(j0 + block, len(tr))
+            g = (v_e @ v_t[j0:j1].T) / (sn_e[:, None] * sn_t[None, j0:j1])
+            counts += (g >= threshold).sum(axis=1)
+        keep = counts > 0
+        return pd.DataFrame({
+            "vec_id": ev["vec_id"].to_numpy()[keep],
+            "cell": ev["cell"].to_numpy(dtype=np.int32)[keep],
+            "n_train_dups": counts[keep],
+        })
+
+    return pairable.groupBy("cell").applyInPandas(
+        _per_cell, "vec_id bigint, cell int, n_train_dups bigint"
+    )
+
+
 def semantic_split_leakage(corpus: DataFrame, centroid_source: DataFrame,
                            threshold: float = NEAR_DUP_COS,
-                           max_cell_pop: int = MAX_CELL_PAIR_POP
-                           ) -> DataFrame:
+                           max_cell_pop: int = MAX_CELL_PAIR_POP,
+                           np_assign: bool = False,
+                           materialize_assignment: bool = False,
+                           np_pairs: bool = False) -> DataFrame:
     """(vec_id, cell, n_train_dups) for every EVAL vector that has at
     least one train-split near-duplicate (cos ≥ threshold) in its IVF
-    cell — the rows an eval-decontamination pass must quarantine."""
-    assigned = cell_assignments(
+    cell — the rows an eval-decontamination pass must quarantine.
+
+    Scale opt-ins are the ``semantic_dedup_keep`` trio (values
+    identical, defaults keep the oracle-pinned plan): ``np_assign``
+    dgemm assignment, ``materialize_assignment`` checkpoint,
+    ``np_pairs`` the blockwise cross-split gram."""
+    assign = cell_assignments_np if np_assign else cell_assignments
+    assigned = assign(
         quantized(corpus), ivf_cells(centroid_source), nprobe=1
     ).select(
         "vec_id",
         F.col("top_cells")[0]["label"].alias("cell"),
         "qv", "norm2",
     )
+    if materialize_assignment:
+        assigned = assigned.localCheckpoint(eager=False)
     pairable = assigned.join(
         F.broadcast(_pairable_cells(assigned, max_cell_pop)), "cell"
     )
+    if np_pairs:
+        return _split_leak_counts_np(pairable, threshold)
     ev = pairable.filter(F.col("vec_id") % SPLIT_EVAL_MOD == 0).alias("e")
     tr = pairable.filter(F.col("vec_id") % SPLIT_EVAL_MOD != 0).alias("t")
     cos = (

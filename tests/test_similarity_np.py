@@ -120,3 +120,22 @@ def test_keep_scale_optins_change_nothing(spark):
     cols = ["vec_id", "cell", "keep"]
     assert sorted(map(tuple, base.select(*cols).collect())) == \
         sorted(map(tuple, fast.select(*cols).collect()))
+
+
+def test_split_leakage_scale_optins_change_nothing(spark):
+    from etl_validator_github_spark.scale.similarity import (
+        semantic_split_leakage,
+        with_vector_copies,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    aug = with_vector_copies(emb)
+    base = semantic_split_leakage(aug, emb)
+    fast = semantic_split_leakage(
+        aug, emb, np_assign=True, materialize_assignment=True,
+        np_pairs=True,
+    )
+    cols = ["vec_id", "cell", "n_train_dups"]
+    got_base = sorted(map(tuple, base.select(*cols).collect()))
+    got_fast = sorted(map(tuple, fast.select(*cols).collect()))
+    assert got_base == got_fast and len(got_base) > 0

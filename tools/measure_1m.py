@@ -49,7 +49,7 @@ BLOOM_HELDOUT_DOCS = 10
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
            "sweep", "sweep_expr", "vocab_coverage", "classifier",
-           "bpe", "keeplongest", "rrf", "bm25_delta")
+           "split_leak", "bpe", "keeplongest", "rrf", "bm25_delta")
 
 
 def _run_isolated(args, ops) -> int:
@@ -352,6 +352,27 @@ def main() -> int:
         # measured on a 20k slice as the before/after — its
         # interpreted per-cell lambda fold is the family's bend.
         timed("sweep", lambda: force(semantic_threshold_sweep(
+            emb, emb, np_assign=True, materialize_assignment=True,
+            np_pairs=True)))
+
+    if "split_leak" in ops:
+        from etl_validator_github_spark.scale.similarity import (
+            semantic_split_leakage,
+        )
+        # Same 1M × 64-dim vector table and opt-ins as the sweep; the
+        # cross-split pair pass touches only eval×train entries of
+        # each cell's gram — cost class bounded by one sweep pass.
+        edir = os.path.join(args.workdir, f"emb_{args.docs}.parquet")
+        if not os.path.exists(edir):
+            (spark.range(args.docs).selectExpr(
+                "id as vec_id",
+                "cast(abs(hash(id)) % 1024 as int) as label",
+                "transform(sequence(0, 63), i -> cast("
+                "((id * 1103515245 + i * 12345) % 2001 - 1000) / 1000.0"
+                " as float)) as embedding",
+            ).write.parquet(edir))
+        emb = spark.read.parquet(edir)
+        timed("split_leak", lambda: force(semantic_split_leakage(
             emb, emb, np_assign=True, materialize_assignment=True,
             np_pairs=True)))
 
