@@ -409,6 +409,76 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — reproducible training-data order. Every
+# epoch permutes the corpus by an md5 key seeded with the epoch number
+# (the portable hash all sampling/splitting ops share), and the global
+# position comes from functions/ranks.py's range-partitioned rank — the
+# classic "seeded shuffle + shard" a dataloader needs, with NO
+# single-task sort anywhere (a naive row_number() OVER (ORDER BY key)
+# funnels the full corpus through one reducer — exactly the plan the
+# ranks helper exists to kill). Shard = position div SHARD_SIZE, so a
+# 1000-executor run can hand each worker a contiguous shard of the
+# permuted order and a rerun (same epoch) reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = (1, 2)
+SHARD_SIZE = 128
+
+
+def epoch_shuffle(docs: DataFrame,
+                  epochs: tuple[int, ...] = SHUFFLE_EPOCHS,
+                  shard_size: int = SHARD_SIZE) -> DataFrame:
+    """(epoch, doc_id, position, shard) — the seeded global permutation
+    per epoch. Ties on the 32-bit md5 prefix break on doc_id (the total
+    order the ranks contract requires)."""
+    from etl_validator_github_spark.functions.ranks import global_row_number
+
+    out = None
+    for ep in epochs:
+        key = md5_mod(f"concat('{ep}:', doc_id)")
+        ranked = global_row_number(
+            docs.select("doc_id", key.alias("skey")),
+            order_cols=["skey", "doc_id"],
+            rank_col="position",
+        )
+        one = ranked.select(
+            F.lit(ep).cast("int").alias("epoch"),
+            "doc_id",
+            F.col("position").cast("long").alias("position"),
+            F.expr(f"cast((position - 1) div {shard_size} as int)")
+            .alias("shard"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def _shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle(load(spark, sf_dir, "documents"))
+
+
+def _shuffle_epoch_sql(ep: int) -> str:
+    return f"""
+  SELECT {ep} AS epoch, doc_id,
+         CAST(row_number() OVER (
+           ORDER BY CAST(concat('0x', substring(
+             md5('{ep}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+           doc_id) AS BIGINT) AS position
+  FROM documents"""
+
+
+_SHUFFLE_SQL = f"""
+WITH ranked AS (
+{_shuffle_epoch_sql(SHUFFLE_EPOCHS[0])}
+  UNION ALL
+{_shuffle_epoch_sql(SHUFFLE_EPOCHS[1])}
+)
+SELECT CAST(epoch AS INT) AS epoch, doc_id, position,
+       CAST((position - 1) // {SHARD_SIZE} AS INT) AS shard
+FROM ranked
+"""
+
+
 SNAPSHOT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -426,5 +496,10 @@ SNAPSHOT_QUERIES: dict[str, Query] = {
               "Eval-integrity audit: exact-duplicate content straddling "
               "a split boundary, reported per split pair from one "
               "content-hash aggregation."),
+        Query("docs_epoch_shuffle", _shuffle_q, _SHUFFLE_SQL,
+              "Deterministic seeded epoch shuffle: per-epoch md5 "
+              "permutation with range-partitioned exact positions and "
+              "contiguous shards — reproducible dataloader order, no "
+              "single-task sort."),
     ]
 }

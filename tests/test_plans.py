@@ -1201,3 +1201,12 @@ def test_quality_classifier_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_epoch_shuffle_has_no_single_partition_sort(spark, sf_dir):
+    """The seeded permutation ranks through the range-partitioned
+    decomposition — the corpus must never sort through one task;
+    SinglePartition may appear only as tiny aggregate reduces."""
+    p = plan(spark, sf_dir, "docs_epoch_shuffle")
+    assert set(_single_partition_consumers(p)) <= {"HashAggregate"}, p
+    assert "CartesianProduct" not in p, p
