@@ -3033,14 +3033,12 @@ CLASSIFIER_VOCAB_MIN = 5
 
 
 def labeled_docs(docs: DataFrame) -> DataFrame:
-    t = tokens()
-    n_tokens = F.size(t)
-    stop_ratio = _count_in(t, _STOPWORDS) / n_tokens
-    label = (
-        (n_tokens >= 20) & (n_tokens <= 1000) & (stop_ratio < 0.5)
-    ).cast("int")
+    """docs + teacher label — the label IS the shared ``quality_flag``
+    gate (reused, not re-stated, so the classifier's teacher can never
+    drift from the corpus_clean / streaming-ingest gate)."""
     return docs.select(
-        "doc_id", "lang", t.alias("__toks"), label.alias("label")
+        "doc_id", "lang", tokens().alias("__toks"),
+        quality_flag().cast("int").alias("label"),
     )
 
 
@@ -3057,15 +3055,26 @@ def doc_token_counts(lab: DataFrame) -> DataFrame:
     )
 
 
-def classifier_weights_from_counts(counts: DataFrame) -> DataFrame:
-    """Fold (doc_id, label, token, tf) sufficient statistics into the
-    pruned (token, w_micro) weight table — Σtf·label ≡ the occurrence
-    counts the batch trainer aggregates directly."""
-    tok = counts.groupBy("token").agg(
-        F.sum(F.col("tf") * F.col("label")).cast("long").alias("c_pos"),
-        F.sum(F.col("tf") * (F.lit(1) - F.col("label"))).cast("long")
-        .alias("c_neg"),
+def token_class_counts(lab: DataFrame) -> DataFrame:
+    """(token, c_pos, c_neg) occurrence counts DIRECTLY at token grain:
+    map-side partial combine keeps the exchange vocabulary-bounded —
+    routing through ``doc_token_counts`` would shuffle at the ~64M-group
+    (doc, token) grain instead, the BM25-build cost class. The streaming
+    path pays that grain on purpose, per small micro-batch, to buy
+    append-only incrementality; equality of the two folds is pinned in
+    tests/test_streaming_corpus.py."""
+    occ = lab.select("label", F.explode("__toks").alias("token"))
+    return occ.groupBy("token").agg(
+        F.sum("label").cast("long").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("label")).cast("long").alias("c_neg"),
     )
+
+
+def _weights_from_token_counts(tok: DataFrame) -> DataFrame:
+    """The shared prune + Laplace-weight tail over (token, c_pos,
+    c_neg) — ONE place for the smoothing and VOCAB_MIN rules, whichever
+    grain the counts arrived at (batch token-grain agg or the streaming
+    doc-grain log)."""
     return tok.filter(
         F.col("c_pos") + F.col("c_neg") >= CLASSIFIER_VOCAB_MIN
     ).select(
@@ -3075,43 +3084,52 @@ def classifier_weights_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
-def classifier_prior_from_counts(counts: DataFrame) -> DataFrame:
+def classifier_prior_from_token_counts(tok: DataFrame) -> DataFrame:
     """The occurrence-level base rate (the decision threshold) from the
-    same sufficient statistics — 1 row, prior_micro."""
-    return counts.agg(
-        F.expr("(1000000 * sum(tf * label)) div sum(tf)")
+    UNPRUNED token counts — 1 row, prior_micro. Derived from the same
+    hash-agg output the weights use, so the trainer never re-scans the
+    corpus slice for it."""
+    return tok.agg(
+        F.expr("(1000000 * sum(c_pos)) div sum(c_pos + c_neg)")
         .cast("long").alias("prior_micro")
     )
 
 
 def quality_classifier_weights(lab: DataFrame) -> DataFrame:
     """(token, w_micro) learned from the labeled train slice: one
-    explode + hash-agg DIRECTLY at token grain (map-side partial
-    combine keeps the exchange vocabulary-bounded — routing through
-    ``doc_token_counts`` would shuffle at the ~64M-group (doc, token)
-    grain instead, the BM25-build cost class). The streaming path pays
-    that grain on purpose, per small micro-batch, to buy append-only
-    incrementality; equality of the two folds is pinned in
-    tests/test_streaming_corpus.py."""
-    occ = lab.select("label", F.explode("__toks").alias("token"))
-    counts = occ.groupBy("token").agg(
-        F.sum("label").cast("long").alias("c_pos"),
-        F.sum(F.lit(1) - F.col("label")).cast("long").alias("c_neg"),
+    explode + token-grain hash-agg + the shared weight tail."""
+    return _weights_from_token_counts(token_class_counts(lab))
+
+
+def classifier_weights_from_counts(counts: DataFrame) -> DataFrame:
+    """Fold (doc_id, label, token, tf) sufficient statistics into the
+    pruned (token, w_micro) weight table — Σtf·label ≡ the occurrence
+    counts the batch trainer aggregates directly."""
+    tok = counts.groupBy("token").agg(
+        F.sum(F.col("tf") * F.col("label")).cast("long").alias("c_pos"),
+        F.sum(F.col("tf") * (F.lit(1) - F.col("label"))).cast("long")
+        .alias("c_neg"),
     )
-    return counts.filter(
-        F.col("c_pos") + F.col("c_neg") >= CLASSIFIER_VOCAB_MIN
-    ).select(
-        "token",
-        F.expr("(1000000 * (c_pos + 1)) div (c_pos + c_neg + 2)")
-        .alias("w_micro"),
+    return _weights_from_token_counts(tok)
+
+
+def classifier_prior_from_counts(counts: DataFrame) -> DataFrame:
+    """The occurrence-level base rate from the doc-grain sufficient
+    statistics (the streaming-log path) — 1 row, prior_micro."""
+    return counts.agg(
+        F.expr("(1000000 * sum(tf * label)) div sum(tf)")
+        .cast("long").alias("prior_micro")
     )
 
 
 def quality_classifier_score(lab: DataFrame, weights: DataFrame,
                              prior: DataFrame) -> DataFrame:
     """Per-doc classifier scores for every labeled doc: explode →
-    broadcast vocab join → doc-grain floored mean; zero-hit docs fall
-    back to the prior (and therefore predict the majority class)."""
+    broadcast vocab join → doc-grain floored mean. Zero-hit docs fall
+    back to the prior, so under the score ≥ prior decision rule they
+    predict 1 — the majority class exactly when the prior ≥ ½ (as on
+    this corpus); a negative-majority caller should route zero-evidence
+    docs separately rather than trust the fallback."""
     hits = (
         lab.select("doc_id", F.explode("__toks").alias("token"))
         .join(F.broadcast(weights), "token")
@@ -3138,25 +3156,23 @@ def quality_classifier_score(lab: DataFrame, weights: DataFrame,
 
 def quality_classifier_report(docs: DataFrame) -> DataFrame:
     """Train-on-split + score-corpus-wide + confusion rollup over a raw
-    documents frame (the composable form measure_1m times at 1M)."""
+    documents frame (the composable form measure_1m times at 1M). The
+    train slice is exploded ONCE: the vocabulary-bounded token-count
+    table is pinned with the repo's lazy localCheckpoint barrier and
+    both the weight table and the occurrence prior fold from it (the
+    decision threshold is the OCCURRENCE-level base rate, not the
+    doc-level prior: per-doc scores are means of per-occurrence
+    weights, and the two priors differ whenever the label correlates
+    with doc length, which the length-band teacher label guarantees)."""
     lab = labeled_docs(docs)
     train = lab.filter(
         F.col("doc_id") % CLASSIFIER_TRAIN_MOD < CLASSIFIER_TRAIN_LT
     )
-    # The decision threshold is the OCCURRENCE-level base rate, not the
-    # doc-level prior: per-doc scores are means of per-occurrence
-    # weights, so their neutral point is the occurrence prior (doc and
-    # occurrence priors differ whenever the label correlates with doc
-    # length, which the length-band teacher label guarantees).
-    prior = (
-        train.select(F.explode("__toks").alias("t"), "label")
-        .agg(
-            F.expr("(1000000 * sum(label)) div count(1)")
-            .cast("long").alias("prior_micro")
-        )
-    )
+    tok = token_class_counts(train).localCheckpoint(eager=False)
     scored = quality_classifier_score(
-        lab, quality_classifier_weights(train), prior
+        lab,
+        _weights_from_token_counts(tok),
+        classifier_prior_from_token_counts(tok),
     )
     return (
         scored.select(

@@ -305,11 +305,14 @@ def stream_postings_maintenance(
 
 
 def read_postings_log(spark, postings_dir: str) -> DataFrame:
-    """The live postings table from the log: a redelivered micro-batch
-    appends byte-identical rows under a NEW batch_id, so keeping each
-    doc's first batch (min batch_id, a doc-keyed semi-join) makes the
-    read idempotent under retries."""
-    log = spark.read.parquet(postings_dir)
+    """The live postings table from the log, idempotent under BOTH
+    replay shapes: an upstream redelivery appends byte-identical doc
+    rows under a NEW batch_id (keep each doc's first batch — min
+    batch_id, a doc-keyed semi-join), while a foreachBatch RETRY
+    (sink append committed, checkpoint offset not) re-runs under the
+    SAME batch_id — those byte-identical copies collapse in the
+    ``distinct`` before the fold."""
+    log = spark.read.parquet(postings_dir).distinct()
     first = log.groupBy("doc_id").agg(F.min("batch_id").alias("batch_id"))
     return log.join(first, ["doc_id", "batch_id"]).drop("batch_id")
 
@@ -524,11 +527,14 @@ def stream_classifier_counts(
 
 
 def read_classifier_counts_log(spark, counts_dir: str) -> DataFrame:
-    """The live sufficient-statistics table from the log: keep each
-    doc's first batch (min batch_id — redeliveries append identical
-    rows under later ids), then the fold to weights/prior is
-    scale/text.py::classifier_weights_from_counts /
+    """The live sufficient-statistics table from the log, idempotent
+    under both replay shapes (the ``read_postings_log`` discipline):
+    ``distinct`` collapses a foreachBatch retry's byte-identical
+    same-batch_id copies — counts merge by SUM, so without it a retry
+    would double tf — and first-batch-wins (min batch_id) drops an
+    upstream redelivery's new-batch_id copies. The fold to
+    weights/prior is scale/text.py::classifier_weights_from_counts /
     classifier_prior_from_counts."""
-    log = spark.read.parquet(counts_dir)
+    log = spark.read.parquet(counts_dir).distinct()
     first = log.groupBy("doc_id").agg(F.min("batch_id").alias("batch_id"))
     return log.join(first, ["doc_id", "batch_id"]).drop("batch_id")

@@ -1195,12 +1195,14 @@ def test_returnflag_anova_is_one_hash_agg(spark, sf_dir):
 
 def test_quality_classifier_broadcasts_vocab(spark, sf_dir):
     """Scoring joins the exploded corpus against the PRUNED vocabulary
-    — that side must broadcast (it's vocabulary-bounded), and the only
-    nested-loop join is the documented 1-row prior fold."""
+    — that side must broadcast (it's vocabulary-bounded); the only
+    nested-loop join is the documented 1-row prior fold; and the
+    doc-grain corpus ⟕ hits join is allowed to be the co-keyed
+    shuffle join (hits is corpus-sized — broadcasting it would be the
+    wrong plan at 100 TB, even if fixture stats permit it)."""
     p = plan(spark, sf_dir, "text_quality_classifier")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
-    assert "SortMergeJoin" not in p, p
 
 
 def test_epoch_shuffle_has_no_single_partition_sort(spark, sf_dir):

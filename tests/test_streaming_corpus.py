@@ -500,6 +500,15 @@ def test_stream_postings_maintenance_matches_batch_bm25(spark, tmp_path):
         read_postings_log(spark, str(plog)), queries).collect()))
     assert got2 == want
 
+    # Simulate a foreachBatch RETRY: the sink append committed but the
+    # checkpoint offset didn't, so the batch re-runs under the SAME
+    # batch_id — byte-identical rows must collapse, not double tf.
+    doc_postings(first).withColumn("batch_id", F.lit(0)) \
+        .write.mode("append").parquet(str(plog))
+    got3 = sorted(map(tuple, bm25_from_postings(
+        read_postings_log(spark, str(plog)), queries).collect()))
+    assert got3 == want
+
 
 def test_stream_classifier_counts_match_batch_weights(spark, tmp_path):
     """Incrementally-streamed sufficient statistics (two micro-batches
@@ -561,3 +570,13 @@ def test_stream_classifier_counts_match_batch_weights(spark, tmp_path):
     got_w2 = sorted(map(tuple, classifier_weights_from_counts(
         read_classifier_counts_log(spark, str(clog))).collect()))
     assert got_w2 == want_w
+
+    # foreachBatch RETRY: the batch re-runs under the SAME batch_id
+    # (sink append committed, offset not) — counts merge by SUM, so
+    # the byte-identical copies must collapse, not double tf.
+    doc_token_counts(labeled_docs(first)).withColumn(
+        "batch_id", F.lit(0)
+    ).write.mode("append").parquet(str(clog))
+    got_w3 = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+    assert got_w3 == want_w

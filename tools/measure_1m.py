@@ -325,17 +325,13 @@ def main() -> int:
         timed("ppjoin", lambda: force(prefix_filter_pairs(
             docs, shingle_tokens=5)))
 
-    if "sweep" in ops:
-        from etl_validator_github_spark.scale.similarity import (
-            semantic_threshold_sweep,
-        )
-        # 1M synthetic 64-dim vectors over 1024 IVF cells (~sqrt-N cell
-        # count, the SemDeDup operating point): cell pops ~1k stay far
-        # below MAX_CELL_PAIR_POP, so every cell pairs. The sweep's
-        # claim under test: ONE pair join feeds every threshold, so
-        # cost is independent of how many cutoffs are swept. Vector
-        # generation is persisted untimed; the timing covers
-        # assignment + pair join + per-vector max + threshold fold.
+    def ensure_emb():
+        """The shared 1M × 64-dim vector table over 1024 IVF cells
+        (~sqrt-N cell count, the SemDeDup operating point; cell pops
+        ~1k stay far below MAX_CELL_PAIR_POP, so every cell pairs).
+        ONE generator for sweep/split_leak/sweep_expr — the
+        cross-measurement comparability depends on it. Generation is
+        persisted untimed."""
         edir = os.path.join(args.workdir, f"emb_{args.docs}.parquet")
         if not os.path.exists(edir):
             (spark.range(args.docs).selectExpr(
@@ -345,7 +341,17 @@ def main() -> int:
                 "((id * 1103515245 + i * 12345) % 2001 - 1000) / 1000.0"
                 " as float)) as embedding",
             ).write.parquet(edir))
-        emb = spark.read.parquet(edir)
+        return spark.read.parquet(edir)
+
+    if "sweep" in ops:
+        from etl_validator_github_spark.scale.similarity import (
+            semantic_threshold_sweep,
+        )
+        # The sweep's claim under test: ONE pair join feeds every
+        # threshold, so cost is independent of how many cutoffs are
+        # swept. Timing covers assignment + pair join + per-vector
+        # max + threshold fold.
+        emb = ensure_emb()
         # The scale path: dgemm assignment + one materialized pass
         # (bit-parity with the fixture plan pinned in
         # tests/test_similarity_np.py). The fixture-default plan is
@@ -362,16 +368,7 @@ def main() -> int:
         # Same 1M × 64-dim vector table and opt-ins as the sweep; the
         # cross-split pair pass touches only eval×train entries of
         # each cell's gram — cost class bounded by one sweep pass.
-        edir = os.path.join(args.workdir, f"emb_{args.docs}.parquet")
-        if not os.path.exists(edir):
-            (spark.range(args.docs).selectExpr(
-                "id as vec_id",
-                "cast(abs(hash(id)) % 1024 as int) as label",
-                "transform(sequence(0, 63), i -> cast("
-                "((id * 1103515245 + i * 12345) % 2001 - 1000) / 1000.0"
-                " as float)) as embedding",
-            ).write.parquet(edir))
-        emb = spark.read.parquet(edir)
+        emb = ensure_emb()
         timed("split_leak", lambda: force(semantic_split_leakage(
             emb, emb, np_assign=True, materialize_assignment=True,
             np_pairs=True)))
@@ -380,9 +377,7 @@ def main() -> int:
         # The fixture-default expression plan, measured on a 20k slice
         # as the before/after for the dgemm opt-ins (interpreted
         # per-cell lambda folds; a full 1M run would take hours).
-        edir = os.path.join(args.workdir, f"emb_{args.docs}.parquet")
-        emb = spark.read.parquet(edir)
-        slice20k = emb.filter(F.col("vec_id") < 20_000)
+        slice20k = ensure_emb().filter(F.col("vec_id") < 20_000)
         timed("sweep_expr_20k", lambda: force(semantic_threshold_sweep(
             slice20k, slice20k)), repeat=1)
 
