@@ -636,23 +636,84 @@ def ivf_assignments(embeddings: DataFrame,
     )
 
 
-def ivf_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
-             k: int = TOP_K, nprobe: int = N_PROBE) -> DataFrame:
-    """Approximate top-k neighbors via IVF cell probing."""
+def _probe_topk_np(assign: DataFrame, probes: DataFrame,
+                   k: int) -> DataFrame:
+    """dgemm twin of the IVF probe join (the family's standing scale
+    opt-in): per probed cell, one gram between the probing queries and
+    the cell's members, keeping each query's per-cell top-k (the
+    global top-k is a subset of the per-cell top-k union because cells
+    partition the candidates); the tiny union then ranks through the
+    same final window. Dots are exact in float64 (quantized micros)
+    and the cos arithmetic is the same IEEE ops as the join expression
+    — equality pinned in tests/test_similarity_np.py."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    assigned = ivf_assignments(embeddings, nprobe=nprobe)
-    assign = assigned.select(
-        "vec_id",
-        F.col("top_cells")[0]["label"].alias("cell"),
-        "qv", "norm2",
+    members = assign.select(
+        "cell", "vec_id", "qv", "norm2",
+        F.lit(None).cast("long").alias("query_id"),
     )
-    probes = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.expr("transform(top_cells, t -> t.label)")).alias("cell"),
-        F.col("qv").alias("q_qv"),
-        F.col("norm2").alias("q_norm2"),
+    probers = probes.select(
+        "cell",
+        F.lit(None).cast("long").alias("vec_id"),
+        F.col("q_qv").alias("qv"),
+        F.col("q_norm2").alias("norm2"),
+        "query_id",
     )
+    both = members.unionByName(probers)
+
+    def _per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_q = pdf["query_id"].notna().to_numpy()
+        q, m = pdf[is_q], pdf[~is_q]
+        empty = pd.DataFrame({
+            "query_id": np.empty(0, dtype=np.int64),
+            "neighbor_id": np.empty(0, dtype=np.int64),
+            "cos_sim": np.empty(0),
+        })
+        if len(q) == 0 or len(m) == 0:
+            return empty
+        v_q = np.array(q["qv"].tolist(), dtype=np.float64)
+        v_m = np.array(m["qv"].tolist(), dtype=np.float64)
+        sn_q = np.sqrt(q["norm2"].to_numpy(dtype=np.float64))
+        sn_m = np.sqrt(m["norm2"].to_numpy(dtype=np.float64))
+        qid = q["query_id"].to_numpy(dtype=np.int64)
+        mid = m["vec_id"].to_numpy(dtype=np.int64)
+        g = (v_q @ v_m.T) / (sn_q[:, None] * sn_m[None, :])
+        g[qid[:, None] == mid[None, :]] = -np.inf  # self-match excluded
+        rows = []
+        for i in range(len(q)):
+            order = np.lexsort((mid, -g[i]))[:k]
+            keep = g[i][order] > -np.inf
+            rows.append(pd.DataFrame({
+                "query_id": np.full(keep.sum(), qid[i], dtype=np.int64),
+                "neighbor_id": mid[order][keep],
+                "cos_sim": g[i][order][keep],
+            }))
+        return pd.concat(rows) if rows else empty
+
+    cands = both.groupBy("cell").applyInPandas(
+        _per_cell, "query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w_topk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _probe_join_topk(assign: DataFrame, probes: DataFrame,
+                     k: int) -> DataFrame:
+    """The IVF probe join + per-query top-k shared by the in-memory
+    path (``ivf_topk``) and the persisted-index path
+    (``ivf_topk_from_index``): broadcast the (query, probed-cell) rows
+    onto the cell-keyed assignment, score exact cosine within probed
+    cells, rank with the deterministic (cos desc, id asc) tie-break."""
+    from pyspark.sql import Window
+
     cand_cos = (
         F.expr(_DOT.format(a="q_qv", b="qv"))
         / (F.sqrt("q_norm2") * F.sqrt("norm2"))
@@ -674,6 +735,96 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+             k: int = TOP_K, nprobe: int = N_PROBE) -> DataFrame:
+    """Approximate top-k neighbors via IVF cell probing."""
+    assigned = ivf_assignments(embeddings, nprobe=nprobe)
+    assign = assigned.select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    )
+    probes = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr("transform(top_cells, t -> t.label)")).alias("cell"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    return _probe_join_topk(assign, probes, k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the OPERATIONAL ANN path (the vector-side
+# analogue of the BM25 persist/delta/score trio): pay the corpus
+# assignment once, append per-ingest deltas with work ∝ delta (a
+# vector's cell is a pure function of itself and the frozen centroids
+# — earlier rows never rewrite), and serve standing query batches from
+# the persisted assignment without touching the corpus again. Search
+# cost is queries × probed-cell populations, independent of how the
+# index was built.
+# ---------------------------------------------------------------------------
+
+
+def persist_ivf_index(corpus: DataFrame, centroid_source: DataFrame,
+                      index_dir: str, np_assign: bool = False) -> None:
+    """Write the two tables an ANN deployment keeps: the centroid table
+    (cells.parquet — labels × (cv, cnorm2), tiny) and the corpus
+    assignment (assign.parquet — vec_id, cell, qv, norm2)."""
+    spark = corpus.sparkSession
+    ivf_cells(centroid_source).write.mode("overwrite").parquet(
+        f"{index_dir}/cells.parquet"
+    )
+    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+    assign = cell_assignments_np if np_assign else cell_assignments
+    assign(quantized(corpus), cells, nprobe=1).select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    ).write.mode("overwrite").parquet(f"{index_dir}/assign.parquet")
+
+
+def append_ivf_index(delta: DataFrame, index_dir: str,
+                     np_assign: bool = False) -> None:
+    """Assign a newly ingested vector delta against the FROZEN centroid
+    table and append — the index never rewrites earlier vectors, so
+    ingest work is ∝ |delta| (the postings-delta contract)."""
+    spark = delta.sparkSession
+    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+    assign = cell_assignments_np if np_assign else cell_assignments
+    assign(quantized(delta), cells, nprobe=1).select(
+        "vec_id",
+        F.col("top_cells")[0]["label"].alias("cell"),
+        "qv", "norm2",
+    ).write.mode("append").parquet(f"{index_dir}/assign.parquet")
+
+
+def ivf_topk_from_index(spark: SparkSession, index_dir: str,
+                        n_queries: int = N_QUERIES, k: int = TOP_K,
+                        nprobe: int = N_PROBE,
+                        np_assign: bool = False,
+                        np_probe: bool = False) -> DataFrame:
+    """Top-k for the standing query batch straight from the persisted
+    index: only the QUERY vectors are (re)assigned at query time
+    (against the tiny broadcast centroid table, with the full nprobe
+    fan-out); the corpus side is read as-is. Identical results to the
+    in-memory ``ivf_topk`` when the index holds the same corpus —
+    pinned in tests/test_scale.py."""
+    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+    assign_t = spark.read.parquet(f"{index_dir}/assign.parquet")
+    qvecs = assign_t.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "qv", "norm2"
+    )
+    assign_fn = cell_assignments_np if np_assign else cell_assignments
+    probes = assign_fn(qvecs, cells, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr("transform(top_cells, t -> t.label)")).alias("cell"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    topk = _probe_topk_np if np_probe else _probe_join_topk
+    return topk(assign_t, probes, k)
 
 
 def _ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2184,3 +2184,28 @@ def test_quality_classifier_learns_stopword_signal(spark):
     }
     assert all(pred[i] == 1 for i in range(20))
     assert all(pred[i + 20] == 0 for i in range(20))
+
+
+def test_ivf_index_persist_append_search_matches_in_memory(spark, tmp_path):
+    """The persisted-index path must return exactly the in-memory
+    ivf_topk rows: persist(base) + append(delta) == ivf_topk(base ∪
+    delta) when the centroids are built from the same source, since a
+    vector's cell is a pure function of itself and the frozen centroid
+    table."""
+    from etl_validator_github_spark.scale.similarity import (
+        append_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    idx = str(tmp_path / "ivf_index")
+    persist_ivf_index(base, emb, idx)
+    append_ivf_index(delta, idx)
+
+    got = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
+    want = sorted(map(tuple, ivf_topk(emb).collect()))
+    assert got == want and len(got) > 0

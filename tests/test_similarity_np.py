@@ -139,3 +139,18 @@ def test_split_leakage_scale_optins_change_nothing(spark):
     got_base = sorted(map(tuple, base.select(*cols).collect()))
     got_fast = sorted(map(tuple, fast.select(*cols).collect()))
     assert got_base == got_fast and len(got_base) > 0
+
+
+def test_index_search_np_probe_matches_join(spark, tmp_path):
+    from etl_validator_github_spark.scale.similarity import (
+        ivf_topk_from_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    persist_ivf_index(emb, emb, idx)
+    base = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
+    fast = sorted(map(tuple, ivf_topk_from_index(
+        spark, idx, np_assign=True, np_probe=True).collect()))
+    assert base == fast and len(base) > 0

@@ -49,7 +49,8 @@ BLOOM_HELDOUT_DOCS = 10
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
            "sweep", "sweep_expr", "vocab_coverage", "classifier",
-           "split_leak", "bpe", "keeplongest", "rrf", "bm25_delta")
+           "split_leak", "ivf_index", "bpe", "keeplongest", "rrf",
+           "bm25_delta")
 
 
 def _run_isolated(args, ops) -> int:
@@ -372,6 +373,33 @@ def main() -> int:
         timed("split_leak", lambda: force(semantic_split_leakage(
             emb, emb, np_assign=True, materialize_assignment=True,
             np_pairs=True)))
+
+    if "ivf_index" in ops:
+        from etl_validator_github_spark.scale.similarity import (
+            append_ivf_index,
+            ivf_topk_from_index,
+            persist_ivf_index,
+        )
+        # The operational ANN trio (the vector-side BM25 persist/delta/
+        # score analogue): pay the 1M assignment once, append a
+        # 100k-vector delta with work ∝ delta, then serve a standing
+        # 1000-query batch from the persisted index without touching
+        # the corpus again.
+        emb = ensure_emb()
+        idx = os.path.join(args.workdir, "ivf_index")
+        shutil.rmtree(idx, ignore_errors=True)
+        timed("ivf_index_persist", lambda: persist_ivf_index(
+            emb, emb, idx, np_assign=True), repeat=1)
+        delta = (spark.range(args.docs, args.docs + 100_000).selectExpr(
+            "id as vec_id",
+            "transform(sequence(0, 63), i -> cast("
+            "((id * 1103515245 + i * 12345) % 2001 - 1000) / 1000.0"
+            " as float)) as embedding",
+        ))
+        timed("ivf_index_delta_100k", lambda: append_ivf_index(
+            delta, idx, np_assign=True), repeat=1)
+        timed("ivf_index_search_1k", lambda: force(ivf_topk_from_index(
+            spark, idx, n_queries=1000, np_assign=True, np_probe=True)))
 
     if "sweep_expr" in ops:
         # The fixture-default expression plan, measured on a 20k slice
