@@ -800,19 +800,17 @@ def append_ivf_index(delta: DataFrame, index_dir: str,
     ).write.mode("append").parquet(f"{index_dir}/assign.parquet")
 
 
-def ivf_topk_from_index(spark: SparkSession, index_dir: str,
-                        n_queries: int = N_QUERIES, k: int = TOP_K,
-                        nprobe: int = N_PROBE,
-                        np_assign: bool = False,
-                        np_probe: bool = False) -> DataFrame:
-    """Top-k for the standing query batch straight from the persisted
-    index: only the QUERY vectors are (re)assigned at query time
-    (against the tiny broadcast centroid table, with the full nprobe
-    fan-out); the corpus side is read as-is. Identical results to the
-    in-memory ``ivf_topk`` when the index holds the same corpus —
-    pinned in tests/test_scale.py."""
-    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
-    assign_t = spark.read.parquet(f"{index_dir}/assign.parquet")
+def ivf_topk_from_assignment(assign_t: DataFrame, cells: DataFrame,
+                             n_queries: int = N_QUERIES, k: int = TOP_K,
+                             nprobe: int = N_PROBE,
+                             np_assign: bool = False,
+                             np_probe: bool = False) -> DataFrame:
+    """Top-k for the standing query batch over an already-materialized
+    (vec_id, cell, qv, norm2) assignment frame: only the QUERY vectors
+    are (re)assigned at query time (against the tiny broadcast centroid
+    table, with the full nprobe fan-out); the corpus side is used
+    as-is. The core shared by the batch-persisted index reader and the
+    streaming assignment log."""
     qvecs = assign_t.filter(F.col("vec_id") < n_queries).select(
         "vec_id", "qv", "norm2"
     )
@@ -825,6 +823,22 @@ def ivf_topk_from_index(spark: SparkSession, index_dir: str,
     )
     topk = _probe_topk_np if np_probe else _probe_join_topk
     return topk(assign_t, probes, k)
+
+
+def ivf_topk_from_index(spark: SparkSession, index_dir: str,
+                        n_queries: int = N_QUERIES, k: int = TOP_K,
+                        nprobe: int = N_PROBE,
+                        np_assign: bool = False,
+                        np_probe: bool = False) -> DataFrame:
+    """Top-k straight from the persisted index directories. Identical
+    results to the in-memory ``ivf_topk`` when the index holds the
+    same corpus — pinned in tests/test_scale.py."""
+    return ivf_topk_from_assignment(
+        spark.read.parquet(f"{index_dir}/assign.parquet"),
+        spark.read.parquet(f"{index_dir}/cells.parquet"),
+        n_queries=n_queries, k=k, nprobe=nprobe,
+        np_assign=np_assign, np_probe=np_probe,
+    )
 
 
 def _ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -538,3 +538,61 @@ def read_classifier_counts_log(spark, counts_dir: str) -> DataFrame:
     log = spark.read.parquet(counts_dir).distinct()
     first = log.groupBy("doc_id").agg(F.min("batch_id").alias("batch_id"))
     return log.join(first, ["doc_id", "batch_id"]).drop("batch_id")
+
+
+def stream_ivf_index_maintenance(
+    spark,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming ANN-index maintenance: newly landed embedding files
+    are assigned per micro-batch against the index's FROZEN centroid
+    table (``persist_ivf_index`` must have written
+    ``{index_dir}/cells.parquet`` first) and appended to an assignment
+    log stamped with the micro-batch id. A vector's cell is a pure
+    function of itself and the frozen centroids, so the index never
+    rewrites earlier vectors and ingest work is ∝ batch — the
+    ``stream_postings_maintenance`` contract for the vector side.
+    Serve via ``read_ivf_assignment_log`` +
+    ``ivf_topk_from_assignment``."""
+    from etl_validator_github_spark.scale.similarity import (
+        cell_assignments,
+        quantized,
+    )
+
+    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+    stream = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        cell_assignments(quantized(batch_df), cells, nprobe=1).select(
+            "vec_id",
+            F.col("top_cells")[0]["label"].alias("cell"),
+            "qv", "norm2",
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{index_dir}/assign_log.parquet")
+
+    writer = stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ivf_assignment_log(spark, index_dir: str) -> DataFrame:
+    """The live assignment table from the streamed log, idempotent
+    under both replay shapes (the ``read_postings_log`` discipline):
+    ``distinct`` collapses a foreachBatch retry's same-batch_id copies,
+    first-batch-wins (min batch_id) drops an upstream redelivery's
+    new-batch_id copies."""
+    log = spark.read.parquet(f"{index_dir}/assign_log.parquet").distinct()
+    first = log.groupBy("vec_id").agg(F.min("batch_id").alias("batch_id"))
+    return log.join(first, ["vec_id", "batch_id"]).drop("batch_id")

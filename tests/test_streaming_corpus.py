@@ -580,3 +580,60 @@ def test_stream_classifier_counts_match_batch_weights(spark, tmp_path):
     got_w3 = sorted(map(tuple, classifier_weights_from_counts(
         read_classifier_counts_log(spark, str(clog))).collect()))
     assert got_w3 == want_w
+
+
+def test_stream_ivf_index_maintenance_matches_in_memory(spark, tmp_path):
+    """Streamed assignment log (two micro-batches + restart) served
+    through ivf_topk_from_assignment must equal the in-memory ivf_topk
+    over the union; retry (same batch_id) and redelivery (new
+    batch_id) replays must not change the fold."""
+    import pyspark.sql.functions as F
+    from etl_validator_github_spark.scale.similarity import (
+        cell_assignments,
+        ivf_topk,
+        ivf_topk_from_assignment,
+        persist_ivf_index,
+        quantized,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        read_ivf_assignment_log,
+        stream_ivf_index_maintenance,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivfidx")
+    # Freeze the centroid table from the full fixture (persist also
+    # writes a batch assignment we ignore — the stream owns the log).
+    persist_ivf_index(emb, emb, idx)
+
+    src = tmp_path / "vecsrc"
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    wave2 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    wave1.coalesce(1).write.parquet(str(src / "w1.parquet"))
+    q = stream_ivf_index_maintenance(spark, str(src), idx,
+                                     str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    wave2.coalesce(1).write.parquet(str(src / "w2.parquet"))
+    q2 = stream_ivf_index_maintenance(spark, str(src), idx,
+                                      str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+
+    cells = spark.read.parquet(f"{idx}/cells.parquet")
+    live = read_ivf_assignment_log(spark, idx)
+    got = sorted(map(tuple, ivf_topk_from_assignment(live, cells).collect()))
+    want = sorted(map(tuple, ivf_topk(emb).collect()))
+    assert got == want and len(got) > 0
+
+    # Retry (same batch_id 0) and redelivery (new batch_id 99) of
+    # wave 1's assignment rows — the deduped fold must be unchanged.
+    for replay_id in (0, 99):
+        cell_assignments(quantized(wave1), cells, nprobe=1).select(
+            "vec_id",
+            F.col("top_cells")[0]["label"].alias("cell"),
+            "qv", "norm2",
+        ).withColumn("batch_id", F.lit(replay_id)).write.mode(
+            "append"
+        ).parquet(f"{idx}/assign_log.parquet")
+    live2 = read_ivf_assignment_log(spark, idx)
+    got2 = sorted(map(tuple, ivf_topk_from_assignment(live2, cells).collect()))
+    assert got2 == want
