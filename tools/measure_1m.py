@@ -49,8 +49,8 @@ BLOOM_HELDOUT_DOCS = 10
 ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
            "sweep", "sweep_expr", "vocab_coverage", "classifier",
-           "split_leak", "ivf_index", "bpe", "keeplongest", "rrf",
-           "bm25_delta")
+           "split_leak", "ivf_index", "epoch_shuffle", "bpe",
+           "keeplongest", "rrf", "bm25_delta")
 
 
 def _run_isolated(args, ops) -> int:
@@ -400,6 +400,15 @@ def main() -> int:
             delta, idx, np_assign=True), repeat=1)
         timed("ivf_index_search_1k", lambda: force(ivf_topk_from_index(
             spark, idx, n_queries=1000, np_assign=True, np_probe=True)))
+
+    if "epoch_shuffle" in ops:
+        from etl_validator_github_spark.scale.snapshots import epoch_shuffle
+        # The ranks helper at corpus scale: two seeded md5 permutations
+        # of 1M docs, each through the range-partitioned exact-rank
+        # decomposition (no single-task sort).
+        timed("epoch_shuffle", lambda: force(
+            epoch_shuffle(docs.select("doc_id", "text", "lang",
+                                      "source", "n_chars"))))
 
     if "sweep_expr" in ops:
         # The fixture-default expression plan, measured on a 20k slice
