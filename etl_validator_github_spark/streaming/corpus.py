@@ -596,3 +596,56 @@ def read_ivf_assignment_log(spark, index_dir: str) -> DataFrame:
     log = spark.read.parquet(f"{index_dir}/assign_log.parquet").distinct()
     first = log.groupBy("vec_id").agg(F.min("batch_id").alias("batch_id"))
     return log.join(first, ["vec_id", "batch_id"]).drop("batch_id")
+
+
+def stream_classifier_gate(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    weights: DataFrame,
+    prior: DataFrame,
+    available_now: bool = True,
+):
+    """Streaming learned-quality gate: each micro-batch of newly landed
+    documents is scored by the trained token-weight classifier
+    (scale/text.py::quality_classifier_score) and appended with a keep
+    verdict (score ≥ the occurrence prior), stamped with batch_id —
+    the inference half of the classifier loop whose training half is
+    ``stream_classifier_counts`` (weights/prior typically folded from
+    that log via classifier_weights_from_counts /
+    classifier_prior_from_counts).
+
+    CALLER owns ``weights``/``prior`` (the ``stream_perplexity_gate``
+    contract): the weight table is vocabulary-bounded and broadcasts
+    inside every per-batch score, so the gate ships no per-key state
+    and each batch costs |batch| explode + one broadcast join + one
+    doc-key agg."""
+    from etl_validator_github_spark.scale.text import (
+        labeled_docs,
+        quality_classifier_score,
+    )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        scored = quality_classifier_score(
+            labeled_docs(batch_df), weights, prior
+        )
+        scored.withColumn(
+            "keep", (F.col("score_micro") >= F.col("prior_micro")).cast("int")
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = stream.writeStream.foreachBatch(_score).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

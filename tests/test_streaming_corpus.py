@@ -637,3 +637,62 @@ def test_stream_ivf_index_maintenance_matches_in_memory(spark, tmp_path):
     live2 = read_ivf_assignment_log(spark, idx)
     got2 = sorted(map(tuple, ivf_topk_from_assignment(live2, cells).collect()))
     assert got2 == want
+
+
+def test_stream_classifier_gate_closes_the_loop(spark, tmp_path):
+    """End-to-end classifier loop: train from the streamed counts log,
+    then score a fresh document stream with the folded weights — the
+    streamed verdicts must equal the batch scorer's on the same docs."""
+    from etl_validator_github_spark.scale.text import (
+        classifier_prior_from_counts,
+        classifier_weights_from_counts,
+        labeled_docs,
+        quality_classifier_score,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        read_classifier_counts_log,
+        stream_classifier_counts,
+        stream_classifier_gate,
+    )
+
+    soup = ("the of and to in a " * 5).strip()
+    train_rows = [(0, GOOD), (1, soup), (2, GOOD2), (3, GOOD + " " + soup)]
+    src1 = tmp_path / "trainsrc"
+    clog = tmp_path / "cntlog"
+    _write_docs(spark, str(src1 / "d1.parquet"), train_rows)
+    q = stream_classifier_counts(spark, str(src1), str(clog),
+                                 str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    log = read_classifier_counts_log(spark, str(clog)).persist()
+    try:
+        weights = classifier_weights_from_counts(log).persist()
+        prior = classifier_prior_from_counts(log).persist()
+
+        score_rows = [(10, GOOD2 + " tail"), (11, soup + " " + soup)]
+        src2, sink = tmp_path / "scoresrc", tmp_path / "scoresink"
+        _write_docs(spark, str(src2 / "s1.parquet"), score_rows)
+        g = stream_classifier_gate(spark, str(src2), str(sink),
+                                   str(tmp_path / "ck2"), weights, prior)
+        g.awaitTermination(120)
+
+        got = {
+            r["doc_id"]: (r["n_hits"], r["score_micro"], r["keep"])
+            for r in spark.read.parquet(str(sink)).collect()
+        }
+        batch_docs = spark.createDataFrame(
+            [(i, t, "en", "crawl", len(t)) for i, t in score_rows],
+            "doc_id: long, text: string, lang: string, source: string,"
+            " n_chars: long",
+        )
+        want = {
+            r["doc_id"]: (
+                r["n_hits"], r["score_micro"],
+                int(r["score_micro"] >= r["prior_micro"]),
+            )
+            for r in quality_classifier_score(
+                labeled_docs(batch_docs), weights, prior).collect()
+        }
+        assert got == want and len(got) == 2
+    finally:
+        log.unpersist()
