@@ -6218,6 +6218,92 @@ FROM terms
 """
 
 
+# ---------------------------------------------------------------------------
+# Discrete survival analysis: the customer-churn hazard table. A
+# customer "churns" when their last order sits more than GAP months
+# before the observation end; their observed span is months from first
+# to last order (event) or to the observation end (censored — they
+# count in the at-risk denominator of every month they survived, but
+# never as a churn event, the Kaplan-Meier discipline). Hazard at
+# month m = churners with span m ÷ customers at risk ≥ m, floored to
+# micro. Shape: one orders scan → customer-grain agg → 1-row broadcast
+# observation end → (span, churned) histogram; the reverse-cumulative
+# at-risk window runs over the CALENDAR-bounded month table (~80 rows
+# at any data scale — constant, not data-grown).
+# ---------------------------------------------------------------------------
+
+_CHURN_GAP_MONTHS = 6
+
+
+def _customers_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate))"
+        ).cast("int").alias("m"),
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min("m").alias("t0"), F.max("m").alias("t1")
+    )
+    end = o.agg(F.max("m").alias("obs_end"))
+    lab = cust.crossJoin(F.broadcast(end)).select(
+        (F.col("obs_end") - F.col("t1") > _CHURN_GAP_MONTHS)
+        .cast("int").alias("churned"),
+        F.when(
+            F.col("obs_end") - F.col("t1") > _CHURN_GAP_MONTHS,
+            F.col("t1") - F.col("t0"),
+        ).otherwise(F.col("obs_end") - F.col("t0"))
+        .cast("int").alias("span"),
+    )
+    hist = lab.groupBy("span").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("churned").cast("long").alias("n_churned"),
+    )
+    w = (
+        Window.orderBy(F.desc("span"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        F.col("span").alias("month"),
+        F.sum("n_total").over(w).cast("long").alias("n_at_risk"),
+        "n_churned",
+    ).select(
+        "month", "n_at_risk", "n_churned",
+        F.expr("(1000000 * n_churned) div n_at_risk").alias("hazard_micro"),
+    )
+
+
+_CHURN_HAZARD_SQL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS INT) AS m
+  FROM orders
+), cust AS (
+  SELECT o_custkey, MIN(m) AS t0, MAX(m) AS t1 FROM o GROUP BY 1
+), e AS (SELECT MAX(m) AS obs_end FROM o),
+lab AS (
+  SELECT CAST(e.obs_end - t1 > {_CHURN_GAP_MONTHS} AS INT) AS churned,
+         CAST(CASE WHEN e.obs_end - t1 > {_CHURN_GAP_MONTHS}
+                   THEN t1 - t0 ELSE e.obs_end - t0 END AS INT) AS span
+  FROM cust CROSS JOIN e
+), hist AS (
+  SELECT span, CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(churned) AS BIGINT) AS n_churned
+  FROM lab GROUP BY 1
+)
+SELECT span AS month,
+       CAST(SUM(n_total) OVER (ORDER BY span DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_at_risk,
+       n_churned,
+       CAST((1000000 * n_churned) // SUM(n_total) OVER (ORDER BY span DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS hazard_micro
+FROM hist
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -6466,5 +6552,11 @@ RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
               "One-way ANOVA of price across return flags per line "
               "status: exact-integer between/within sums of squares "
               "from a single hash-agg, 128-bit F quotient."),
+        Query("customers_churn_hazard", _customers_churn_hazard,
+              _CHURN_HAZARD_SQL,
+              "Discrete churn-hazard table (Kaplan-Meier discipline): "
+              "censored customers stay in the at-risk denominator, "
+              "reverse-cumulative window over the calendar-bounded "
+              "month histogram only."),
     ]
 }

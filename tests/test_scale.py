@@ -2113,7 +2113,7 @@ def test_cusum_hand_computed_changepoint(spark, tmp_path):
     "part_price_size_skyline",
     "orders_fulfillment_latency", "events_hourly_autocorr",
     "lineitem_returnflag_anova", "text_quality_classifier",
-    "embed_split_leakage", "docs_epoch_shuffle",
+    "embed_split_leakage", "docs_epoch_shuffle", "customers_churn_hazard",
 ])
 def test_results_partition_independent(spark, sf_dir, name):
     """The contract.py claim, spot-pinned on this round's queries:
