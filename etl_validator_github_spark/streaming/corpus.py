@@ -312,9 +312,7 @@ def read_postings_log(spark, postings_dir: str) -> DataFrame:
     (sink append committed, checkpoint offset not) re-runs under the
     SAME batch_id — those byte-identical copies collapse in the
     ``distinct`` before the fold."""
-    log = spark.read.parquet(postings_dir).distinct()
-    first = log.groupBy("doc_id").agg(F.min("batch_id").alias("batch_id"))
-    return log.join(first, ["doc_id", "batch_id"]).drop("batch_id")
+    return _fold_log(spark.read.parquet(postings_dir), "doc_id")
 
 
 def stream_perplexity_gate(
@@ -535,9 +533,7 @@ def read_classifier_counts_log(spark, counts_dir: str) -> DataFrame:
     upstream redelivery's new-batch_id copies. The fold to
     weights/prior is scale/text.py::classifier_weights_from_counts /
     classifier_prior_from_counts."""
-    log = spark.read.parquet(counts_dir).distinct()
-    first = log.groupBy("doc_id").agg(F.min("batch_id").alias("batch_id"))
-    return log.join(first, ["doc_id", "batch_id"]).drop("batch_id")
+    return _fold_log(spark.read.parquet(counts_dir), "doc_id")
 
 
 def stream_ivf_index_maintenance(
@@ -593,9 +589,9 @@ def read_ivf_assignment_log(spark, index_dir: str) -> DataFrame:
     ``distinct`` collapses a foreachBatch retry's same-batch_id copies,
     first-batch-wins (min batch_id) drops an upstream redelivery's
     new-batch_id copies."""
-    log = spark.read.parquet(f"{index_dir}/assign_log.parquet").distinct()
-    first = log.groupBy("vec_id").agg(F.min("batch_id").alias("batch_id"))
-    return log.join(first, ["vec_id", "batch_id"]).drop("batch_id")
+    return _fold_log(
+        spark.read.parquet(f"{index_dir}/assign_log.parquet"), "vec_id"
+    )
 
 
 def stream_classifier_gate(
@@ -649,3 +645,47 @@ def stream_classifier_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _fold_log(log: DataFrame, key_col: str) -> DataFrame:
+    """The shared idempotence fold for batch_id-stamped append logs:
+    ``distinct`` collapses a foreachBatch retry's same-batch_id copies,
+    first-batch-wins (min batch_id per key) drops an upstream
+    redelivery's new-batch_id copies."""
+    log = log.distinct()
+    first = log.groupBy(key_col).agg(F.min("batch_id").alias("batch_id"))
+    return log.join(first, [key_col, "batch_id"]).drop("batch_id")
+
+
+def compact_log(spark, log_dir: str, key_col: str = "doc_id",
+                n_files: int | None = None) -> None:
+    """Fold-and-rewrite compaction for the batch_id-stamped append logs
+    (postings / classifier counts / IVF assignments): apply the
+    read-side idempotence fold ONCE and rewrite the log as a single
+    ``batch_id = 0`` generation. Correctness is preserved for every
+    later replay shape: a post-compaction retry or redelivery of a
+    PRE-compaction batch arrives with batch_id > 0 and loses
+    first-batch-wins to the compacted generation; new appends keep
+    their monotonically growing ids. Run while the maintenance stream
+    is stopped (the nightly-lake-pass slot compact_parquet also owns).
+
+    Swap choreography (the CDC write-aside discipline): the folded
+    generation lands in ``<dir>.gen-<uuid>``, the old log moves to
+    ``<dir>.old-<uuid>``, the generation renames in, and only then is
+    the aside deleted — a crash mid-swap leaves either the original or
+    the complete aside on disk, never a half-written log."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    folded = _fold_log(spark.read.parquet(log_dir), key_col).withColumn(
+        "batch_id", F.lit(0)
+    )
+    tag = _uuid.uuid4().hex[:8]
+    gen = f"{log_dir}.gen-{tag}"
+    out = folded.repartition(n_files) if n_files else folded
+    out.write.parquet(gen)
+    old = f"{log_dir}.old-{tag}"
+    os.rename(log_dir, old)
+    os.rename(gen, log_dir)
+    shutil.rmtree(old)

@@ -696,3 +696,64 @@ def test_stream_classifier_gate_closes_the_loop(spark, tmp_path):
         assert got == want and len(got) == 2
     finally:
         log.unpersist()
+
+
+def test_compact_log_preserves_fold_and_shrinks(spark, tmp_path):
+    """Compaction folds the log once (batch_id 0) and must be invisible
+    to readers — including against LATE replays of pre-compaction
+    batches arriving after the compaction ran."""
+    import glob
+
+    from etl_validator_github_spark.scale.text import (
+        classifier_weights_from_counts,
+        doc_token_counts,
+        labeled_docs,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        compact_log,
+        read_classifier_counts_log,
+        stream_classifier_counts,
+    )
+
+    soup = ("the of and to in a " * 5).strip()
+    src = tmp_path / "csrc"
+    clog = tmp_path / "clog"
+    _write_docs(spark, str(src / "d1.parquet"), [(0, GOOD), (1, soup)])
+    q = stream_classifier_counts(spark, str(src), str(clog),
+                                 str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    _write_docs(spark, str(src / "d2.parquet"), [(2, GOOD2)])
+    q2 = stream_classifier_counts(spark, str(src), str(clog),
+                                  str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+
+    want = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+    files_before = len(glob.glob(f"{clog}/*.parquet"))
+
+    compact_log(spark, str(clog), key_col="doc_id", n_files=1)
+    files_after = len(glob.glob(f"{clog}/*.parquet"))
+    assert files_after <= files_before
+    got = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+    assert got == want
+
+    # LATE replay of the pre-compaction batch 0 (same id) and a
+    # redelivery under a new id — both must lose first-batch-wins to
+    # the compacted generation... except batch_id 0 TIES the compacted
+    # generation; its rows are byte-identical to a SUBSET fold, so
+    # distinct absorbs exact copies and differing tf would be a bug in
+    # the source, not the log. Use ids 3 and 99 (post-compaction ids).
+    import pyspark.sql.functions as F
+    first = spark.createDataFrame(
+        [(0, GOOD, "en", "crawl", len(GOOD))],
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    for replay_id in (3, 99):
+        doc_token_counts(labeled_docs(first)).withColumn(
+            "batch_id", F.lit(replay_id)
+        ).write.mode("append").parquet(str(clog))
+    got2 = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+    assert got2 == want
