@@ -3154,26 +3154,31 @@ def quality_classifier_score(lab: DataFrame, weights: DataFrame,
     )
 
 
-def quality_classifier_report(docs: DataFrame) -> DataFrame:
-    """Train-on-split + score-corpus-wide + confusion rollup over a raw
-    documents frame (the composable form measure_1m times at 1M). The
-    train slice is exploded ONCE: the vocabulary-bounded token-count
-    table is pinned with the repo's lazy localCheckpoint barrier and
-    both the weight table and the occurrence prior fold from it (the
-    decision threshold is the OCCURRENCE-level base rate, not the
-    doc-level prior: per-doc scores are means of per-occurrence
-    weights, and the two priors differ whenever the label correlates
-    with doc length, which the length-band teacher label guarantees)."""
+def _train_and_score(docs: DataFrame) -> DataFrame:
+    """Shared train-on-split + score-corpus-wide prelude. The train
+    slice is exploded ONCE: the vocabulary-bounded token-count table is
+    pinned with the repo's lazy localCheckpoint barrier and both the
+    weight table and the occurrence prior fold from it (the decision
+    threshold is the OCCURRENCE-level base rate, not the doc-level
+    prior: per-doc scores are means of per-occurrence weights, and the
+    two priors differ whenever the label correlates with doc length,
+    which the length-band teacher label guarantees)."""
     lab = labeled_docs(docs)
     train = lab.filter(
         F.col("doc_id") % CLASSIFIER_TRAIN_MOD < CLASSIFIER_TRAIN_LT
     )
     tok = token_class_counts(train).localCheckpoint(eager=False)
-    scored = quality_classifier_score(
+    return quality_classifier_score(
         lab,
         _weights_from_token_counts(tok),
         classifier_prior_from_token_counts(tok),
     )
+
+
+def quality_classifier_report(docs: DataFrame) -> DataFrame:
+    """Train-on-split + score-corpus-wide + confusion rollup over a raw
+    documents frame (the composable form measure_1m times at 1M)."""
+    scored = _train_and_score(docs)
     return (
         scored.select(
             "lang", "label",
@@ -3196,7 +3201,38 @@ def _classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_report(load(spark, sf_dir, "documents"))
 
 
-_CLASSIFIER_SQL = f"""
+def classifier_calibration(docs: DataFrame) -> DataFrame:
+    """Calibration curve for the learned quality filter: score-percent
+    buckets (⌊score_micro/10⁴⌋, ≤101 rows at any scale) vs the observed
+    teacher-label rate — a well-calibrated filter shows pos_rate_micro
+    tracking its bucket. One more hash-agg over the shared scored
+    frame; the standard pre-deployment readout before trusting the
+    classifier's threshold on new data."""
+    scored = _train_and_score(docs)
+    return (
+        scored.select(
+            F.expr("score_micro div 10000").cast("int").alias("bucket"),
+            "label",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bucket", "n_docs", "n_pos",
+            F.expr("(1000000 * n_pos) div n_docs").alias("pos_rate_micro"),
+        )
+    )
+
+
+def _calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_calibration(load(spark, sf_dir, "documents"))
+
+
+#: Shared CTE prefix (teacher labels → train split → prior → weights →
+#: per-doc scores) for the classifier query and its calibration curve.
+_CLASSIFIER_SCORED_CTES = f"""
 WITH lab AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks,
          CAST(len(string_split(text, ' ')) BETWEEN 20 AND 1000
@@ -3231,7 +3267,9 @@ WITH lab AS (
          COALESCE(h.sum_w // h.n_hits, p.prior_micro) AS score_micro,
          p.prior_micro
   FROM lab LEFT JOIN hits h USING (doc_id) CROSS JOIN prior p
-)
+)"""
+
+_CLASSIFIER_SQL = _CLASSIFIER_SCORED_CTES + """
 SELECT lang, label,
        CAST(score_micro >= prior_micro AS INT) AS predicted,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3240,6 +3278,15 @@ SELECT lang, label,
        CAST(SUM(score_micro) // COUNT(*) AS BIGINT) AS avg_score_micro
 FROM scored
 GROUP BY 1, 2, 3
+"""
+
+_CALIBRATION_SQL = _CLASSIFIER_SCORED_CTES + """
+SELECT CAST(score_micro // 10000 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST((1000000 * SUM(label)) // COUNT(*) AS BIGINT) AS pos_rate_micro
+FROM scored
+GROUP BY 1
 """
 
 
@@ -3251,6 +3298,11 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "trained on the doc_id%10<3 split with heuristic teacher "
               "labels, scored corpus-wide via a broadcast vocab join — "
               "exact-integer weights, no floats."),
+        Query("text_classifier_calibration", _calibration_q,
+              _CALIBRATION_SQL,
+              "Calibration curve of the learned filter: score-percent "
+              "buckets vs observed teacher-label rate — one extra "
+              "hash-agg over the shared scored frame, ≤101 rows."),
         Query("corpus_curation_pipeline", _curation_q, _curation_sql(),
               "End-to-end curation capstone: quality gate → exact "
               "dedup → per-domain cap, composed in order with per-doc "

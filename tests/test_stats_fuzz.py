@@ -147,3 +147,57 @@ def test_fulfillment_percentiles_match_histogram_reference(
 
         want[pri] = (n, pct(50), pct(90), pct(99), max(lats))
     assert got == want
+
+
+@_slow
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),   # first-order month
+            st.integers(min_value=0, max_value=30),   # active span months
+            st.integers(min_value=1, max_value=3),    # orders in span
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_churn_hazard_matches_km_reference(spark, tmp_path, custs):
+    from etl_validator_github_spark.queries.relational import (
+        _CHURN_GAP_MONTHS,
+    )
+
+    rows = []
+    for ck, (t0, span, n_orders) in enumerate(custs):
+        months = sorted({t0, t0 + span} | {
+            t0 + (span * j) // max(n_orders, 1) for j in range(n_orders)
+        })
+        for m in months:
+            rows.append((len(rows), ck,
+                         f"{1995 + m // 12:04d}-{m % 12 + 1:02d}-15"))
+    orders = pd.DataFrame(rows,
+                          columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    sf = _sf_dir(tmp_path, {"orders": orders})
+    got = {
+        r["month"]: (r["n_at_risk"], r["n_churned"], r["hazard_micro"])
+        for r in CATALOG["customers_churn_hazard"].build(spark, sf).collect()
+    }
+
+    # Pure-Python reference on month indices.
+    per_cust = {}
+    for _, ck, d in rows:
+        y, mo = int(d[:4]), int(d[5:7])
+        idx = y * 12 + mo
+        lo, hi = per_cust.get(ck, (idx, idx))
+        per_cust[ck] = (min(lo, idx), max(hi, idx))
+    obs_end = max(hi for _, hi in per_cust.values())
+    spans = []
+    for lo, hi in per_cust.values():
+        churned = (obs_end - hi) > _CHURN_GAP_MONTHS
+        spans.append((hi - lo if churned else obs_end - lo, churned))
+    want = {}
+    for s in sorted({s for s, _ in spans}):
+        n_at_risk = sum(1 for sp, _ in spans if sp >= s)
+        n_churned = sum(1 for sp, ch in spans if sp == s and ch)
+        want[s] = (n_at_risk, n_churned,
+                   (1_000_000 * n_churned) // n_at_risk)
+    assert got == want
