@@ -682,6 +682,39 @@ def _cmd_retrieve(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_classify(args: argparse.Namespace) -> int:
+    """Learned quality filter over any documents parquet (doc_id, text,
+    lang): trains the NB token-weight model on the doc_id%10<3 split
+    with heuristic teacher labels, scores every doc, and prints the
+    confusion rollup plus the calibration curve; ``--output`` writes
+    the per-doc scores parquet instead."""
+    spark = get_spark(app_name="classify")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    missing = sorted({"doc_id", "text", "lang"} - set(docs.columns))
+    if missing:
+        raise SystemExit(
+            f"{args.input} is missing column(s) {', '.join(missing)}"
+        )
+    from etl_validator_github_spark.scale.text import (
+        _train_and_score,
+        classifier_calibration,
+        quality_classifier_report,
+    )
+
+    if args.output:
+        _train_and_score(docs).write.mode("overwrite").parquet(args.output)
+        print(f"wrote per-doc scores to {args.output}")
+        return 0
+    print("confusion rollup (lang × teacher label × predicted):")
+    quality_classifier_report(docs).orderBy(
+        "lang", "label", "predicted"
+    ).show(100, truncate=False)
+    print("calibration (score-percent bucket vs observed label rate):")
+    classifier_calibration(docs).orderBy("bucket").show(101, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_validator_github_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -839,6 +872,18 @@ def main(argv: list[str] | None = None) -> int:
                          "ranked list)")
     rt.add_argument("-k", type=int, default=5)
     rt.set_defaults(fn=_cmd_retrieve)
+
+    cl = sub.add_parser(
+        "classify",
+        help="learned quality filter over a documents parquet: train "
+             "on the doc_id%%10<3 split, print confusion + calibration "
+             "(or --output per-doc scores)",
+    )
+    cl.add_argument("input")
+    cl.add_argument("--output",
+                    help="write the per-doc scores parquet instead of "
+                         "printing the rollups")
+    cl.set_defaults(fn=_cmd_classify)
 
     args = parser.parse_args(argv)
     return args.fn(args)

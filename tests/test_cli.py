@@ -705,3 +705,30 @@ def test_cli_retrieve_ranks_documents(spark, tmp_path, capsys):
     assert rc == 0
     assert "query 1: 'alpha zzz'" in out
     assert "#1: doc 1" in out   # doc 1 matches both terms
+
+
+def test_cli_classify_prints_and_writes(spark, tmp_path, capsys):
+    """`classify` subcommand: confusion + calibration rollups print,
+    and --output writes one score row per doc."""
+    from etl_validator_github_spark.cli import main
+
+    path = str(tmp_path / "docs.parquet")
+    content = " ".join(f"w{i}" for i in range(30))
+    soup = ("the of and to in a " * 5).strip()
+    spark.createDataFrame(
+        [(i, content if i % 2 else soup, "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path)
+
+    rc = main(["classify", path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "confusion rollup" in out and "calibration" in out
+
+    dst = str(tmp_path / "scores")
+    rc = main(["classify", path, "--output", dst])
+    assert rc == 0
+    scored = spark.read.parquet(dst)
+    assert scored.count() == 20
+    assert {"doc_id", "label", "score_micro", "prior_micro"} <= \
+        set(scored.columns)
