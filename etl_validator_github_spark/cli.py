@@ -698,20 +698,25 @@ def _cmd_classify(args: argparse.Namespace) -> int:
         )
     from etl_validator_github_spark.scale.text import (
         _train_and_score,
-        classifier_calibration,
-        quality_classifier_report,
+        classifier_calibration_rollup,
+        classifier_confusion_rollup,
     )
 
     if args.output:
         _train_and_score(docs).write.mode("overwrite").parquet(args.output)
         print(f"wrote per-doc scores to {args.output}")
         return 0
+    # Score ONCE (lazy checkpoint barrier) — both rollups fold the
+    # same materialized frame instead of re-training per readout.
+    scored = _train_and_score(docs).localCheckpoint(eager=False)
     print("confusion rollup (lang × teacher label × predicted):")
-    quality_classifier_report(docs).orderBy(
+    classifier_confusion_rollup(scored).orderBy(
         "lang", "label", "predicted"
     ).show(100, truncate=False)
     print("calibration (score-percent bucket vs observed label rate):")
-    classifier_calibration(docs).orderBy("bucket").show(101, truncate=False)
+    classifier_calibration_rollup(scored).orderBy("bucket").show(
+        101, truncate=False
+    )
     return 0
 
 

@@ -645,11 +645,17 @@ def _probe_topk_np(assign: DataFrame, probes: DataFrame,
     partition the candidates); the tiny union then ranks through the
     same final window. Dots are exact in float64 (quantized micros)
     and the cos arithmetic is the same IEEE ops as the join expression
-    — equality pinned in tests/test_similarity_np.py."""
+    — equality pinned in tests/test_similarity_np.py. Zero-norm rows
+    (all components quantize to 0) have no defined cosine: both probe
+    paths drop them up front (the expression path would rank its NULL
+    cosines, the numpy path its NaNs — differently), keeping the two
+    formulations bit-identical."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
+    assign = assign.filter(F.col("norm2") > 0)
+    probes = probes.filter(F.col("q_norm2") > 0)
     members = assign.select(
         "cell", "vec_id", "qv", "norm2",
         F.lit(None).cast("long").alias("query_id"),
@@ -711,9 +717,13 @@ def _probe_join_topk(assign: DataFrame, probes: DataFrame,
     path (``ivf_topk``) and the persisted-index path
     (``ivf_topk_from_index``): broadcast the (query, probed-cell) rows
     onto the cell-keyed assignment, score exact cosine within probed
-    cells, rank with the deterministic (cos desc, id asc) tie-break."""
+    cells, rank with the deterministic (cos desc, id asc) tie-break.
+    Zero-norm rows drop up front (see ``_probe_topk_np`` — keeps the
+    two probe formulations bit-identical)."""
     from pyspark.sql import Window
 
+    assign = assign.filter(F.col("norm2") > 0)
+    probes = probes.filter(F.col("q_norm2") > 0)
     cand_cos = (
         F.expr(_DOT.format(a="q_qv", b="qv"))
         / (F.sqrt("q_norm2") * F.sqrt("norm2"))
@@ -767,22 +777,41 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
 # ---------------------------------------------------------------------------
 
 
-def persist_ivf_index(corpus: DataFrame, centroid_source: DataFrame,
-                      index_dir: str, np_assign: bool = False) -> None:
-    """Write the two tables an ANN deployment keeps: the centroid table
-    (cells.parquet — labels × (cv, cnorm2), tiny) and the corpus
-    assignment (assign.parquet — vec_id, cell, qv, norm2)."""
-    spark = corpus.sparkSession
-    ivf_cells(centroid_source).write.mode("overwrite").parquet(
-        f"{index_dir}/cells.parquet"
-    )
-    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+def home_cell_assignment(vectors: DataFrame, cells: DataFrame,
+                         np_assign: bool = False) -> DataFrame:
+    """(vec_id, cell, qv, norm2) — each vector's single home cell, the
+    one assignment row shape every index store writes and every serve
+    path reads (persist / delta append / streaming maintenance / the
+    in-memory ivf_topk). ``vectors`` is the output of ``quantized``."""
     assign = cell_assignments_np if np_assign else cell_assignments
-    assign(quantized(corpus), cells, nprobe=1).select(
+    return assign(vectors, cells, nprobe=1).select(
         "vec_id",
         F.col("top_cells")[0]["label"].alias("cell"),
         "qv", "norm2",
-    ).write.mode("overwrite").parquet(f"{index_dir}/assign.parquet")
+    )
+
+
+def persist_ivf_cells(centroid_source: DataFrame, index_dir: str) -> None:
+    """Write just the frozen centroid table (cells.parquet — labels ×
+    (cv, cnorm2), tiny) — the bootstrap a pure streaming-maintenance
+    deployment needs, without paying a corpus assignment it will never
+    read."""
+    ivf_cells(centroid_source).write.mode("overwrite").parquet(
+        f"{index_dir}/cells.parquet"
+    )
+
+
+def persist_ivf_index(corpus: DataFrame, centroid_source: DataFrame,
+                      index_dir: str, np_assign: bool = False) -> None:
+    """Write the two tables an ANN deployment keeps: the centroid table
+    (via ``persist_ivf_cells``) and the corpus assignment
+    (assign.parquet — vec_id, cell, qv, norm2)."""
+    spark = corpus.sparkSession
+    persist_ivf_cells(centroid_source, index_dir)
+    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+    home_cell_assignment(quantized(corpus), cells, np_assign).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/assign.parquet")
 
 
 def append_ivf_index(delta: DataFrame, index_dir: str,
@@ -792,12 +821,9 @@ def append_ivf_index(delta: DataFrame, index_dir: str,
     ingest work is ∝ |delta| (the postings-delta contract)."""
     spark = delta.sparkSession
     cells = spark.read.parquet(f"{index_dir}/cells.parquet")
-    assign = cell_assignments_np if np_assign else cell_assignments
-    assign(quantized(delta), cells, nprobe=1).select(
-        "vec_id",
-        F.col("top_cells")[0]["label"].alias("cell"),
-        "qv", "norm2",
-    ).write.mode("append").parquet(f"{index_dir}/assign.parquet")
+    home_cell_assignment(quantized(delta), cells, np_assign).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/assign.parquet")
 
 
 def ivf_topk_from_assignment(assign_t: DataFrame, cells: DataFrame,
@@ -825,16 +851,52 @@ def ivf_topk_from_assignment(assign_t: DataFrame, cells: DataFrame,
     return topk(assign_t, probes, k)
 
 
+def read_ivf_index_assignment(spark: SparkSession,
+                              index_dir: str) -> DataFrame:
+    """The UNIFIED (vec_id, cell, qv, norm2) view over BOTH index
+    stores: the batch assignment (``assign.parquet``, written by
+    persist/append) and the streamed assignment log
+    (``assign_log.parquet``, written by
+    streaming/corpus.py::stream_ivf_index_maintenance). Serving from
+    either store alone silently drops the other's vectors — a
+    truncated candidate set no query can detect — so every serve path
+    goes through this reader. Batch rows take generation −1 (they
+    precede every streamed batch), then the standard log fold applies:
+    ``distinct`` absorbs foreachBatch retries, first-batch-wins drops
+    redeliveries and re-streams of batch-persisted vectors. Local-FS
+    existence probe (the sandbox contract; swap for a FileSystem call
+    on a cluster)."""
+    import os
+
+    parts = []
+    batch_p = f"{index_dir}/assign.parquet"
+    log_p = f"{index_dir}/assign_log.parquet"
+    if os.path.exists(batch_p):
+        parts.append(
+            spark.read.parquet(batch_p)
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+        )
+    if os.path.exists(log_p):
+        parts.append(spark.read.parquet(log_p))
+    if not parts:
+        raise ValueError(f"no assignment store under {index_dir}")
+    log = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    log = log.distinct()
+    first = log.groupBy("vec_id").agg(F.min("batch_id").alias("batch_id"))
+    return log.join(first, ["vec_id", "batch_id"]).drop("batch_id")
+
+
 def ivf_topk_from_index(spark: SparkSession, index_dir: str,
                         n_queries: int = N_QUERIES, k: int = TOP_K,
                         nprobe: int = N_PROBE,
                         np_assign: bool = False,
                         np_probe: bool = False) -> DataFrame:
-    """Top-k straight from the persisted index directories. Identical
-    results to the in-memory ``ivf_topk`` when the index holds the
-    same corpus — pinned in tests/test_scale.py."""
+    """Top-k straight from the persisted index directories — served
+    over the unified batch+stream view (``read_ivf_index_assignment``).
+    Identical results to the in-memory ``ivf_topk`` when the stores
+    hold the same corpus — pinned in tests/test_scale.py."""
     return ivf_topk_from_assignment(
-        spark.read.parquet(f"{index_dir}/assign.parquet"),
+        read_ivf_index_assignment(spark, index_dir),
         spark.read.parquet(f"{index_dir}/cells.parquet"),
         n_queries=n_queries, k=k, nprobe=nprobe,
         np_assign=np_assign, np_probe=np_probe,

@@ -3175,10 +3175,10 @@ def _train_and_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_classifier_report(docs: DataFrame) -> DataFrame:
-    """Train-on-split + score-corpus-wide + confusion rollup over a raw
-    documents frame (the composable form measure_1m times at 1M)."""
-    scored = _train_and_score(docs)
+def classifier_confusion_rollup(scored: DataFrame) -> DataFrame:
+    """Confusion rollup over an already-scored frame (lang × teacher
+    label × predicted) — shared by the catalog query and the CLI so a
+    caller that wants several rollups scores the corpus once."""
     return (
         scored.select(
             "lang", "label",
@@ -3197,18 +3197,9 @@ def quality_classifier_report(docs: DataFrame) -> DataFrame:
     )
 
 
-def _classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_classifier_report(load(spark, sf_dir, "documents"))
-
-
-def classifier_calibration(docs: DataFrame) -> DataFrame:
-    """Calibration curve for the learned quality filter: score-percent
-    buckets (⌊score_micro/10⁴⌋, ≤101 rows at any scale) vs the observed
-    teacher-label rate — a well-calibrated filter shows pos_rate_micro
-    tracking its bucket. One more hash-agg over the shared scored
-    frame; the standard pre-deployment readout before trusting the
-    classifier's threshold on new data."""
-    scored = _train_and_score(docs)
+def classifier_calibration_rollup(scored: DataFrame) -> DataFrame:
+    """Calibration rollup over an already-scored frame: score-percent
+    buckets vs observed teacher-label rate (≤101 rows at any scale)."""
     return (
         scored.select(
             F.expr("score_micro div 10000").cast("int").alias("bucket"),
@@ -3224,6 +3215,25 @@ def classifier_calibration(docs: DataFrame) -> DataFrame:
             F.expr("(1000000 * n_pos) div n_docs").alias("pos_rate_micro"),
         )
     )
+
+
+def quality_classifier_report(docs: DataFrame) -> DataFrame:
+    """Train-on-split + score-corpus-wide + confusion rollup over a raw
+    documents frame (the composable form measure_1m times at 1M)."""
+    return classifier_confusion_rollup(_train_and_score(docs))
+
+
+def _classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier_report(load(spark, sf_dir, "documents"))
+
+
+def classifier_calibration(docs: DataFrame) -> DataFrame:
+    """Calibration curve for the learned quality filter: score-percent
+    buckets (⌊score_micro/10⁴⌋, ≤101 rows at any scale) vs the observed
+    teacher-label rate — a well-calibrated filter shows pos_rate_micro
+    tracking its bucket; the standard pre-deployment readout before
+    trusting the classifier's threshold on new data."""
+    return classifier_calibration_rollup(_train_and_score(docs))
 
 
 def _calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:

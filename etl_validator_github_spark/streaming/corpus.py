@@ -542,6 +542,7 @@ def stream_ivf_index_maintenance(
     index_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    np_assign: bool = False,
 ):
     """Streaming ANN-index maintenance: newly landed embedding files
     are assigned per micro-batch against the index's FROZEN centroid
@@ -551,10 +552,13 @@ def stream_ivf_index_maintenance(
     function of itself and the frozen centroids, so the index never
     rewrites earlier vectors and ingest work is ∝ batch — the
     ``stream_postings_maintenance`` contract for the vector side.
-    Serve via ``read_ivf_assignment_log`` +
-    ``ivf_topk_from_assignment``."""
+    Serve via scale/similarity.py::read_ivf_index_assignment (the
+    unified batch+stream view) + ``ivf_topk_from_assignment``;
+    ``np_assign`` opts into the dgemm assignment twin (the documented
+    family bend — a 100k-vector micro-batch assigns in ~2 s instead of
+    the interpreted expression fold's ~45 s)."""
     from etl_validator_github_spark.scale.similarity import (
-        cell_assignments,
+        home_cell_assignment,
         quantized,
     )
 
@@ -567,10 +571,8 @@ def stream_ivf_index_maintenance(
     )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        cell_assignments(quantized(batch_df), cells, nprobe=1).select(
-            "vec_id",
-            F.col("top_cells")[0]["label"].alias("cell"),
-            "qv", "norm2",
+        home_cell_assignment(
+            quantized(batch_df), cells, np_assign
         ).withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(f"{index_dir}/assign_log.parquet")
@@ -584,14 +586,16 @@ def stream_ivf_index_maintenance(
 
 
 def read_ivf_assignment_log(spark, index_dir: str) -> DataFrame:
-    """The live assignment table from the streamed log, idempotent
-    under both replay shapes (the ``read_postings_log`` discipline):
-    ``distinct`` collapses a foreachBatch retry's same-batch_id copies,
-    first-batch-wins (min batch_id) drops an upstream redelivery's
-    new-batch_id copies."""
-    return _fold_log(
-        spark.read.parquet(f"{index_dir}/assign_log.parquet"), "vec_id"
+    """The live assignment view for an index under streaming
+    maintenance — delegates to the UNIFIED batch+stream reader
+    (scale/similarity.py::read_ivf_index_assignment) so a deployment
+    that bootstrapped with ``persist_ivf_index`` and then streamed
+    deltas never serves a truncated candidate set."""
+    from etl_validator_github_spark.scale.similarity import (
+        read_ivf_index_assignment,
     )
+
+    return read_ivf_index_assignment(spark, index_dir)
 
 
 def stream_classifier_gate(
@@ -672,11 +676,32 @@ def compact_log(spark, log_dir: str, key_col: str = "doc_id",
     Swap choreography (the CDC write-aside discipline): the folded
     generation lands in ``<dir>.gen-<uuid>``, the old log moves to
     ``<dir>.old-<uuid>``, the generation renames in, and only then is
-    the aside deleted — a crash mid-swap leaves either the original or
-    the complete aside on disk, never a half-written log."""
+    the aside deleted. A crash mid-swap leaves either the original or
+    a COMPLETE ``.old-`` aside on disk, never a half-written log; the
+    recovery preamble below restores the aside and purges stale
+    staging on the next run, so crash-then-recompact always converges.
+    Local-filesystem rename semantics (the sandbox contract — on a
+    cluster swap these for FileSystem.rename, same choreography)."""
+    import glob as _glob
     import os
     import shutil
     import uuid as _uuid
+
+    # Crash recovery (the streaming/cdc.py _recover_state_dir
+    # discipline): a crash between the two renames leaves log_dir
+    # absent with a complete .old-<tag> aside — restore the newest
+    # aside; stale .gen-* staging from aborted runs is purged either
+    # way, and once the log exists any leftover .old-* is retired.
+    if not os.path.exists(log_dir):
+        asides = sorted(_glob.glob(f"{log_dir}.old-*"),
+                        key=os.path.getmtime)
+        if asides:
+            os.rename(asides[-1], log_dir)
+    else:
+        for stale in _glob.glob(f"{log_dir}.old-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+    for stale in _glob.glob(f"{log_dir}.gen-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     folded = _fold_log(spark.read.parquet(log_dir), key_col).withColumn(
         "batch_id", F.lit(0)

@@ -589,10 +589,10 @@ def test_stream_ivf_index_maintenance_matches_in_memory(spark, tmp_path):
     batch_id) replays must not change the fold."""
     import pyspark.sql.functions as F
     from etl_validator_github_spark.scale.similarity import (
-        cell_assignments,
+        home_cell_assignment,
         ivf_topk,
         ivf_topk_from_assignment,
-        persist_ivf_index,
+        persist_ivf_cells,
         quantized,
     )
     from etl_validator_github_spark.streaming.corpus import (
@@ -602,9 +602,8 @@ def test_stream_ivf_index_maintenance_matches_in_memory(spark, tmp_path):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     idx = str(tmp_path / "ivfidx")
-    # Freeze the centroid table from the full fixture (persist also
-    # writes a batch assignment we ignore — the stream owns the log).
-    persist_ivf_index(emb, emb, idx)
+    # Cells-only bootstrap: the stream owns every assignment row.
+    persist_ivf_cells(emb, idx)
 
     src = tmp_path / "vecsrc"
     wave1 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
@@ -627,13 +626,9 @@ def test_stream_ivf_index_maintenance_matches_in_memory(spark, tmp_path):
     # Retry (same batch_id 0) and redelivery (new batch_id 99) of
     # wave 1's assignment rows — the deduped fold must be unchanged.
     for replay_id in (0, 99):
-        cell_assignments(quantized(wave1), cells, nprobe=1).select(
-            "vec_id",
-            F.col("top_cells")[0]["label"].alias("cell"),
-            "qv", "norm2",
-        ).withColumn("batch_id", F.lit(replay_id)).write.mode(
-            "append"
-        ).parquet(f"{idx}/assign_log.parquet")
+        home_cell_assignment(quantized(wave1), cells).withColumn(
+            "batch_id", F.lit(replay_id)
+        ).write.mode("append").parquet(f"{idx}/assign_log.parquet")
     live2 = read_ivf_assignment_log(spark, idx)
     got2 = sorted(map(tuple, ivf_topk_from_assignment(live2, cells).collect()))
     assert got2 == want
@@ -757,3 +752,72 @@ def test_compact_log_preserves_fold_and_shrinks(spark, tmp_path):
     got2 = sorted(map(tuple, classifier_weights_from_counts(
         read_classifier_counts_log(spark, str(clog))).collect()))
     assert got2 == want
+
+
+def test_unified_index_serves_batch_plus_streamed_vectors(spark, tmp_path):
+    """The split-brain trap: bootstrap with persist_ivf_index (base in
+    assign.parquet), stream a delta (assign_log.parquet) — serving via
+    ivf_topk_from_index must see BOTH stores and equal the in-memory
+    ivf_topk over the union."""
+    import pyspark.sql.functions as F
+    from etl_validator_github_spark.scale.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        persist_ivf_index,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        stream_ivf_index_maintenance,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "mixidx")
+    persist_ivf_index(base, emb, idx)
+    src = tmp_path / "mixsrc"
+    delta.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    q = stream_ivf_index_maintenance(spark, str(src), idx,
+                                     str(tmp_path / "mixck"),
+                                     np_assign=True)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
+    want = sorted(map(tuple, ivf_topk(emb).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_compact_log_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash between compact_log's two renames leaves the log absent
+    with a complete .old- aside; the next run must restore it and
+    compact normally."""
+    import os
+
+    from etl_validator_github_spark.scale.text import (
+        classifier_weights_from_counts,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        compact_log,
+        read_classifier_counts_log,
+        stream_classifier_counts,
+    )
+
+    src = tmp_path / "rsrc"
+    clog = tmp_path / "rlog"
+    _write_docs(spark, str(src / "d1.parquet"), [(0, GOOD), (1, GOOD2)])
+    q = stream_classifier_counts(spark, str(src), str(clog),
+                                 str(tmp_path / "rck"))
+    q.awaitTermination(120)
+    want = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+
+    # Simulate the crash window: log moved aside, swap never finished.
+    os.rename(str(clog), f"{clog}.old-deadbeef")
+    os.makedirs(f"{clog}.gen-stale")          # aborted staging too
+    compact_log(spark, str(clog), key_col="doc_id", n_files=1)
+    got = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+    assert got == want
+    assert not os.path.exists(f"{clog}.old-deadbeef")
+    assert not os.path.exists(f"{clog}.gen-stale")
