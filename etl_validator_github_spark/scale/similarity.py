@@ -881,7 +881,12 @@ def read_ivf_index_assignment(spark: SparkSession,
     if not parts:
         raise ValueError(f"no assignment store under {index_dir}")
     log = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    log = log.distinct()
+    # Assignment rows are unique per (vec_id, batch_id) by construction
+    # (one home cell per vector per generation), so retry dedup hashes
+    # just the two key longs — never the 64-element qv array a full
+    # distinct would shuffle (the postings/counts logs, with many rows
+    # per key, still need _fold_log's full-row distinct).
+    log = log.dropDuplicates(["vec_id", "batch_id"])
     first = log.groupBy("vec_id").agg(F.min("batch_id").alias("batch_id"))
     return log.join(first, ["vec_id", "batch_id"]).drop("batch_id")
 
