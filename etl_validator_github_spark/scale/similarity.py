@@ -880,6 +880,11 @@ def read_ivf_index_assignment(spark: SparkSession,
         parts.append(spark.read.parquet(log_p))
     if not parts:
         raise ValueError(f"no assignment store under {index_dir}")
+    if not os.path.exists(log_p):
+        # Batch store only: persist/append write exactly one row per
+        # vector with no replay shapes — nothing to fold, serve as-is
+        # (the measured 1M serve path).
+        return parts[0].drop("batch_id")
     log = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # Assignment rows are unique per (vec_id, batch_id) by construction
     # (one home cell per vector per generation), so retry dedup hashes
