@@ -12,20 +12,17 @@ Rotation policy (highest priority first):
 2. queries added or semantically changed this round,
 3. back-fill with the queries whose last green verdict is oldest.
 
-Round-10 window under that policy (the r9 verdict's explicit ask — the
-final freshness pass): the sixteen r9 additions that have never held a
-driver verdict (with the three most-novel-oracle entries — the
-semantic-threshold sweep's shared pair join, the BM25 self-retrieval
-recall's derived qrels, the TF-IDF doc keywords — placed FIRST so any
-cross-engine drift surfaces at round start), then ``text_ngram_novelty``
-(its r8 verdict predates the r9 semi-complement rework, so its current
-plan has never been driver-checked), then the twenty r6-stale entries,
-then back-fill with the thirteen earliest r7-verdict queries in catalog
-order (validate_customer_rules … dedup_chunk_global). After this window
+Round-11 window under that policy (the r10 verdict's explicit ask):
+the twenty-two r10 additions that have never held a driver verdict —
+with the three most-novel-oracle entries FIRST (the learned quality
+classifier's NB weight/prior folds, the embedding split-leakage audit's
+per-cell gram counting, the churn hazard's survival-table reverse
+cumulative) so cross-engine drift surfaces at round start — then
+back-fill with the twenty-eight oldest r7-verdict queries in catalog
+order (decontaminate … customers_without_orders). After this window
 lands green, zero catalog entries are never-driver-checked and nothing
-is staler than r7 — the freshness program the r8/r9 verdicts prescribed
-is complete. Queries added new in r10 sit past the window and lead the
-r11 rotation as never-driver-checked.
+is staler than r8 except the nine r7 entries that did not fit
+(events_funnel … orders_zorder_cells), which lead the r12 back-fill.
 """
 
 from __future__ import annotations
@@ -81,80 +78,79 @@ assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
     "duplicate query name across module catalogs"
 )
 
-_R10_GATE = (
-    # -- added in r9, never driver-checked (16); the three with the
+_R11_GATE = (
+    # -- added in r10, never driver-checked (22); the three with the
     #    most novel oracle SQL lead so cross-engine drift surfaces at
-    #    round start (r9 verdict item 5).
-    "dedup_semantic_threshold_sweep",
-    "retrieval_bm25_recall",
-    "text_doc_keywords",
-    "multimodal_audio_zcr",
-    "corpus_vocab_coverage",
-    "docs_split_leakage",
-    "customers_revenue_gini",
-    "events_mad_outliers",
-    "events_seasonal_naive",
-    "orders_backlog_timeline",
-    "part_metrics_unpivot",
-    "lineitem_grouping_sets",
-    "customers_percentile_ranks",
-    "customers_order_streaks",
-    "events_user_deciles",
-    "part_price_size_skyline",
-    # -- reworked in r9 (semi-complement plan): the r8 verdict covered
-    #    the old LEFT-ANTI plan, so the current plan is driver-unchecked.
-    "text_ngram_novelty",
-    # -- last green verdict r6 (20)
-    "text_token_fertility",
-    "corpus_quality_drift",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q18_large_volume_orders",
-    "top_customers",
-    "customers_with_high_value_orders",
-    "latest_order_per_customer",
-    "duplicate_customer_priority",
-    "priorities_per_customer",
-    "events_hourly_rollup",
-    "min_balance_suppliers",
-    "order_value_percentiles",
-    "status_priority_cube",
-    "trailing_30d_window",
-    "sql_api_segment_balances",
-    "null_safe_tier_join",
-    "status_rollup",
-    "rollup_order_counts",
-    "events_hourly_anomalies",
-    # -- back-fill: the 13 earliest r7-verdict entries in catalog order
-    "validate_customer_rules",
-    "validate_error_summary",
-    "reconcile_error_sets",
-    "text_lang_id",
-    "text_bigram_vocab",
-    "text_tfidf",
-    "text_pandas_udf_score",
-    "text_gopher_quality",
-    "text_pii_scrub",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_chunk_global",
+    #    round start (r10 verdict item 1).
+    "text_quality_classifier",
+    "embed_split_leakage",
+    "customers_churn_hazard",
+    "retrieval_bm25_mrr",
+    "text_classifier_calibration",
+    "text_pmi_collocations",
+    "docs_dup_rate_by_length",
+    "docs_epoch_shuffle",
+    "lineitem_exact_quartiles",
+    "events_ks_drift",
+    "customers_cohort_ltv",
+    "customers_order_gaps",
+    "supplier_part_degrees",
+    "lineitem_discount_elasticity",
+    "orders_seasonality_index",
+    "events_hourly_ks_drift",
+    "events_peak_hour",
+    "customers_balance_corr",
+    "events_burstiness",
+    "orders_fulfillment_latency",
+    "events_hourly_autocorr",
+    "lineitem_returnflag_anova",
+    # -- back-fill: the 28 oldest r7-verdict entries in catalog order
+    #    (the remaining 9 r7 entries lead the r12 back-fill).
+    "decontaminate",
+    "embed_pq_topk",
+    "embed_pq_recall",
+    "embed_ann_lsh",
+    "embed_outliers",
+    "dedup_embedding_cosine",
+    "embed_quantize_int8",
+    "events_distinct_sketch",
+    "text_cms_topk_counts",
+    "orders_quantile_sketch",
+    "multimodal_frame_sample",
+    "multimodal_frame_dedup",
+    "multimodal_dhash_neardup",
+    "pack_sequences",
+    "docs_temperature_mixture",
+    "text_unigram_lm_score",
+    "docs_token_budget_select",
+    "docs_importance_resample",
+    "docs_domain_cap",
+    "dedup_incremental",
+    "dedup_fuzzy_keep",
+    "dedup_substring_spans",
+    "dedup_span_strip",
+    "dedup_span_probe",
+    "corpus_snapshot_diff",
+    "q2_min_cost_supplier",
+    "q12_priority_by_status",
+    "customers_without_orders",
 )
 
-assert len(_R10_GATE) == _DRIVER_GATE, (
+assert len(_R11_GATE) == _DRIVER_GATE, (
     f"gate window must hold exactly {_DRIVER_GATE} entries, "
-    f"got {len(_R10_GATE)}"
+    f"got {len(_R11_GATE)}"
 )
-assert len(set(_R10_GATE)) == len(_R10_GATE), "duplicate names in the gate"
-assert set(_R10_GATE) <= set(_ALL), (
-    f"gate names missing from the catalog: {set(_R10_GATE) - set(_ALL)}"
+assert len(set(_R11_GATE)) == len(_R11_GATE), "duplicate names in the gate"
+assert set(_R11_GATE) <= set(_ALL), (
+    f"gate names missing from the catalog: {set(_R11_GATE) - set(_ALL)}"
 )
 
 CATALOG: dict[str, Query] = {
-    **{name: _ALL[name] for name in _R10_GATE},
-    # Past-gate remainder (every entry here is r7/r8/r9-driver-green
-    # and parity-mirrored): module registration order.
-    **{name: q for name, q in _ALL.items() if name not in set(_R10_GATE)},
+    **{name: _ALL[name] for name in _R11_GATE},
+    # Past-gate remainder (every entry here is r8/r9/r10-driver-green
+    # and parity-mirrored, except the nine r7 stragglers noted above):
+    # module registration order.
+    **{name: q for name, q in _ALL.items() if name not in set(_R11_GATE)},
 }
 
 __all__ = ["CATALOG", "Query", "catalog_to_oracles", "catalog_to_queries"]
