@@ -135,8 +135,14 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_pairs(embeddings: DataFrame, min_cos: float = 0.0) -> DataFrame:
-    """Same-bucket candidate pairs with exact cosine (the ANN scale path)."""
-    b = lsh_buckets(embeddings)
+    """Same-bucket candidate pairs with exact cosine (the ANN scale path).
+
+    Zero-norm vectors (all components quantize to 0) are excluded from
+    pairing: their cosine is undefined, and the engines disagree on the
+    0/0 result (Spark NULL — dropped by any ``>=`` filter — vs DuckDB
+    NaN, which compares greater than every threshold), so the guard
+    keeps the pair set identical cross-engine."""
+    b = lsh_buckets(embeddings).filter(F.col("norm2") > 0)
     a, c = b.alias("a"), b.alias("c")
     dot = F.expr(_DOT.format(a="a.qv", b="c.qv"))
     return (
@@ -269,7 +275,8 @@ SELECT a.vec_id AS v1, c.vec_id AS v2, a.bucket AS bucket,
          / (sqrt(a.norm2) * sqrt(c.norm2)) AS cos_sim
 FROM with_norm a JOIN with_norm c
   ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[i])) AS BIGINT)
+WHERE a.norm2 > 0 AND c.norm2 > 0
+  AND CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * c.qv[i])) AS BIGINT)
         / (sqrt(a.norm2) * sqrt(c.norm2)) >= {min_cos}
 """
 
@@ -545,6 +552,13 @@ def cell_assignments(vectors: DataFrame, cells: DataFrame,
 
     Returns vec_id, qv, norm2, top_cells (array<struct<negcos,label>>,
     strongest cell first).
+
+    Zero-norm convention: a vector (or centroid) whose norm² is 0 has
+    no defined cosine; the engines disagree on 0/0 (Spark ANSI raises
+    DIVIDE_BY_ZERO, numpy yields NaN, DuckDB NaN-sorts-greatest), so
+    all three formulations pin cos := 0 for those entries — every cell
+    ties and the label-asc tie-break assigns deterministically. The
+    identical CASE guards the oracle SQL assignment CTEs.
     """
     cells_one = cells.agg(
         F.collect_list(F.struct("label", "cv", "cnorm2")).alias("cells")
@@ -556,7 +570,9 @@ def cell_assignments(vectors: DataFrame, cells: DataFrame,
             "top_cells",
             F.expr(
                 f"slice(array_sort(transform(cells, c -> struct("
-                f"-({dot} / (sqrt(norm2) * sqrt(c.cnorm2))) AS negcos, "
+                f"CASE WHEN norm2 = 0 OR c.cnorm2 = 0 THEN 0.0d "
+                f"ELSE -({dot} / (sqrt(norm2) * sqrt(c.cnorm2))) END "
+                f"AS negcos, "
                 f"c.label AS label))), 1, {nprobe})"
             ),
         )
@@ -610,7 +626,11 @@ def cell_assignments_np(vectors: DataFrame, cells: DataFrame,
             vnorm = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
             # exact integer dots via dgemm (see docstring), then the
             # same (dot / (sqrt*sqrt)) the expression path computes.
-            negcos = -(v @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+            denom = vnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                negcos = -(v @ cmat.T) / denom
+            # zero-norm convention (see cell_assignments): cos := 0.
+            negcos[denom == 0.0] = 0.0
             # array_sort orders struct(negcos, label) ascending with
             # label as tie-break: lexsort(minor first).
             order = np.lexsort(
@@ -639,8 +659,10 @@ def ivf_assignments(embeddings: DataFrame,
 def _probe_topk_np(assign: DataFrame, probes: DataFrame,
                    k: int) -> DataFrame:
     """dgemm twin of the IVF probe join (the family's standing scale
-    opt-in): per probed cell, one gram between the probing queries and
-    the cell's members, keeping each query's per-cell top-k (the
+    opt-in): per probed cell, a blockwise gram between the probing
+    queries and the cell's members (member axis streamed through
+    fixed-size blocks with a running top-k — see the kernel comment),
+    keeping each query's per-cell top-k (the
     global top-k is a subset of the per-cell top-k union because cells
     partition the candidates); the tiny union then ranks through the
     same final window. Dots are exact in float64 (quantized micros)
@@ -680,23 +702,41 @@ def _probe_topk_np(assign: DataFrame, probes: DataFrame,
         if len(q) == 0 or len(m) == 0:
             return empty
         v_q = np.array(q["qv"].tolist(), dtype=np.float64)
-        v_m = np.array(m["qv"].tolist(), dtype=np.float64)
         sn_q = np.sqrt(q["norm2"].to_numpy(dtype=np.float64))
-        sn_m = np.sqrt(m["norm2"].to_numpy(dtype=np.float64))
         qid = q["query_id"].to_numpy(dtype=np.int64)
-        mid = m["vec_id"].to_numpy(dtype=np.int64)
-        g = (v_q @ v_m.T) / (sn_q[:, None] * sn_m[None, :])
-        g[qid[:, None] == mid[None, :]] = -np.inf  # self-match excluded
-        rows = []
-        for i in range(len(q)):
-            order = np.lexsort((mid, -g[i]))[:k]
-            keep = g[i][order] > -np.inf
-            rows.append(pd.DataFrame({
-                "query_id": np.full(keep.sum(), qid[i], dtype=np.int64),
-                "neighbor_id": mid[order][keep],
-                "cos_sim": g[i][order][keep],
-            }))
-        return pd.concat(rows) if rows else empty
+        nq = len(q)
+        kk = min(k, len(m))
+        # Running per-query top-k over MEMBER-AXIS blocks (the np_pairs
+        # blockwise-gram discipline): the gram slab is nq × block
+        # instead of nq × cell_pop, so a frozen index whose cells grow
+        # 100× under delta ingest never materializes a pop-wide slab.
+        # Top-k under the total order (cos desc, id asc) is associative
+        # across blocks, and each gram entry is the same exact-in-
+        # float64 64-term integer dot whatever the blocking — so the
+        # result is bit-identical to the one-slab formulation.
+        best_s = np.full((nq, kk), -np.inf)
+        best_i = np.full((nq, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        block = 4096
+        for j0 in range(0, len(m), block):
+            mb = m.iloc[j0:j0 + block]
+            v_m = np.array(mb["qv"].tolist(), dtype=np.float64)
+            sn_m = np.sqrt(mb["norm2"].to_numpy(dtype=np.float64))
+            mid = mb["vec_id"].to_numpy(dtype=np.int64)
+            g = (v_q @ v_m.T) / (sn_q[:, None] * sn_m[None, :])
+            g[qid[:, None] == mid[None, :]] = -np.inf  # self-match
+            all_s = np.hstack([best_s, g])
+            all_i = np.hstack(
+                [best_i, np.broadcast_to(mid, (nq, len(mid)))]
+            )
+            order = np.lexsort((all_i, -all_s), axis=1)[:, :kk]
+            best_s = np.take_along_axis(all_s, order, axis=1)
+            best_i = np.take_along_axis(all_i, order, axis=1)
+        keep = best_s > -np.inf
+        return pd.DataFrame({
+            "query_id": np.repeat(qid, keep.sum(axis=1)),
+            "neighbor_id": best_i[keep],
+            "cos_sim": best_s[keep],
+        })
 
     cands = both.groupBy("cell").applyInPandas(
         _per_cell, "query_id bigint, neighbor_id bigint, cos_sim double"
@@ -815,15 +855,34 @@ def persist_ivf_index(corpus: DataFrame, centroid_source: DataFrame,
 
 
 def append_ivf_index(delta: DataFrame, index_dir: str,
-                     np_assign: bool = False) -> None:
+                     np_assign: bool = False,
+                     delta_id: str | None = None) -> None:
     """Assign a newly ingested vector delta against the FROZEN centroid
     table and append — the index never rewrites earlier vectors, so
-    ingest work is ∝ |delta| (the postings-delta contract)."""
+    ingest work is ∝ |delta| (the postings-delta contract).
+
+    Replay safety: each delta lands in its own
+    ``assign.parquet/delta-<delta_id>`` subdirectory with
+    ``mode("overwrite")``, so a RETRIED append whose prior write
+    actually committed overwrites the same files instead of
+    duplicating rows (the batch-store twin of the streamed log's
+    batch_id discipline — a duplicated vector would otherwise occupy
+    multiple top-k slots and displace real neighbors). Callers with
+    at-least-once delivery MUST pass a stable ``delta_id`` per logical
+    delta; with the default (a fresh uuid) a retry is a new delta and
+    the caller owns dedup, as before. Distinct deltas must still carry
+    disjoint vec_ids (the documented index contract).
+    ``read_ivf_index_assignment`` reads the store recursively, so the
+    flat root files persist writes and these subdirectories serve as
+    one table."""
+    import uuid as _uuid
+
     spark = delta.sparkSession
     cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+    sub = f"delta-{delta_id if delta_id is not None else _uuid.uuid4().hex[:12]}"
     home_cell_assignment(quantized(delta), cells, np_assign).write.mode(
-        "append"
-    ).parquet(f"{index_dir}/assign.parquet")
+        "overwrite"
+    ).parquet(f"{index_dir}/assign.parquet/{sub}")
 
 
 def ivf_topk_from_assignment(assign_t: DataFrame, cells: DataFrame,
@@ -840,15 +899,24 @@ def ivf_topk_from_assignment(assign_t: DataFrame, cells: DataFrame,
     qvecs = assign_t.filter(F.col("vec_id") < n_queries).select(
         "vec_id", "qv", "norm2"
     )
+    probes = _query_probes(qvecs, cells, nprobe, np_assign)
+    topk = _probe_topk_np if np_probe else _probe_join_topk
+    return topk(assign_t, probes, k)
+
+
+def _query_probes(qvecs: DataFrame, cells: DataFrame, nprobe: int,
+                  np_assign: bool) -> DataFrame:
+    """(query_id, cell, q_qv, q_norm2) — one row per (query, probed
+    cell): assign the query vectors against the frozen centroid table
+    with the full nprobe fan-out and explode the probe list. Shared by
+    the standing-query serve path and the external-query serve path."""
     assign_fn = cell_assignments_np if np_assign else cell_assignments
-    probes = assign_fn(qvecs, cells, nprobe=nprobe).select(
+    return assign_fn(qvecs, cells, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"),
         F.explode(F.expr("transform(top_cells, t -> t.label)")).alias("cell"),
         F.col("qv").alias("q_qv"),
         F.col("norm2").alias("q_norm2"),
     )
-    topk = _probe_topk_np if np_probe else _probe_join_topk
-    return topk(assign_t, probes, k)
 
 
 def read_ivf_index_assignment(spark: SparkSession,
@@ -865,15 +933,31 @@ def read_ivf_index_assignment(spark: SparkSession,
     ``distinct`` absorbs foreachBatch retries, first-batch-wins drops
     redeliveries and re-streams of batch-persisted vectors. Local-FS
     existence probe (the sandbox contract; swap for a FileSystem call
-    on a cluster)."""
+    on a cluster).
+
+    Before concluding a deployment is batch-only, the reader runs the
+    shared crash-recovery preamble (streaming/corpus.py::
+    restore_log_aside): a ``compact_log`` crash between its two
+    renames leaves the log as a complete ``.old-*`` aside — serving
+    the batch store alone in that window would be exactly the
+    truncated-candidate-set failure this reader exists to prevent.
+    The batch store is read recursively: ``persist_ivf_index`` writes
+    flat root files, ``append_ivf_index`` one ``delta-*`` subdirectory
+    per delta (its replay-idempotence mechanism)."""
     import os
+
+    from etl_validator_github_spark.streaming.corpus import (
+        restore_log_aside,
+    )
 
     parts = []
     batch_p = f"{index_dir}/assign.parquet"
     log_p = f"{index_dir}/assign_log.parquet"
+    restore_log_aside(log_p)
     if os.path.exists(batch_p):
         parts.append(
-            spark.read.parquet(batch_p)
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(batch_p)
             .withColumn("batch_id", F.lit(-1).cast("long"))
         )
     if os.path.exists(log_p):
@@ -881,9 +965,10 @@ def read_ivf_index_assignment(spark: SparkSession,
     if not parts:
         raise ValueError(f"no assignment store under {index_dir}")
     if not os.path.exists(log_p):
-        # Batch store only: persist/append write exactly one row per
-        # vector with no replay shapes — nothing to fold, serve as-is
-        # (the measured 1M serve path).
+        # Batch store only: persist overwrites and every append delta
+        # overwrites its own delta-id subdirectory, so replayed writes
+        # converge file-for-file — exactly one row per vector, nothing
+        # to fold, serve as-is (the measured 1M serve path).
         return parts[0].drop("batch_id")
     log = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # Assignment rows are unique per (vec_id, batch_id) by construction
@@ -911,6 +996,32 @@ def ivf_topk_from_index(spark: SparkSession, index_dir: str,
         n_queries=n_queries, k=k, nprobe=nprobe,
         np_assign=np_assign, np_probe=np_probe,
     )
+
+
+def ivf_topk_for_queries(spark: SparkSession, index_dir: str,
+                         queries_df: DataFrame, k: int = TOP_K,
+                         nprobe: int = N_PROBE,
+                         np_assign: bool = False,
+                         np_probe: bool = False) -> DataFrame:
+    """Top-k neighbors in the persisted index for an ARBITRARY external
+    query frame — the real serving contract (``ivf_topk_from_index``
+    sources its standing query batch from the index itself, which only
+    fits the benchmark's self-retrieval shape). ``queries_df`` carries
+    (vec_id, embedding) — any vector frame, never required to be in
+    the index; it is quantized and assigned against the frozen
+    centroids (tiny broadcast table, full nprobe fan-out) and probes
+    the unified batch+stream store. Per serve the corpus-side cost is
+    queries × probed-cell populations, independent of index history.
+
+    Query ids share the index's id space for the self-match exclusion:
+    an external query whose vec_id collides with an index vector
+    excludes that one vector from its own candidates (harmless for
+    disjoint id ranges — the documented caller contract)."""
+    assign_t = read_ivf_index_assignment(spark, index_dir)
+    cells = spark.read.parquet(f"{index_dir}/cells.parquet")
+    probes = _query_probes(quantized(queries_df), cells, nprobe, np_assign)
+    topk = _probe_topk_np if np_probe else _probe_join_topk
+    return topk(assign_t, probes, k)
 
 
 def _ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,7 +1054,7 @@ WITH vecs AS (
   SELECT v.vec_id, v.qv, v.norm2, c.label,
          CAST(row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_qc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_qc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS INT) AS cell_rank
   FROM with_norm v CROSS JOIN cells c
 ), assign AS (
@@ -1012,11 +1123,14 @@ def _per_vec_max_cos_np(pairable: DataFrame) -> DataFrame:
     value set. Emits exactly the join formulation's output set: every
     vector with at least one lower-id cellmate. Block size bounds the
     gram slab at ~cell_pop × 1024 doubles (≤80 MB at the 10k pop cap).
-    Precondition (same as the expression path): no zero-norm vectors —
-    a NaN cos would rank differently (Spark treats NaN as greatest,
-    numpy propagates it)."""
+    Zero-norm vectors drop up front (the ``_probe_topk_np``
+    discipline): their cosine is undefined and the engines disagree on
+    0/0 (Spark NULL vs numpy NaN vs DuckDB NaN-sorts-greatest), so
+    excluding them keeps all three formulations identical."""
     import numpy as np
     import pandas as pd
+
+    pairable = pairable.filter(F.col("norm2") > 0)
 
     def _per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -1088,7 +1202,11 @@ def semantic_dedup_keep(corpus: DataFrame, centroid_source: DataFrame,
             .select("vec_id")
         )
     else:
-        a, b = pairable.alias("a"), pairable.alias("b")
+        # Zero-norm guard (the _probe_join_topk discipline): 0/0 cosine
+        # is NULL in Spark but NaN-sorts-greatest in DuckDB, so exclude
+        # undefined cosines from pairing in both engines.
+        nz = pairable.filter(F.col("norm2") > 0)
+        a, b = nz.alias("a"), nz.alias("b")
         cos = (
             F.expr(_DOT.format(a="a.qv", b="b.qv"))
             / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
@@ -1147,7 +1265,7 @@ vecs AS (
   SELECT v.vec_id, v.qv, v.norm2, c.label,
          row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS rnk
   FROM with_norm v CROSS JOIN cells c
 ), assign AS (
@@ -1161,7 +1279,8 @@ vecs AS (
   FROM assign a
   JOIN small sc ON a.cell = sc.cell
   JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2)) >= {NEAR_DUP_COS}
+  WHERE a.norm2 > 0 AND b.norm2 > 0
+    AND {dot_ab} / (sqrt(a.norm2) * sqrt(b.norm2)) >= {NEAR_DUP_COS}
 )
 SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
@@ -1224,7 +1343,11 @@ def semantic_threshold_sweep(
     if np_pairs:
         per_vec = _per_vec_max_cos_np(pairable)
     else:
-        a, b = pairable.alias("a"), pairable.alias("b")
+        # Zero-norm guard (the _probe_join_topk discipline): 0/0 cosine
+        # is NULL in Spark but NaN-sorts-greatest in DuckDB, so exclude
+        # undefined cosines from pairing in both engines.
+        nz = pairable.filter(F.col("norm2") > 0)
+        a, b = nz.alias("a"), nz.alias("b")
         cos = (
             F.expr(_DOT.format(a="a.qv", b="b.qv"))
             / (F.sqrt("a.norm2") * F.sqrt("b.norm2"))
@@ -1301,7 +1424,7 @@ vecs AS (
   SELECT v.vec_id, v.qv, v.norm2, c.label,
          row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS rnk
   FROM with_norm v CROSS JOIN cells c
 ), assign AS (
@@ -1316,6 +1439,7 @@ vecs AS (
   FROM assign a
   JOIN small sc ON a.cell = sc.cell
   JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.norm2 > 0 AND b.norm2 > 0
   GROUP BY 1
 ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign),
 t(threshold_milli) AS (VALUES {values}),
@@ -1364,9 +1488,14 @@ def _split_leak_counts_np(pairable: DataFrame,
     at cos ≥ threshold per eval vector. Dots are exact in float64
     (quantized micros) and the cos arithmetic is the same IEEE ops as
     the join expression, so the ≥-threshold count is over an identical
-    value set — bit-parity pinned in tests/test_similarity_np.py."""
+    value set — bit-parity pinned in tests/test_similarity_np.py.
+    Zero-norm vectors drop up front (the ``_per_vec_max_cos_np``
+    discipline — keeps the numpy, expression, and DuckDB formulations
+    identical on undefined cosines)."""
     import numpy as np
     import pandas as pd
+
+    pairable = pairable.filter(F.col("norm2") > 0)
 
     def _per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         is_eval = (pdf["vec_id"] % SPLIT_EVAL_MOD == 0).to_numpy()
@@ -1429,8 +1558,11 @@ def semantic_split_leakage(corpus: DataFrame, centroid_source: DataFrame,
     )
     if np_pairs:
         return _split_leak_counts_np(pairable, threshold)
-    ev = pairable.filter(F.col("vec_id") % SPLIT_EVAL_MOD == 0).alias("e")
-    tr = pairable.filter(F.col("vec_id") % SPLIT_EVAL_MOD != 0).alias("t")
+    # Zero-norm guard (the _probe_join_topk discipline — see
+    # _per_vec_max_cos_np): undefined cosines pair in neither engine.
+    nz = pairable.filter(F.col("norm2") > 0)
+    ev = nz.filter(F.col("vec_id") % SPLIT_EVAL_MOD == 0).alias("e")
+    tr = nz.filter(F.col("vec_id") % SPLIT_EVAL_MOD != 0).alias("t")
     cos = (
         F.expr(_DOT.format(a="e.qv", b="t.qv"))
         / (F.sqrt("e.norm2") * F.sqrt("t.norm2"))
@@ -1480,7 +1612,7 @@ vecs AS (
   SELECT v.vec_id, v.qv, v.norm2, c.label,
          row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS rnk
   FROM with_norm v CROSS JOIN cells c
 ), assign AS (
@@ -1497,6 +1629,7 @@ SELECT e.vec_id, CAST(e.cell AS INT) AS cell,
 FROM pairable e JOIN pairable t ON e.cell = t.cell
 WHERE e.vec_id % {SPLIT_EVAL_MOD} = 0
   AND t.vec_id % {SPLIT_EVAL_MOD} <> 0
+  AND e.norm2 > 0 AND t.norm2 > 0
   AND {dot_et} / (sqrt(e.norm2) * sqrt(t.norm2)) >= {NEAR_DUP_COS}
 GROUP BY 1, 2
 """
@@ -1594,7 +1727,7 @@ def _kmeans_sql() -> str:
   SELECT v.vec_id, v.qv, v.norm2, c.label,
          row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS rnk
   FROM {vec_cte} v CROSS JOIN {cell_cte} c
 ), {out} AS (
@@ -1686,8 +1819,14 @@ def semantic_dedup_incremental(delta: DataFrame, base: DataFrame,
         F.expr(_DOT.format(a="qv", b="b_qv"))
         / (F.sqrt("norm2") * F.sqrt("b_norm2"))
     )
+    # Zero-norm guard inside the LEFT-join condition: an undefined
+    # cosine (0/0 — Spark NULL vs DuckDB NaN-sorts-greatest) can never
+    # count as a hit, but the delta row itself still survives with a
+    # zero count in both engines.
     return (
-        d.join(b, (F.col("cell") == F.col("b_cell")) & (cos >= threshold),
+        d.join(b, (F.col("cell") == F.col("b_cell"))
+               & (F.col("norm2") > 0) & (F.col("b_norm2") > 0)
+               & (cos >= threshold),
                "left")
         .groupBy("vec_id", "cell")
         .agg(F.count("b_vec_id").alias("n_base_near_dups"))
@@ -1747,14 +1886,14 @@ base_vecs AS (
   SELECT v.vec_id, v.qv, v.norm2, c.label,
          row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS rnk
   FROM base_n v CROSS JOIN cells c
 ), delta_ranked AS (
   SELECT v.vec_id, v.qv, v.norm2, c.label,
          row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS rnk
   FROM delta_n v CROSS JOIN cells c
 ), base_assign0 AS (
@@ -1772,6 +1911,7 @@ SELECT d.vec_id, CAST(d.cell AS INT) AS cell,
        CAST(COUNT(b.vec_id) > 0 AS INT) AS is_semantic_dup
 FROM delta_assign d LEFT JOIN base_assign b
   ON d.cell = b.cell
+ AND d.norm2 > 0 AND b.norm2 > 0
  AND {dot_db} / (sqrt(d.norm2) * sqrt(b.norm2)) >= {NEAR_DUP_COS}
 GROUP BY 1, 2
 """
@@ -2298,7 +2438,7 @@ WITH vecs AS (
   SELECT v.vec_id, c.label,
          CAST(row_number() OVER (
            PARTITION BY v.vec_id
-           ORDER BY {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) DESC,
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
                     c.label ASC) AS INT) AS cell_rank
   FROM wn v CROSS JOIN cells c
 ), cassign AS (

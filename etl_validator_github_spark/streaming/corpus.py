@@ -292,6 +292,7 @@ def stream_postings_maintenance(
     )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
+        restore_log_aside(postings_dir)
         doc_postings(batch_df).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(postings_dir)
@@ -312,6 +313,7 @@ def read_postings_log(spark, postings_dir: str) -> DataFrame:
     (sink append committed, checkpoint offset not) re-runs under the
     SAME batch_id — those byte-identical copies collapse in the
     ``distinct`` before the fold."""
+    restore_log_aside(postings_dir)
     return _fold_log(spark.read.parquet(postings_dir), "doc_id")
 
 
@@ -453,6 +455,7 @@ def stream_cms_counters(
     )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
+        restore_log_aside(counter_dir)
         toks = batch_df.select(F.explode(tokens()).alias("tok"))
         cms_counters(toks).withColumn(
             "batch_id", F.lit(batch_id)
@@ -470,6 +473,7 @@ def cms_log_counters(spark, counter_dir: str) -> DataFrame:
     """Fold the streamed counter log to the current grid:
     dedup per (batch_id, row, bucket) — duplicate appends of one batch
     are byte-identical — then SUM across batches."""
+    restore_log_aside(counter_dir)
     log = spark.read.parquet(counter_dir)
     once = log.groupBy("batch_id", "row", "bucket").agg(
         F.max("n").alias("n")
@@ -512,6 +516,7 @@ def stream_classifier_counts(
     )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
+        restore_log_aside(counts_dir)
         doc_token_counts(labeled_docs(batch_df)).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(counts_dir)
@@ -533,6 +538,7 @@ def read_classifier_counts_log(spark, counts_dir: str) -> DataFrame:
     upstream redelivery's new-batch_id copies. The fold to
     weights/prior is scale/text.py::classifier_weights_from_counts /
     classifier_prior_from_counts."""
+    restore_log_aside(counts_dir)
     return _fold_log(spark.read.parquet(counts_dir), "doc_id")
 
 
@@ -571,6 +577,7 @@ def stream_ivf_index_maintenance(
     )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
+        restore_log_aside(f"{index_dir}/assign_log.parquet")
         home_cell_assignment(
             quantized(batch_df), cells, np_assign
         ).withColumn("batch_id", F.lit(batch_id)).write.mode(
@@ -651,6 +658,32 @@ def stream_classifier_gate(
     return writer.start()
 
 
+def restore_log_aside(log_dir: str) -> None:
+    """Crash-recovery preamble shared by EVERY log writer and reader
+    entry point (the appenders above, the read_* folds, and
+    scale/similarity.py::read_ivf_index_assignment): if a
+    ``compact_log`` crash between its two renames left ``log_dir``
+    absent with a complete ``.old-<tag>`` aside on disk, restore the
+    newest aside before anything touches the path.
+
+    Without this preamble a restarted maintenance stream's
+    ``write.mode('append')`` would silently recreate ``log_dir``
+    holding only the new micro-batch, and every read until the next
+    compaction would serve a log missing all pre-crash rows (the
+    compaction itself merge-folds leftover asides, so the data is
+    never lost — but reads in between would be truncated). Idempotent
+    and O(1) when ``log_dir`` exists — safe to call per micro-batch.
+    Local-filesystem rename semantics (the sandbox contract)."""
+    import glob as _glob
+    import os
+
+    if os.path.exists(log_dir):
+        return
+    asides = sorted(_glob.glob(f"{log_dir}.old-*"), key=os.path.getmtime)
+    if asides:
+        os.rename(asides[-1], log_dir)
+
+
 def _fold_log(log: DataFrame, key_col: str) -> DataFrame:
     """The shared idempotence fold for batch_id-stamped append logs:
     ``distinct`` collapses a foreachBatch retry's same-batch_id copies,
@@ -680,32 +713,40 @@ def compact_log(spark, log_dir: str, key_col: str = "doc_id",
     a COMPLETE ``.old-`` aside on disk, never a half-written log; the
     recovery preamble below restores the aside and purges stale
     staging on the next run, so crash-then-recompact always converges.
-    Local-filesystem rename semantics (the sandbox contract — on a
-    cluster swap these for FileSystem.rename, same choreography)."""
+
+    If BOTH the log and ``.old-*`` asides exist, the asides are
+    MERGE-FOLDED into this compaction rather than purged: that state
+    is either a completed swap whose final cleanup died (aside content
+    ⊆ log — the merge is a no-op under the fold) or a crash-window
+    aside that a restarted maintenance stream papered over by
+    recreating the log with only its new batches (the aside holds all
+    pre-crash rows — purging it would be silent data loss; the
+    ADVICE-r10 finding). Union-then-fold is correct in both shapes
+    because a compacted generation re-stamps every key at
+    ``batch_id = 0``, which wins first-batch-wins against the aside's
+    original rows. Local-filesystem rename semantics (the sandbox
+    contract — on a cluster swap these for FileSystem.rename, same
+    choreography)."""
     import glob as _glob
     import os
     import shutil
     import uuid as _uuid
 
     # Crash recovery (the streaming/cdc.py _recover_state_dir
-    # discipline): a crash between the two renames leaves log_dir
-    # absent with a complete .old-<tag> aside — restore the newest
-    # aside; stale .gen-* staging from aborted runs is purged either
-    # way, and once the log exists any leftover .old-* is retired.
-    if not os.path.exists(log_dir):
-        asides = sorted(_glob.glob(f"{log_dir}.old-*"),
-                        key=os.path.getmtime)
-        if asides:
-            os.rename(asides[-1], log_dir)
-    else:
-        for stale in _glob.glob(f"{log_dir}.old-*"):
-            shutil.rmtree(stale, ignore_errors=True)
+    # discipline, shared with every writer/reader entry point): a
+    # crash between the two renames leaves log_dir absent with a
+    # complete .old-<tag> aside — restore the newest; stale .gen-*
+    # staging from aborted runs is purged.
+    restore_log_aside(log_dir)
     for stale in _glob.glob(f"{log_dir}.gen-*"):
         shutil.rmtree(stale, ignore_errors=True)
 
-    folded = _fold_log(spark.read.parquet(log_dir), key_col).withColumn(
-        "batch_id", F.lit(0)
-    )
+    src = spark.read.parquet(log_dir)
+    merged_asides = sorted(_glob.glob(f"{log_dir}.old-*"),
+                           key=os.path.getmtime)
+    for aside in merged_asides:
+        src = src.unionByName(spark.read.parquet(aside))
+    folded = _fold_log(src, key_col).withColumn("batch_id", F.lit(0))
     tag = _uuid.uuid4().hex[:8]
     gen = f"{log_dir}.gen-{tag}"
     out = folded.repartition(n_files) if n_files else folded
@@ -714,3 +755,7 @@ def compact_log(spark, log_dir: str, key_col: str = "doc_id",
     os.rename(log_dir, old)
     os.rename(gen, log_dir)
     shutil.rmtree(old)
+    # Only after the swap completes is it safe to retire the merged
+    # asides — a crash before this point re-merges them next run.
+    for aside in merged_asides:
+        shutil.rmtree(aside, ignore_errors=True)

@@ -2209,3 +2209,88 @@ def test_ivf_index_persist_append_search_matches_in_memory(spark, tmp_path):
     got = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
     want = sorted(map(tuple, ivf_topk(emb).collect()))
     assert got == want and len(got) > 0
+
+
+def test_append_ivf_index_retry_is_idempotent(spark, tmp_path):
+    """A RETRIED append whose prior write committed must not duplicate
+    rows (ADVICE r10): with a stable delta_id the retry overwrites the
+    same delta subdirectory, so the batch-only serve path — which folds
+    nothing by design — still sees exactly one row per vector."""
+    from etl_validator_github_spark.scale.similarity import (
+        append_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        persist_ivf_index,
+        read_ivf_index_assignment,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    idx = str(tmp_path / "retry_index")
+    persist_ivf_index(base, emb, idx)
+    append_ivf_index(delta, idx, delta_id="ingest-0001")
+    append_ivf_index(delta, idx, delta_id="ingest-0001")  # the retry
+
+    assign = read_ivf_index_assignment(spark, idx)
+    n, d = assign.count(), assign.select("vec_id").distinct().count()
+    assert n == d == emb.count()
+    got = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
+    want = sorted(map(tuple, ivf_topk(emb).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_topk_for_queries_matches_standing_batch(spark, tmp_path):
+    """The external-query serve API fed the index's own first vectors
+    must return exactly what the standing-batch path returns — same
+    assignment, same probe join, same tie-break — and the np_probe
+    opt-in must be bit-identical."""
+    from etl_validator_github_spark.scale.similarity import (
+        N_QUERIES,
+        ivf_topk_for_queries,
+        ivf_topk_from_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "extq_index")
+    persist_ivf_index(emb, emb, idx)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    want = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
+    got = sorted(map(tuple, ivf_topk_for_queries(
+        spark, idx, queries).collect()))
+    got_np = sorted(map(tuple, ivf_topk_for_queries(
+        spark, idx, queries, np_assign=True, np_probe=True).collect()))
+    assert got == want and got_np == want and len(got) > 0
+
+
+def test_ivf_topk_for_queries_disjoint_ids_probe_whole_index(spark,
+                                                             tmp_path):
+    """External queries with ids DISJOINT from the index (the real
+    serving shape) get k neighbors each, and a query identical to an
+    index vector finds that vector at rank 1 with cos 1.0."""
+    from etl_validator_github_spark.scale.similarity import (
+        TOP_K,
+        ivf_topk_for_queries,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "disj_index")
+    persist_ivf_index(emb, emb, idx)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    got = ivf_topk_for_queries(spark, idx, queries).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {i + 10_000_000 for i in range(20)}
+    for qid, rows in by_q.items():
+        assert len(rows) == TOP_K
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == qid - 10_000_000
+        # dot/(sqrt(n)*sqrt(n)): the dot is exact but sqrt(n)² isn't.
+        assert abs(best["cos_sim"] - 1.0) < 1e-12

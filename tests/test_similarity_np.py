@@ -154,3 +154,101 @@ def test_index_search_np_probe_matches_join(spark, tmp_path):
     fast = sorted(map(tuple, ivf_topk_from_index(
         spark, idx, np_assign=True, np_probe=True).collect()))
     assert base == fast and len(base) > 0
+
+
+def test_probe_topk_np_blockwise_matches_join(spark):
+    # Cell populations of 5000 exceed the 4096 member block, so the
+    # running top-k merge across blocks is exercised; the result must
+    # equal the join formulation exactly (same total order, exact
+    # integer dots → bit-identical cos doubles).
+    from etl_validator_github_spark.scale.similarity import (
+        _DOT,
+        _probe_join_topk,
+        _probe_topk_np,
+    )
+
+    assign = spark.range(10_000).selectExpr(
+        "id as vec_id",
+        "cast(id % 2 as int) as cell",
+        "transform(sequence(0, 7), i -> (id % 311) * 17 + i * 5 - 40)"
+        " as qv",
+    ).withColumn("norm2", F.expr(_DOT.format(a="qv", b="qv")))
+    probes = assign.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    want = sorted(map(tuple, _probe_join_topk(assign, probes, 10).collect()))
+    got = sorted(map(tuple, _probe_topk_np(assign, probes, 10).collect()))
+    assert got == want and len(got) == 16 * 10
+
+
+def test_zero_norm_vectors_never_pair(spark):
+    # A zero vector (all components quantize to 0) has no defined
+    # cosine; the pair joins must exclude it in every formulation —
+    # expression, numpy, and (structurally mirrored) the DuckDB oracle,
+    # where 0/0 is NaN and NaN compares greater than any threshold.
+    from etl_validator_github_spark.scale.similarity import (
+        _DOT,
+        _per_vec_max_cos_np,
+        ann_pairs,
+    )
+
+    pairable = spark.range(50).selectExpr(
+        "id as vec_id",
+        "cast(0 as int) as cell",
+        "CASE WHEN id = 7 THEN transform(sequence(0, 7), i -> 0L)"
+        " ELSE transform(sequence(0, 7), i -> (id % 13) * 9 + i - 3)"
+        " END as qv",
+    ).withColumn("norm2", F.expr(_DOT.format(a="qv", b="qv")))
+    got = _per_vec_max_cos_np(pairable).collect()
+    assert all(r["vec_id"] != 7 for r in got)
+    assert all(r["max_cos"] == r["max_cos"] for r in got)  # no NaN
+
+    emb = spark.range(50).selectExpr(
+        "id as vec_id",
+        "CASE WHEN id = 7 THEN transform(sequence(0, 63), i -> 0.0f)"
+        " ELSE transform(sequence(0, 63), i -> cast("
+        "((id % 13) * 9 + i - 32) / 100.0 as float)) END as embedding",
+    )
+    pairs = ann_pairs(emb).collect()
+    assert len(pairs) > 0
+    assert all(r["v1"] != 7 and r["v2"] != 7 for r in pairs)
+    assert all(r["cos_sim"] is not None
+               and r["cos_sim"] == r["cos_sim"] for r in pairs)
+
+
+def test_zero_norm_split_leakage_and_keep_guard(spark):
+    # semantic_dedup_keep / semantic_split_leakage with a zero-norm row
+    # in the corpus: the row keeps (nothing can drop it), reports no
+    # leaks, and the np twins agree with the expression plan.
+    from etl_validator_github_spark.scale.similarity import (
+        semantic_dedup_keep,
+        semantic_split_leakage,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = base.unionByName(spark.range(1).selectExpr(
+        "cast(90000000 as bigint) as vec_id",
+        "transform(sequence(0, 63), i -> 0.0f) as embedding",
+        "cast(0 as int) as label",
+    ).select("vec_id", "embedding", "label"))
+    keep = semantic_dedup_keep(corpus, base)
+    keep_np = semantic_dedup_keep(corpus, base, np_assign=True,
+                                  np_pairs=True)
+    cols = ["vec_id", "cell", "keep"]
+    got = sorted(map(tuple, keep.select(*cols).collect()))
+    got_np = sorted(map(tuple, keep_np.select(*cols).collect()))
+    assert got == got_np
+    zero_rows = [r for r in got if r[0] == 90_000_000]
+    assert len(zero_rows) == 1 and zero_rows[0][2] == 1
+
+    leak = semantic_split_leakage(corpus, base)
+    leak_np = semantic_split_leakage(corpus, base, np_assign=True,
+                                     np_pairs=True)
+    cols = ["vec_id", "cell", "n_train_dups"]
+    a = sorted(map(tuple, leak.select(*cols).collect()))
+    b = sorted(map(tuple, leak_np.select(*cols).collect()))
+    assert a == b
+    assert all(r[0] != 90_000_000 for r in a)

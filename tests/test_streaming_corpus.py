@@ -821,3 +821,128 @@ def test_compact_log_recovers_from_mid_swap_crash(spark, tmp_path):
     assert got == want
     assert not os.path.exists(f"{clog}.old-deadbeef")
     assert not os.path.exists(f"{clog}.gen-stale")
+
+
+def test_restore_log_aside_runs_from_readers_and_writers(spark, tmp_path):
+    """ADVICE r10 (medium): a compact_log crash between its two renames
+    leaves the log as a complete .old- aside. Every reader entry point
+    must restore it, and a RESTARTED maintenance stream must restore it
+    before its first append — otherwise write.mode('append') recreates
+    the log with only the new batch and pre-crash rows go dark."""
+    import os
+
+    from etl_validator_github_spark.scale.text import (
+        classifier_weights_from_counts,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        read_classifier_counts_log,
+        stream_classifier_counts,
+    )
+
+    src = tmp_path / "asrc"
+    clog = tmp_path / "alog"
+    _write_docs(spark, str(src / "d1.parquet"), [(0, GOOD), (1, GOOD2)])
+    q = stream_classifier_counts(spark, str(src), str(clog),
+                                 str(tmp_path / "ack"))
+    q.awaitTermination(120)
+    want = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+
+    # Reader restores the aside.
+    os.rename(str(clog), f"{clog}.old-cafe01")
+    got = sorted(map(tuple, classifier_weights_from_counts(
+        read_classifier_counts_log(spark, str(clog))).collect()))
+    assert got == want and os.path.exists(str(clog))
+
+    # Restarted stream restores the aside BEFORE appending: after a new
+    # micro-batch the log holds pre-crash rows AND the new batch.
+    os.rename(str(clog), f"{clog}.old-cafe02")
+    _write_docs(spark, str(src / "d2.parquet"), [(2, GOOD)])
+    q2 = stream_classifier_counts(spark, str(src), str(clog),
+                                  str(tmp_path / "ack"))
+    q2.awaitTermination(120)
+    folded = read_classifier_counts_log(spark, str(clog))
+    assert not os.path.exists(f"{clog}.old-cafe02")
+    assert sorted(r["doc_id"] for r in
+                  folded.select("doc_id").distinct().collect()) == [0, 1, 2]
+
+
+def test_compact_log_merges_aside_with_recreated_log(spark, tmp_path):
+    """The silent-data-loss window the ADVICE named: crash aside on
+    disk AND a recreated log (e.g. an out-of-tree writer appended
+    without the restore preamble). compact_log must MERGE-FOLD the
+    aside instead of purging it."""
+    import os
+
+    import pyspark.sql.functions as F
+    from etl_validator_github_spark.scale.text import (
+        doc_token_counts,
+        labeled_docs,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        compact_log,
+        read_classifier_counts_log,
+        stream_classifier_counts,
+    )
+
+    src = tmp_path / "msrc"
+    clog = tmp_path / "mlog"
+    _write_docs(spark, str(src / "d1.parquet"), [(0, GOOD), (1, GOOD2)])
+    q = stream_classifier_counts(spark, str(src), str(clog),
+                                 str(tmp_path / "mck"))
+    q.awaitTermination(120)
+
+    # Crash window: log renamed aside; then a writer recreates the log
+    # holding ONLY a new batch (bypassing the restore preamble).
+    os.rename(str(clog), f"{clog}.old-dead01")
+    fresh = spark.createDataFrame(
+        [(2, GOOD, "en", "crawl", len(GOOD))],
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    doc_token_counts(labeled_docs(fresh)).withColumn(
+        "batch_id", F.lit(7)
+    ).write.mode("append").parquet(str(clog))
+
+    compact_log(spark, str(clog), key_col="doc_id", n_files=1)
+    assert not os.path.exists(f"{clog}.old-dead01")
+    folded = read_classifier_counts_log(spark, str(clog))
+    assert sorted(r["doc_id"] for r in
+                  folded.select("doc_id").distinct().collect()) == [0, 1, 2]
+
+
+def test_unified_index_reader_restores_log_aside(spark, tmp_path):
+    """ADVICE r10 (low): read_ivf_index_assignment must not conclude
+    batch-only while a crashed compaction's assign_log aside sits on
+    disk — that would silently truncate every candidate set."""
+    import os
+
+    import pyspark.sql.functions as F
+    from etl_validator_github_spark.scale.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        persist_ivf_index,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        stream_ivf_index_maintenance,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "aside_idx")
+    persist_ivf_index(base, emb, idx)
+    src = tmp_path / "aside_src"
+    delta.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    q = stream_ivf_index_maintenance(spark, str(src), idx,
+                                     str(tmp_path / "aside_ck"),
+                                     np_assign=True)
+    q.awaitTermination(120)
+
+    log_p = f"{idx}/assign_log.parquet"
+    os.rename(log_p, f"{log_p}.old-beef01")  # crashed compaction
+    got = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
+    want = sorted(map(tuple, ivf_topk(emb).collect()))
+    assert got == want and os.path.exists(log_p)
