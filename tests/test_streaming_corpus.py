@@ -946,3 +946,59 @@ def test_unified_index_reader_restores_log_aside(spark, tmp_path):
     got = sorted(map(tuple, ivf_topk_from_index(spark, idx).collect()))
     want = sorted(map(tuple, ivf_topk(emb).collect()))
     assert got == want and os.path.exists(log_p)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("k", [1, 2, 5])
+def test_streamed_classifier_fold_matches_batch_across_splits(
+        spark, tmp_path, k):
+    """The fold-level loop-closure property (r10 verdict item 6): a
+    corpus streamed in k micro-batches through stream_classifier_counts
+    AND compacted must yield bit-identical weights and prior to the
+    one-shot batch training path — k-batch == 1-batch, through the
+    compaction rewrite."""
+    from etl_validator_github_spark.scale.text import (
+        classifier_prior_from_counts,
+        classifier_weights_from_counts,
+        doc_token_counts,
+        labeled_docs,
+        quality_classifier_weights,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        compact_log,
+        read_classifier_counts_log,
+        stream_classifier_counts,
+    )
+
+    soup = ("the of and to in a " * 5).strip()
+    texts = [GOOD, GOOD2, soup, GOOD + " " + soup, GOOD2 + " extra pad"]
+    rows = [(i, texts[i % len(texts)]) for i in range(10)]
+    src = tmp_path / f"ksrc{k}"
+    clog, ckpt = tmp_path / f"klog{k}", tmp_path / f"kck{k}"
+    # One availableNow run per chunk forces exactly k micro-batches.
+    for j in range(k):
+        _write_docs(spark, str(src / f"d{j}.parquet"), rows[j::k])
+        q = stream_classifier_counts(spark, str(src), str(clog),
+                                     str(ckpt))
+        q.awaitTermination(120)
+    compact_log(spark, str(clog), key_col="doc_id", n_files=1)
+
+    all_docs = spark.createDataFrame(
+        [(i, t, "en", "crawl", len(t)) for i, t in rows],
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    lab = labeled_docs(all_docs)
+    want_w = sorted(map(tuple, quality_classifier_weights(lab).collect()))
+    want_p = [tuple(r) for r in
+              classifier_prior_from_counts(doc_token_counts(lab)).collect()]
+    assert len(want_w) > 0
+
+    log = read_classifier_counts_log(spark, str(clog))
+    got_w = sorted(map(tuple,
+                       classifier_weights_from_counts(log).collect()))
+    got_p = [tuple(r) for r in classifier_prior_from_counts(log).collect()]
+    assert got_w == want_w
+    assert got_p == want_p
