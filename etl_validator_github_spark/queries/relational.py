@@ -6304,9 +6304,180 @@ FROM hist
 """
 
 
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on the daily order-count series: is the
+# above/below-median sign sequence random, or does demand trend/cycle?
+# Exact integers end-to-end (median = value-at-rank, runs via lag over
+# the CALENDAR-bounded day table — ~2400 rows at any data scale), then
+# one identical-shape double expression for the z-score. Days exactly
+# at the median are excluded from the sign sequence (the standard
+# discrete-data treatment). Public method: Wald & Wolfowitz 1940.
+# ---------------------------------------------------------------------------
+
+
+def _orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ranked = daily.crossJoin(F.broadcast(n_days)).withColumn(
+        "rn", F.row_number().over(Window.orderBy("cnt", "d"))
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_days + 1) div 2")
+    ).select(F.col("cnt").alias("med"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cnt") != F.col("med"))
+        .select("d", (F.col("cnt") > F.col("med")).cast("int").alias("s"))
+    )
+    seq = signs.withColumn(
+        "chg",
+        (F.col("s") != F.coalesce(
+            F.lag("s").over(Window.orderBy("d")), F.col("s")
+        )).cast("long"),
+    )
+    agg = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_seq"),
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.lit(1) - F.col("s")), F.lit(0)).cast("long")
+        .alias("n2"),
+        (F.coalesce(F.sum("chg"), F.lit(0))
+         + (F.count(F.lit(1)) > 0).cast("long")).cast("long")
+        .alias("n_runs"),
+    )
+    # z is undefined for a one-sided or near-empty sequence (σ = 0) —
+    # NULL in both engines instead of an ANSI divide-by-zero.
+    return agg.select(
+        "n_seq", "n1", "n2", "n_runs",
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3 THEN NULL ELSE "
+            "cast(round(1000 * "
+            "(n_runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / "
+            "sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / "
+            "((cast(n1 + n2 as double) * (n1 + n2)) * (n1 + n2 - 1)))"
+            ") as bigint) END"
+        ).alias("z_milli"),
+    )
+
+
+_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, d) AS rn FROM daily
+), med AS (
+  SELECT r.cnt AS med FROM ranked r CROSS JOIN n
+  WHERE r.rn = (n.n_days + 1) // 2
+), signs AS (
+  SELECT d, CAST(cnt > med AS INT) AS s
+  FROM daily CROSS JOIN med WHERE cnt <> med
+), seq AS (
+  SELECT s, CAST(s <> COALESCE(lag(s) OVER (ORDER BY d), s) AS BIGINT)
+           AS chg
+  FROM signs
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_seq,
+         CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(1 - s), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(chg), 0)
+              + CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_runs
+  FROM seq
+)
+SELECT n_seq, n1, n2, n_runs,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3 THEN NULL ELSE
+       CAST(round(1000 *
+         (n_runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) /
+         sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) /
+              ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) * (n1 + n2 - 1)))
+       ) AS BIGINT) END AS z_milli
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association between customer segment and order
+# priority: support / confidence / lift per (segment → priority) rule.
+# Counts are exact; lift is ONE identical-shape double expression
+# (integer products would overflow BIGINT at 100 TB row counts, so
+# both engines compute the same floored double instead). Shape: one
+# broadcast dim join + three hash-aggs of the same fact scan, all
+# key-bounded (≤ segments × priorities rows).
+# ---------------------------------------------------------------------------
+
+
+def _segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(load(spark, sf_dir, "customer")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"),
+                F.col("o_orderpriority").alias("pri"))
+    )
+    both = j.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both"))
+    nseg = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"))
+    npri = j.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pri"))
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    return (
+        both.join(F.broadcast(nseg), "seg")
+        .join(F.broadcast(npri), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg", "pri", "n_both", "n_seg", "n_pri", "nn",
+            F.expr("(1000000 * n_both) div nn").alias("support_micro"),
+            F.expr("(1000000 * n_both) div n_seg").alias("conf_micro"),
+            F.expr(
+                "cast(floor((1000000.0 * n_both * nn) / "
+                "(cast(n_seg as double) * n_pri)) as bigint)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
+_SEGMENT_LIFT_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), b AS (
+  SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM j GROUP BY 1, 2
+), s AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_seg FROM j GROUP BY 1
+), p AS (
+  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_pri FROM j GROUP BY 1
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM j)
+SELECT b.seg, b.pri, b.n_both, s.n_seg, p.n_pri, t.nn,
+       CAST((1000000 * b.n_both) // t.nn AS BIGINT) AS support_micro,
+       CAST((1000000 * b.n_both) // s.n_seg AS BIGINT) AS conf_micro,
+       CAST(floor((1000000.0 * b.n_both * t.nn) /
+                  (CAST(s.n_seg AS DOUBLE) * p.n_pri)) AS BIGINT)
+         AS lift_micro
+FROM b JOIN s USING (seg) JOIN p USING (pri) CROSS JOIN t
+"""
+
+
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("orders_runs_test", _orders_runs_test, _RUNS_TEST_SQL,
+              "Wald–Wolfowitz runs test on daily order counts: exact "
+              "value-at-rank median, lag-counted runs over the "
+              "calendar-bounded day table, one identical-shape double "
+              "z-score — the demand-randomness check."),
+        Query("customers_segment_priority_lift", _segment_priority_lift,
+              _SEGMENT_LIFT_SQL,
+              "Association rules segment → priority: exact support/"
+              "confidence counts + floored-double lift, three "
+              "key-bounded hash-aggs over one broadcast-dim join."),
         Query("orders_zorder_cells", _zorder_cells, _zorder_sql(),
               "Morton-key cell census over orders: the exact-integer "
               "bit interleave behind the Z-order layout writer, "

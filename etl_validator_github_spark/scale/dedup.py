@@ -353,6 +353,55 @@ def _dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(with_copies(load(spark, sf_dir, "documents")))
 
 
+def minhash_band_stats(docs: DataFrame) -> DataFrame:
+    """Per-band LSH health readout: (band, n_buckets, n_docs, max_pop,
+    n_cand_pairs, n_capped_buckets) — the report a pipeline owner reads
+    BEFORE trusting banded dedup at scale. ``n_cand_pairs`` is the
+    Σ n·(n−1)/2 pair expansion each band would emit; a band whose
+    max_pop rides the MAX_BUCKET_SIZE ceiling (n_capped_buckets > 0)
+    is boilerplate-dominated and its capped buckets contribute no
+    pairs. Cost: the signature agg the pair join already pays + one
+    band-keyed rollup — never the pair expansion itself."""
+    sizes = (
+        lsh_band_buckets(minhash_signatures(docs))
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.max("n").cast("long").alias("max_pop"),
+        F.sum(F.expr("(n * (n - 1)) div 2")).cast("long")
+        .alias("n_cand_pairs"),
+        F.sum((F.col("n") > MAX_BUCKET_SIZE).cast("long")).cast("long")
+        .alias("n_capped_buckets"),
+    ).select(
+        F.col("band").cast("int").alias("band"),
+        "n_buckets", "n_docs", "max_pop", "n_cand_pairs",
+        "n_capped_buckets",
+    )
+
+
+def _band_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_band_stats(with_copies(load(spark, sf_dir, "documents")))
+
+
+def _band_stats_sql() -> str:
+    return f"""
+WITH all_docs AS ({_COPIES_SQL}),
+{_minhash_buckets_cte('all_docs')}
+SELECT CAST(band AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(MAX(n) AS BIGINT) AS max_pop,
+       CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_cand_pairs,
+       CAST(SUM(CASE WHEN n > {MAX_BUCKET_SIZE} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped_buckets
+FROM bucket_sizes
+GROUP BY 1
+"""
+
+
 def _minhash_sql(max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
     """DuckDB oracle for ``minhash_candidate_pairs`` over the standard
     with_copies corpus; see ``_minhash_sql_for`` for an arbitrary
@@ -363,12 +412,11 @@ def _minhash_sql(max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
     )
 
 
-def _minhash_sql_for(source: str,
-                     max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
-    """Band-candidate SQL parameterized by the source relation; the
-    bucket cap is generated from the same parameter as the Python
-    function so a non-default call site can build a matching oracle
-    (``None`` disables the guard)."""
+def _minhash_buckets_cte(source: str) -> str:
+    """The shared CTE chain ``tok → sh → hs → sigs → buckets →
+    bucket_sizes`` over an arbitrary source relation — the SQL mirror
+    of ``minhash_signatures`` + ``lsh_band_buckets``, reused by the
+    candidate-pair oracle and the band-health oracle."""
     sig_exprs = ",\n         ".join(
         "list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {p}), 'min') AS sig_{i}".format(
             a=_minhash_ab(i)[0], b=_minhash_ab(i)[1], p=MINHASH_P, i=i
@@ -381,11 +429,7 @@ def _minhash_sql_for(source: str,
                         for r in range(ROWS_PER_BAND)))
         for b in range(N_BANDS)
     )
-    cap_pred = (
-        f"AND s.n <= {max_bucket_size}" if max_bucket_size is not None else ""
-    )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM {source}
 ),
 sh AS (
@@ -412,7 +456,20 @@ buckets AS (
 ),
 bucket_sizes AS (
   SELECT band, band_key, COUNT(*) AS n FROM buckets GROUP BY 1, 2
-)
+)"""
+
+
+def _minhash_sql_for(source: str,
+                     max_bucket_size: int | None = MAX_BUCKET_SIZE) -> str:
+    """Band-candidate SQL parameterized by the source relation; the
+    bucket cap is generated from the same parameter as the Python
+    function so a non-default call site can build a matching oracle
+    (``None`` disables the guard)."""
+    cap_pred = (
+        f"AND s.n <= {max_bucket_size}" if max_bucket_size is not None else ""
+    )
+    return f"""
+WITH {_minhash_buckets_cte(source)}
 SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
 FROM buckets a
 JOIN buckets b
@@ -2021,6 +2078,11 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "Dup-cluster size histogram: the report a pipeline owner "
               "reads to judge duplication structure (two hash-agg "
               "levels over the component labels)."),
+        Query("dedup_band_stats", _band_stats_q, _band_stats_sql(),
+              "Per-band LSH health readout: bucket count, max "
+              "population, Σ n·(n−1)/2 pair expansion and capped-"
+              "bucket count — the mega-bucket early warning, at "
+              "signature-agg cost (the pair join is never run)."),
         Query("dedup_substring_spans", _substring_spans_q,
               _SUBSTRING_SPANS_SQL,
               "Sliding-window substring dedup (Lee et al. 2022): per-doc "

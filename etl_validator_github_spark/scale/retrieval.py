@@ -332,12 +332,69 @@ def bm25_self_mrr(docs: DataFrame,
     )
 
 
+def _ndcg_discounts(k: int) -> list[int]:
+    """DCG rank discounts as exact micro-integers: ⌊10⁶ / log2(r+1)⌋
+    for r = 1..k, computed ONCE here and embedded as literal constants
+    in BOTH engines. Spark's LOG2 and DuckDB's log2 are separate libm
+    implementations that can disagree in the last ulp, so the discount
+    table — not a per-engine log call — is the cross-engine contract
+    (the same trick the kmeans oracle uses for iteration unrolling)."""
+    import math
+
+    return [int(1_000_000 // math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def bm25_self_ndcg(docs: DataFrame,
+                   probe_ids: tuple[int, ...] = BM25_EVAL_PROBE_IDS,
+                   k: int = BM25_EVAL_K) -> DataFrame:
+    """NDCG@k scorecard over the same derived qrels (binary gains):
+    DCG = Σ disc(rank) over relevant hits, IDCG = Σ disc(1..min(n_rel,
+    k)) — both exact integer sums over the shared discount table, so
+    the readout is bit-identical cross-engine. Complements recall@k
+    (coverage) and MRR (first hit): NDCG rewards stacking ALL the
+    relevant docs high. Public method: Järvelin & Kekäläinen 2002."""
+    probes, hits, relevant = _self_eval_frames(docs, probe_ids, k)
+    disc = _ndcg_discounts(k)
+    idcg_prefix = [sum(disc[:i + 1]) for i in range(k)]
+    dcg = (
+        hits.join(relevant, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.element_at(F.array(*[F.lit(d) for d in disc]),
+                                F.col("rnk"))).cast("long")
+             .alias("dcg_micro"))
+    )
+    rel_stats = relevant.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_relevant")
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in idcg_prefix]),
+        F.least(F.col("n_relevant"), F.lit(k)),
+    ).cast("long")
+    return (
+        rel_stats.join(dcg, "query_id", "left")
+        .select(
+            "query_id", "n_relevant",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long")
+            .alias("dcg_micro"),
+            idcg.alias("idcg_micro"),
+        )
+        .withColumn(
+            "ndcg_milli",
+            F.expr("cast((1000 * dcg_micro) div idcg_micro as int)"),
+        )
+    )
+
+
 def _bm25_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_self_retrieval(load(spark, sf_dir, "documents"))
 
 
 def _bm25_mrr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_self_mrr(load(spark, sf_dir, "documents"))
+
+
+def _bm25_ndcg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_self_ndcg(load(spark, sf_dir, "documents"))
 
 
 def _bm25_eval_cte() -> str:
@@ -443,6 +500,32 @@ LEFT JOIN fr USING (query_id)
 """
 
 
+def _bm25_ndcg_sql() -> str:
+    k = BM25_EVAL_K
+    disc = _ndcg_discounts(k)
+    idcg_prefix = [sum(disc[:i + 1]) for i in range(k)]
+    disc_list = "[" + ", ".join(str(d) for d in disc) + "]"
+    idcg_list = "[" + ", ".join(str(v) for v in idcg_prefix) + "]"
+    return _bm25_eval_cte() + f""", dcg AS (
+  SELECT r.query_id,
+         CAST(SUM(({disc_list})[r.rnk]) AS BIGINT) AS dcg_micro
+  FROM ranked r JOIN relevant USING (query_id, doc_id)
+  GROUP BY 1
+), rs AS (
+  SELECT query_id, CAST(COUNT(*) AS INT) AS n_relevant
+  FROM relevant GROUP BY 1
+)
+SELECT rs.query_id, rs.n_relevant,
+       CAST(COALESCE(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       CAST(({idcg_list})[LEAST(rs.n_relevant, {k})] AS BIGINT)
+         AS idcg_micro,
+       CAST((1000 * COALESCE(dcg.dcg_micro, 0))
+            // ({idcg_list})[LEAST(rs.n_relevant, {k})] AS INT)
+         AS ndcg_milli
+FROM rs LEFT JOIN dcg USING (query_id)
+"""
+
+
 RETRIEVAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -466,5 +549,11 @@ RETRIEVAL_QUERIES: dict[str, Query] = {
               "rank of the first relevant hit per query, rr in "
               "micro-units (0 when the top-k has no relevant doc) — "
               "the shared eval CTE chain feeds both scorecards."),
+        Query("retrieval_bm25_ndcg", _bm25_ndcg_q, _bm25_ndcg_sql(),
+              "NDCG@k over the same derived qrels with binary gains: "
+              "exact integer DCG/IDCG sums over a shared literal "
+              "discount table (log2 computed once in Python, never "
+              "per-engine), so the graded-ranking readout is "
+              "bit-identical cross-engine."),
     ]
 }

@@ -2739,6 +2739,85 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Centroid drift between corpus snapshots — the embedding-space
+# monitoring readout (did this week's crawl shift the per-label
+# direction vectors?). Centroids are exact BIGINT component sums
+# (ivf_cells), so the per-label cosine between snapshot A's and
+# snapshot B's centroid is one exact integer dot over two tiny tables —
+# at 100 TB each snapshot contributes one map-side partial-sum pass and
+# a labels × dims shuffle, and the drift join itself is label-sized.
+# The zero-norm convention (cos := 0) matches cell_assignments.
+# ---------------------------------------------------------------------------
+
+
+def centroid_drift(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """(label, n_a, n_b, cos_micro): per-label centroid cosine between
+    two embedding snapshots (micro-units; 10⁶ = unchanged direction)."""
+    ca = ivf_cells(snap_a).select(
+        "label", F.col("cv").alias("cva"), F.col("cnorm2").alias("na2"))
+    cb = ivf_cells(snap_b).select(
+        "label", F.col("cv").alias("cvb"), F.col("cnorm2").alias("nb2"))
+    cnt_a = snap_a.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"))
+    cnt_b = snap_b.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"))
+    dot = _DOT.format(a="cva", b="cvb")
+    return (
+        ca.join(cb, "label").join(cnt_a, "label").join(cnt_b, "label")
+        .select(
+            F.col("label").cast("int").alias("label"), "n_a", "n_b",
+            F.expr(
+                f"cast(round(CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0 "
+                f"ELSE {dot} / (sqrt(na2) * sqrt(nb2)) END * 1000000) "
+                f"as bigint)"
+            ).alias("cos_micro"),
+        )
+    )
+
+
+def _centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+def _centroid_drift_sql() -> str:
+    def cells(src_pred: str, out: str) -> str:
+        return f"""{out}_vecs AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE {src_pred}
+), {out}_partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM {out}_vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), {out}_cnt AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings WHERE {src_pred} GROUP BY 1
+), {out} AS (
+  SELECT c.label, c.cv, {_SQL_DOT.format(a="c.cv", b="c.cv")} AS cn2, k.n
+  FROM (SELECT label, list(s ORDER BY dim) AS cv
+        FROM {out}_partial GROUP BY 1) c
+  JOIN {out}_cnt k ON c.label = k.label
+)"""
+
+    dot_ab = _SQL_DOT.format(a="a.cv", b="b.cv")
+    return f"""
+WITH dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), {cells("vec_id % 2 = 0", "ca")}, {cells("vec_id % 2 = 1", "cb")}
+SELECT CAST(a.label AS INT) AS label,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       CAST(round(CASE WHEN a.cn2 = 0 OR b.cn2 = 0 THEN 0.0
+                       ELSE {dot_ab} / (sqrt(a.cn2) * sqrt(b.cn2)) END
+                  * 1000000) AS BIGINT) AS cos_micro
+FROM ca a JOIN cb b ON a.label = b.label
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -2752,6 +2831,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Semantic train/eval split-leakage audit: eval vectors "
               "with a train near-dup (cos ≥ 0.9) in their IVF cell — "
               "the embedding-space decontamination readout."),
+        Query("embed_centroid_drift", _centroid_drift_q,
+              _centroid_drift_sql(),
+              "Per-label centroid cosine between two corpus snapshots "
+              "(exact BIGINT component sums, zero-norm convention "
+              "cos := 0): the embedding-space drift monitor — two "
+              "map-side partial-sum passes + a label-sized join."),
         Query("dedup_semantic_threshold_sweep", _sweep_q, _sweep_sql(),
               "Cutoff tuning from ONE pair pass: survivors at every "
               "candidate cosine threshold via a per-vector max-cos "

@@ -3300,6 +3300,249 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Code-vs-prose detector — the pretraining-mix signal that routes a
+# document to the code pipeline (different dedup, different quality
+# gates) instead of the prose one. Pure character arithmetic via
+# translate-removal counts: exact integers, map-only, no regex engine
+# in the loop (RE2-vs-Java dialect risk avoided entirely). The fixture
+# corpus is punctuation-free word soup, so the catalog query seeds
+# deterministic code-snippet suffixes (the with_copies discipline) to
+# keep the detector non-vacuous.
+# ---------------------------------------------------------------------------
+
+#: Characters whose density marks code-like text.
+CODE_CHARS = "{};=()<>[]"
+CODE_MICRO_THRESHOLD = 5000
+_CODE_SNIPPET = " if (x == 1) { return y[0]; } count = 42;"
+_CODE_SEED_MOD = 20
+
+
+def with_code_suffix(docs: DataFrame) -> DataFrame:
+    """documents with a deterministic code snippet appended to every
+    ``doc_id % 20 == 0`` row — the seeded witness for code detection
+    (string concat of a literal: bit-identical cross-engine)."""
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % _CODE_SEED_MOD == 0,
+               F.concat(F.col("text"), F.lit(_CODE_SNIPPET)))
+        .otherwise(F.col("text")),
+    )
+
+
+def code_detect(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_code_chars, n_digits, code_micro, is_codey): density
+    of code-marker characters + digits per document, in micro-units of
+    the total character count."""
+    n_code = (F.length("text")
+              - F.length(F.expr(f"translate(text, '{CODE_CHARS}', '')")))
+    n_digit = (F.length("text")
+               - F.length(F.expr("translate(text, '0123456789', '')")))
+    return (
+        docs.select(
+            "doc_id",
+            n_code.cast("long").alias("n_code_chars"),
+            n_digit.cast("long").alias("n_digits"),
+            F.greatest(F.length("text"), F.lit(1)).cast("long")
+            .alias("__len"),
+        )
+        .withColumn(
+            "code_micro",
+            F.expr("cast((1000000 * (n_code_chars + n_digits))"
+                   " div __len as bigint)"),
+        )
+        .withColumn(
+            "is_codey",
+            (F.col("code_micro") >= CODE_MICRO_THRESHOLD).cast("int"),
+        )
+        .drop("__len")
+    )
+
+
+def _code_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return code_detect(with_code_suffix(load(spark, sf_dir, "documents")))
+
+
+_CODE_DETECT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_CODE_SEED_MOD} = 0
+              THEN text || '{_CODE_SNIPPET}' ELSE text END AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         CAST(length(text) - length(translate(text, '{CODE_CHARS}', ''))
+              AS BIGINT) AS n_code_chars,
+         CAST(length(text) - length(translate(text, '0123456789', ''))
+              AS BIGINT) AS n_digits,
+         CAST(greatest(length(text), 1) AS BIGINT) AS len_total
+  FROM aug
+)
+SELECT doc_id, n_code_chars, n_digits,
+       CAST((1000000 * (n_code_chars + n_digits)) // len_total
+            AS BIGINT) AS code_micro,
+       CAST((1000000 * (n_code_chars + n_digits)) // len_total
+            >= {CODE_MICRO_THRESHOLD} AS INT) AS is_codey
+FROM counted
+"""
+
+
+def readability_ari(docs: DataFrame) -> DataFrame:
+    """Automated Readability Index per document (Senter & Smith 1967):
+    4.71·(chars/words) + 0.5·(words/sentences) − 21.43, with exact
+    integer counts (chars = non-space characters, sentences = 1 +
+    terminal-punctuation count via translate-removal) and the identical
+    double expression shape on both engines; reported in centi-units."""
+    words = F.size(F.split("text", " "))
+    sents = (F.lit(1) + F.length("text")
+             - F.length(F.expr("translate(text, '.!?', '')")))
+    chars = F.length(F.expr("replace(text, ' ', '')"))
+    return (
+        docs.select(
+            "doc_id",
+            words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sents"),
+            chars.cast("long").alias("n_letter_chars"),
+        )
+        .withColumn(
+            "ari_centi",
+            F.expr(
+                "cast(round((4.71 * (cast(n_letter_chars as double)"
+                " / n_words) + 0.5 * (cast(n_words as double)"
+                " / n_sents) - 21.43) * 100) as bigint)"
+            ),
+        )
+        .withColumn(
+            "band",
+            F.expr("CASE WHEN ari_centi < 500 THEN 'elementary'"
+                   " WHEN ari_centi < 1000 THEN 'middle'"
+                   " WHEN ari_centi < 1400 THEN 'high'"
+                   " ELSE 'college' END"),
+        )
+    )
+
+
+def _readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_ari(load(spark, sf_dir, "documents"))
+
+
+_READABILITY_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(1 + length(text) - length(translate(text, '.!?', ''))
+            AS BIGINT) AS n_sents,
+       CAST(length(replace(text, ' ', '')) AS BIGINT)
+         AS n_letter_chars,
+       CAST(round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(string_split(text, ' ')))
+                   + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                            / (1 + length(text)
+                               - length(translate(text, '.!?', ''))))
+                   - 21.43) * 100) AS BIGINT) AS ari_centi,
+       CASE WHEN round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                                / len(string_split(text, ' ')))
+                        + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                 / (1 + length(text)
+                                    - length(translate(text, '.!?', ''))))
+                        - 21.43) * 100) < 500 THEN 'elementary'
+            WHEN round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                                / len(string_split(text, ' ')))
+                        + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                 / (1 + length(text)
+                                    - length(translate(text, '.!?', ''))))
+                        - 21.43) * 100) < 1000 THEN 'middle'
+            WHEN round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                                / len(string_split(text, ' ')))
+                        + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                 / (1 + length(text)
+                                    - length(translate(text, '.!?', ''))))
+                        - 21.43) * 100) < 1400 THEN 'high'
+            ELSE 'college' END AS band
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+# the MOSS local fingerprinting scheme): k-token shingle hashes, then
+# the minimum hash of every w-hash window. Guarantees any shared run of
+# ≥ w+k−1 tokens yields at least one shared fingerprint, with a bounded
+# fingerprint density — the local-dedup complement to global MinHash.
+# Scale shape: shingle explode (codegen, the windowed_shingles path) +
+# a per-doc window min (partition bounded by document length) + one
+# doc-grain hash-agg; the corpus is never self-joined.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3   # tokens per shingle (the dedup-family shingle width)
+WINNOW_W = 4   # hashes per winnowing window
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_windows, n_fingerprints, fp_sum): per-doc winnowing
+    fingerprint census — distinct window-min shingle hashes plus their
+    exact integer checksum (hashes reduced mod 2³¹−1, so the distinct
+    sum stays far from BIGINT overflow)."""
+    from pyspark.sql import Window
+
+    from etl_validator_github_spark.scale.dedup import (
+        MINHASH_P,
+        windowed_shingles,
+    )
+
+    toked = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    hashed = windowed_shingles(toked, WINNOW_K).withColumn(
+        "h",
+        F.expr(f"cast(conv(substring(md5(shingle), 1, 15), 16, 10)"
+               f" as bigint) % {MINHASH_P}L"),
+    )
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(-(WINNOW_W - 1), 0))
+    fps = (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") >= WINNOW_W)
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.countDistinct("fp").cast("long").alias("n_fingerprints"),
+        F.sum_distinct(F.col("fp")).cast("long").alias("fp_sum"),
+    )
+
+
+def _winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def _winnow_sql() -> str:
+    from etl_validator_github_spark.scale.dedup import MINHASH_P
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(toks) - {WINNOW_K - 2})) AS pos, toks
+  FROM tok WHERE len(toks) >= {WINNOW_K}
+), hashed AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substring(md5(
+           array_to_string(list_slice(toks, pos, pos + {WINNOW_K - 1}), ' ')
+         ), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM pos
+), fps AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                      AND CURRENT ROW) AS fp
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_sum
+FROM fps WHERE pos >= {WINNOW_W}
+GROUP BY 1
+"""
+
+
 TEXT_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -3417,5 +3660,23 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "Exact-dup rate per floor-log2 length bucket: where the "
               "dedup pressure lives — one md5 cluster-size hash-agg "
               "joined back on its own key, ~64-row rollup."),
+        Query("text_code_detect", _code_detect_q, _CODE_DETECT_SQL,
+              "Code-vs-prose router: code-marker + digit character "
+              "density via translate-removal counts (exact integers, "
+              "map-only, no regex dialect risk); seeded code-snippet "
+              "suffixes keep the detector non-vacuous on the "
+              "punctuation-free fixture corpus."),
+        Query("text_readability_ari", _readability_q, _READABILITY_SQL,
+              "Automated Readability Index per doc (Senter & Smith "
+              "1967): exact integer char/word/sentence counts, one "
+              "identical-shape double expression per engine, "
+              "centi-units + grade band — the reading-level quality "
+              "signal."),
+        Query("text_winnow_fingerprints", _winnow_q, _winnow_sql(),
+              "Winnowing fingerprints (Schleimer 2003, the MOSS "
+              "scheme): per-doc window-min shingle hashes — local "
+              "dedup guarantee (any shared ≥ w+k−1 token run shares a "
+              "fingerprint); shingle explode + doc-bounded window min "
+              "+ one hash-agg, corpus never self-joined."),
     ]
 }

@@ -50,7 +50,8 @@ ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "minhash", "spans", "ppjoin", "novelty", "bm25", "curation",
            "sweep", "sweep_expr", "vocab_coverage", "classifier",
            "split_leak", "ivf_index", "epoch_shuffle", "bpe",
-           "keeplongest", "rrf", "bm25_delta")
+           "keeplongest", "rrf", "bm25_delta", "compaction", "ks_drift",
+           "serve_external")
 
 
 def _run_isolated(args, ops) -> int:
@@ -147,12 +148,20 @@ def main() -> int:
         """Execute the full plan (noop write — nothing prunable)."""
         df.write.format("noop").mode("overwrite").save()
 
-    def timed(name, fn, repeat=None):
+    def timed(name, fn, repeat=None, stable=False):
+        """``stable=True`` applies the repeat-until-stable convention
+        (SCALE.md evidence section): rerun until two CONSECUTIVE warm
+        runs agree within 1.2x, report the full run list and commit
+        that stable pair — so a box throttle burst (the ±37%/minutes
+        host drift documented in SCALE.md) is visibly discarded by
+        rule, not by judgment call. Capped at 6 runs; only valid for
+        idempotent ops (reruns must do the same work)."""
         import gc
 
         runs = []
         out = None
-        for _ in range(max(repeat or args.repeat, 1)):
+        max_runs = 6 if stable else max(repeat or args.repeat, 1)
+        while len(runs) < max_runs:
             # Release the previous repeat's DataFrames BEFORE timing:
             # operators that localCheckpoint (the cluster fixpoint)
             # leave RDD blocks pinned until Python GC drops the last
@@ -169,6 +178,9 @@ def main() -> int:
                 print(f"[measure] {name} FAILED: {exc}", file=sys.stderr)
                 return
             runs.append(round(time.perf_counter() - t0, 1))
+            if (stable and len(runs) >= 2
+                    and max(runs[-2:]) <= 1.2 * min(runs[-2:])):
+                break
         if out is not None:
             counts[name] = out
         timings[name] = runs[0] if len(runs) == 1 else runs
@@ -204,7 +216,7 @@ def main() -> int:
                 row = sketches.bloom_build_from_positions(
                     sketches._window_positions(held, DECON_SHINGLE))
                 return force(sketches.bloom_probe_positions(wp, row))
-            timed("bloom", run_bloom)
+            timed("bloom", run_bloom, stable=True)
         if "bloom_strings" in ops:
             def run_bloom_strings():
                 bloom = sketches.bloom_build(
@@ -223,7 +235,8 @@ def main() -> int:
         from etl_validator_github_spark.scale.dedup import (
             substring_span_stats,
         )
-        timed("spans", lambda: force(substring_span_stats(docs)))
+        timed("spans", lambda: force(substring_span_stats(docs)),
+              stable=True)
 
     if "novelty" in ops:
         from etl_validator_github_spark.scale.text import ngram_novelty
@@ -388,8 +401,12 @@ def main() -> int:
         emb = ensure_emb()
         idx = os.path.join(args.workdir, "ivf_index")
         shutil.rmtree(idx, ignore_errors=True)
+        # persist is overwrite-idempotent and append now overwrites its
+        # delta_id subdirectory, so both take stable repeats (the old
+        # repeat=1 guarded against the append-mode duplication the
+        # delta_id mechanism has since removed).
         timed("ivf_index_persist", lambda: persist_ivf_index(
-            emb, emb, idx, np_assign=True), repeat=1)
+            emb, emb, idx, np_assign=True), stable=True)
         delta = (spark.range(args.docs, args.docs + 100_000).selectExpr(
             "id as vec_id",
             "transform(sequence(0, 63), i -> cast("
@@ -397,7 +414,8 @@ def main() -> int:
             " as float)) as embedding",
         ))
         timed("ivf_index_delta_100k", lambda: append_ivf_index(
-            delta, idx, np_assign=True), repeat=1)
+            delta, idx, np_assign=True, delta_id="measure-delta"),
+            stable=True)
         timed("ivf_index_search_1k", lambda: force(ivf_topk_from_index(
             spark, idx, n_queries=1000, np_assign=True, np_probe=True)))
 
@@ -435,6 +453,136 @@ def main() -> int:
         # slice, broadcast vocab, explode + broadcast join + doc-grain
         # agg over the full corpus — no corpus-vs-corpus shuffle.
         timed("classifier", lambda: force(quality_classifier_report(docs)))
+
+    if "serve_external" in ops:
+        from etl_validator_github_spark.scale.similarity import (
+            ivf_topk_for_queries,
+            persist_ivf_index,
+        )
+        # The real serving contract (r10 verdict item 3): 1k EXTERNAL
+        # query vectors — never in the index — assigned against the
+        # frozen centroids and probed through the unified store. Cost
+        # must sit in the ivf_index_search_1k class (queries × probed
+        # cell populations), independent of where the queries came from.
+        emb = ensure_emb()
+        idx = os.path.join(args.workdir, "ivf_index")
+        if not os.path.exists(idx):
+            persist_ivf_index(emb, emb, idx, np_assign=True)  # untimed
+        ext_q = (spark.range(2_000_000, 2_001_000).selectExpr(
+            "id as vec_id",
+            "transform(sequence(0, 63), i -> cast("
+            "((id * 48271 + i * 31337) % 2001 - 1000) / 1000.0"
+            " as float)) as embedding",
+        ))
+        timed("serve_external_1k", lambda: force(ivf_topk_for_queries(
+            spark, idx, ext_q, np_assign=True, np_probe=True)),
+            stable=True)
+
+    if "compaction" in ops:
+        import glob as _glob
+
+        from etl_validator_github_spark.scale.similarity import (
+            home_cell_assignment,
+            ivf_cells,
+            quantized,
+        )
+        from etl_validator_github_spark.scale.text import doc_postings
+        from etl_validator_github_spark.streaming.corpus import (
+            compact_log,
+            read_ivf_assignment_log,
+            read_postings_log,
+        )
+
+        def n_files(d):
+            return len(_glob.glob(os.path.join(d, "*.parquet")))
+
+        # --- postings log: 3 streamed generations + 1 replayed batch
+        # (untimed setup), then: fold-on-read cost BEFORE compaction,
+        # the compaction rewrite itself, fold-on-read AFTER, and a
+        # recompaction of the already-compacted log (the no-op floor).
+        plog = os.path.join(args.workdir, "postings_log_1m.parquet")
+        shutil.rmtree(plog, ignore_errors=True)
+        for b in range(3):
+            doc_postings(docs.filter(F.col("doc_id") % 3 == b)).withColumn(
+                "batch_id", F.lit(b)
+            ).write.mode("append").parquet(plog)
+        doc_postings(docs.filter(F.col("doc_id") % 3 == 0)).withColumn(
+            "batch_id", F.lit(7)  # redelivery: loses first-batch-wins
+        ).write.mode("append").parquet(plog)
+        counts["postings_log_files_before"] = n_files(plog)
+        timed("postings_fold_on_read_before", lambda: force(
+            read_postings_log(spark, plog)))
+        timed("postings_compact", lambda: compact_log(
+            spark, plog, key_col="doc_id", n_files=32), repeat=1)
+        counts["postings_log_files_after"] = n_files(plog)
+        timed("postings_fold_on_read_after", lambda: force(
+            read_postings_log(spark, plog)))
+        timed("postings_recompact_compacted", lambda: compact_log(
+            spark, plog, key_col="doc_id", n_files=32), repeat=1)
+
+        # --- assignment log: 2 streamed generations + 1 replayed batch
+        # over the 1M vector table (cells-only bootstrap, the streaming
+        # deployment shape), same before/compact/after readout.
+        emb = ensure_emb()
+        idx = os.path.join(args.workdir, "assign_log_idx")
+        shutil.rmtree(idx, ignore_errors=True)
+        cells_df = ivf_cells(emb)
+        cells_df.write.parquet(f"{idx}/cells.parquet")
+        cells = spark.read.parquet(f"{idx}/cells.parquet")
+        alog = f"{idx}/assign_log.parquet"
+        for b in range(2):
+            home_cell_assignment(
+                quantized(emb.filter(F.col("vec_id") % 2 == b)),
+                cells, np_assign=True,
+            ).withColumn("batch_id", F.lit(b)).write.mode(
+                "append").parquet(alog)
+        home_cell_assignment(
+            quantized(emb.filter(F.col("vec_id") % 2 == 0)),
+            cells, np_assign=True,
+        ).withColumn("batch_id", F.lit(9)).write.mode(
+            "append").parquet(alog)
+        counts["assign_log_files_before"] = n_files(alog)
+        timed("assign_fold_on_read_before", lambda: force(
+            read_ivf_assignment_log(spark, idx)))
+        timed("assign_compact", lambda: compact_log(
+            spark, alog, key_col="vec_id", n_files=32), repeat=1)
+        counts["assign_log_files_after"] = n_files(alog)
+        timed("assign_fold_on_read_after", lambda: force(
+            read_ivf_assignment_log(spark, idx)))
+
+    if "ks_drift" in ops:
+        from etl_validator_github_spark.streaming.drift import (
+            reference_histogram,
+            stream_value_drift,
+        )
+        # r10 verdict item 7: the monitor E2E at 1M events. Events span
+        # ~500 hourly windows; the scored sink must be bounded by the
+        # WINDOW count (≤ ~500 rows), never the event count. Setup
+        # (JSON source + reference histogram) untimed; the measurement
+        # is the full availableNow run: watermarked window histograms +
+        # per-finalized-window KS vs the broadcast reference.
+        ksd = os.path.join(args.workdir, "ks_drift")
+        shutil.rmtree(ksd, ignore_errors=True)
+        ev = spark.range(args.docs).selectExpr(
+            "id as event_id",
+            "1600000000 + (id % 500) * 3600 + (id * 37) % 3600 as ts_s",
+            "id % 10000 as user_id",
+            "concat('type', id % 5) as event_type",
+            "cast(((id * 7919) % 10000) / 100.0 as double) as value",
+        )
+        ev.repartition(32).write.json(f"{ksd}/src")
+        reference_histogram(ev).write.parquet(f"{ksd}/ref")
+
+        def run_drift(run_id=[0]):
+            run_id[0] += 1
+            sink = f"{ksd}/sink_{run_id[0]}"
+            q = stream_value_drift(
+                spark, f"{ksd}/src", f"{ksd}/ref", sink,
+                f"{ksd}/ckpt_{run_id[0]}", window="1 hour",
+                watermark="2 hours", available_now=True)
+            q.awaitTermination(600)
+            return spark.read.parquet(sink).count()
+        timed("ks_drift_stream_1m", run_drift, stable=True)
 
     print(json.dumps({
         "docs": args.docs,
