@@ -1002,3 +1002,80 @@ def test_streamed_classifier_fold_matches_batch_across_splits(
     got_p = [tuple(r) for r in classifier_prior_from_counts(log).collect()]
     assert got_w == want_w
     assert got_p == want_p
+
+
+@pytest.mark.parametrize("kill_after", [0, 1, 2, 3, 4])
+def test_compact_log_every_kill_point_converges(spark, tmp_path,
+                                                monkeypatch, kill_after):
+    """Exhaustive kill-point property for compact_log's swap (the CDC
+    discipline): with a PRE-EXISTING .old- aside on disk (the
+    merge-fold path active), crash after each filesystem op in the
+    real choreography — 0 = gen staged only, 1 = after log→old, 2 =
+    after gen→log, 3 = after rmtree(old), 4 = no crash — then rerun
+    compact_log. Every interleaving must converge to the same fold
+    with no .old-/.gen- leftovers and no lost rows."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+    from etl_validator_github_spark.scale.text import (
+        doc_token_counts,
+        labeled_docs,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        compact_log,
+        read_classifier_counts_log,
+    )
+
+    def counts_for(rows, batch_id):
+        df = spark.createDataFrame(
+            [(i, t, "en", "crawl", len(t)) for i, t in rows],
+            "doc_id: long, text: string, lang: string, source: string,"
+            " n_chars: long",
+        )
+        return doc_token_counts(labeled_docs(df)).withColumn(
+            "batch_id", F.lit(batch_id))
+
+    clog = str(tmp_path / f"kl{kill_after}")
+    counts_for([(0, GOOD), (1, GOOD2)], 0).write.mode(
+        "append").parquet(clog)
+    counts_for([(2, GOOD)], 1).write.mode("append").parquet(clog)
+    # Pre-existing aside from an earlier crashed compaction: holds a
+    # doc the live log has never seen — purging it would lose doc 3.
+    counts_for([(3, GOOD2)], 5).write.parquet(f"{clog}.old-pre")
+    want = [0, 1, 2, 3]
+
+    class Killed(Exception):
+        pass
+
+    ops = {"n": 0}
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+
+    def kill_then(fn):
+        def wrapped(*a, **kw):
+            if ops["n"] >= kill_after:
+                raise Killed()
+            ops["n"] += 1
+            return fn(*a, **kw)
+        return wrapped
+
+    monkeypatch.setattr(os, "rename", kill_then(real_rename))
+    monkeypatch.setattr(shutil, "rmtree", kill_then(real_rmtree))
+    try:
+        compact_log(spark, clog, key_col="doc_id", n_files=1)
+        crashed = False
+    except Killed:
+        crashed = True
+    monkeypatch.setattr(os, "rename", real_rename)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert crashed == (kill_after < 4)
+
+    # Recovery: one successful compaction converges from every state.
+    compact_log(spark, clog, key_col="doc_id", n_files=1)
+    folded = read_classifier_counts_log(spark, clog)
+    got = sorted(r["doc_id"] for r in
+                 folded.select("doc_id").distinct().collect())
+    assert got == want
+    leftovers = [p for p in os.listdir(tmp_path)
+                 if p.startswith(f"kl{kill_after}.")]
+    assert leftovers == []
