@@ -2030,6 +2030,140 @@ GROUP BY t.query_id
 
 
 # ---------------------------------------------------------------------------
+# IVF nprobe tuning sweep — the knob-vs-recall readout an ANN operator
+# reads BEFORE freezing nprobe (the probe-depth analogue of the
+# semantic-dedup threshold sweep): candidate recall@k at EVERY probe
+# depth 1..max from ONE assignment pass. Candidate recall = fraction
+# of exact top-k neighbors whose home cell sits within the query's
+# first p probed cells — the standard IVF proxy (once the cell is
+# probed, the exact-cosine ranking inside it finds the neighbor), and
+# an exact integer count, so the whole sweep is oracle-checkable. Cost
+# is one brute-force truth pass over the standing query batch + one
+# home-cell assignment + a k-row-per-query join — sweeping more depths
+# is free by construction.
+# ---------------------------------------------------------------------------
+
+NPROBE_SWEEP_MAX = 4
+
+
+def ivf_nprobe_recall_sweep(embeddings: DataFrame,
+                            n_queries: int = N_QUERIES, k: int = TOP_K,
+                            max_probe: int = NPROBE_SWEEP_MAX) -> DataFrame:
+    """(nprobe, n_pairs, n_hits, recall_milli) for every probe depth
+    1..max_probe."""
+    vecs = quantized(embeddings)
+    cells = ivf_cells(embeddings)
+    truth = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    home = cell_assignments(vecs, cells, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("top_cells")[0]["label"].alias("home_cell"),
+    )
+    qranks = cell_assignments(
+        vecs.filter(F.col("vec_id") < n_queries), cells, nprobe=max_probe
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("top_cells").alias("pos", "c"),
+    ).select(
+        "query_id",
+        F.col("c.label").alias("home_cell"),
+        (F.col("pos") + 1).cast("int").alias("cell_rank"),
+    )
+    j = truth.join(home, "neighbor_id").join(
+        F.broadcast(qranks), ["query_id", "home_cell"], "left"
+    )
+    counters = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        *[
+            F.coalesce(
+                F.sum((F.col("cell_rank") <= p).cast("long")), F.lit(0)
+            ).cast("long").alias(f"h_{p}")
+            for p in range(1, max_probe + 1)
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(p).cast("int").alias("nprobe"),
+            F.col("n_pairs"),
+            F.col(f"h_{p}").alias("n_hits"),
+            F.expr(f"cast((1000 * h_{p}) div n_pairs as int)")
+            .alias("recall_milli"),
+        )
+        for p in range(1, max_probe + 1)
+    ]
+    return counters.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")
+
+
+def _nprobe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_nprobe_recall_sweep(load(spark, sf_dir, "embeddings"))
+
+
+def _nprobe_sweep_sql() -> str:
+    dot_vc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    values = ", ".join(f"({p})" for p in range(1, NPROBE_SWEEP_MAX + 1))
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_TOPK_SQL}) t
+), vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), with_norm AS (
+  SELECT vec_id, qv, {_SQL_DOT.format(a="qv", b="qv")} AS norm2 FROM vecs
+), base_vecs AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM base_vecs CROSS JOIN dims
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), ranked AS (
+  SELECT v.vec_id, c.label,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_vc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
+                    c.label ASC) AS rnk
+  FROM with_norm v CROSS JOIN cells c
+), home AS (
+  SELECT vec_id AS neighbor_id, label AS home_cell
+  FROM ranked WHERE rnk = 1
+), qranks AS (
+  SELECT vec_id AS query_id, label AS home_cell,
+         CAST(rnk AS INT) AS cell_rank
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rnk <= {NPROBE_SWEEP_MAX}
+), j AS (
+  SELECT t.query_id, q.cell_rank
+  FROM truth t
+  JOIN home h ON t.neighbor_id = h.neighbor_id
+  LEFT JOIN qranks q
+    ON t.query_id = q.query_id AND h.home_cell = q.home_cell
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM j
+), p(nprobe) AS (VALUES {values}),
+hits AS (
+  SELECT p.nprobe,
+         CAST(COALESCE(SUM(CASE WHEN j.cell_rank <= p.nprobe
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+  FROM p LEFT JOIN j ON TRUE
+  GROUP BY 1
+)
+SELECT CAST(h.nprobe AS INT) AS nprobe, a.n_pairs, h.n_hits,
+       CAST((1000 * h.n_hits) // a.n_pairs AS INT) AS recall_milli
+FROM hits h CROSS JOIN agg a
+"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ, Jégou et al. 2011, "Product Quantization for
 # Nearest Neighbor Search" — public method), the inner-product/ADC
 # variant: split each 64-dim vector into PQ_M=4 subspaces of 16 dims,
@@ -2831,6 +2965,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
               "Semantic train/eval split-leakage audit: eval vectors "
               "with a train near-dup (cos ≥ 0.9) in their IVF cell — "
               "the embedding-space decontamination readout."),
+        Query("embed_ivf_nprobe_sweep", _nprobe_sweep_q,
+              _nprobe_sweep_sql(),
+              "IVF nprobe tuning sweep: candidate recall@k at every "
+              "probe depth 1..4 from ONE assignment pass — exact "
+              "integer hits vs the brute-force truth, the probe-depth "
+              "analogue of the dedup threshold sweep."),
         Query("embed_centroid_drift", _centroid_drift_q,
               _centroid_drift_sql(),
               "Per-label centroid cosine between two corpus snapshots "

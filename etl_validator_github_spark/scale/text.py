@@ -3463,6 +3463,96 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Eval-set 13-gram contamination audit (Brown 2020 §4, the GPT-3
+# train-test-overlap methodology): for every EVAL-split document, how
+# many of its 13-token windows appear anywhere in the TRAIN split. The
+# n-gram complement to the exact-hash (docs_split_leakage) and
+# embedding-space (embed_split_leakage) audits — catches partial/
+# quoted contamination neither of those sees. Composed from the
+# novelty halves: the train index is ONE distinct-hash set, the eval
+# probe a left-semi join — the corpus is never self-joined, and at
+# 100 TB the semi probe side is runtime-bloom-prunable.
+# ---------------------------------------------------------------------------
+
+CONTAM_K = 13       # the Brown 2020 overlap window
+CONTAM_EVAL_MOD = 7  # eval = doc_id % 7 == 0 (coprime to the copy offset)
+
+
+def contamination_audit(docs: DataFrame, k: int = CONTAM_K,
+                        eval_mod: int = CONTAM_EVAL_MOD) -> DataFrame:
+    """(doc_id, n_windows, n_contaminated, contamination_milli) for
+    every eval-split document."""
+    ev = docs.filter(F.col("doc_id") % eval_mod == 0)
+    tr = docs.filter(F.col("doc_id") % eval_mod != 0)
+    scored = novelty_scores(ev, build_novelty_index(tr, k), k)
+    return scored.select(
+        "doc_id", "n_windows",
+        (F.col("n_windows") - F.col("n_novel")).cast("int")
+        .alias("n_contaminated"),
+        F.expr("CASE WHEN n_windows > 0 THEN "
+               "cast((1000 * (n_windows - n_novel)) div n_windows as int)"
+               " END").alias("contamination_milli"),
+    )
+
+
+def _contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_validator_github_spark.scale.dedup import COPY_OFFSET
+
+    # Copies of every 5th doc only (offset ≡ 1 mod 7, so a copied eval
+    # doc's twin lands in train): ~1/5 of eval docs are deterministic
+    # full-contamination witnesses and the rest stay clean — the
+    # discriminating fixture a saturating full-copy corpus isn't.
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text")
+    )
+    return contamination_audit(aug)
+
+
+def _contamination_sql() -> str:
+    from etl_validator_github_spark.scale.dedup import COPY_OFFSET
+
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET}, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM all_docs
+), base AS (
+  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, t FROM tok
+), w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(n_tokens - {CONTAM_K - 1}, 0) + 1),
+             i -> md5(array_to_string(
+                      list_slice(t, i, i + {CONTAM_K - 1}), ' '))))
+           AS h
+  FROM base
+), ref AS (
+  SELECT DISTINCT h FROM w WHERE doc_id % {CONTAM_EVAL_MOD} <> 0
+), cont AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_cont
+  FROM (SELECT * FROM w WHERE doc_id % {CONTAM_EVAL_MOD} = 0) ew
+  SEMI JOIN ref USING (h)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(greatest(b.n_tokens - {CONTAM_K - 1}, 0) AS INT) AS n_windows,
+       CAST(COALESCE(c.n_cont, 0) AS INT) AS n_contaminated,
+       CASE WHEN greatest(b.n_tokens - {CONTAM_K - 1}, 0) > 0 THEN
+         CAST((1000 * COALESCE(c.n_cont, 0))
+              // greatest(b.n_tokens - {CONTAM_K - 1}, 0) AS INT)
+       END AS contamination_milli
+FROM base b LEFT JOIN cont c USING (doc_id)
+WHERE b.doc_id % {CONTAM_EVAL_MOD} = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
 # the MOSS local fingerprinting scheme): k-token shingle hashes, then
 # the minimum hash of every w-hash window. Guarantees any shared run of
@@ -3660,6 +3750,13 @@ TEXT_EXTRA_QUERIES: dict[str, Query] = {
               "Exact-dup rate per floor-log2 length bucket: where the "
               "dedup pressure lives — one md5 cluster-size hash-agg "
               "joined back on its own key, ~64-row rollup."),
+        Query("docs_contamination_13gram", _contamination_q,
+              _contamination_sql(),
+              "Brown-2020-style eval decontamination audit: per eval-"
+              "split doc, 13-token windows found anywhere in the train "
+              "split (distinct-hash index + semi-join probe, corpus "
+              "never self-joined) — the n-gram complement to the hash "
+              "and embedding leakage audits."),
         Query("text_code_detect", _code_detect_q, _CODE_DETECT_SQL,
               "Code-vs-prose router: code-marker + digit character "
               "density via translate-removal counts (exact integers, "
