@@ -6305,6 +6305,166 @@ FROM hist
 
 
 # ---------------------------------------------------------------------------
+# Two-window Poisson rate-shift test per event type: did the arrival
+# rate change between the first and second half of the observation
+# span? The conditional test (Przyborowski & Wilenski 1940): given
+# n1+n2 events over equal-length windows, n1 ~ Binomial(n, 1/2) under
+# H0, z = (n1 − n2)/√(n1+n2). Exact counts + one identical-shape
+# double — the streaming-drift monitor's batch sibling for RATES
+# (KS covers value distributions). One scan, one broadcast 1-row
+# midpoint, one type-keyed hash-agg.
+# ---------------------------------------------------------------------------
+
+
+def _events_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("event_type", "ts_us")
+    mid = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2)).cast("long")
+        .alias("mid_us")
+    )
+    agg = ev.crossJoin(F.broadcast(mid)).groupBy("event_type").agg(
+        F.sum((F.col("ts_us") < F.col("mid_us")).cast("long"))
+        .cast("long").alias("n1"),
+        F.sum((F.col("ts_us") >= F.col("mid_us")).cast("long"))
+        .cast("long").alias("n2"),
+    )
+    return agg.select(
+        "event_type", "n1", "n2",
+        F.expr("CASE WHEN n1 + n2 > 0 THEN cast(round("
+               "1000 * (n1 - n2) / sqrt(cast(n1 + n2 as double))"
+               ") as bigint) END").alias("z_milli"),
+        F.expr("CASE WHEN n2 > 0 THEN (1000 * n1) div n2 END")
+        .cast("long").alias("rate_ratio_milli"),
+    )
+
+
+_RATE_SHIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+), mid AS (
+  SELECT CAST((MIN(ts_us) + MAX(ts_us)) / 2 AS BIGINT) AS mid_us FROM ev
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts_us < mid_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(SUM(CASE WHEN ts_us >= mid_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n2
+  FROM ev CROSS JOIN mid GROUP BY 1
+)
+SELECT event_type, n1, n2,
+       CASE WHEN n1 + n2 > 0 THEN CAST(round(
+         1000 * (n1 - n2) / sqrt(CAST(n1 + n2 AS DOUBLE))
+       ) AS BIGINT) END AS z_milli,
+       CASE WHEN n2 > 0 THEN CAST((1000 * n1) // n2 AS BIGINT) END
+         AS rate_ratio_milli
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (Wilcoxon rank-sum) between two customer segments on
+# order value — the nonparametric two-sample location test (KS tests
+# the whole distribution, ANOVA assumes normality; rank-sum is the
+# robust middle). Exact integers throughout the rank algebra: ranks
+# come from the CENTS-VALUE HISTOGRAM (never a row-grain sort) with
+# the tied-block average rank DOUBLED so it stays integer (2·avgrank =
+# 2·cum_before + t + 1), the running count via the range-partitioned
+# cumsum (functions/ranks.py — no single-partition window), and the
+# tie-correction Σ(t³−t) in DECIMAL(38,0)/HUGEINT. Only the final
+# z-score is one identical-shape double expression.
+# ---------------------------------------------------------------------------
+
+_MW_SEG_A = "AUTOMOBILE"
+_MW_SEG_B = "FURNITURE"
+
+
+def _orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_validator_github_spark.functions.ranks import (
+        global_row_number,
+    )
+
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(load(spark, sf_dir, "customer")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin(_MW_SEG_A, _MW_SEG_B))
+        .select(
+            cents("o_totalprice").alias("v"),
+            (F.col("c_mktsegment") == _MW_SEG_A).cast("long").alias("a"),
+        )
+    )
+    hist = j.groupBy("v").agg(
+        F.sum("a").cast("long").alias("n1_v"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("n2_v"),
+    ).withColumn("t", F.col("n1_v") + F.col("n2_v"))
+    ranked = global_row_number(
+        hist, order_cols=["v"], rank_col="__rn", cumsum={"cum_t": "t"}
+    )
+    agg = ranked.agg(
+        F.sum("n1_v").cast("long").alias("n1"),
+        F.sum("n2_v").cast("long").alias("n2"),
+        # R1 doubled: Σ n1_v · (2·(cum_t − t) + t + 1), exact BIGINT.
+        F.sum(F.expr(
+            "n1_v * (2 * (cum_t - t) + t + 1)"
+        )).cast("long").alias("r1_x2"),
+        F.sum(F.expr(
+            "CAST(t AS DECIMAL(38,0)) * t * t - t"
+        )).alias("tie_cubes"),
+    )
+    return agg.select(
+        "n1", "n2",
+        F.expr("r1_x2 - n1 * (n1 + 1)").cast("long").alias("u1_x2"),
+        F.col("tie_cubes").cast("decimal(38,0)").alias("tie_cubes"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3 THEN NULL ELSE "
+            "cast(round(1000 * "
+            "(r1_x2 - n1 * (n1 + 1) - 1.0 * n1 * n2) / "
+            "(2 * sqrt((1.0 * n1 * n2 / 12) * "
+            "((n1 + n2 + 1) - cast(tie_cubes as double) / "
+            "(1.0 * (n1 + n2) * (n1 + n2 - 1)))))"
+            ") as bigint) END"
+        ).alias("z_milli"),
+    )
+
+
+_MANN_WHITNEY_SQL = f"""
+WITH j AS (
+  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN c.c_mktsegment = '{_MW_SEG_A}' THEN 1 ELSE 0 END AS a
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('{_MW_SEG_A}', '{_MW_SEG_B}')
+), hist AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS n1_v,
+         CAST(SUM(1 - a) AS BIGINT) AS n2_v,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM j GROUP BY 1
+), ranked AS (
+  SELECT *, SUM(t) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_t
+  FROM hist
+), agg AS (
+  SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+         CAST(SUM(n2_v) AS BIGINT) AS n2,
+         CAST(SUM(n1_v * (2 * (cum_t - t) + t + 1)) AS BIGINT) AS r1_x2,
+         SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_cubes
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(tie_cubes AS DECIMAL(38,0)) AS tie_cubes,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3 THEN NULL ELSE
+       CAST(round(1000 *
+         (r1_x2 - n1 * (n1 + 1) - 1.0 * n1 * n2) /
+         (2 * sqrt((1.0 * n1 * n2 / 12) *
+          ((n1 + n2 + 1) - CAST(tie_cubes AS DOUBLE) /
+           (1.0 * (n1 + n2) * (n1 + n2 - 1)))))
+       ) AS BIGINT) END AS z_milli
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Wald–Wolfowitz runs test on the daily order-count series: is the
 # above/below-median sign sequence random, or does demand trend/cycle?
 # Exact integers end-to-end (median = value-at-rank, runs via lag over
@@ -6468,6 +6628,18 @@ FROM b JOIN s USING (seg) JOIN p USING (pri) CROSS JOIN t
 RELATIONAL_EXTRA_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query("events_rate_shift", _events_rate_shift, _RATE_SHIFT_SQL,
+              "Two-window Poisson rate-shift test per event type "
+              "(conditional binomial z): the rate sibling of the KS "
+              "value-drift monitor — one scan, broadcast midpoint, "
+              "type-keyed hash-agg."),
+        Query("orders_mann_whitney", _orders_mann_whitney,
+              _MANN_WHITNEY_SQL,
+              "Mann–Whitney rank-sum between two customer segments on "
+              "order value: tie-averaged ranks doubled to stay exact "
+              "integers, histogram-grain cumsum through the range-"
+              "partitioned ranks helper (no row-grain sort), "
+              "DECIMAL(38,0) tie correction, one double z."),
         Query("orders_runs_test", _orders_runs_test, _RUNS_TEST_SQL,
               "Wald–Wolfowitz runs test on daily order counts: exact "
               "value-at-rank median, lag-counted runs over the "

@@ -479,6 +479,94 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# Shard-balance report over the epoch shuffle — the dataloader-ops
+# readout: a skewed shard stalls every data-parallel rank waiting at
+# the batch barrier, so the report splits FULL shards (whose doc count
+# is fixed by construction — only their token load varies) from the
+# ragged tail shard, and bounds the full-shard char-load spread. Cost:
+# the shuffle's rank pass + one (epoch, shard) hash-agg + an
+# epoch-grain rollup.
+# ---------------------------------------------------------------------------
+
+
+def shard_balance_report(docs: DataFrame,
+                         epochs: tuple[int, ...] = SHUFFLE_EPOCHS,
+                         shard_size: int = SHARD_SIZE) -> DataFrame:
+    """(epoch, n_shards, n_full_shards, tail_docs, min_chars_full,
+    max_chars_full, spread_milli) — per-epoch shard load balance;
+    spread = 1000·max/min over FULL shards."""
+    sh = epoch_shuffle(docs, epochs, shard_size).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    per_shard = sh.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return (
+        per_shard.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum((F.col("n_docs") == shard_size).cast("long"))
+            .cast("long").alias("n_full_shards"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") < shard_size,
+                             F.col("n_docs"))), F.lit(0)
+            ).cast("long").alias("tail_docs"),
+            F.min(F.when(F.col("n_docs") == shard_size, F.col("chars")))
+            .cast("long").alias("min_chars_full"),
+            F.max(F.when(F.col("n_docs") == shard_size, F.col("chars")))
+            .cast("long").alias("max_chars_full"),
+        )
+        .withColumn(
+            "spread_milli",
+            F.expr("CASE WHEN min_chars_full > 0 THEN "
+                   "cast((1000 * max_chars_full) div min_chars_full "
+                   "as bigint) END"),
+        )
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "n_shards", "n_full_shards", "tail_docs",
+            "min_chars_full", "max_chars_full", "spread_milli",
+        )
+    )
+
+
+def _shard_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_balance_report(load(spark, sf_dir, "documents"))
+
+
+_SHARD_BALANCE_SQL = f"""
+WITH shuffled AS ({_SHUFFLE_SQL}),
+per_shard AS (
+  SELECT s.epoch, s.shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(d.n_chars) AS BIGINT) AS chars
+  FROM shuffled s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY 1, 2
+), agg AS (
+  SELECT epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_shards,
+         CAST(SUM(CASE WHEN n_docs = {SHARD_SIZE} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_full_shards,
+         CAST(COALESCE(SUM(CASE WHEN n_docs < {SHARD_SIZE}
+                                THEN n_docs END), 0) AS BIGINT)
+           AS tail_docs,
+         CAST(MIN(CASE WHEN n_docs = {SHARD_SIZE} THEN chars END)
+              AS BIGINT) AS min_chars_full,
+         CAST(MAX(CASE WHEN n_docs = {SHARD_SIZE} THEN chars END)
+              AS BIGINT) AS max_chars_full
+  FROM per_shard GROUP BY 1
+)
+SELECT CAST(epoch AS INT) AS epoch, n_shards, n_full_shards, tail_docs,
+       min_chars_full, max_chars_full,
+       CASE WHEN min_chars_full > 0 THEN
+         CAST((1000 * max_chars_full) // min_chars_full AS BIGINT)
+       END AS spread_milli
+FROM agg
+"""
+
+
 SNAPSHOT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -501,5 +589,10 @@ SNAPSHOT_QUERIES: dict[str, Query] = {
               "permutation with range-partitioned exact positions and "
               "contiguous shards — reproducible dataloader order, no "
               "single-task sort."),
+        Query("docs_shard_balance", _shard_balance_q, _SHARD_BALANCE_SQL,
+              "Dataloader shard-balance report over the epoch shuffle: "
+              "full-shard char-load spread + ragged-tail size per "
+              "epoch — a skewed shard stalls every data-parallel rank; "
+              "one (epoch, shard) hash-agg + epoch rollup."),
     ]
 }
