@@ -51,7 +51,7 @@ ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "sweep", "sweep_expr", "vocab_coverage", "classifier",
            "split_leak", "ivf_index", "epoch_shuffle", "bpe",
            "keeplongest", "rrf", "bm25_delta", "compaction", "ks_drift",
-           "serve_external")
+           "serve_external", "winnow", "contamination")
 
 
 def _run_isolated(args, ops) -> int:
@@ -453,6 +453,33 @@ def main() -> int:
         # slice, broadcast vocab, explode + broadcast join + doc-grain
         # agg over the full corpus — no corpus-vs-corpus shuffle.
         timed("classifier", lambda: force(quality_classifier_report(docs)))
+
+    if "winnow" in ops:
+        from etl_validator_github_spark.scale.text import (
+            winnow_fingerprints,
+        )
+        # Winnowing fingerprint census: 134M shingle hashes through a
+        # per-doc window min (partition bounded by doc length) + one
+        # doc-grain hash-agg — the local-dedup complement to MinHash,
+        # expected in the spans/bloom cost class.
+        timed("winnow", lambda: force(winnow_fingerprints(docs)),
+              stable=True)
+
+    if "contamination" in ops:
+        from etl_validator_github_spark.scale.text import (
+            contamination_audit,
+        )
+        # Brown-2020 13-gram eval contamination: train-split distinct
+        # index + eval semi probe — the novelty cost class (the ~1/7
+        # eval split is the probe side; the 6/7 train side pays the
+        # distinct-hash aggregation).
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        try:
+            timed("contamination", lambda: force(
+                contamination_audit(docs)), stable=True)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     if "serve_external" in ops:
         from etl_validator_github_spark.scale.similarity import (
