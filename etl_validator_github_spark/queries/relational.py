@@ -6318,8 +6318,12 @@ FROM hist
 
 def _events_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select("event_type", "ts_us")
+    # Integer floor division for the midpoint: cast((min+max)/2 as
+    # long) TRUNCATES in Spark but the double→BIGINT cast ROUNDS in
+    # DuckDB, so an odd min+max would shift the boundary by 1 µs
+    # cross-engine; div/`//` agree on the non-negative epochs.
     mid = ev.agg(
-        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2)).cast("long")
+        F.expr("(min(ts_us) + max(ts_us)) div 2").cast("long")
         .alias("mid_us")
     )
     agg = ev.crossJoin(F.broadcast(mid)).groupBy("event_type").agg(
@@ -6342,7 +6346,7 @@ _RATE_SHIFT_SQL = """
 WITH ev AS (
   SELECT event_type, epoch_us(ts) AS ts_us FROM events
 ), mid AS (
-  SELECT CAST((MIN(ts_us) + MAX(ts_us)) / 2 AS BIGINT) AS mid_us FROM ev
+  SELECT CAST((MIN(ts_us) + MAX(ts_us)) // 2 AS BIGINT) AS mid_us FROM ev
 ), agg AS (
   SELECT event_type,
          CAST(SUM(CASE WHEN ts_us < mid_us THEN 1 ELSE 0 END) AS BIGINT)

@@ -3427,38 +3427,27 @@ def _readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _READABILITY_SQL = """
-SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-       CAST(1 + length(text) - length(translate(text, '.!?', ''))
-            AS BIGINT) AS n_sents,
-       CAST(length(replace(text, ' ', '')) AS BIGINT)
-         AS n_letter_chars,
-       CAST(round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                           / len(string_split(text, ' ')))
-                   + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
-                            / (1 + length(text)
-                               - length(translate(text, '.!?', ''))))
-                   - 21.43) * 100) AS BIGINT) AS ari_centi,
-       CASE WHEN round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                                / len(string_split(text, ' ')))
-                        + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
-                                 / (1 + length(text)
-                                    - length(translate(text, '.!?', ''))))
-                        - 21.43) * 100) < 500 THEN 'elementary'
-            WHEN round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                                / len(string_split(text, ' ')))
-                        + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
-                                 / (1 + length(text)
-                                    - length(translate(text, '.!?', ''))))
-                        - 21.43) * 100) < 1000 THEN 'middle'
-            WHEN round((4.71 * (CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                                / len(string_split(text, ' ')))
-                        + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
-                                 / (1 + length(text)
-                                    - length(translate(text, '.!?', ''))))
-                        - 21.43) * 100) < 1400 THEN 'high'
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(1 + length(text) - length(translate(text, '.!?', ''))
+              AS BIGINT) AS n_sents,
+         CAST(length(replace(text, ' ', '')) AS BIGINT)
+           AS n_letter_chars
+  FROM documents
+), scored AS (
+  SELECT *,
+         CAST(round((4.71 * (CAST(n_letter_chars AS DOUBLE) / n_words)
+                     + 0.5 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 21.43) * 100) AS BIGINT) AS ari_centi
+  FROM counted
+)
+SELECT doc_id, n_words, n_sents, n_letter_chars, ari_centi,
+       CASE WHEN ari_centi < 500 THEN 'elementary'
+            WHEN ari_centi < 1000 THEN 'middle'
+            WHEN ari_centi < 1400 THEN 'high'
             ELSE 'college' END AS band
-FROM documents
+FROM scored
 """
 
 

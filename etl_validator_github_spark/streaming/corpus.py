@@ -673,15 +673,30 @@ def restore_log_aside(log_dir: str) -> None:
     compaction itself merge-folds leftover asides, so the data is
     never lost — but reads in between would be truncated). Idempotent
     and O(1) when ``log_dir`` exists — safe to call per micro-batch.
-    Local-filesystem rename semantics (the sandbox contract)."""
+    Local-filesystem rename semantics (the sandbox contract).
+
+    When MULTIPLE asides coexist (two crashed compactions in a row),
+    the newest renames back and the older asides' part files move INTO
+    it: each aside is a complete log state, Spark's uuid part-file
+    names cannot collide, and the union is exactly what the read fold
+    (distinct + first-batch-wins, with compacted generations stamped
+    batch 0) converges from — restoring only the newest would serve a
+    log missing every row unique to the older asides (r11 review
+    finding)."""
     import glob as _glob
     import os
 
     if os.path.exists(log_dir):
         return
     asides = sorted(_glob.glob(f"{log_dir}.old-*"), key=os.path.getmtime)
-    if asides:
-        os.rename(asides[-1], log_dir)
+    if not asides:
+        return
+    os.rename(asides[-1], log_dir)
+    for aside in asides[:-1]:
+        for name in os.listdir(aside):
+            os.replace(os.path.join(aside, name),
+                       os.path.join(log_dir, name))
+        os.rmdir(aside)
 
 
 def _fold_log(log: DataFrame, key_col: str) -> DataFrame:

@@ -1079,3 +1079,45 @@ def test_compact_log_every_kill_point_converges(spark, tmp_path,
     leftovers = [p for p in os.listdir(tmp_path)
                  if p.startswith(f"kl{kill_after}.")]
     assert leftovers == []
+
+
+def test_restore_log_aside_merges_multiple_asides(spark, tmp_path):
+    """Two coexisting asides (double crash): restoring only the newest
+    would serve a log missing every row unique to the older one —
+    restore_log_aside must merge them all back (r11 review finding)."""
+    import os
+
+    import pyspark.sql.functions as F
+    from etl_validator_github_spark.scale.text import (
+        doc_token_counts,
+        labeled_docs,
+    )
+    from etl_validator_github_spark.streaming.corpus import (
+        read_classifier_counts_log,
+        restore_log_aside,
+    )
+
+    def counts_for(rows, batch_id):
+        df = spark.createDataFrame(
+            [(i, t, "en", "crawl", len(t)) for i, t in rows],
+            "doc_id: long, text: string, lang: string, source: string,"
+            " n_chars: long",
+        )
+        return doc_token_counts(labeled_docs(df)).withColumn(
+            "batch_id", F.lit(batch_id))
+
+    clog = str(tmp_path / "multi")
+    # Older aside: the original full log (docs 0, 1).
+    counts_for([(0, GOOD), (1, GOOD2)], 0).write.parquet(
+        f"{clog}.old-aaaa")
+    # Newer aside: a recreated log holding only a later batch (doc 2).
+    counts_for([(2, GOOD)], 7).write.parquet(f"{clog}.old-bbbb")
+    os.utime(f"{clog}.old-bbbb")  # ensure strictly newer mtime
+
+    restore_log_aside(clog)
+    assert os.path.exists(clog)
+    assert not os.path.exists(f"{clog}.old-aaaa")
+    assert not os.path.exists(f"{clog}.old-bbbb")
+    folded = read_classifier_counts_log(spark, clog)
+    assert sorted(r["doc_id"] for r in
+                  folded.select("doc_id").distinct().collect()) == [0, 1, 2]

@@ -154,8 +154,11 @@ def main() -> int:
         runs agree within 1.2x, report the full run list and commit
         that stable pair — so a box throttle burst (the ±37%/minutes
         host drift documented in SCALE.md) is visibly discarded by
-        rule, not by judgment call. Capped at 6 runs; only valid for
-        idempotent ops (reruns must do the same work)."""
+        rule, not by judgment call. The first run is cold by
+        definition (JIT, page cache, shuffle files) and can never be
+        half of the stable pair — at least three runs always happen.
+        Capped at 6 runs; only valid for idempotent ops (reruns must
+        do the same work)."""
         import gc
 
         runs = []
@@ -178,7 +181,7 @@ def main() -> int:
                 print(f"[measure] {name} FAILED: {exc}", file=sys.stderr)
                 return
             runs.append(round(time.perf_counter() - t0, 1))
-            if (stable and len(runs) >= 2
+            if (stable and len(runs) >= 3
                     and max(runs[-2:]) <= 1.2 * min(runs[-2:])):
                 break
         if out is not None:
