@@ -22,6 +22,13 @@ order-insensitive value hash), so every query here is engineered for
   comparisons multiply out to pure integers instead of computing float
   moments (``events_hourly_anomalies``: the 2σ band as
   (N·n−S)² > 4·(N·Q−S²)).
+- A double→BIGINT **cast** is NOT engine-portable: Spark truncates
+  toward zero while DuckDB rounds half away from zero, so
+  ``cast((a + b) / 2 as long)`` differs by 1 whenever ``a + b`` is odd
+  (confirmed live in r11 — ``events_rate_shift``'s original midpoint).
+  Never cast a fractional double to an integer type; either divide
+  with ``div``/``//`` (exact integers in) or wrap in an explicit
+  ``round()``/``floor()``, which the engines do agree on.
 - Integer division is engine-portable ONLY for non-negative operands:
   Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
   so they diverge on negatives. Every ``div``/``//`` pair in the
