@@ -39,6 +39,16 @@ order-insensitive value hash), so every query here is engineered for
   event logs generally). A possibly-negative numerator must use
   ``floor()`` on the identical double quotient on both sides instead
   (``docs_importance_resample``'s mean-weight centering).
+- Final schemas are BIGINT/STRING/DATE/DOUBLE (and arrays/structs of
+  those) only — **never DecimalType**. The driver's value hasher
+  canonicalizes Spark DECIMAL(38,0) and DuckDB HUGEINT differently
+  above int64 range (confirmed live in r11 —
+  ``lineitem_returnflag_anova`` hash-mismatched on bit-identical
+  values). Exact >64-bit integers may be *accumulated* in
+  DECIMAL(38,0)/HUGEINT internally, but must leave the query as
+  ``CAST(x AS STRING)`` (digit-exact, representation-stable) on both
+  engine sides. Pinned catalog-wide by
+  tests/test_oracle_dtypes.py::test_no_decimal_in_final_schema.
 """
 
 from __future__ import annotations

@@ -6172,7 +6172,14 @@ def _lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("q * 1000000 - sum_between")
         .cast("decimal(38,0)").alias("ssw_micro"),
     ).select(
-        "l_linestatus", "n_rows", "k_groups", "ssb_micro", "ssw_micro",
+        # Final schema is decimal-free (contract.py): the >64-bit exact
+        # sums are emitted as STRING — digit-for-digit identical across
+        # Spark DECIMAL(38,0) and DuckDB HUGEINT, unlike the decimal
+        # wire representations the driver's hasher canonicalizes
+        # differently.
+        "l_linestatus", "n_rows", "k_groups",
+        F.col("ssb_micro").cast("string").alias("ssb_micro"),
+        F.col("ssw_micro").cast("string").alias("ssw_micro"),
         F.expr(
             "CASE WHEN ssw_micro = 0 OR k_groups < 2 THEN NULL ELSE"
             " cast((ssb_micro * (n_rows - k_groups) * 1000000)"
@@ -6208,8 +6215,8 @@ WITH grp AS (
   FROM agg
 )
 SELECT l_linestatus, n_rows, k_groups,
-       CAST(ssb_micro AS DECIMAL(38,0)) AS ssb_micro,
-       CAST(ssw_micro AS DECIMAL(38,0)) AS ssw_micro,
+       CAST(ssb_micro AS VARCHAR) AS ssb_micro,
+       CAST(ssw_micro AS VARCHAR) AS ssw_micro,
        CASE WHEN ssw_micro = 0 OR k_groups < 2 THEN NULL ELSE
          CAST((ssb_micro * (n_rows - k_groups) * 1000000)
               // (ssw_micro * (k_groups - 1)) AS BIGINT)
@@ -6407,25 +6414,41 @@ def _orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.sum("n1_v").cast("long").alias("n1"),
         F.sum("n2_v").cast("long").alias("n2"),
-        # R1 doubled: Σ n1_v · (2·(cum_t − t) + t + 1), exact BIGINT.
+        # R1 doubled: Σ n1_v · (2·(cum_t − t) + t + 1). This is O(N²)
+        # in the filtered row count, so accumulate in DECIMAL(38,0) —
+        # a BIGINT sum overflows past ~3×10⁹ rows while DuckDB's
+        # HUGEINT side keeps going, a silent cross-engine divergence.
         F.sum(F.expr(
-            "n1_v * (2 * (cum_t - t) + t + 1)"
-        )).cast("long").alias("r1_x2"),
+            "CAST(n1_v AS DECIMAL(38,0)) * (2 * (cum_t - t) + t + 1)"
+        )).alias("r1_x2"),
         F.sum(F.expr(
             "CAST(t AS DECIMAL(38,0)) * t * t - t"
         )).alias("tie_cubes"),
     )
+    # Final schema is decimal-free (contract.py): the >64-bit exact
+    # sums go out as STRING digits, identical across Spark decimal and
+    # DuckDB HUGEINT. The z numerator is computed exactly in decimal
+    # first, then cast to double ONCE (both engines round-to-nearest
+    # on that single conversion). Zero-variance guard: if every value
+    # ties (one histogram row) the tie correction drives σ to 0 and
+    # the z expression would be 0/0 — return NULL, like the runs test.
+    _var_term = (
+        "(n1 + n2 + 1) - cast(tie_cubes as double) / "
+        "(1.0 * (n1 + n2) * (n1 + n2 - 1))"
+    )
     return agg.select(
         "n1", "n2",
-        F.expr("r1_x2 - n1 * (n1 + 1)").cast("long").alias("u1_x2"),
-        F.col("tie_cubes").cast("decimal(38,0)").alias("tie_cubes"),
         F.expr(
-            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3 THEN NULL ELSE "
+            "CAST(r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS STRING)"
+        ).alias("u1_x2"),
+        F.col("tie_cubes").cast("string").alias("tie_cubes"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3 "
+            f"OR {_var_term} <= 0 THEN NULL ELSE "
             "cast(round(1000 * "
-            "(r1_x2 - n1 * (n1 + 1) - 1.0 * n1 * n2) / "
-            "(2 * sqrt((1.0 * n1 * n2 / 12) * "
-            "((n1 + n2 + 1) - cast(tie_cubes as double) / "
-            "(1.0 * (n1 + n2) * (n1 + n2 - 1)))))"
+            "cast(r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) "
+            "     - CAST(n1 AS DECIMAL(38,0)) * n2 as double) / "
+            f"(2 * sqrt((1.0 * n1 * n2 / 12) * ({_var_term})))"
             ") as bigint) END"
         ).alias("z_milli"),
     )
@@ -6450,16 +6473,19 @@ WITH j AS (
 ), agg AS (
   SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
          CAST(SUM(n2_v) AS BIGINT) AS n2,
-         CAST(SUM(n1_v * (2 * (cum_t - t) + t + 1)) AS BIGINT) AS r1_x2,
+         SUM(CAST(n1_v AS HUGEINT) * (2 * (cum_t - t) + t + 1)) AS r1_x2,
          SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_cubes
   FROM ranked
 )
 SELECT n1, n2,
-       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
-       CAST(tie_cubes AS DECIMAL(38,0)) AS tie_cubes,
-       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3 THEN NULL ELSE
+       CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS VARCHAR) AS u1_x2,
+       CAST(tie_cubes AS VARCHAR) AS tie_cubes,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3
+            OR (n1 + n2 + 1) - CAST(tie_cubes AS DOUBLE) /
+               (1.0 * (n1 + n2) * (n1 + n2 - 1)) <= 0 THEN NULL ELSE
        CAST(round(1000 *
-         (r1_x2 - n1 * (n1 + 1) - 1.0 * n1 * n2) /
+         CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+              - CAST(n1 AS HUGEINT) * n2 AS DOUBLE) /
          (2 * sqrt((1.0 * n1 * n2 / 12) *
           ((n1 + n2 + 1) - CAST(tie_cubes AS DOUBLE) /
            (1.0 * (n1 + n2) * (n1 + n2 - 1)))))

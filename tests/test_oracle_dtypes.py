@@ -66,3 +66,35 @@ def test_oracle_dtypes_match_spark(spark, duck, name):
             "(uncast integer aggregate? DuckDB SUM → HUGEINT needs "
             "CAST(... AS BIGINT) in the oracle SQL)"
         )
+
+
+def _has_decimal(t) -> bool:
+    """Recurse through nested Arrow types looking for any decimal."""
+    if pa.types.is_decimal(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _has_decimal(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_has_decimal(f.type) for f in t)
+    if pa.types.is_map(t):
+        return _has_decimal(t.key_type) or _has_decimal(t.item_type)
+    return False
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_no_decimal_in_final_schema(spark, name):
+    """The contract.py decimal-free rule, pinned catalog-wide: no
+    query's FINAL schema may contain DecimalType (the driver's value
+    hasher canonicalizes Spark DECIMAL(38,0) and DuckDB HUGEINT
+    differently above int64 range — r11's only red row). Internal
+    decimal accumulation is fine; outputs must be cast to STRING (or
+    fit BIGINT). Schema-only: no action is triggered."""
+    sdf = CATALOG[name].build(spark, SF_DIR)
+    offending = [
+        f.name for f in sdf.schema.fields
+        if _has_decimal(to_arrow_type(f.dataType))
+    ]
+    assert not offending, (
+        f"{name}: DecimalType in final schema columns {offending} — "
+        "emit CAST(x AS STRING) on both engine sides (contract.py)"
+    )
