@@ -353,14 +353,18 @@ def _dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(with_copies(load(spark, sf_dir, "documents")))
 
 
-def minhash_band_stats(docs: DataFrame) -> DataFrame:
+def minhash_band_stats(
+    docs: DataFrame, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
     """Per-band LSH health readout: (band, n_buckets, n_docs, max_pop,
     n_cand_pairs, n_capped_buckets) — the report a pipeline owner reads
     BEFORE trusting banded dedup at scale. ``n_cand_pairs`` is the
-    Σ n·(n−1)/2 pair expansion each band would emit; a band whose
-    max_pop rides the MAX_BUCKET_SIZE ceiling (n_capped_buckets > 0)
-    is boilerplate-dominated and its capped buckets contribute no
-    pairs. Cost: the signature agg the pair join already pays + one
+    Σ n·(n−1)/2 pair expansion each band would ACTUALLY emit through
+    ``minhash_candidate_pairs``: buckets above MAX_BUCKET_SIZE are
+    dropped there before expansion, so they are excluded from the sum
+    here too (they surface via n_capped_buckets/max_pop instead — a
+    band whose max_pop rides the ceiling is boilerplate-dominated).
+    Cost: the signature agg the pair join already pays + one
     band-keyed rollup — never the pair expansion itself."""
     sizes = (
         lsh_band_buckets(minhash_signatures(docs))
@@ -371,9 +375,11 @@ def minhash_band_stats(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum("n").cast("long").alias("n_docs"),
         F.max("n").cast("long").alias("max_pop"),
-        F.sum(F.expr("(n * (n - 1)) div 2")).cast("long")
-        .alias("n_cand_pairs"),
-        F.sum((F.col("n") > MAX_BUCKET_SIZE).cast("long")).cast("long")
+        F.sum(F.expr(
+            f"CASE WHEN n > {max_bucket_size} THEN 0L "
+            "ELSE (n * (n - 1)) div 2 END"
+        )).cast("long").alias("n_cand_pairs"),
+        F.sum((F.col("n") > max_bucket_size).cast("long")).cast("long")
         .alias("n_capped_buckets"),
     ).select(
         F.col("band").cast("int").alias("band"),
@@ -394,7 +400,8 @@ SELECT CAST(band AS INT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(SUM(n) AS BIGINT) AS n_docs,
        CAST(MAX(n) AS BIGINT) AS max_pop,
-       CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_cand_pairs,
+       CAST(SUM(CASE WHEN n > {MAX_BUCKET_SIZE} THEN 0
+                ELSE (n * (n - 1)) // 2 END) AS BIGINT) AS n_cand_pairs,
        CAST(SUM(CASE WHEN n > {MAX_BUCKET_SIZE} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_capped_buckets
 FROM bucket_sizes
@@ -2080,9 +2087,11 @@ DEDUP_EXTRA_QUERIES: dict[str, Query] = {
               "levels over the component labels)."),
         Query("dedup_band_stats", _band_stats_q, _band_stats_sql(),
               "Per-band LSH health readout: bucket count, max "
-              "population, Σ n·(n−1)/2 pair expansion and capped-"
-              "bucket count — the mega-bucket early warning, at "
-              "signature-agg cost (the pair join is never run)."),
+              "population, the Σ n·(n−1)/2 pair expansion the capped "
+              "pair join would actually emit (over-ceiling buckets "
+              "excluded) and capped-bucket count — the mega-bucket "
+              "early warning, at signature-agg cost (the pair join is "
+              "never run)."),
         Query("dedup_substring_spans", _substring_spans_q,
               _SUBSTRING_SPANS_SQL,
               "Sliding-window substring dedup (Lee et al. 2022): per-doc "

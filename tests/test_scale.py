@@ -73,6 +73,25 @@ def test_minhash_mega_bucket_guard_drops_degenerate_buckets(spark):
     assert uncapped.count() == 20 * 19 // 2 + 1
 
 
+def test_band_stats_cand_pairs_match_capped_pair_join(spark):
+    """n_cand_pairs reports what the CAPPED pair join actually emits
+    (r11 advice: over-ceiling buckets used to inflate the column): the
+    per-band sum equals the total shared-band count from
+    minhash_candidate_pairs under the same cap, and the boilerplate
+    mega-bucket shows up only in n_capped_buckets/max_pop."""
+    boiler = "terms of service apply to all users of this site always"
+    pair = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [boiler] * 20 + [pair, pair])
+    stats = dedup.minhash_band_stats(docs, max_bucket_size=10).collect()
+    n_cand = sum(r["n_cand_pairs"] for r in stats)
+    shared = dedup.minhash_candidate_pairs(docs, max_bucket_size=10).agg(
+        F.coalesce(F.sum("n_shared_bands"), F.lit(0)).alias("s")
+    ).collect()[0]["s"]
+    assert n_cand == shared > 0
+    assert sum(r["n_capped_buckets"] for r in stats) > 0
+    assert max(r["max_pop"] for r in stats) == 20
+
+
 def test_jaccard_verifies_lsh_candidates_exactly(spark):
     """The LSH-candidates → exact-verify path: an exact copy pair (all
     bands shared, Jaccard 1.0) survives, a moderately similar pair that

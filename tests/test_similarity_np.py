@@ -252,3 +252,42 @@ def test_zero_norm_split_leakage_and_keep_guard(spark):
     b = sorted(map(tuple, leak_np.select(*cols).collect()))
     assert a == b
     assert all(r[0] != 90_000_000 for r in a)
+
+
+def test_zero_norm_guard_in_serve_paths(spark, tmp_path):
+    # The serve paths (_query_probes -> _probe_join_topk /
+    # _probe_topk_np via ivf_topk_for_queries) under zero-norm index
+    # AND query vectors: a zero vector has no defined cosine, so it
+    # must neither occupy a top-k slot (index side) nor emit rows
+    # (query side), and it must never surface as NaN — in either probe
+    # formulation (r11 advice item).
+    from etl_validator_github_spark.scale.similarity import (
+        ivf_topk_for_queries,
+        persist_ivf_index,
+    )
+
+    corpus = spark.range(200).selectExpr(
+        "id as vec_id",
+        "CASE WHEN id = 7 THEN transform(sequence(0, 63), i -> 0.0f)"
+        " ELSE transform(sequence(0, 63), i -> cast("
+        "((id % 13) * 9 + i - 32) / 100.0 as float)) END as embedding",
+        "cast(id % 4 as int) as label",
+    )
+    idx = str(tmp_path / "idx")
+    persist_ivf_index(corpus, corpus, idx)
+    queries = spark.range(1000, 1005).selectExpr(
+        "id as vec_id",
+        "CASE WHEN id = 1003 THEN transform(sequence(0, 63), i -> 0.0f)"
+        " ELSE transform(sequence(0, 63), i -> cast("
+        "((id % 11) * 7 + i - 30) / 100.0 as float)) END as embedding",
+    )
+    base = sorted(map(tuple, ivf_topk_for_queries(
+        spark, idx, queries, k=5).collect()))
+    fast = sorted(map(tuple, ivf_topk_for_queries(
+        spark, idx, queries, k=5, np_assign=True, np_probe=True
+    ).collect()))
+    assert base == fast and len(base) > 0
+    qids = {r[0] for r in base}
+    assert 1003 not in qids and qids == {1000, 1001, 1002, 1004}
+    assert all(r[1] != 7 for r in base)          # zero member never ranks
+    assert all(r[3] == r[3] for r in base)       # no NaN cos_sim

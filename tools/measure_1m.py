@@ -610,7 +610,14 @@ def main() -> int:
                 spark, f"{ksd}/src", f"{ksd}/ref", sink,
                 f"{ksd}/ckpt_{run_id[0]}", window="1 hour",
                 watermark="2 hours", available_now=True)
-            q.awaitTermination(600)
+            # awaitTermination returns False on timeout — the query may
+            # still be writing, so counting the sink then would commit
+            # a partial count/time as if it were a finished run.
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "ks_drift_stream run exceeded 600 s — discarded"
+                )
             return spark.read.parquet(sink).count()
         timed("ks_drift_stream_1m", run_drift, stable=True)
 
