@@ -4,7 +4,7 @@ where SQL-expressible.
 
 Ordering is load-bearing: the driver's correctness gate checks the FIRST
 50 catalog entries in insertion order. Since round 6 the gate window is
-an EXPLICIT list (``_R9_GATE``) rather than a composition of module
+an EXPLICIT list (``_R12_GATE``) rather than a composition of module
 dicts, so each round's rotation is a single visible edit.
 
 Rotation policy (highest priority first):
@@ -12,17 +12,20 @@ Rotation policy (highest priority first):
 2. queries added or semantically changed this round,
 3. back-fill with the queries whose last green verdict is oldest.
 
-Round-11 window under that policy (the r10 verdict's explicit ask):
-the twenty-two r10 additions that have never held a driver verdict —
-with the three most-novel-oracle entries FIRST (the learned quality
-classifier's NB weight/prior folds, the embedding split-leakage audit's
-per-cell gram counting, the churn hazard's survival-table reverse
-cumulative) so cross-engine drift surfaces at round start — then
-back-fill with the twenty-eight oldest r7-verdict queries in catalog
-order (decontaminate … customers_without_orders). After this window
-lands green, zero catalog entries are never-driver-checked and nothing
-is staler than r8 except the nine r7 entries that did not fit
-(events_funnel … orders_zorder_cells), which lead the r12 back-fill.
+Round-12 window under that policy (the r11 verdict's explicit ask):
+the fourteen entries without a driver verdict — the thirteen r11
+additions (led by orders_mann_whitney and docs_contamination_13gram,
+the two with the most novel oracle SQL: tie-corrected histogram
+rank-sum and the 6/7-train distinct-hash contamination index) plus
+lineitem_returnflag_anova, r11's one red row, re-checked after its
+DECIMAL output columns became STRING (the values were already
+bit-identical; only the driver's decimal hashing diverged) — then
+embed_external_topk (added this round: the ivf_topk_for_queries serve
+contract as an oracled query), then the nine r7-stale entries, then
+back-fill with the twenty-six oldest r8-verdict queries in catalog
+order (bankdata_validate … text_bm25_topk). After this window lands
+green, zero catalog entries are never-driver-checked and nothing is
+staler than r8; 23 r8 rows remain for the r13 back-fill.
 """
 
 from __future__ import annotations
@@ -78,79 +81,81 @@ assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
     "duplicate query name across module catalogs"
 )
 
-_R11_GATE = (
-    # -- added in r10, never driver-checked (22); the three with the
-    #    most novel oracle SQL lead so cross-engine drift surfaces at
-    #    round start (r10 verdict item 1).
-    "text_quality_classifier",
-    "embed_split_leakage",
-    "customers_churn_hazard",
-    "retrieval_bm25_mrr",
-    "text_classifier_calibration",
-    "text_pmi_collocations",
-    "docs_dup_rate_by_length",
-    "docs_epoch_shuffle",
-    "lineitem_exact_quartiles",
-    "events_ks_drift",
-    "customers_cohort_ltv",
-    "customers_order_gaps",
-    "supplier_part_degrees",
-    "lineitem_discount_elasticity",
-    "orders_seasonality_index",
-    "events_hourly_ks_drift",
-    "events_peak_hour",
-    "customers_balance_corr",
-    "events_burstiness",
-    "orders_fulfillment_latency",
-    "events_hourly_autocorr",
+_R12_GATE = (
+    # -- never driver-checked (14): the 13 r11 additions, the two most
+    #    novel oracles first, plus the anova re-check after the
+    #    decimal-free schema fix.
+    "orders_mann_whitney",
+    "docs_contamination_13gram",
     "lineitem_returnflag_anova",
-    # -- back-fill: the 28 oldest r7-verdict entries in catalog order
-    #    (the remaining 9 r7 entries lead the r12 back-fill).
-    "decontaminate",
-    "embed_pq_topk",
-    "embed_pq_recall",
-    "embed_ann_lsh",
-    "embed_outliers",
-    "dedup_embedding_cosine",
-    "embed_quantize_int8",
-    "events_distinct_sketch",
-    "text_cms_topk_counts",
-    "orders_quantile_sketch",
-    "multimodal_frame_sample",
-    "multimodal_frame_dedup",
-    "multimodal_dhash_neardup",
-    "pack_sequences",
-    "docs_temperature_mixture",
-    "text_unigram_lm_score",
-    "docs_token_budget_select",
-    "docs_importance_resample",
-    "docs_domain_cap",
-    "dedup_incremental",
-    "dedup_fuzzy_keep",
-    "dedup_substring_spans",
-    "dedup_span_strip",
-    "dedup_span_probe",
-    "corpus_snapshot_diff",
-    "q2_min_cost_supplier",
-    "q12_priority_by_status",
-    "customers_without_orders",
+    "text_winnow_fingerprints",
+    "retrieval_bm25_ndcg",
+    "text_code_detect",
+    "text_readability_ari",
+    "dedup_band_stats",
+    "embed_centroid_drift",
+    "embed_ivf_nprobe_sweep",
+    "orders_runs_test",
+    "events_rate_shift",
+    "docs_shard_balance",
+    "customers_segment_priority_lift",
+    # -- added this round (never driver-checked): the external-query
+    #    ANN serve contract as an oracled query.
+    "embed_external_topk",
+    # -- the nine r7-stale entries (oldest verdicts in the catalog).
+    "events_funnel",
+    "q8_market_share",
+    "q22_idle_rich_customers",
+    "nation_balance_setops",
+    "window_functions",
+    "skew_salted_rollup",
+    "schema_drift",
+    "changelog_latest_state",
+    "orders_zorder_cells",
+    # -- back-fill: the 26 oldest r8-verdict entries in catalog order
+    #    (23 r8 rows remain; they lead the r13 back-fill).
+    "bankdata_validate",
+    "text_stats",
+    "text_quality_embeddings",
+    "text_fingerprint",
+    "text_top_terms",
+    "text_chunks",
+    "docs_sample_stratified",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "corpus_clean",
+    "embed_cosine_topk",
+    "embed_hamming_topk",
+    "embed_label_centroids",
+    "embed_ann_recall",
+    "retrieval_rrf_fusion",
+    "docs_bloom_decontaminate",
+    "events_user_overlap_sketch",
+    "multimodal_audio_stats",
+    "multimodal_audio_downsample",
+    "multimodal_audio_vad",
+    "mixture_upsample",
+    "docs_sample_exact_k",
+    "text_normalize",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "text_bm25_topk",
 )
 
-assert len(_R11_GATE) == _DRIVER_GATE, (
+assert len(_R12_GATE) == _DRIVER_GATE, (
     f"gate window must hold exactly {_DRIVER_GATE} entries, "
-    f"got {len(_R11_GATE)}"
+    f"got {len(_R12_GATE)}"
 )
-assert len(set(_R11_GATE)) == len(_R11_GATE), "duplicate names in the gate"
-assert set(_R11_GATE) <= set(_ALL), (
-    f"gate names missing from the catalog: {set(_R11_GATE) - set(_ALL)}"
+assert len(set(_R12_GATE)) == len(_R12_GATE), "duplicate names in the gate"
+assert set(_R12_GATE) <= set(_ALL), (
+    f"gate names missing from the catalog: {set(_R12_GATE) - set(_ALL)}"
 )
 
 CATALOG: dict[str, Query] = {
-    **{name: _ALL[name] for name in _R11_GATE},
-    # Past-gate remainder (every entry here is r8/r9/r10-driver-green
-    # and parity-mirrored, except the nine r7 stragglers noted above):
-    # module registration order.
-    **{name: q for name, q in _ALL.items() if name not in set(_R11_GATE)},
+    **{name: _ALL[name] for name in _R12_GATE},
+    # Past-gate remainder (every entry here is r8/r9/r10/r11-driver-
+    # green and parity-mirrored): module registration order.
+    **{name: q for name, q in _ALL.items() if name not in set(_R12_GATE)},
 }
 
 __all__ = ["CATALOG", "Query", "catalog_to_oracles", "catalog_to_queries"]

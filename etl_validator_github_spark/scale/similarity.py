@@ -1024,6 +1024,104 @@ def ivf_topk_for_queries(spark: SparkSession, index_dir: str,
     return topk(assign_t, probes, k)
 
 
+#: External-query holdout size for the oracled serve query: the md5
+#: order makes the split a pure function of vec_id (both engines hash
+#: the decimal string), and 100 queries against a ≥400-vector index
+#: exercises the full fan-out at every fixture scale.
+EXT_QUERY_HOLDOUT = 100
+
+
+def external_topk(index_corpus: DataFrame, queries: DataFrame,
+                  k: int = TOP_K, nprobe: int = N_PROBE,
+                  np_assign: bool = False,
+                  np_probe: bool = False) -> DataFrame:
+    """In-memory core of the external-query serve contract — exactly
+    ``ivf_topk_for_queries`` minus the persisted stores: build the
+    coarse quantizer from the labeled ``index_corpus``, assign the
+    corpus to home cells, assign the ARBITRARY (vec_id, embedding)
+    query frame against the same frozen centroids with the full nprobe
+    fan-out, probe, exact-rescore. Shares ``_query_probes`` and the
+    probe kernels with the persisted path, so an oracle gate on this
+    function covers the serve math itself (the store plumbing is
+    pinned separately in tests/test_scale.py)."""
+    cells = ivf_cells(index_corpus)
+    assign_t = home_cell_assignment(
+        quantized(index_corpus), cells, np_assign
+    )
+    probes = _query_probes(quantized(queries), cells, nprobe, np_assign)
+    topk = _probe_topk_np if np_probe else _probe_join_topk
+    return topk(assign_t, probes, k)
+
+
+def _external_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    held = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(EXT_QUERY_HOLDOUT)
+    )
+    queries = emb.join(F.broadcast(held), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    index = emb.join(F.broadcast(held), "vec_id", "left_anti")
+    return external_topk(index, queries)
+
+
+def _external_topk_sql() -> str:
+    dot_qc = _SQL_DOT.format(a="v.qv", b="c.cv")
+    dot_qq = _SQL_DOT.format(a="p.q_qv", b="a.qv")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), held AS (
+  SELECT vec_id FROM vecs
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {EXT_QUERY_HOLDOUT}
+), with_norm AS (
+  SELECT vec_id, label, qv,
+         {_SQL_DOT.format(a="qv", b="qv")} AS norm2,
+         vec_id IN (SELECT vec_id FROM held) AS is_q
+  FROM vecs
+), dims AS (
+  SELECT unnest(range(1, 65)) AS dim
+), partial AS (
+  SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
+  FROM with_norm CROSS JOIN dims
+  WHERE NOT is_q
+  GROUP BY 1, 2
+), cells0 AS (
+  SELECT label, list(s ORDER BY dim) AS cv FROM partial GROUP BY 1
+), cells AS (
+  SELECT label, cv, {_SQL_DOT.format(a="cv", b="cv")} AS cnorm2 FROM cells0
+), ranked AS (
+  SELECT v.vec_id, v.qv, v.norm2, v.is_q, c.label,
+         CAST(row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY CASE WHEN v.norm2 = 0 OR c.cnorm2 = 0 THEN 0.0 ELSE {dot_qc} / (sqrt(v.norm2) * sqrt(c.cnorm2)) END DESC,
+                    c.label ASC) AS INT) AS cell_rank
+  FROM with_norm v CROSS JOIN cells c
+), assign AS (
+  SELECT vec_id, label AS cell, qv, norm2 FROM ranked
+  WHERE NOT is_q AND cell_rank = 1 AND norm2 > 0
+), probes AS (
+  SELECT vec_id AS query_id, label AS cell, qv AS q_qv, norm2 AS q_norm2
+  FROM ranked WHERE is_q AND cell_rank <= {N_PROBE} AND norm2 > 0
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {dot_qq} / (sqrt(p.q_norm2) * sqrt(a.norm2)) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank,
+       cos_sim
+FROM cand
+QUALIFY rank <= {TOP_K}
+"""
+
+
 def _ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load(spark, sf_dir, "embeddings"))
 
@@ -3015,6 +3113,13 @@ SIMILARITY_QUERIES: dict[str, Query] = {
         Query("embed_ivf_topk", _ivf_q, _ivf_sql(),
               "IVF search: cell assignment → nprobe=2 probing → exact "
               "rescoring inside probed cells.", bench=True),
+        Query("embed_external_topk", _external_topk_q,
+              _external_topk_sql(),
+              "External-query ANN serving (the ivf_topk_for_queries "
+              "contract): 100 md5-held-out vectors served as an "
+              "arbitrary (vec_id, embedding) frame against an index "
+              "built from the rest — query-side assignment against "
+              "frozen centroids, probe join, exact rescoring."),
         Query("dedup_embedding_cosine", _near_dup_q, _near_dup_sql(),
               "Embedding-cosine near-dup pairs over LSH buckets."),
         Query("embed_ann_recall", _recall_q, _recall_sql(),

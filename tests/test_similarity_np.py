@@ -291,3 +291,30 @@ def test_zero_norm_guard_in_serve_paths(spark, tmp_path):
     assert 1003 not in qids and qids == {1000, 1001, 1002, 1004}
     assert all(r[1] != 7 for r in base)          # zero member never ranks
     assert all(r[3] == r[3] for r in base)       # no NaN cos_sim
+
+
+def test_external_topk_np_twin_matches_expression(spark):
+    # The oracled external-serve query's scale opt-ins change nothing:
+    # numpy assignment + blocked probe kernel vs the expression plan on
+    # the same md5 holdout split.
+    from pyspark.sql import functions as F
+
+    from etl_validator_github_spark.scale.similarity import (
+        EXT_QUERY_HOLDOUT,
+        external_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    held = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(EXT_QUERY_HOLDOUT)
+    )
+    queries = emb.join(F.broadcast(held), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    index = emb.join(F.broadcast(held), "vec_id", "left_anti")
+    base = sorted(map(tuple, external_topk(index, queries).collect()))
+    fast = sorted(map(tuple, external_topk(
+        index, queries, np_assign=True, np_probe=True).collect()))
+    assert base == fast and len(base) == EXT_QUERY_HOLDOUT * 10
