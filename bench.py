@@ -6,6 +6,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized via a count-ish action
 (``df.write.format("noop")`` is avoided to keep Spark-version-agnostic;
 we use ``count()`` on the final result, which executes the whole plan).
+
+Self-describing stability (the SCALE.md stable-pair rule, folded in
+here in round 12 so the artifact itself carries the idle/loaded
+distinction — loaded-box rounds used to need a separate idle re-run
+file): every query runs TWICE (a third time if the first pair spreads
+beyond 1.2×); ``queries``/``value`` keep the historical first-run
+semantics for cross-round comparability, while ``query_detail`` records
+each query's runs, its 1-minute load average at start, a ``stable``
+flag (two consecutive runs within 1.2×) and the stable-pair minimum.
+``stable_value`` totals those stable representatives — the number to
+read when ``load_avg_1m`` says the box was busy.
 """
 
 from __future__ import annotations
@@ -91,18 +102,42 @@ def main() -> int:
     # Per-query failure isolation: one broken query must never cost the
     # round its entire bench artifact (round 3 lesson — BENCH_r03 was a
     # crash log with zero timings because of one AnalysisException).
+    STABLE_RATIO = 1.2  # SCALE.md stable-pair rule
+    detail: dict[str, dict] = {}
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
+        load_q = os.getloadavg()[0]
         try:
-            q.build(spark, sf_dir).count()
-            elapsed = time.perf_counter() - t0
+            runs: list[float] = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q.build(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            if max(runs) / max(min(runs), 1e-9) > STABLE_RATIO:
+                t0 = time.perf_counter()
+                q.build(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            pair = next(
+                (
+                    (a, b) for a, b in zip(runs, runs[1:])
+                    if max(a, b) / max(min(a, b), 1e-9) <= STABLE_RATIO
+                ),
+                None,
+            )
+            elapsed = runs[0]
             median = medians.get(name)
             if median is not None and elapsed > 3 * median:
-                t1 = time.perf_counter()
-                q.build(spark, sf_dir).count()
-                elapsed = min(elapsed, time.perf_counter() - t1)
+                elapsed = min(runs)
                 retried.append(name)
             timings[name] = round(elapsed, 3)
+            detail[name] = {
+                "runs": [round(x, 3) for x in runs],
+                "load_1m": round(load_q, 2),
+                "stable": pair is not None,
+                "sec_stable": (
+                    round(min(pair), 3) if pair is not None
+                    else round(min(runs), 3)
+                ),
+            }
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -116,6 +151,13 @@ def main() -> int:
         "load_avg_1m": {"start": round(load_start, 2),
                         "end": round(os.getloadavg()[0], 2)},
         "n_cpus": len(os.sched_getaffinity(0)),
+        "query_detail": detail,
+        "stable_value": round(
+            sum(d["sec_stable"] for d in detail.values()), 3
+        ),
+        "all_stable": bool(detail) and all(
+            d["stable"] for d in detail.values()
+        ),
     }
     if retried:
         result["retried_outliers"] = retried

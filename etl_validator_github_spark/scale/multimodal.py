@@ -140,20 +140,105 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, raster
 
 
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Uncompressed 24-bit BMP writer (BITMAPINFOHEADER, BI_RGB).
+
+    ``pixels`` is top-down row-major RGB — the same raster convention
+    every decoder here returns — re-ordered to BMP's bottom-up BGR rows
+    padded to 4-byte boundaries. Pure struct math, no codec library."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"raster length {len(pixels)} != {width}x{height}x3"
+        )
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray(width * 3)
+        base = y * width * 3
+        for x in range(width):
+            r, g, b = pixels[base + 3 * x: base + 3 * x + 3]
+            row[3 * x], row[3 * x + 1], row[3 * x + 2] = b, g, r
+        rows.append(bytes(row) + pad)
+    raster = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+        2835, 2835, 0, 0,
+    )
+    return header + raster
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode uncompressed 24-bit BMP (BI_RGB, BITMAPINFOHEADER or a
+    later 124/108-byte variant): returns (width, height, 3, raster)
+    with the raster normalized to top-down row-major RGB — identical
+    conventions to ``decode_ppm``, so every downstream consumer
+    (pixel stats, dHash, resize) is format-agnostic. Handles both
+    bottom-up (positive height, the common case) and top-down
+    (negative height) files and validates stride/length exactly."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes natively "
+            f"(planes={planes}, bpp={bpp}, compression={compression})"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height_raw}")
+    stride = (width * 3 + 3) & ~3
+    need = stride * height
+    if pix_off + need > len(data):
+        raise ValueError(
+            f"truncated raster: have {len(data) - pix_off} bytes at "
+            f"offset {pix_off}, need {need}"
+        )
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        src_y = row if top_down else height - 1 - row
+        base = pix_off + src_y * stride
+        dst = row * width * 3
+        for x in range(width):
+            b, g, r = data[base + 3 * x: base + 3 * x + 3]
+            out[dst + 3 * x], out[dst + 3 * x + 1], out[dst + 3 * x + 2] \
+                = r, g, b
+    return width, height, 3, bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to (width, height, channels, pixel bytes).
 
-    Native (pure-Python) decode for binary netpbm (PPM P6 / PGM P5).
-    Compressed formats require codec libraries this container doesn't
-    ship — on a real cluster this branch dispatches to PIL/libvips;
-    the surrounding mapInPandas plumbing is identical.
+    Native (pure-Python) decode for binary netpbm (PPM P6 / PGM P5)
+    and uncompressed 24-bit BMP — every consumer dispatches through
+    here, so all three formats flow into the same stats/dHash/resize
+    plumbing. Compressed formats require codec libraries this
+    container doesn't ship — on a real cluster this branch dispatches
+    to PIL/libvips; the surrounding mapInPandas plumbing is identical.
     """
     head = bytes(payload[:2])
     if head in (b"P6", b"P5"):
         return decode_ppm(payload)
+    if head == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"no codec for image format {head!r}: only binary netpbm "
-        "(P6/P5) decodes natively; PNG/JPEG/... require codec libraries"
+        "(P6/P5) and uncompressed 24-bit BMP decode natively; "
+        "PNG/JPEG/... require codec libraries"
     )
 
 

@@ -2313,3 +2313,71 @@ def test_ivf_topk_for_queries_disjoint_ids_probe_whole_index(spark,
         assert best["neighbor_id"] == qid - 10_000_000
         # dot/(sqrt(n)*sqrt(n)): the dot is exact but sqrt(n)² isn't.
         assert abs(best["cos_sim"] - 1.0) < 1e-12
+
+
+def test_bmp_roundtrip_and_format_agnostic_consumers(spark):
+    """BMP joins the native-decode family (r11 verdict item 4):
+    encode→decode is the identity back to top-down RGB (bottom-up
+    storage, stride padding), decode_image dispatches on the magic,
+    and the SAME pixels flow through the stats consumer identically
+    whether they arrive as PPM or BMP."""
+    import struct
+
+    # 3 wide x 1 tall and 1 wide x 3 tall hit different stride pads.
+    for w, h in [(3, 1), (1, 3), (2, 2), (5, 3)]:
+        px = bytes((17 * i + 3) % 256 for i in range(w * h * 3))
+        payload = multimodal.encode_bmp(w, h, px)
+        assert payload[:2] == b"BM"
+        assert multimodal.decode_bmp(payload) == (w, h, 3, px)
+        assert multimodal.decode_image(payload) == (w, h, 3, px)
+
+    # Top-down variant (negative height): same logical raster.
+    w, h = 2, 2
+    px = bytes(range(w * h * 3))
+    bottom_up = multimodal.encode_bmp(w, h, px)
+    stride = (w * 3 + 3) & ~3
+    body = bytearray(bottom_up)
+    struct.pack_into("<i", body, 22, -h)
+    rows = [bytes(bottom_up[54 + y * stride: 54 + (y + 1) * stride])
+            for y in range(h)]
+    body[54:] = b"".join(reversed(rows))
+    assert multimodal.decode_bmp(bytes(body)) == (w, h, 3, px)
+
+    # Malformed payloads never silently decode.
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"BM" + bytes(10))
+    with pytest.raises(ValueError, match="truncated raster"):
+        multimodal.decode_bmp(bottom_up[:-1])
+    eight_bit = bytearray(bottom_up)
+    struct.pack_into("<H", eight_bit, 28, 8)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        multimodal.decode_bmp(bytes(eight_bit))
+
+    # Same pixels, two formats, one consumer: pixel stats agree.
+    import pandas as pd
+
+    docs = _docs(spark, ["alpha doc", "beta doc", "gamma doc"])
+    ppm = multimodal.attach_image_payload(docs)
+    rows = ppm.collect()
+    bmp_payloads = []
+    for r in rows:
+        w, h, nch, raster = multimodal.decode_ppm(bytes(r["payload"]))
+        assert nch == 3
+        bmp_payloads.append((r["doc_id"], multimodal.encode_bmp(w, h, raster)))
+    bmp = spark.createDataFrame(
+        pd.DataFrame(bmp_payloads, columns=["doc_id", "payload"]),
+        schema=multimodal.PAYLOAD_SCHEMA,
+    )
+    got_ppm = sorted(map(tuple, multimodal.image_pixel_stats(ppm).collect()))
+    got_bmp = sorted(map(tuple, multimodal.image_pixel_stats(bmp).collect()))
+    assert got_ppm == got_bmp and len(got_ppm) == 3
+
+    # ... and the dHash consumer agrees too (content_hash is md5 of
+    # the payload BYTES, so it differs by format by design — the
+    # perceptual hash must not).
+    keys = ["doc_id", "dhash"]
+    dh_ppm = sorted(map(tuple,
+                        multimodal.image_dhash(ppm).select(*keys).collect()))
+    dh_bmp = sorted(map(tuple,
+                        multimodal.image_dhash(bmp).select(*keys).collect()))
+    assert dh_ppm == dh_bmp and len(dh_ppm) == 3
