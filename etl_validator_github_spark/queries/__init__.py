@@ -20,12 +20,13 @@ rank-sum and the 6/7-train distinct-hash contamination index) plus
 lineitem_returnflag_anova, r11's one red row, re-checked after its
 DECIMAL output columns became STRING (the values were already
 bit-identical; only the driver's decimal hashing diverged) — then
-embed_external_topk (added this round: the ivf_topk_for_queries serve
-contract as an oracled query), then the nine r7-stale entries, then
-back-fill with the twenty-six oldest r8-verdict queries in catalog
-order (bankdata_validate … text_bm25_topk). After this window lands
-green, zero catalog entries are never-driver-checked and nothing is
-staler than r8; 23 r8 rows remain for the r13 back-fill.
+embed_external_topk and multimodal_bmp_stats (added this round: the
+ivf_topk_for_queries serve contract and the BMP decode path as oracled
+queries), then the nine r7-stale entries, then back-fill with the
+twenty-five oldest r8-verdict queries in catalog order
+(bankdata_validate … text_bpe_segment). After this window lands green,
+zero catalog entries are never-driver-checked and nothing is staler
+than r8; 24 r8 rows remain for the r13 back-fill.
 """
 
 from __future__ import annotations
@@ -100,8 +101,9 @@ _R12_GATE = (
     "docs_shard_balance",
     "customers_segment_priority_lift",
     # -- added this round (never driver-checked): the external-query
-    #    ANN serve contract as an oracled query.
+    #    ANN serve contract and the BMP decode path as oracled queries.
     "embed_external_topk",
+    "multimodal_bmp_stats",
     # -- the nine r7-stale entries (oldest verdicts in the catalog).
     "events_funnel",
     "q8_market_share",
@@ -112,8 +114,8 @@ _R12_GATE = (
     "schema_drift",
     "changelog_latest_state",
     "orders_zorder_cells",
-    # -- back-fill: the 26 oldest r8-verdict entries in catalog order
-    #    (23 r8 rows remain; they lead the r13 back-fill).
+    # -- back-fill: the 25 oldest r8-verdict entries in catalog order
+    #    (24 r8 rows remain; they lead the r13 back-fill).
     "bankdata_validate",
     "text_stats",
     "text_quality_embeddings",
@@ -139,7 +141,6 @@ _R12_GATE = (
     "text_normalize",
     "text_bpe_merges",
     "text_bpe_segment",
-    "text_bm25_topk",
 )
 
 assert len(_R12_GATE) == _DRIVER_GATE, (

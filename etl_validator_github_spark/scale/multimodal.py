@@ -283,19 +283,44 @@ def attach_image_payload(docs: DataFrame, brighten: int = 0) -> DataFrame:
 
     def to_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for text in pdf["text"]:
-                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8], 16)
-                w = 1 + h32 % IMG_W_MOD
-                h = 1 + h32 % IMG_H_MOD
-                raster = bytes(
-                    min((h32 + PIXEL_STRIDE * i) % 256 + brighten, 255)
-                    for i in range(w * h * 3)
-                )
-                payloads.append(encode_ppm(w, h, raster))
+            payloads = [
+                encode_ppm(*_synth_raster(text, brighten))
+                for text in pdf["text"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(to_ppm, PAYLOAD_SCHEMA)
+
+
+def _synth_raster(text: str, brighten: int = 0) -> tuple[int, int, bytes]:
+    """The md5-derived (width, height, raster) synthesis formula shared
+    by every image-fixture writer — one formula, several wire formats,
+    one oracle."""
+    h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8], 16)
+    w = 1 + h32 % IMG_W_MOD
+    h = 1 + h32 % IMG_H_MOD
+    raster = bytes(
+        min((h32 + PIXEL_STRIDE * i) % 256 + brighten, 255)
+        for i in range(w * h * 3)
+    )
+    return w, h, raster
+
+
+def attach_image_payload_bmp(docs: DataFrame) -> DataFrame:
+    """``attach_image_payload``'s BMP twin: the SAME md5-derived pixels
+    (so ``_MULTIMODAL_SQL`` applies unchanged) written through
+    ``encode_bmp`` — the bytes on the wire are genuine uncompressed
+    24-bit BMP files, bottom-up BGR rows with stride padding the
+    decoder must undo."""
+
+    def to_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp(*_synth_raster(text)) for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_bmp, PAYLOAD_SCHEMA)
 
 
 def image_pixel_stats(payloads: DataFrame) -> DataFrame:
@@ -649,6 +674,11 @@ def dhash_neardup_pairs(docs: DataFrame,
 def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return image_pixel_stats(attach_image_payload(docs))
+
+
+def _multimodal_bmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return image_pixel_stats(attach_image_payload_bmp(docs))
 
 
 def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1349,6 +1379,11 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "True pixel statistics from REAL decode: synthetic P6 PPM "
               "payloads parsed by the pure-Python netpbm codec inside "
               "Arrow-batched mapInPandas; exact-integer channel sums."),
+        Query("multimodal_bmp_stats", _multimodal_bmp_q, _MULTIMODAL_SQL,
+              "The same pixel statistics through the BMP codec: "
+              "identical md5-derived pixels written as genuine "
+              "uncompressed 24-bit BMP (bottom-up BGR, stride padding) "
+              "— same oracle, so the gate pins the decoder itself."),
         Query("multimodal_resize", _resize_q, _RESIZE_SQL,
               "Aspect-preserving resize geometry over the real decoded "
               "dimensions (mapInPandas; integer geometry exact)."),

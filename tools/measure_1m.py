@@ -74,6 +74,7 @@ def _run_isolated(args, ops) -> int:
             sys.executable, os.path.abspath(__file__),
             "--docs", str(args.docs), "--ops", op,
             "--workdir", args.workdir, "--repeat", str(args.repeat),
+            "--stable-cap", str(args.stable_cap),
             "--no-isolate",
         ]
         res = subprocess.run(cmd, capture_output=True, text=True)
@@ -105,6 +106,10 @@ def main() -> int:
     ap.add_argument("--ops", default=",".join(ALL_OPS))
     ap.add_argument("--workdir", default="/tmp/spark_graft_1m")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--stable-cap", type=int, default=6,
+                    help="max runs for stable=True ops before giving "
+                         "up on a stable pair (raise for ops the box "
+                         "bursts on, e.g. spans)")
     ap.add_argument("--isolate", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="run each op in its own subprocess (fresh JVM) "
@@ -157,13 +162,14 @@ def main() -> int:
         rule, not by judgment call. The first run is cold by
         definition (JIT, page cache, shuffle files) and can never be
         half of the stable pair — at least three runs always happen.
-        Capped at 6 runs; only valid for idempotent ops (reruns must
-        do the same work)."""
+        Capped at --stable-cap runs (default 6); only valid for
+        idempotent ops (reruns must do the same work)."""
         import gc
 
         runs = []
         out = None
-        max_runs = 6 if stable else max(repeat or args.repeat, 1)
+        max_runs = (max(args.stable_cap, 3) if stable
+                    else max(repeat or args.repeat, 1))
         while len(runs) < max_runs:
             # Release the previous repeat's DataFrames BEFORE timing:
             # operators that localCheckpoint (the cluster fixpoint)
