@@ -201,3 +201,45 @@ def test_churn_hazard_matches_km_reference(spark, tmp_path, custs):
         want[s] = (n_at_risk, n_churned,
                    (1_000_000 * n_churned) // n_at_risk)
     assert got == want
+
+
+def test_mann_whitney_degenerate_all_ties_is_null_both_engines(
+    spark, tmp_path
+):
+    """The r11 advice scenario: every order value ties across both
+    segments → one histogram row → the tie correction drives σ to 0.
+    Both the Spark plan and the DuckDB oracle must return z_milli NULL
+    (not NaN, not a divide error) and agree on the exact STRING
+    rank-sum outputs."""
+    import uuid
+
+    orders = pd.DataFrame({
+        "o_orderkey": range(8),
+        "o_custkey": [i % 4 for i in range(8)],
+        "o_totalprice": [100.0] * 8,          # all-tie
+    })
+    customer = pd.DataFrame({
+        "c_custkey": range(4),
+        "c_mktsegment": ["AUTOMOBILE", "FURNITURE"] * 2,
+    })
+    sf = _sf_dir(tmp_path, {"orders": orders, "customer": customer})
+    q = CATALOG["orders_mann_whitney"]
+    srow = q.build(spark, sf).collect()[0]
+    assert srow["z_milli"] is None
+    assert srow["n1"] == 4 and srow["n2"] == 4
+    # u1_x2 = R1·2 − n1(n1+1): one tied group of 8 → every row's
+    # doubled midrank is (n+1)=9, so R1·2 = 4·9 = 36; 36 − 20 = 16.
+    assert srow["u1_x2"] == "16"
+    assert srow["tie_cubes"] == str(8 ** 3 - 8)
+
+    import duckdb
+
+    con = duckdb.connect()  # fresh: the shared fixture views sf0.001
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    orow = con.execute(q.oracle).fetch_arrow_table().to_pylist()[0]
+    assert orow["z_milli"] is None
+    assert (orow["u1_x2"], orow["tie_cubes"]) == ("16", str(8 ** 3 - 8))
