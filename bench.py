@@ -10,11 +10,13 @@ we use ``count()`` on the final result, which executes the whole plan).
 Self-describing stability (the SCALE.md stable-pair rule, folded in
 here in round 12 so the artifact itself carries the idle/loaded
 distinction — loaded-box rounds used to need a separate idle re-run
-file): every query runs TWICE (a third time if the first pair spreads
-beyond 1.2×); ``queries``/``value`` keep the historical first-run
-semantics for cross-round comparability, while ``query_detail`` records
-each query's runs, its 1-minute load average at start, a ``stable``
-flag (two consecutive runs within 1.2×) and the stable-pair minimum.
+file): every query runs at least TWICE (up to four runs until a
+consecutive pair agrees within 1.2× or 0.15 s absolute — the ratio
+alone is too strict for sub-second queries); ``queries``/``value``
+keep the historical first-run semantics for cross-round
+comparability, while ``query_detail`` records each query's runs, its
+1-minute load average at start, a ``stable`` flag and the
+stable-pair minimum.
 ``stable_value`` totals those stable representatives — the number to
 read when ``load_avg_1m`` says the box was busy.
 """
@@ -102,7 +104,17 @@ def main() -> int:
     # Per-query failure isolation: one broken query must never cost the
     # round its entire bench artifact (round 3 lesson — BENCH_r03 was a
     # crash log with zero timings because of one AnalysisException).
-    STABLE_RATIO = 1.2  # SCALE.md stable-pair rule
+    # SCALE.md stable-pair rule, adapted for bench's short queries: the
+    # 1.2x ratio alone is too strict at sub-second scale (a 60 ms
+    # scheduler blip fails a 0.3 s query), so a pair also counts as
+    # stable within an absolute 0.15 s. Up to 4 runs per query — the
+    # queries are seconds, not the 1M ops' minutes.
+    STABLE_RATIO, STABLE_ABS, MAX_RUNS = 1.2, 0.15, 4
+
+    def _is_pair(a: float, b: float) -> bool:
+        return (max(a, b) / max(min(a, b), 1e-9) <= STABLE_RATIO
+                or abs(a - b) <= STABLE_ABS)
+
     detail: dict[str, dict] = {}
     for name, q in bench_queries.items():
         load_q = os.getloadavg()[0]
@@ -112,14 +124,14 @@ def main() -> int:
                 t0 = time.perf_counter()
                 q.build(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-            if max(runs) / max(min(runs), 1e-9) > STABLE_RATIO:
+            while not _is_pair(*runs[-2:]) and len(runs) < MAX_RUNS:
                 t0 = time.perf_counter()
                 q.build(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
             pair = next(
                 (
                     (a, b) for a, b in zip(runs, runs[1:])
-                    if max(a, b) / max(min(a, b), 1e-9) <= STABLE_RATIO
+                    if _is_pair(a, b)
                 ),
                 None,
             )
