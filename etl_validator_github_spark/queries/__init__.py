@@ -22,11 +22,14 @@ DECIMAL output columns became STRING (the values were already
 bit-identical; only the driver's decimal hashing diverged) — then
 embed_external_topk and multimodal_bmp_stats (added this round: the
 ivf_topk_for_queries serve contract and the BMP decode path as oracled
-queries), then the nine r7-stale entries, then back-fill with the
-twenty-five oldest r8-verdict queries in catalog order
-(bankdata_validate … text_bpe_segment). After this window lands green,
-zero catalog entries are never-driver-checked and nothing is staler
-than r8; 24 r8 rows remain for the r13 back-fill.
+queries), then the three queries the round-12 int64-overflow audit
+semantically changed (events_hourly_anomalies / events_hourly_trend /
+lineitem_discount_elasticity — DECIMAL accumulators, trend's exact
+pair now STRING), then the nine r7-stale entries, then back-fill with
+the twenty-two oldest r8-verdict queries in catalog order
+(bankdata_validate … docs_sample_exact_k). After this window lands
+green, zero catalog entries are never-driver-checked and nothing is
+staler than r8; 26 r8 rows remain for the r13 back-fill.
 """
 
 from __future__ import annotations
@@ -104,6 +107,12 @@ _R12_GATE = (
     #    ANN serve contract and the BMP decode path as oracled queries.
     "embed_external_topk",
     "multimodal_bmp_stats",
+    # -- semantically changed this round (the int64-overflow audit):
+    #    DECIMAL/HUGEINT accumulators; trend also emits its exact
+    #    (num, den) pair as STRING now.
+    "events_hourly_anomalies",
+    "events_hourly_trend",
+    "lineitem_discount_elasticity",
     # -- the nine r7-stale entries (oldest verdicts in the catalog).
     "events_funnel",
     "q8_market_share",
@@ -114,8 +123,8 @@ _R12_GATE = (
     "schema_drift",
     "changelog_latest_state",
     "orders_zorder_cells",
-    # -- back-fill: the 25 oldest r8-verdict entries in catalog order
-    #    (24 r8 rows remain; they lead the r13 back-fill).
+    # -- back-fill: the 22 oldest r8-verdict entries in catalog order
+    #    (26 r8 rows remain; they lead the r13 back-fill).
     "bankdata_validate",
     "text_stats",
     "text_quality_embeddings",
@@ -138,9 +147,6 @@ _R12_GATE = (
     "multimodal_audio_vad",
     "mixture_upsample",
     "docs_sample_exact_k",
-    "text_normalize",
-    "text_bpe_merges",
-    "text_bpe_segment",
 )
 
 assert len(_R12_GATE) == _DRIVER_GATE, (

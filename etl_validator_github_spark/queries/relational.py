@@ -2446,14 +2446,21 @@ def hourly_anomalies(ev: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # 100 TB overflow discipline (the Mann-Whitney r11 lesson): with a
+    # hot event type at ~3×10⁹ events, S² and Σn² leave int64 — Spark
+    # would wrap silently while DuckDB errors. Accumulate Q and run the
+    # (N·n − S)² > 4(N·Q − S²) comparison in DECIMAL(38,0)/HUGEINT;
+    # the OUTPUT columns stay BIGINT (mean, sign — always in range).
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
         F.sum("n").alias("s_tot"),
-        F.sum(F.col("n") * F.col("n")).alias("q_tot"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("q_tot"),
     )
-    dev = F.col("n_hours") * F.col("n") - F.col("s_tot")
-    var4 = 4 * (F.col("n_hours") * F.col("q_tot")
-                - F.col("s_tot") * F.col("s_tot"))
+    dev = F.expr("CAST(n_hours AS DECIMAL(38,0)) * n - s_tot")
+    var4 = F.expr(
+        "4 * (CAST(n_hours AS DECIMAL(38,0)) * q_tot"
+        "     - CAST(s_tot AS DECIMAL(38,0)) * s_tot)"
+    )
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .filter(dev * dev > var4)
@@ -2482,7 +2489,7 @@ WITH hourly AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n_hours,
          CAST(SUM(n) AS BIGINT) AS s_tot,
-         CAST(SUM(n * n) AS BIGINT) AS q_tot
+         SUM(CAST(n AS HUGEINT) * n) AS q_tot
   FROM hourly GROUP BY 1
 )
 SELECT h.event_type,
@@ -2490,11 +2497,13 @@ SELECT h.event_type,
        h.n AS n_events,
        s.n_hours,
        (1000 * s.s_tot) // s.n_hours AS mean_milli,
-       CAST(CASE WHEN s.n_hours * h.n - s.s_tot > 0 THEN 1 ELSE -1 END AS INT)
-         AS dev_sign
+       CAST(CASE WHEN CAST(s.n_hours AS HUGEINT) * h.n - s.s_tot > 0
+                 THEN 1 ELSE -1 END AS INT) AS dev_sign
 FROM hourly h JOIN stats s USING (event_type)
-WHERE (s.n_hours * h.n - s.s_tot) * (s.n_hours * h.n - s.s_tot)
-      > 4 * (s.n_hours * s.q_tot - s.s_tot * s.s_tot)
+WHERE (CAST(s.n_hours AS HUGEINT) * h.n - s.s_tot)
+      * (CAST(s.n_hours AS HUGEINT) * h.n - s.s_tot)
+      > 4 * (CAST(s.n_hours AS HUGEINT) * s.q_tot
+             - CAST(s.s_tot AS HUGEINT) * s.s_tot)
 """
 
 
@@ -2561,7 +2570,10 @@ FROM keyed GROUP BY 1
 # load-bearing trick for BOTH engines: raw epoch-hours (~4.9e5) would
 # push n·Σx² toward BIGINT range at year-long spans, while rebased x
 # is bounded by the series length. Output is the exact (numerator,
-# denominator) pair plus their milli-quotient via floor() on the
+# denominator) pair — as STRING since r12: with hourly counts ~10⁹ the
+# pair leaves int64, so the moments accumulate in DECIMAL(38,0)/
+# HUGEINT and the digits go out representation-stable (contract.py's
+# decimal-free rule) — plus their milli-quotient via floor() on the
 # identical double quotient (numerator may be negative — the
 # contract.py rule for possibly-negative division).
 #
@@ -2585,31 +2597,33 @@ def _events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h")
          - F.min("h").over(Window.partitionBy("event_type"))).alias("x"),
     )
+    # 100 TB overflow discipline (the Mann-Whitney r11 lesson): with
+    # hourly counts y ~ 10⁹ per hot type, n·Σxy leaves int64 even
+    # after the rebasing trick bounds x. Accumulate the moments in
+    # DECIMAL(38,0)/HUGEINT and emit the exact (num, den) pair as
+    # STRING (decimal-free-schema contract); the milli quotient is the
+    # same single decimal→double cast on both engines.
     agg = rebased.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
     )
+    num = ("CAST(n_buckets AS DECIMAL(38,0)) * sxy"
+           " - CAST(sx AS DECIMAL(38,0)) * sy")
+    den = ("CAST(n_buckets AS DECIMAL(38,0)) * sxx"
+           " - CAST(sx AS DECIMAL(38,0)) * sx")
     return agg.select(
         "event_type",
         F.col("n_buckets").cast("int").alias("n_buckets"),
-        (F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .alias("slope_num"),
-        (F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .alias("slope_den"),
-        F.when(
-            (F.col("n_buckets") * F.col("sxx")
-             - F.col("sx") * F.col("sx")) != 0,
-            F.floor(
-                F.lit(1000.0)
-                * (F.col("n_buckets") * F.col("sxy")
-                   - F.col("sx") * F.col("sy")).cast("double")
-                / (F.col("n_buckets") * F.col("sxx")
-                   - F.col("sx") * F.col("sx")).cast("double")
-            ),
-        ).cast("long").alias("slope_milli_per_hour"),
+        F.expr(f"CAST({num} AS STRING)").alias("slope_num"),
+        F.expr(f"CAST({den} AS STRING)").alias("slope_den"),
+        F.expr(
+            f"CASE WHEN {den} != 0 THEN "
+            f"cast(floor(1000.0 * cast({num} as double)"
+            f" / cast({den} as double)) as bigint) END"
+        ).alias("slope_milli_per_hour"),
     )
 
 
@@ -2626,18 +2640,25 @@ WITH hourly AS (
   SELECT event_type,
          COUNT(*) AS n_buckets,
          SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
   FROM rebased GROUP BY 1
+), frac AS (
+  SELECT event_type, n_buckets,
+         CAST(n_buckets AS HUGEINT) * sxy
+           - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n_buckets AS HUGEINT) * sxx
+           - CAST(sx AS HUGEINT) * sx AS den
+  FROM agg
 )
 SELECT event_type,
        CAST(n_buckets AS INT) AS n_buckets,
-       CAST(n_buckets * sxy - sx * sy AS BIGINT) AS slope_num,
-       CAST(n_buckets * sxx - sx * sx AS BIGINT) AS slope_den,
-       CAST(CASE WHEN n_buckets * sxx - sx * sx != 0 THEN
-              floor(1000.0 * CAST(n_buckets * sxy - sx * sy AS DOUBLE)
-                    / CAST(n_buckets * sxx - sx * sx AS DOUBLE))
+       CAST(num AS VARCHAR) AS slope_num,
+       CAST(den AS VARCHAR) AS slope_den,
+       CAST(CASE WHEN den != 0 THEN
+              floor(1000.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
             END AS BIGINT) AS slope_milli_per_hour
-FROM agg
+FROM frac
 """
 
 
@@ -5570,12 +5591,16 @@ def _lineitem_discount_elasticity(spark: SparkSession,
         F.expr("cast(round(l_discount * 100) as bigint)").alias("x"),
         cents("l_quantity").alias("y"),
     )
+    # Moments accumulate in DECIMAL(38,0): Σxy over ~2×10¹¹ rows per
+    # flag leaves int64 at 100 TB (Spark would wrap silently, DuckDB's
+    # HUGEINT side would keep going — the Mann-Whitney divergence
+    # class). The num/den fold below was already 128-bit.
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
     )
     return (
         agg.select(
@@ -5607,8 +5632,8 @@ WITH li AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
          CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
   FROM li GROUP BY 1
 ), frac AS (
   SELECT l_returnflag, n,

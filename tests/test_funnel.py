@@ -201,10 +201,12 @@ def test_hourly_trend_hand_computed(spark, tmp_path):
     num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
     den = n * sum(x * x for x in xs) - sum(xs) ** 2
     a = got["A"]
-    assert (a.n_buckets, a.slope_num, a.slope_den) == (n, num, den)
+    # num/den go out as STRING since r12 (exact digits; the pair can
+    # exceed int64 at 100 TB hourly counts).
+    assert (a.n_buckets, a.slope_num, a.slope_den) == (n, str(num), str(den))
     assert a.slope_milli_per_hour == (1000 * num) // den == 1000
     b = got["B"]
-    assert (b.n_buckets, b.slope_num, b.slope_den) == (1, 0, 0)
+    assert (b.n_buckets, b.slope_num, b.slope_den) == (1, "0", "0")
     assert b.slope_milli_per_hour is None
 
 
