@@ -10,13 +10,16 @@ we use ``count()`` on the final result, which executes the whole plan).
 Self-describing stability (the SCALE.md stable-pair rule, folded in
 here in round 12 so the artifact itself carries the idle/loaded
 distinction — loaded-box rounds used to need a separate idle re-run
-file): every query runs at least TWICE (up to four runs until a
-consecutive pair agrees within 1.2× or 0.15 s absolute — the ratio
-alone is too strict for sub-second queries); ``queries``/``value``
-keep the historical first-run semantics for cross-round
-comparability, while ``query_detail`` records each query's runs, its
-1-minute load average at start, a ``stable`` flag and the
-stable-pair minimum.
+file): every query runs at least THREE times (run 1 is cold and never
+half of the pair; up to five runs until a consecutive WARM pair agrees
+within 1.2× or 0.15 s absolute — the ratio alone is too strict for
+sub-second queries); ``queries``/``value`` keep first-run semantics,
+while ``query_detail`` records each query's runs, its 1-minute load
+average at start, a ``stable`` flag and the warm-pair minimum.
+Cross-round caveat on ``value``: each query's first run now follows
+more prior executions than in the r1–r11 single-run protocol, so the
+shared-cache warmth biases totals slightly down vs history —
+``stable_value`` is the comparator to trust from r12 on.
 ``stable_value`` totals those stable representatives — the number to
 read when ``load_avg_1m`` says the box was busy.
 """
@@ -107,9 +110,12 @@ def main() -> int:
     # SCALE.md stable-pair rule, adapted for bench's short queries: the
     # 1.2x ratio alone is too strict at sub-second scale (a 60 ms
     # scheduler blip fails a 0.3 s query), so a pair also counts as
-    # stable within an absolute 0.15 s. Up to 4 runs per query — the
-    # queries are seconds, not the 1M ops' minutes.
-    STABLE_RATIO, STABLE_ABS, MAX_RUNS = 1.2, 0.15, 4
+    # stable within an absolute 0.15 s. The measure_1m.py discipline
+    # carries over: run 1 is cold by definition (plan compile, page
+    # cache) and can never be half of the pair, so at least three runs
+    # always happen; up to 5 — the queries are seconds, not the 1M
+    # ops' minutes.
+    STABLE_RATIO, STABLE_ABS, MIN_RUNS, MAX_RUNS = 1.2, 0.15, 3, 5
 
     def _is_pair(a: float, b: float) -> bool:
         return (max(a, b) / max(min(a, b), 1e-9) <= STABLE_RATIO
@@ -118,40 +124,45 @@ def main() -> int:
     detail: dict[str, dict] = {}
     for name, q in bench_queries.items():
         load_q = os.getloadavg()[0]
-        try:
-            runs: list[float] = []
-            for _ in range(2):
+        runs: list[float] = []
+        run_err = None
+        while len(runs) < MAX_RUNS:
+            # A failure on a LATER run must not discard the earlier
+            # good timings (the round-3 isolation lesson).
+            try:
                 t0 = time.perf_counter()
                 q.build(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-            while not _is_pair(*runs[-2:]) and len(runs) < MAX_RUNS:
-                t0 = time.perf_counter()
-                q.build(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
-            pair = next(
-                (
-                    (a, b) for a, b in zip(runs, runs[1:])
-                    if _is_pair(a, b)
-                ),
-                None,
-            )
-            elapsed = runs[0]
-            median = medians.get(name)
-            if median is not None and elapsed > 3 * median:
-                elapsed = min(runs)
-                retried.append(name)
-            timings[name] = round(elapsed, 3)
-            detail[name] = {
-                "runs": [round(x, 3) for x in runs],
-                "load_1m": round(load_q, 2),
-                "stable": pair is not None,
-                "sec_stable": (
-                    round(min(pair), 3) if pair is not None
-                    else round(min(runs), 3)
-                ),
-            }
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            except Exception as exc:
+                run_err = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            if len(runs) >= MIN_RUNS and _is_pair(*runs[-2:]):
+                break
+        if not runs:
+            errors[name] = run_err or "no runs"
+            continue
+        warm = runs[1:]
+        pair = next(
+            ((a, b) for a, b in zip(warm, warm[1:]) if _is_pair(a, b)),
+            None,
+        )
+        elapsed = runs[0]
+        median = medians.get(name)
+        if median is not None and elapsed > 3 * median:
+            elapsed = min(runs)
+            retried.append(name)
+        timings[name] = round(elapsed, 3)
+        detail[name] = {
+            "runs": [round(x, 3) for x in runs],
+            "load_1m": round(load_q, 2),
+            "stable": pair is not None,
+            "sec_stable": (
+                round(min(pair), 3) if pair is not None
+                else round(min(warm or runs), 3)
+            ),
+        }
+        if run_err is not None:
+            detail[name]["run_error"] = run_err
 
     total = round(sum(timings.values()), 3)
     result = {

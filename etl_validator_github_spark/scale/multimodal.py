@@ -189,6 +189,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     hdr_size = struct.unpack_from("<I", data, 14)[0]
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if pix_off < 14 + hdr_size:
+        raise ValueError(
+            f"pixel offset {pix_off} overlaps the {14 + hdr_size}-byte "
+            "header — corrupt offset field"
+        )
     width, height_raw = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]

@@ -1085,7 +1085,7 @@ WITH vecs AS (
          vec_id IN (SELECT vec_id FROM held) AS is_q
   FROM vecs
 ), dims AS (
-  SELECT unnest(range(1, 65)) AS dim
+  SELECT unnest(range(1, {EMBED_DIM + 1})) AS dim
 ), partial AS (
   SELECT label, dim, CAST(SUM(qv[dim]) AS BIGINT) AS s
   FROM with_norm CROSS JOIN dims

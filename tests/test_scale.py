@@ -2352,6 +2352,12 @@ def test_bmp_roundtrip_and_format_agnostic_consumers(spark):
     struct.pack_into("<H", eight_bit, 28, 8)
     with pytest.raises(NotImplementedError, match="24-bit"):
         multimodal.decode_bmp(bytes(eight_bit))
+    # A corrupt pixel-offset pointing INTO the header must not silently
+    # decode header bytes as pixels (review finding r12).
+    bad_off = bytearray(bottom_up)
+    struct.pack_into("<I", bad_off, 10, 0)
+    with pytest.raises(ValueError, match="overlaps"):
+        multimodal.decode_bmp(bytes(bad_off))
 
     # Same pixels, two formats, one consumer: pixel stats agree.
     import pandas as pd

@@ -211,8 +211,6 @@ def test_mann_whitney_degenerate_all_ties_is_null_both_engines(
     Both the Spark plan and the DuckDB oracle must return z_milli NULL
     (not NaN, not a divide error) and agree on the exact STRING
     rank-sum outputs."""
-    import uuid
-
     orders = pd.DataFrame({
         "o_orderkey": range(8),
         "o_custkey": [i % 4 for i in range(8)],
