@@ -54,11 +54,49 @@ ALL_OPS = ("gen", "exact", "stats", "bloom", "bloom_strings",
            "serve_external", "winnow", "contamination")
 
 
+def _stable_pair(runs):
+    """The timed() commitment rule, recomputed from a recorded run
+    list: first consecutive WARM pair within 1.2× (run 1 — cold — is
+    never half of the pair). None when the cap was hit pairless."""
+    if not isinstance(runs, list) or len(runs) < 3:
+        return None
+    warm = runs[1:]
+    for a, b in zip(warm, warm[1:]):
+        if max(a, b) <= 1.2 * min(a, b):
+            return (a, b)
+    return None
+
+
+def _cross_pass(pass_timings):
+    """The r12 cross-pass agreement rule, mechanized: a committed pair
+    is trusted only when the SAME-COMMIT passes' pairs agree within
+    1.2× of each other — the box's throttle plateaus last long enough
+    for a 1.2× consecutive pair to land inside a slow state
+    (root-cause: MEASURE_1M_r12.jsonl, tools/spans_bisect.py), and
+    only cross-pass disagreement exposes it."""
+    keys = {k for p in pass_timings for k in p}
+    out = {}
+    for k in sorted(keys):
+        pairs = [_stable_pair(p.get(k)) for p in pass_timings]
+        mids = [(a + b) / 2 for pr in pairs if pr for a, b in [pr]]
+        agree = (len(mids) == len(pass_timings) and len(mids) >= 2
+                 and max(mids) <= 1.2 * min(mids))
+        out[k] = {
+            "pairs": [list(pr) if pr else None for pr in pairs],
+            "agree": agree,
+            "committed": (round(min(min(pr) for pr in pairs if pr), 1)
+                          if agree else None),
+        }
+    return out
+
+
 def _run_isolated(args, ops) -> int:
     """Per-op subprocess driver: each op gets a fresh Python + JVM, so
     'warm' repeats measure the op, not the residue of its predecessors.
     The parquet corpus is generated once (the 'gen' child) and reused
-    read-only by every later child via the shared --workdir."""
+    read-only by every later child via the shared --workdir. With
+    ``--passes N`` the whole op list runs N times and the cross-pass
+    agreement verdict is computed per timing key (see _cross_pass)."""
     import subprocess
 
     # The corpus must exist before any non-gen child runs.
@@ -66,37 +104,44 @@ def _run_isolated(args, ops) -> int:
         pq = os.path.join(args.workdir, f"docs_{args.docs}.parquet")
         if not os.path.exists(pq):
             ops = ["gen", *ops]
-    merged_t: dict[str, object] = {}
     merged_c: dict[str, int] = {}
     load0 = os.getloadavg()[0]
-    for op in ops:
-        cmd = [
-            sys.executable, os.path.abspath(__file__),
-            "--docs", str(args.docs), "--ops", op,
-            "--workdir", args.workdir, "--repeat", str(args.repeat),
-            "--stable-cap", str(args.stable_cap),
-            "--no-isolate",
-        ]
-        res = subprocess.run(cmd, capture_output=True, text=True)
-        sys.stderr.write(res.stderr)
-        line = next(
-            (ln for ln in reversed(res.stdout.splitlines())
-             if ln.startswith("{")), None)
-        if res.returncode != 0 or line is None:
-            merged_t[op] = f"err: child exited {res.returncode}"
-            continue
-        child = json.loads(line)
-        merged_t.update(child.get("timings_sec", {}))
-        merged_c.update(child.get("row_counts", {}))
-    print(json.dumps({
+    pass_timings: list[dict[str, object]] = []
+    for _ in range(max(args.passes, 1)):
+        merged_t: dict[str, object] = {}
+        for op in ops:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--docs", str(args.docs), "--ops", op,
+                "--workdir", args.workdir, "--repeat", str(args.repeat),
+                "--stable-cap", str(args.stable_cap),
+                "--no-isolate",
+            ]
+            res = subprocess.run(cmd, capture_output=True, text=True)
+            sys.stderr.write(res.stderr)
+            line = next(
+                (ln for ln in reversed(res.stdout.splitlines())
+                 if ln.startswith("{")), None)
+            if res.returncode != 0 or line is None:
+                merged_t[op] = f"err: child exited {res.returncode}"
+                continue
+            child = json.loads(line)
+            merged_t.update(child.get("timings_sec", {}))
+            merged_c.update(child.get("row_counts", {}))
+        pass_timings.append(merged_t)
+    doc = {
         "docs": args.docs,
         "isolated": True,
-        "timings_sec": merged_t,
+        "timings_sec": pass_timings[0],
         "row_counts": merged_c,
         "load_avg_1m": {"start": round(load0, 2),
                         "end": round(os.getloadavg()[0], 2)},
         "n_cpus": os.cpu_count(),
-    }))
+    }
+    if len(pass_timings) > 1:
+        doc["passes"] = pass_timings
+        doc["cross_pass"] = _cross_pass(pass_timings)
+    print(json.dumps(doc))
     return 0
 
 
@@ -106,6 +151,10 @@ def main() -> int:
     ap.add_argument("--ops", default=",".join(ALL_OPS))
     ap.add_argument("--workdir", default="/tmp/spark_graft_1m")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--passes", type=int, default=1,
+                    help="run the whole op list N times (isolated mode) "
+                         "and emit the cross-pass agreement verdict per "
+                         "timing key - the r12 throttle-plateau guard")
     ap.add_argument("--stable-cap", type=int, default=6,
                     help="max runs for stable=True ops before giving "
                          "up on a stable pair (raise for ops the box "
@@ -124,7 +173,7 @@ def main() -> int:
     if unknown:
         ap.error(f"unknown ops: {sorted(unknown)}")
 
-    if args.isolate and len(ops) > 1:
+    if args.isolate and (len(ops) > 1 or args.passes > 1):
         return _run_isolated(args, ops)
 
     from etl_validator_github_spark.plans.session import get_spark
