@@ -73,19 +73,33 @@ def _cross_pass(pass_timings):
     1.2× of each other — the box's throttle plateaus last long enough
     for a 1.2× consecutive pair to land inside a slow state
     (root-cause: MEASURE_1M_r12.jsonl, tools/spans_bisect.py), and
-    only cross-pass disagreement exposes it."""
+    only cross-pass disagreement exposes it. Non-stable ops record a
+    single float per pass; those scalars are compared directly."""
     keys = {k for p in pass_timings for k in p}
     out = {}
     for k in sorted(keys):
-        pairs = [_stable_pair(p.get(k)) for p in pass_timings]
-        mids = [(a + b) / 2 for pr in pairs if pr for a, b in [pr]]
-        agree = (len(mids) == len(pass_timings) and len(mids) >= 2
-                 and max(mids) <= 1.2 * min(mids))
+        vals = [p.get(k) for p in pass_timings]
+        pairs = [_stable_pair(v) for v in vals]
+        # Per-pass representative: stable-pair midpoint when one
+        # landed, the bare scalar for single-run ops, else None.
+        reps = [
+            (pr[0] + pr[1]) / 2 if pr is not None
+            else v if isinstance(v, (int, float))
+            else None
+            for v, pr in zip(vals, pairs)
+        ]
+        agree = (len(reps) >= 2 and all(r is not None for r in reps)
+                 and max(reps) <= 1.2 * min(reps))
+        committed = None
+        if agree:
+            committed = round(min(
+                min(pr) if pr is not None else v
+                for v, pr in zip(vals, pairs)
+            ), 1)
         out[k] = {
             "pairs": [list(pr) if pr else None for pr in pairs],
             "agree": agree,
-            "committed": (round(min(min(pr) for pr in pairs if pr), 1)
-                          if agree else None),
+            "committed": committed,
         }
     return out
 
