@@ -1,0 +1,71 @@
+"""Pins for the measurement harness's commitment/verdict logic
+(tools/measure_1m.py) — no Spark session needed.
+
+The fixtures are the RECORDED r12 passes (MEASURE_1M_r12.jsonl): the
+bloom pairs must agree at committed 25.9 s and the spans pairs must
+disagree (pass C stabilized inside a throttle plateau) — a regression
+in the midpoint/agree/committed arithmetic would silently change which
+measurements the project trusts.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "tools", "measure_1m.py")
+_spec = importlib.util.spec_from_file_location("measure_1m", _TOOLS)
+m1m = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(m1m)
+
+
+def test_stable_pair_warm_only_rule():
+    # run 1 (cold) can never be half of the pair; first warm pair wins.
+    assert m1m._stable_pair([151.4, 66.2, 59.4]) == (66.2, 59.4)
+    assert m1m._stable_pair([111.3, 53.7, 41.7, 31.6, 27.5]) == (31.6, 27.5)
+    # a cold-adjacent qualifying pair (r1, r2) must NOT be taken.
+    assert m1m._stable_pair([10.0, 10.1, 99.0, 98.0]) == (99.0, 98.0)
+    # r11 pass B hit the cap pairless.
+    assert m1m._stable_pair([88.3, 45.0, 80.7, 61.1, 24.2, 37.5]) is None
+    # scalars / short lists / error strings never pair.
+    assert m1m._stable_pair(4.4) is None
+    assert m1m._stable_pair([4.4, 4.5]) is None
+    assert m1m._stable_pair("err: boom") is None
+
+
+def test_cross_pass_on_recorded_r12_passes():
+    cp = m1m._cross_pass([
+        {"spans": [151.4, 66.2, 59.4], "bloom": [43.4, 52.9, 32.1, 31.8]},
+        {"spans": [111.3, 53.7, 41.7, 31.6, 27.5],
+         "bloom": [32.0, 58.1, 45.1, 23.0, 27.8, 25.9]},
+    ])
+    # bloom: midpoints 31.95 vs 26.85 = 1.19x -> agree, committed 25.9.
+    assert cp["bloom"]["agree"] is True
+    assert cp["bloom"]["committed"] == 25.9
+    assert cp["bloom"]["basis"] == ["pair", "pair"]
+    # spans: 62.8 vs 29.55 = 2.1x -> the throttle plateau is flagged.
+    assert cp["spans"]["agree"] is False
+    assert cp["spans"]["committed"] is None
+
+
+def test_cross_pass_warm_and_cold_bases():
+    # --repeat 2 lists (no pair possible) compare on the warm run and
+    # CAN commit; a false box-flag here was a review finding.
+    cp = m1m._cross_pass([{"minhash": [14.1, 12.9]},
+                          {"minhash": [15.0, 13.0]}])
+    assert cp["minhash"]["agree"] is True
+    assert cp["minhash"]["basis"] == ["warm", "warm"]
+    assert cp["minhash"]["committed"] == 12.9
+    # single cold runs may agree but are never committed.
+    cp = m1m._cross_pass([{"rrf": 4.4}, {"rrf": 4.4}])
+    assert cp["rrf"]["agree"] is True
+    assert cp["rrf"]["basis"] == ["cold", "cold"]
+    assert cp["rrf"]["committed"] is None
+    # error strings surface as no-rep, never agree.
+    cp = m1m._cross_pass([{"x": "err: boom"}, {"x": [5.0, 5.1, 5.2]}])
+    assert cp["x"]["agree"] is False and cp["x"]["committed"] is None
+    # keys missing from a pass (once-only gen) get no verdict row.
+    cp = m1m._cross_pass([{"gen": 9.2, "spans": [30.0, 26.0, 25.0]},
+                          {"spans": [29.0, 26.5, 25.5]}])
+    assert "gen" not in cp and cp["spans"]["agree"] is True

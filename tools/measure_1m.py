@@ -67,37 +67,53 @@ def _stable_pair(runs):
     return None
 
 
+def _pass_rep(v):
+    """One pass's (representative_seconds, basis) for a recorded
+    timing: ``pair`` = stable-pair midpoint (the trusted case),
+    ``warm`` = best warm run of a pairless multi-run list, ``cold`` =
+    a single run (JIT/page-cache cold — never committable), None =
+    error string / missing."""
+    pr = _stable_pair(v)
+    if pr is not None:
+        return (pr[0] + pr[1]) / 2, "pair"
+    if isinstance(v, list) and len(v) >= 2:
+        return min(v[1:]), "warm"
+    if isinstance(v, list) and len(v) == 1:
+        return v[0], "cold"
+    if isinstance(v, (int, float)):
+        return v, "cold"
+    return None, None
+
+
 def _cross_pass(pass_timings):
     """The r12 cross-pass agreement rule, mechanized: a committed pair
     is trusted only when the SAME-COMMIT passes' pairs agree within
     1.2× of each other — the box's throttle plateaus last long enough
     for a 1.2× consecutive pair to land inside a slow state
     (root-cause: MEASURE_1M_r12.jsonl, tools/spans_bisect.py), and
-    only cross-pass disagreement exposes it. Non-stable ops record a
-    single float per pass; those scalars are compared directly."""
-    keys = {k for p in pass_timings for k in p}
+    only cross-pass disagreement exposes it. Pairless multi-run lists
+    compare on their best warm run; single cold runs compare but are
+    never committed (basis says why). Keys missing from any pass
+    (e.g. the once-only gen setup) get no verdict."""
+    keys = set(pass_timings[0])
+    for p in pass_timings[1:]:
+        keys &= set(p)
     out = {}
     for k in sorted(keys):
         vals = [p.get(k) for p in pass_timings]
         pairs = [_stable_pair(v) for v in vals]
-        # Per-pass representative: stable-pair midpoint when one
-        # landed, the bare scalar for single-run ops, else None.
-        reps = [
-            (pr[0] + pr[1]) / 2 if pr is not None
-            else v if isinstance(v, (int, float))
-            else None
-            for v, pr in zip(vals, pairs)
-        ]
+        reps, bases = zip(*(_pass_rep(v) for v in vals))
         agree = (len(reps) >= 2 and all(r is not None for r in reps)
                  and max(reps) <= 1.2 * min(reps))
         committed = None
-        if agree:
+        if agree and "cold" not in bases:
             committed = round(min(
-                min(pr) if pr is not None else v
-                for v, pr in zip(vals, pairs)
+                min(pr) if pr is not None else r
+                for pr, r in zip(pairs, reps)
             ), 1)
         out[k] = {
             "pairs": [list(pr) if pr else None for pr in pairs],
+            "basis": list(bases),
             "agree": agree,
             "committed": committed,
         }
@@ -113,17 +129,22 @@ def _run_isolated(args, ops) -> int:
     agreement verdict is computed per timing key (see _cross_pass)."""
     import subprocess
 
-    # The corpus must exist before any non-gen child runs.
+    # The corpus must exist before any non-gen child runs — and gen
+    # runs exactly ONCE even under --passes N (its child rmtree's the
+    # shared workdir, so a per-pass gen would wipe derived artifacts
+    # and re-pay corpus generation for zero extra evidence).
     if "gen" not in ops:
         pq = os.path.join(args.workdir, f"docs_{args.docs}.parquet")
         if not os.path.exists(pq):
             ops = ["gen", *ops]
+    gen_ops = [op for op in ops if op == "gen"]
+    pass_ops = [op for op in ops if op != "gen"]
     merged_c: dict[str, int] = {}
     load0 = os.getloadavg()[0]
     pass_timings: list[dict[str, object]] = []
-    for _ in range(max(args.passes, 1)):
+    for n_pass in range(max(args.passes, 1)):
         merged_t: dict[str, object] = {}
-        for op in ops:
+        for op in (gen_ops + pass_ops if n_pass == 0 else pass_ops):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--docs", str(args.docs), "--ops", op,
@@ -182,6 +203,9 @@ def main() -> int:
                          "repeats up to 2.8x (BPE 34.7 s -> 92.8 s by "
                          "repeat two when run after the full op chain)")
     args = ap.parse_args()
+    if args.passes > 1 and not args.isolate:
+        ap.error("--passes requires isolated mode (the cross-pass "
+                 "verdict compares fresh-JVM passes); drop --no-isolate")
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
     unknown = set(ops) - set(ALL_OPS)
     if unknown:
@@ -250,8 +274,9 @@ def main() -> int:
                 print(f"[measure] {name} FAILED: {exc}", file=sys.stderr)
                 return
             runs.append(round(time.perf_counter() - t0, 1))
-            if (stable and len(runs) >= 3
-                    and max(runs[-2:]) <= 1.2 * min(runs[-2:])):
+            # One source of truth for the commitment rule: the same
+            # _stable_pair the cross-pass verdict recomputes with.
+            if stable and _stable_pair(runs) is not None:
                 break
         if out is not None:
             counts[name] = out
