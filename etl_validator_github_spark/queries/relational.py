@@ -2469,7 +2469,13 @@ def hourly_anomalies(ev: DataFrame) -> DataFrame:
             (F.col("hour") * F.lit(3600)).alias("hour_epoch"),
             F.col("n").alias("n_events"),
             "n_hours",
-            F.expr("(1000 * s_tot) div n_hours").alias("mean_milli"),
+            # 1000·S stays in the 128-bit lane too (ADVICE r12): past
+            # ~9.2e15 events per type int64 would wrap on Spark while
+            # DuckDB errors — same class as q_tot/dev/var4 above.
+            F.expr(
+                "CAST((1000 * CAST(s_tot AS DECIMAL(38,0))) div n_hours"
+                "     AS BIGINT)"
+            ).alias("mean_milli"),
             F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1))
             .cast("int").alias("dev_sign"),
         )
@@ -2496,7 +2502,8 @@ SELECT h.event_type,
        h.hour * 3600 AS hour_epoch,
        h.n AS n_events,
        s.n_hours,
-       (1000 * s.s_tot) // s.n_hours AS mean_milli,
+       CAST((1000 * CAST(s.s_tot AS HUGEINT)) // s.n_hours AS BIGINT)
+         AS mean_milli,
        CAST(CASE WHEN CAST(s.n_hours AS HUGEINT) * h.n - s.s_tot > 0
                  THEN 1 ELSE -1 END AS INT) AS dev_sign
 FROM hourly h JOIN stats s USING (event_type)

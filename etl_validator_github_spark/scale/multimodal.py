@@ -156,11 +156,10 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     pad = b"\x00" * (stride - width * 3)
     rows = []
     for y in range(height - 1, -1, -1):  # bottom-up
-        row = bytearray(width * 3)
-        base = y * width * 3
-        for x in range(width):
-            r, g, b = pixels[base + 3 * x: base + 3 * x + 3]
-            row[3 * x], row[3 * x + 1], row[3 * x + 2] = b, g, r
+        row = bytearray(pixels[y * width * 3:(y + 1) * width * 3])
+        # RGB→BGR per row via slice swap (no per-pixel Python loop —
+        # this runs inside mapInPandas batches, ADVICE r12).
+        row[0::3], row[2::3] = row[2::3], row[0::3]
         rows.append(bytes(row) + pad)
     raster = b"".join(rows)
     header = struct.pack(
@@ -213,15 +212,22 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
             f"truncated raster: have {len(data) - pix_off} bytes at "
             f"offset {pix_off}, need {need}"
         )
+    # Exact-length both ways, the decode_ppm convention (ADVICE r12):
+    # bytes past the raster mean a corrupt or concatenated payload.
+    # (A gap BEFORE pix_off — palette/ICC room — is already allowed.)
+    if len(data) - pix_off > need:
+        raise ValueError(
+            f"trailing bytes after raster: {len(data) - pix_off - need} "
+            f"extra (raster needs exactly {need} at offset {pix_off})"
+        )
     out = bytearray(width * height * 3)
     for row in range(height):
         src_y = row if top_down else height - 1 - row
         base = pix_off + src_y * stride
-        dst = row * width * 3
-        for x in range(width):
-            b, g, r = data[base + 3 * x: base + 3 * x + 3]
-            out[dst + 3 * x], out[dst + 3 * x + 1], out[dst + 3 * x + 2] \
-                = r, g, b
+        seg = bytearray(data[base:base + width * 3])
+        # BGR→RGB per row via slice swap (no per-pixel loop).
+        seg[0::3], seg[2::3] = seg[2::3], seg[0::3]
+        out[row * width * 3:(row + 1) * width * 3] = seg
     return width, height, 3, bytes(out)
 
 
