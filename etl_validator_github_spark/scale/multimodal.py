@@ -6,14 +6,15 @@ extraction as Arrow-batched pandas functions over ``mapInPandas`` —
 Python touches each batch once, the plan stays distributed, and the
 binary bytes never hit the driver.
 
-Decode is REAL for the netpbm binary formats (PPM ``P6`` / PGM ``P5``):
-``decode_ppm`` is a pure-stdlib parser (magic, comment/whitespace
-grammar, maxval, raster validation), so ``image_pixel_stats`` computes
-true pixel statistics from decoded bytes — that path is the production
-shape with the codec swapped for one that needs no native libraries.
-Formats that DO need codec libraries (PNG/JPEG/video containers) still
-raise NotImplementedError from ``decode_image``: this container has
-none, and on a real cluster that branch is where PIL/libvips/ffmpeg
+Decode is REAL for binary netpbm (PPM ``P6`` / PGM ``P5``),
+uncompressed 24-bit BMP, and non-interlaced 8-bit PNG (stdlib zlib
+inflate + pure-integer None/Sub/Up/Average/Paeth unfiltering), so
+``image_pixel_stats`` computes true pixel statistics from decoded
+bytes — that path is the production shape with the codecs swapped for
+ones that need no native libraries. Formats that DO need codec
+libraries (JPEG/video containers) still raise NotImplementedError from
+``decode_image``: this container has none, and on a real cluster that
+branch is where PIL/libvips/ffmpeg
 plug in. The video-frame operators run on md5-derived fake metadata
 (``extract_features``) for the same reason — their outputs are pure
 functions of the payload hash, keeping the pipeline oracle-checkable
@@ -231,25 +232,230 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, bytes(out)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → sample channels (bit depth 8, non-interlaced only).
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               channels: int = 3,
+               filters: "list[int] | None" = None) -> bytes:
+    """Pure-stdlib PNG writer: 8-bit greyscale/RGB/RGBA, non-interlaced.
+
+    ``filters`` optionally names the per-row filter type (0–4); the
+    default cycles through all five so every unfilter branch of the
+    decoder (None/Sub/Up/Average/Paeth) sees real traffic on every
+    image taller than four rows. IDAT is stdlib ``zlib``; CRCs are
+    ``zlib.crc32`` — no codec library anywhere.
+    """
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"PNG writer supports 1/3/4 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"raster length {len(pixels)} != {width}x{height}x{channels}"
+        )
+    if filters is None:
+        filters = [y % 5 for y in range(height)]
+    if len(filters) != height or any(not 0 <= t <= 4 for t in filters):
+        raise ValueError("filters must give one type in 0..4 per row")
+    bpp = channels
+    rb = width * channels            # bytes per unfiltered row
+    raw = memoryview(pixels)
+    prior = bytes(rb)                # row above, unfiltered (zeros for y=0)
+    out = bytearray()
+    for y in range(height):
+        row = raw[y * rb:(y + 1) * rb].tobytes()
+        t = filters[y]
+        out.append(t)
+        if t == 0:
+            out += row
+        elif t == 1:
+            out += bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 255
+                         for i in range(rb))
+        elif t == 2:
+            out += bytes((row[i] - prior[i]) & 255 for i in range(rb))
+        elif t == 3:
+            out += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0)
+                           + prior[i]) // 2) & 255
+                for i in range(rb)
+            )
+        else:
+            out += bytes(
+                (row[i] - _paeth(row[i - bpp] if i >= bpp else 0,
+                                 prior[i],
+                                 prior[i - bpp] if i >= bpp else 0)) & 255
+                for i in range(rb)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a non-interlaced 8-bit greyscale/RGB/RGBA PNG with the
+    stdlib alone: real chunk walk with CRC validation, ``zlib`` IDAT
+    inflate, and all five scanline unfilters (None/Sub/Up/Average/
+    Paeth) as pure integer math. Returns (width, height, channels,
+    top-down row-major raster) — the shared convention of every
+    decoder here.
+
+    Strictness mirrors the rest of the codec family: IHDR must come
+    first and IEND last, IDAT chunks must be consecutive, every CRC
+    must match, the inflated stream must be exactly
+    height·(1 + width·channels) bytes, and trailing bytes after IEND
+    are rejected (the decode_ppm exact-length rule).
+    """
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if len(data) < 8 or data[:8] != PNG_SIG:
+        raise ValueError(f"not a PNG payload: signature {data[:8]!r}")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    idat_done = False
+    ended = False
+    while pos < len(data):
+        if ended:
+            raise ValueError(
+                f"trailing bytes after IEND: {len(data) - pos} extra"
+            )
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError(f"chunk {ctype!r} truncated: "
+                             f"{len(body)} of {length} body bytes "
+                             "(or missing CRC)")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ihdr is None:
+            if ctype != b"IHDR":
+                raise ValueError(f"first chunk is {ctype!r}, not IHDR")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IHDR":
+            raise ValueError("duplicate IHDR")
+        elif ctype == b"IDAT":
+            if idat_done:
+                raise ValueError("non-consecutive IDAT chunks")
+            idat += body
+        elif ctype == b"IEND":
+            if length:
+                raise ValueError("IEND carries data")
+            ended = True
+        elif idat:
+            idat_done = True       # ancillary chunk after the IDAT run
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR or IEND")
+    if not idat:
+        raise ValueError("no IDAT data")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"invalid IHDR compression/filter method {comp}/{filt}"
+        )
+    channels = _PNG_COLOR_CHANNELS.get(color_type)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit grey/RGB/RGBA decodes natively "
+            f"(depth={depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    stream = zlib.decompress(bytes(idat))
+    rb = width * channels
+    if len(stream) != height * (1 + rb):
+        raise ValueError(
+            f"inflated stream is {len(stream)} bytes, "
+            f"need exactly {height * (1 + rb)}"
+        )
+    bpp = channels
+    out = bytearray(height * rb)
+    prior = bytes(rb)
+    for y in range(height):
+        t = stream[y * (1 + rb)]
+        row = bytearray(stream[y * (1 + rb) + 1:(y + 1) * (1 + rb)])
+        if t == 0:
+            pass
+        elif t == 1:
+            for i in range(bpp, rb):
+                row[i] = (row[i] + row[i - bpp]) & 255
+        elif t == 2:
+            for i in range(rb):
+                row[i] = (row[i] + prior[i]) & 255
+        elif t == 3:
+            for i in range(rb):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prior[i]) // 2) & 255
+        elif t == 4:
+            for i in range(rb):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prior[i], ul)) & 255
+        else:
+            raise ValueError(f"unknown scanline filter type {t}")
+        out[y * rb:(y + 1) * rb] = row
+        prior = bytes(row)
+    return width, height, channels, bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to (width, height, channels, pixel bytes).
 
-    Native (pure-Python) decode for binary netpbm (PPM P6 / PGM P5)
-    and uncompressed 24-bit BMP — every consumer dispatches through
-    here, so all three formats flow into the same stats/dHash/resize
-    plumbing. Compressed formats require codec libraries this
-    container doesn't ship — on a real cluster this branch dispatches
-    to PIL/libvips; the surrounding mapInPandas plumbing is identical.
+    Native (pure-Python) decode for binary netpbm (PPM P6 / PGM P5),
+    uncompressed 24-bit BMP, and non-interlaced 8-bit PNG (stdlib
+    zlib inflate + integer unfiltering) — every consumer dispatches
+    through here, so all four formats flow into the same stats/dHash/
+    resize plumbing. Formats that genuinely need codec libraries
+    (JPEG, video containers) stay a declared gap — on a real cluster
+    that branch dispatches to PIL/libvips; the surrounding mapInPandas
+    plumbing is identical.
     """
     head = bytes(payload[:2])
     if head in (b"P6", b"P5"):
         return decode_ppm(payload)
     if head == b"BM":
         return decode_bmp(payload)
+    if head == PNG_SIG[:2]:
+        return decode_png(payload)
     raise NotImplementedError(
         f"no codec for image format {head!r}: only binary netpbm "
-        "(P6/P5) and uncompressed 24-bit BMP decode natively; "
-        "PNG/JPEG/... require codec libraries"
+        "(P6/P5), uncompressed 24-bit BMP and non-interlaced 8-bit "
+        "PNG decode natively; JPEG/... require codec libraries"
     )
 
 
@@ -334,6 +540,23 @@ def attach_image_payload_bmp(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(to_bmp, PAYLOAD_SCHEMA)
 
 
+def attach_image_payload_png(docs: DataFrame) -> DataFrame:
+    """``attach_image_payload``'s PNG twin: the SAME md5-derived pixels
+    (so ``_MULTIMODAL_SQL`` applies unchanged) written through
+    ``encode_png`` — genuine zlib-compressed PNGs whose per-row filter
+    types cycle None/Sub/Up/Average/Paeth, so the gate exercises every
+    unfilter branch of the decoder on every image taller than 4 rows."""
+
+    def to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(*_synth_raster(text)) for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_png, PAYLOAD_SCHEMA)
+
+
 def image_pixel_stats(payloads: DataFrame) -> DataFrame:
     """Binary image payload → true pixel statistics via the real decoder.
 
@@ -350,6 +573,11 @@ def image_pixel_stats(payloads: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, nch, raster = decode_image(bytes(payload))
                 a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                if nch == 4:
+                    # RGBA: stats are over the color planes; alpha is
+                    # opacity metadata, not luminance.
+                    a = a.reshape(-1, 4)[:, :3].reshape(-1)
+                    nch = 3
                 if nch == 3:
                     sums = (int(a[0::3].sum()), int(a[1::3].sum()),
                             int(a[2::3].sum()))
@@ -692,6 +920,11 @@ def _multimodal_bmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(attach_image_payload_bmp(docs))
 
 
+def _multimodal_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return image_pixel_stats(attach_image_payload_png(docs))
+
+
 def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return resize_images(image_pixel_stats(attach_image_payload(docs)))
@@ -813,6 +1046,133 @@ AUDIO_MIN_SAMPLES = 16
 AUDIO_N_MOD = 241
 AUDIO_STRIDE = 11
 
+#: IMA-ADPCM quantizer tables (IMA Digital Audio Focus Group, 1992 —
+#: the standard step/index tables every format-17 WAV implementation
+#: shares). 89 step sizes; the index delta keys on the 3 magnitude
+#: bits of the nibble.
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibble(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA-ADPCM decode step: (nibble, state) → (sample, new index).
+
+    Canonical bit-form difference: diff = step>>3, plus step>>2 /
+    step>>1 / step for magnitude bits 0/1/2, negated on the sign bit;
+    predictor clamps to int16, index to [0, 88].
+    """
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nibble & 7]))
+    return pred, idx
+
+
+def ima_adpcm_decode_block(pred0: int, idx0: int,
+                           nibbles: "list[int]") -> "list[int]":
+    """Decode one IMA block: the header predictor is emitted as the
+    first sample, then each nibble yields one sample."""
+    samples = [pred0]
+    pred, idx = pred0, idx0
+    for nib in nibbles:
+        pred, idx = _ima_decode_nibble(nib, pred, idx)
+        samples.append(pred)
+    return samples
+
+
+def ima_adpcm_encode(samples: "list[int]",
+                     pred0: "int | None" = None,
+                     idx0: int = 0) -> tuple[int, int, "list[int]"]:
+    """True IMA-ADPCM compressor for one block: PCM16 → (pred0, idx0,
+    nibbles). The first sample becomes the block header predictor;
+    each later sample quantizes its delta with the standard
+    step-halving rule, then updates state with the SAME arithmetic the
+    decoder uses (so encoder and decoder track bit-identically)."""
+    if not samples:
+        raise ValueError("cannot encode an empty block")
+    pred = samples[0] if pred0 is None else pred0
+    idx = max(0, min(88, idx0))
+    head = (pred, idx)
+    nibbles = []
+    for x in samples[1:]:
+        step = IMA_STEP_TABLE[idx]
+        diff = x - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        nibbles.append(nib)
+        pred, idx = _ima_decode_nibble(nib, pred, idx)
+    return head[0], head[1], nibbles
+
+
+def encode_wav_adpcm(sample_rate: int,
+                     blocks: "list[tuple[int, int, list[int]]]") -> bytes:
+    """RIFF/WAVE writer for IMA-ADPCM (format 17), mono: each block is
+    (initial predictor int16, initial step index, nibble list). All
+    blocks must carry the same even nibble count (the WAV block_align
+    contract); nibbles pack little-endian (first sample in the LOW
+    nibble). Emits the required fmt extension (wSamplesPerBlock) and
+    fact chunk (total decoded sample count)."""
+    import struct
+
+    if not blocks:
+        raise ValueError("need at least one block")
+    n_nib = len(blocks[0][2])
+    if n_nib == 0 or n_nib % 2:
+        raise ValueError(f"nibble count per block must be even and > 0, "
+                         f"got {n_nib}")
+    if any(len(nibs) != n_nib for _, _, nibs in blocks):
+        raise ValueError("all blocks must have the same nibble count")
+    n_bytes = n_nib // 2
+    block_align = 4 + n_bytes
+    samples_per_block = 1 + n_nib
+    body = bytearray()
+    for pred0, idx0, nibs in blocks:
+        if not -32768 <= pred0 <= 32767 or not 0 <= idx0 <= 88:
+            raise ValueError(f"invalid block header ({pred0}, {idx0})")
+        if any(not 0 <= n <= 15 for n in nibs):
+            raise ValueError("nibbles must be 4-bit values")
+        body += struct.pack("<hBB", pred0, idx0, 0)
+        body += bytes(nibs[i] | (nibs[i + 1] << 4)
+                      for i in range(0, n_nib, 2))
+    avg_bps = (sample_rate * block_align) // samples_per_block
+    fmt = struct.pack("<HHIIHHHH", 17, 1, sample_rate, avg_bps,
+                      block_align, 4, 2, samples_per_block)
+    fact = struct.pack("<I", samples_per_block * len(blocks))
+    data = bytes(body)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<I", len(fact)) + fact
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
 
 def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
     """RIFF/WAVE writer: PCM format 1, mono, 16-bit little-endian."""
@@ -827,13 +1187,15 @@ def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, "list[int]"]:
-    """Parse a PCM16 mono WAV → (sample_rate, n_channels, samples).
+    """Parse a WAV → (sample_rate, n_channels, samples): PCM16 (format
+    1) or mono IMA-ADPCM (format 17, block-structured nibble decode
+    through the standard step/index tables, fact-chunk cross-checked).
 
     Validates the full RIFF grammar: magic, declared RIFF size ==
     actual remainder (trailing bytes after the RIFF body are rejected,
     matching decode_ppm's exact-length rule), chunk sizes in bounds,
-    exactly one fmt and one data chunk, PCM/16-bit only, data length a
-    whole number of frames.
+    exactly one fmt and one data chunk, data length a whole number of
+    frames (PCM) or blocks (ADPCM).
     """
     import struct
 
@@ -847,7 +1209,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, "list[int]"]:
         )
     if data[8:12] != b"WAVE":
         raise ValueError(f"not a WAVE form: {data[8:12]!r}")
-    pos, fmt, pcm = 12, None, None
+    pos, fmt_body, pcm, fact = 12, None, None, None
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError("truncated chunk header")
@@ -858,39 +1220,130 @@ def decode_wav(payload: bytes) -> tuple[int, int, "list[int]"]:
             raise ValueError(f"chunk {cid!r} truncated: "
                              f"{len(body)} of {csize} bytes")
         if cid == b"fmt ":
-            if fmt is not None:
+            if fmt_body is not None:
                 raise ValueError("duplicate fmt chunk")
             if csize < 16:
                 raise ValueError(f"fmt chunk too short: {csize}")
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             if pcm is not None:
                 raise ValueError("duplicate data chunk")
             pcm = body
+        elif cid == b"fact":
+            if csize < 4:
+                raise ValueError(f"fact chunk too short: {csize}")
+            (fact,) = struct.unpack_from("<I", body, 0)
         pos += 8 + csize + (csize & 1)   # chunks are word-aligned
-    if fmt is None or pcm is None:
+    if fmt_body is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
-    audio_fmt, n_channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only PCM16 supported, got format {audio_fmt}/{bits}-bit "
-            "(compressed codecs need libraries this environment lacks)"
-        )
-    if len(pcm) % (2 * n_channels):
-        raise ValueError(f"data size {len(pcm)} not whole frames")
-    samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
-    return rate, n_channels, samples
+    audio_fmt, n_channels, rate, _, block_align, bits = \
+        struct.unpack_from("<HHIIHH", fmt_body, 0)
+    if audio_fmt == 1 and bits == 16:
+        if len(pcm) % (2 * n_channels):
+            raise ValueError(f"data size {len(pcm)} not whole frames")
+        samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+        return rate, n_channels, samples
+    if audio_fmt == 17 and bits == 4:
+        # IMA-ADPCM (WAV format 17), mono: per-block int16 predictor +
+        # step-index header, then packed nibbles (low nibble first).
+        if n_channels != 1:
+            raise NotImplementedError(
+                "only mono IMA-ADPCM decodes here (stereo interleaves "
+                "nibbles per-channel in 4-byte words)"
+            )
+        if len(fmt_body) < 20:
+            raise ValueError("IMA-ADPCM fmt chunk missing the "
+                             "wSamplesPerBlock extension")
+        (spb,) = struct.unpack_from("<H", fmt_body, 18)
+        if block_align < 5:
+            raise ValueError(f"block_align {block_align} too small")
+        if spb != 1 + 2 * (block_align - 4):
+            raise ValueError(
+                f"samples_per_block {spb} inconsistent with "
+                f"block_align {block_align} "
+                f"(expect {1 + 2 * (block_align - 4)})"
+            )
+        if not pcm or len(pcm) % block_align:
+            raise ValueError(
+                f"data size {len(pcm)} not whole {block_align}-byte "
+                "blocks"
+            )
+        samples: "list[int]" = []
+        for off in range(0, len(pcm), block_align):
+            pred0, idx0, _rsv = struct.unpack_from("<hBB", pcm, off)
+            if idx0 > 88:
+                raise ValueError(f"step index {idx0} out of range")
+            packed = pcm[off + 4:off + block_align]
+            nibbles = []
+            for byte in packed:
+                nibbles.append(byte & 0x0F)
+                nibbles.append(byte >> 4)
+            samples.extend(ima_adpcm_decode_block(pred0, idx0, nibbles))
+        if fact is not None and fact != len(samples):
+            raise ValueError(
+                f"fact chunk declares {fact} samples, decoded "
+                f"{len(samples)}"
+            )
+        return rate, n_channels, samples
+    raise NotImplementedError(
+        f"only PCM16 and mono IMA-ADPCM supported, got format "
+        f"{audio_fmt}/{bits}-bit "
+        "(other codecs need libraries this environment lacks)"
+    )
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, "list[int]"]:
-    """Decode an audio payload. Real path: RIFF/WAVE PCM16. Compressed
-    formats are a declared gap (no codec libraries in this sandbox)."""
+    """Decode an audio payload. Real paths: RIFF/WAVE PCM16 and mono
+    IMA-ADPCM (format 17). Perceptual codecs (MP3/AAC/FLAC) are a
+    declared gap (no codec libraries in this sandbox)."""
     head = bytes(payload[:4])
     if head == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError(
         f"no codec for magic {head!r}: only RIFF/WAVE decodes here"
     )
+
+
+#: IMA-ADPCM fixture geometry: per doc, 1–2 blocks of a shared data
+#: size, with block headers and the nibble stream all pure functions of
+#: md5(text) — so the DuckDB oracle re-runs the decoder state machine
+#: in a recursive CTE without ever touching the bytes. Nibble-level
+#: synthesis (not PCM-level) keeps the contract exact: ADPCM is lossy
+#: forward, but decode-of-known-nibbles is deterministic.
+ADPCM_BLOCK_MOD = 2
+ADPCM_BYTES_MIN = 8
+ADPCM_BYTES_MOD = 57
+
+
+def attach_audio_payload_adpcm(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL IMA-ADPCM WAV
+    (format 17, mono) per doc. Block b of doc with md5-prefix h32:
+    predictor = (h32 + 97·b) % 4096 − 2048, step index =
+    (h32 + 17·b) % 89, and global nibble g = (h32 + 13·g) % 16 —
+    deterministic, so the oracle regenerates the identical bitstream
+    and a decoder bug (wrong clamp, wrong table row, swapped nibble
+    order, missing header sample) breaks the hash match."""
+
+    def to_adpcm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8],
+                          16)
+                nblocks = 1 + h32 % ADPCM_BLOCK_MOD
+                nbytes = ADPCM_BYTES_MIN + h32 % ADPCM_BYTES_MOD
+                blocks = []
+                for b in range(nblocks):
+                    pred0 = (h32 + 97 * b) % 4096 - 2048
+                    idx0 = (h32 + 17 * b) % 89
+                    nibs = [(h32 + 13 * (b * 2 * nbytes + j)) % 16
+                            for j in range(2 * nbytes)]
+                    blocks.append((pred0, idx0, nibs))
+                payloads.append(encode_wav_adpcm(AUDIO_RATE, blocks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_adpcm, PAYLOAD_SCHEMA)
 
 
 def attach_audio_payload(docs: DataFrame) -> DataFrame:
@@ -963,6 +1416,78 @@ def audio_stats(payloads: DataFrame) -> DataFrame:
 def _audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return audio_stats(attach_audio_payload(docs))
+
+
+def _adpcm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return audio_stats(attach_audio_payload_adpcm(docs))
+
+
+_IMA_STEP_VALUES = ", ".join(
+    f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE)
+)
+
+# The oracle runs the IMA-ADPCM decoder state machine itself: a
+# recursive CTE carries (predictor, step index) per (doc, block),
+# j = −1 is the header sample, and each iteration consumes one
+# regenerated nibble — canonical bit-form difference, int16 predictor
+# clamp, [0, 88] index clamp, the step table joined by index. A Spark-
+# side decode bug anywhere in that state machine diverges the stats.
+_ADPCM_STATS_SQL = f"""
+WITH RECURSIVE h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, h32,
+         1 + h32 % {ADPCM_BLOCK_MOD} AS nblocks,
+         {ADPCM_BYTES_MIN} + h32 % {ADPCM_BYTES_MOD} AS nbytes
+  FROM h
+), blocks AS (
+  SELECT doc_id, h32, nbytes, CAST(t.b AS BIGINT) AS b
+  FROM meta, unnest(range(0, nblocks)) AS t(b)
+), steps(i, s) AS (
+  VALUES {_IMA_STEP_VALUES}
+), dec AS (
+  SELECT doc_id, h32, nbytes, b,
+         CAST(-1 AS BIGINT) AS j,
+         CAST((h32 + 97 * b) % 4096 - 2048 AS BIGINT) AS pred,
+         CAST((h32 + 17 * b) % 89 AS BIGINT) AS idx
+  FROM blocks
+  UNION ALL
+  SELECT doc_id, h32, nbytes, b, j + 1,
+         greatest(-32768, least(32767,
+           pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+         greatest(0, least(88, idx +
+           CASE WHEN nib % 8 <= 3 THEN -1
+                WHEN nib % 8 = 4 THEN 2
+                WHEN nib % 8 = 5 THEN 4
+                WHEN nib % 8 = 6 THEN 6
+                ELSE 8 END))
+  FROM (
+    SELECT q.doc_id, q.h32, q.nbytes, q.b, q.j, q.pred, q.idx, q.nib,
+           s.s // 8
+           + CASE WHEN q.nib % 2 = 1 THEN s.s // 4 ELSE 0 END
+           + CASE WHEN (q.nib // 2) % 2 = 1 THEN s.s // 2 ELSE 0 END
+           + CASE WHEN (q.nib // 4) % 2 = 1 THEN s.s ELSE 0 END AS diff
+    FROM (
+      SELECT d.*,
+             (d.h32 + 13 * (d.b * 2 * d.nbytes + d.j + 1)) % 16 AS nib
+      FROM dec d
+      WHERE d.j + 1 < 2 * d.nbytes
+    ) q JOIN steps s ON s.i = q.idx
+  )
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST({AUDIO_RATE} AS INT) AS sample_rate,
+       CAST(MAX(abs(pred)) AS INT) AS peak_abs,
+       CAST(SUM(abs(pred)) AS BIGINT) AS sum_abs,
+       CAST(SUM(pred * pred) AS BIGINT) AS energy,
+       CAST((1000 * SUM(abs(pred))) // COUNT(*) AS BIGINT)
+         AS mean_abs_milli
+FROM dec GROUP BY 1
+"""
 
 
 _AUDIO_STATS_SQL = f"""
@@ -1395,6 +1920,12 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "identical md5-derived pixels written as genuine "
               "uncompressed 24-bit BMP (bottom-up BGR, stride padding) "
               "— same oracle, so the gate pins the decoder itself."),
+        Query("multimodal_png_stats", _multimodal_png_q, _MULTIMODAL_SQL,
+              "The same pixel statistics through the PNG codec: "
+              "identical md5-derived pixels written as genuine "
+              "zlib-compressed non-interlaced PNGs with per-row "
+              "filters cycling None/Sub/Up/Average/Paeth — same "
+              "oracle, so the gate pins every unfilter branch."),
         Query("multimodal_resize", _resize_q, _RESIZE_SQL,
               "Aspect-preserving resize geometry over the real decoded "
               "dimensions (mapInPandas; integer geometry exact)."),
@@ -1409,6 +1940,12 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "True signal statistics from REAL decode: synthetic PCM16 "
               "WAVs parsed by the pure-Python RIFF codec inside Arrow-"
               "batched mapInPandas; exact-integer |x| and x² sums."),
+        Query("multimodal_adpcm_stats", _adpcm_stats_q, _ADPCM_STATS_SQL,
+              "The same signal statistics through the IMA-ADPCM codec "
+              "(WAV format 17): md5-derived nibble streams in genuine "
+              "block-structured ADPCM WAVs, decoded by the pure-Python "
+              "predictor/step state machine; the oracle re-runs the "
+              "decoder in a recursive CTE over the standard tables."),
         Query("multimodal_audio_downsample", _audio_downsample_q,
               _AUDIO_DOWNSAMPLE_SQL,
               "Strided audio decimation (8 kHz → 1 kHz, the frame-"

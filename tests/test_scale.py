@@ -237,9 +237,10 @@ def test_embedding_near_dups_finds_seeded_copies(spark):
 
 
 def test_decode_image_rejects_codec_formats():
-    # PNG/JPEG need codec libraries the container doesn't ship; only
-    # binary netpbm decodes natively.
-    with pytest.raises(NotImplementedError):
+    # JPEG needs codec libraries the container doesn't ship; PNG now
+    # dispatches to the native decoder (which rejects a truncated
+    # signature as corrupt rather than unsupported).
+    with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
@@ -2387,3 +2388,287 @@ def test_bmp_roundtrip_and_format_agnostic_consumers(spark):
     dh_bmp = sorted(map(tuple,
                         multimodal.image_dhash(bmp).select(*keys).collect()))
     assert dh_ppm == dh_bmp and len(dh_ppm) == 3
+
+
+def test_png_decode_hand_computed():
+    """PNG joins the native-decode family (r12 verdict item 2): a
+    hand-assembled 2x2 RGB PNG (filter 0 rows, stdlib zlib) decodes to
+    the exact raster, and Paeth/Average/Sub/Up filters reconstruct a
+    hand-checked gradient."""
+    import struct
+    import zlib
+
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    scan = b"\x00" + px[:6] + b"\x00" + px[6:]
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b)))
+
+    payload = (multimodal.PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    assert multimodal.decode_png(payload) == (2, 2, 3, px)
+    assert multimodal.decode_image(payload) == (2, 2, 3, px)
+
+    # Each filter type on a raster where the reconstruction is easy to
+    # verify by hand: constant rows → Sub/Up/Average/Paeth all encode
+    # to mostly-zero residuals, and the decoder must invert exactly.
+    for t in range(5):
+        w, h = 3, 4
+        raster = bytes(((x + 1) * (y + 2) * 37) % 256
+                       for y in range(h) for x in range(w * 3))
+        enc = multimodal.encode_png(w, h, raster, filters=[t] * h)
+        assert multimodal.decode_png(enc) == (w, h, 3, raster)
+
+
+def test_png_rejects_malformed():
+    import struct
+    import zlib
+
+    ok = multimodal.encode_png(3, 3, bytes(range(27)))
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a" + b"X" + ok[8:])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(ok[:-4])
+    # Trailing bytes after IEND: the decode_ppm exact-length rule.
+    with pytest.raises(ValueError, match="trailing bytes"):
+        multimodal.decode_png(ok + b"\x00")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        multimodal.decode_png(ok + ok)
+    # Flip one IDAT byte: CRC must catch it.
+    bad = bytearray(ok)
+    idat_at = ok.index(b"IDAT")
+    bad[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        multimodal.decode_png(bytes(bad))
+    # 16-bit depth and interlacing are declared gaps, not silent junk.
+    for field_off, val, what in [(8, 16, "depth"), (12, 1, "interlace")]:
+        ihdr = bytearray(struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        ihdr[field_off] = val
+        doctored = (multimodal.PNG_SIG
+                    + multimodal._png_chunk(b"IHDR", bytes(ihdr))
+                    + ok[8 + 12 + 13:])
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_png(doctored)
+    # An unknown scanline filter type is corrupt data.
+    w = h = 2
+    scan = b"\x07" + bytes(6) + b"\x00" + bytes(6)
+    doctored = (multimodal.PNG_SIG
+                + multimodal._png_chunk(
+                    b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + multimodal._png_chunk(b"IDAT", zlib.compress(scan))
+                + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter type"):
+        multimodal.decode_png(doctored)
+    # Inflated stream must be exactly height*(1+row) bytes.
+    doctored = (multimodal.PNG_SIG
+                + multimodal._png_chunk(
+                    b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(5)))
+                + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflated stream"):
+        multimodal.decode_png(doctored)
+
+
+def test_png_roundtrip_property():
+    """encode→decode is the identity for every (w, h, channels, raster)
+    and every per-row filter assignment — greyscale, RGB and RGBA."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        channels=st.sampled_from([1, 3, 4]),
+        data=st.data(),
+    )
+    def roundtrip(w, h, channels, data):
+        raster = bytes(
+            data.draw(st.lists(st.integers(0, 255),
+                               min_size=w * h * channels,
+                               max_size=w * h * channels))
+        )
+        filters = data.draw(st.lists(st.integers(0, 4),
+                                     min_size=h, max_size=h))
+        enc = multimodal.encode_png(w, h, raster,
+                                    channels=channels, filters=filters)
+        assert multimodal.decode_png(enc) == (w, h, channels, raster)
+
+    roundtrip()
+
+
+def test_png_format_agnostic_consumers(spark):
+    """The SAME pixels flow through the stats and dHash consumers
+    identically whether they arrive as PPM, BMP or PNG; multi-IDAT
+    files decode too; RGBA stats use the color planes only."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    docs = _docs(spark, ["alpha doc", "beta doc", "gamma doc"])
+    ppm = multimodal.attach_image_payload(docs)
+    png = multimodal.attach_image_payload_png(docs)
+    got_ppm = sorted(map(tuple, multimodal.image_pixel_stats(ppm).collect()))
+    got_png = sorted(map(tuple, multimodal.image_pixel_stats(png).collect()))
+    assert got_ppm == got_png and len(got_ppm) == 3
+    keys = ["doc_id", "dhash"]
+    dh_ppm = sorted(map(tuple,
+                        multimodal.image_dhash(ppm).select(*keys).collect()))
+    dh_png = sorted(map(tuple,
+                        multimodal.image_dhash(png).select(*keys).collect()))
+    assert dh_ppm == dh_png and len(dh_ppm) == 3
+
+    # Multi-IDAT: split the compressed stream across two chunks.
+    w, h = 4, 3
+    raster = bytes((i * 31 + 5) % 256 for i in range(w * h * 3))
+    one = multimodal.encode_png(w, h, raster)
+    idat_at = one.index(b"IDAT") - 4
+    (ilen,) = struct.unpack_from(">I", one, idat_at)
+    body = one[idat_at + 8:idat_at + 8 + ilen]
+    tail = one[idat_at + 12 + ilen:]
+    split = (one[:idat_at]
+             + multimodal._png_chunk(b"IDAT", body[:3])
+             + multimodal._png_chunk(b"IDAT", body[3:])
+             + tail)
+    assert multimodal.decode_png(split) == (w, h, 3, raster)
+    # ... but an ancillary chunk interleaved between IDATs is corrupt.
+    interleaved = (one[:idat_at]
+                   + multimodal._png_chunk(b"IDAT", body[:3])
+                   + multimodal._png_chunk(b"tEXt", b"k\x00v")
+                   + multimodal._png_chunk(b"IDAT", body[3:])
+                   + tail)
+    with pytest.raises(ValueError, match="non-consecutive IDAT"):
+        multimodal.decode_png(interleaved)
+
+    # RGBA: alpha is excluded from the pixel statistics.
+    rgb = bytes((i * 13 + 7) % 256 for i in range(6 * 2 * 3))
+    rgba = b"".join(rgb[i:i + 3] + b"\xAA" for i in range(0, len(rgb), 3))
+    frame = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, multimodal.encode_png(6, 2, rgb)),
+             (1, multimodal.encode_png(6, 2, rgba, channels=4))],
+            columns=["doc_id", "payload"],
+        ),
+        schema=multimodal.PAYLOAD_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in
+            multimodal.image_pixel_stats(frame).collect()}
+    for col in ["width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+                "min_byte", "max_byte", "mean_luma_milli"]:
+        assert rows[0][col] == rows[1][col], col
+
+
+def test_adpcm_decode_hand_computed():
+    """One IMA step verified by hand: idx 0 → step 7; nibble 0b0101
+    (mag bits 0+2) → diff = 7//8 + 7//4 + 7 = 0 + 1 + 7 = 8; positive
+    sign; index delta for mag 5 is +4."""
+    pred, idx = multimodal._ima_decode_nibble(5, 100, 0)
+    assert (pred, idx) == (108, 4)
+    # Sign bit negates; index clamps at 0.
+    pred, idx = multimodal._ima_decode_nibble(8 | 5, 100, 0)
+    assert (pred, idx) == (92, 4)
+    pred, idx = multimodal._ima_decode_nibble(0, 100, 0)
+    assert (pred, idx) == (100, 0)          # diff 7>>3 = 0, delta -1 → 0
+    # Predictor clamps to int16 at the top step.
+    pred, idx = multimodal._ima_decode_nibble(7, 32000, 88)
+    assert (pred, idx) == (32767, 88)
+    # Header sample is emitted verbatim.
+    assert multimodal.ima_adpcm_decode_block(-42, 3, []) == [-42]
+
+
+def test_adpcm_wav_roundtrip_property():
+    """encode_wav_adpcm→decode_wav reproduces the reference block
+    decode exactly for arbitrary headers and nibble streams (including
+    multi-block files), and the fact chunk agrees."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        nblocks=st.integers(1, 3),
+        nbytes=st.integers(1, 12),
+        data=st.data(),
+    )
+    def roundtrip(nblocks, nbytes, data):
+        blocks = []
+        for _ in range(nblocks):
+            pred0 = data.draw(st.integers(-32768, 32767))
+            idx0 = data.draw(st.integers(0, 88))
+            nibs = data.draw(st.lists(st.integers(0, 15),
+                                      min_size=2 * nbytes,
+                                      max_size=2 * nbytes))
+            blocks.append((pred0, idx0, nibs))
+        wav = multimodal.encode_wav_adpcm(11025, blocks)
+        rate, ch, samples = multimodal.decode_wav(wav)
+        expect = []
+        for p0, i0, nibs in blocks:
+            expect.extend(multimodal.ima_adpcm_decode_block(p0, i0, nibs))
+        assert (rate, ch, samples) == (11025, 1, expect)
+
+    roundtrip()
+
+
+def test_adpcm_encoder_tracks_smooth_signals():
+    """The true compressor (PCM→nibbles) stays within the quantizer's
+    step of a slowly-varying signal once the step size adapts."""
+    sig = [round(300 * i / 99) for i in range(100)]        # gentle ramp
+    p0, i0, nibs = multimodal.ima_adpcm_encode(sig)
+    dec = multimodal.ima_adpcm_decode_block(p0, i0, nibs)
+    assert len(dec) == len(sig) and dec[0] == sig[0]
+    tail_err = max(abs(a - b) for a, b in zip(sig[10:], dec[10:]))
+    assert tail_err <= 16, tail_err
+
+
+def test_adpcm_rejects_malformed():
+    import struct
+
+    ok = multimodal.encode_wav_adpcm(8000, [(5, 2, [1, 2, 3, 4])])
+
+    # Partial trailing block.
+    bad = bytearray(ok)
+    data_at = ok.index(b"data")
+    (dsize,) = struct.unpack_from("<I", ok, data_at + 4)
+    struct.pack_into("<I", bad, data_at + 4, dsize - 1)
+    del bad[data_at + 8 + dsize - 1]
+    struct.pack_into("<I", bad, 4, len(bad) - 8)
+    with pytest.raises(ValueError, match="blocks"):
+        multimodal.decode_wav(bytes(bad))
+
+    # samples_per_block inconsistent with block_align.
+    bad = bytearray(ok)
+    fmt_at = ok.index(b"fmt ")
+    struct.pack_into("<H", bad, fmt_at + 8 + 18, 99)
+    with pytest.raises(ValueError, match="samples_per_block"):
+        multimodal.decode_wav(bytes(bad))
+
+    # Stereo ADPCM is a declared gap, not silent junk.
+    bad = bytearray(ok)
+    struct.pack_into("<H", bad, fmt_at + 8 + 2, 2)
+    with pytest.raises(NotImplementedError, match="mono"):
+        multimodal.decode_wav(bytes(bad))
+
+    # Step index out of range in a block header.
+    bad = bytearray(ok)
+    bad[data_at + 8 + 2] = 89
+    with pytest.raises(ValueError, match="step index"):
+        multimodal.decode_wav(bytes(bad))
+
+    # fact chunk disagreeing with the decoded count.
+    bad = bytearray(ok)
+    fact_at = ok.index(b"fact")
+    struct.pack_into("<I", bad, fact_at + 8, 999)
+    with pytest.raises(ValueError, match="fact chunk"):
+        multimodal.decode_wav(bytes(bad))
+
+    # Encoder-side validation.
+    with pytest.raises(ValueError, match="even"):
+        multimodal.encode_wav_adpcm(8000, [(0, 0, [1, 2, 3])])
+    with pytest.raises(ValueError, match="same nibble count"):
+        multimodal.encode_wav_adpcm(8000, [(0, 0, [1, 2]), (0, 0, [1, 2, 3, 4])])
+    with pytest.raises(ValueError, match="header"):
+        multimodal.encode_wav_adpcm(8000, [(0, 89, [1, 2])])
