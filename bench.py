@@ -22,6 +22,13 @@ shared-cache warmth biases totals slightly down vs history —
 ``stable_value`` is the comparator to trust from r12 on.
 ``stable_value`` totals those stable representatives — the number to
 read when ``load_avg_1m`` says the box was busy.
+
+Per-run CPU attribution (round 13): every run also records its
+executor CPU seconds from the REST stage API (``query_detail[..].
+cpu_s``), plus ``cpu_ratio`` (max/min across the query's runs) and a
+``throttle_suspect`` flag — identical work per run means a high ratio
+is the box throttling, not the operator regressing (the r12
+spans-bisect finding, mechanized per-run).
 """
 
 from __future__ import annotations
@@ -32,6 +39,11 @@ import sys
 import time
 
 from etl_validator_github_spark.plans.session import get_spark
+from etl_validator_github_spark.plans.telemetry import (
+    StageCpuMeter,
+    cpu_ratio,
+    throttle_suspect,
+)
 from etl_validator_github_spark.queries import CATALOG
 
 
@@ -64,8 +76,14 @@ def _trailing_medians(sf) -> dict[str, float]:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="etl-validator-bench")
+    # The UI is on ONLY so the REST stage API can attribute per-run CPU
+    # (r12 verdict item 3: cpu_s per run makes "box throttled" vs "op
+    # regressed" decidable inside one artifact). Jetty idles during
+    # query execution; the timing overhead is a constant.
+    spark = get_spark(app_name="etl-validator-bench",
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    meter = StageCpuMeter(spark)
 
     # Execute in the rounds-1/2 order (cheap relational queries first) so
     # totals stay comparable across rounds: the first few queries absorb
@@ -125,14 +143,18 @@ def main() -> int:
     for name, q in bench_queries.items():
         load_q = os.getloadavg()[0]
         runs: list[float] = []
+        cpu_runs: list = []
         run_err = None
         while len(runs) < MAX_RUNS:
             # A failure on a LATER run must not discard the earlier
             # good timings (the round-3 isolation lesson).
             try:
+                before = meter.snapshot()
                 t0 = time.perf_counter()
                 q.build(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
+                d = meter.delta(before)
+                cpu_runs.append(None if d is None else d["cpu_s"])
             except Exception as exc:
                 run_err = f"{type(exc).__name__}: {exc}"[:500]
                 break
@@ -154,6 +176,14 @@ def main() -> int:
         timings[name] = round(elapsed, 3)
         detail[name] = {
             "runs": [round(x, 3) for x in runs],
+            # Per-run executor CPU from the REST stage API (r12 verdict
+            # item 3): identical work per warm run, so cpu_ratio above
+            # CPU_THROTTLE_RATIO on substantive work marks runs on
+            # throttled cycles.
+            "cpu_s": [None if c is None else round(c, 3)
+                      for c in cpu_runs],
+            "cpu_ratio": cpu_ratio(cpu_runs),
+            "throttle_suspect": throttle_suspect(cpu_runs),
             "load_1m": round(load_q, 2),
             "stable": pair is not None,
             "sec_stable": (

@@ -69,3 +69,52 @@ def test_cross_pass_warm_and_cold_bases():
     cp = m1m._cross_pass([{"gen": 9.2, "spans": [30.0, 26.0, 25.0]},
                           {"spans": [29.0, 26.5, 25.5]}])
     assert "gen" not in cp and cp["spans"]["agree"] is True
+
+
+def test_cross_pass_wall_cpu_verdict():
+    """r13: the per-run CPU attribution turns cross-pass disagreement
+    into a typed verdict — same instructions on slower cycles is
+    'throttle-suspect', wall-only divergence is 'external-wait'."""
+    walls = [
+        {"agree_op": [30.0, 20.0, 21.0], "hot": [90.0, 60.0, 62.0],
+         "waity": [90.0, 60.0, 62.0]},
+        {"agree_op": [31.0, 20.5, 20.0], "hot": [40.0, 30.0, 31.0],
+         "waity": [40.0, 30.0, 31.0]},
+    ]
+    cpus = [
+        {"agree_op": [900.0, 600.0, 610.0], "hot": [2800.0, 1900.0, 1950.0],
+         "waity": [950.0, 620.0, 610.0]},
+        {"agree_op": [905.0, 610.0, 605.0], "hot": [1300.0, 950.0, 960.0],
+         "waity": [940.0, 600.0, 615.0]},
+    ]
+    cp = m1m._cross_pass(walls, cpus)
+    # wall agrees → no verdict needed.
+    assert cp["agree_op"]["agree"] and cp["agree_op"]["wall_cpu_verdict"] is None
+    # wall disagrees 2x AND warm cpu minima disagree 2x → throttle.
+    assert not cp["hot"]["agree"]
+    assert cp["hot"]["wall_cpu_verdict"] == "throttle-suspect"
+    # wall disagrees 2x but cpu agrees → the box waited, cycles fine.
+    assert not cp["waity"]["agree"]
+    assert cp["waity"]["wall_cpu_verdict"] == "external-wait"
+    assert cp["hot"]["cpu"] == [cpus[0]["hot"], cpus[1]["hot"]]
+    # Without cpu data the verdict fields stay absent (r12 artifacts).
+    cp_legacy = m1m._cross_pass(walls)
+    assert "cpu" not in cp_legacy["hot"]
+
+
+def test_telemetry_cpu_ratio_and_throttle_flag():
+    from etl_validator_github_spark.plans.telemetry import (
+        cpu_ratio,
+        throttle_suspect,
+    )
+
+    # run 1 is excluded (cold); warm ratio over the rest.
+    assert cpu_ratio([9.0, 2.0, 2.2, 4.0]) == 2.0
+    assert cpu_ratio([9.0, 2.0]) is None          # one warm run only
+    assert cpu_ratio([None, 2.0, None]) is None
+    # substantive work + big warm swing → flagged.
+    assert throttle_suspect([10.0, 3.0, 6.0])
+    # sub-CPU_FLOOR_S noise never flags, whatever the ratio.
+    assert not throttle_suspect([0.3, 0.05, 0.3])
+    # agreeing warm runs never flag.
+    assert not throttle_suspect([10.0, 5.0, 5.3])

@@ -85,7 +85,7 @@ def _pass_rep(v):
     return None, None
 
 
-def _cross_pass(pass_timings):
+def _cross_pass(pass_timings, pass_cpus=None):
     """The r12 cross-pass agreement rule, mechanized: a committed pair
     is trusted only when the SAME-COMMIT passes' pairs agree within
     1.2× of each other — the box's throttle plateaus last long enough
@@ -94,7 +94,14 @@ def _cross_pass(pass_timings):
     only cross-pass disagreement exposes it. Pairless multi-run lists
     compare on their best warm run; single cold runs compare but are
     never committed (basis says why). Keys missing from any pass
-    (e.g. the once-only gen setup) get no verdict."""
+    (e.g. the once-only gen setup) get no verdict.
+
+    With per-run CPU attribution (r13, plans/telemetry.py) each key
+    also carries the passes' cpu_s lists and a ``wall_cpu_verdict``:
+    when the passes' wall representatives disagree, "throttle-suspect"
+    if their warm CPU minima disagree too (same instructions, slower
+    cycles — the r12 bisect signature), "external-wait" if CPU agrees
+    while wall does not (scheduling / IO interference, not cycles)."""
     keys = set(pass_timings[0])
     for p in pass_timings[1:]:
         keys &= set(p)
@@ -117,6 +124,24 @@ def _cross_pass(pass_timings):
             "agree": agree,
             "committed": committed,
         }
+        if pass_cpus is not None:
+            cvals = [p.get(k) for p in pass_cpus]
+            out[k]["cpu"] = cvals
+            warm_mins = []
+            for cv in cvals:
+                warm = [c for c in (cv[1:] if isinstance(cv, list)
+                                    else [cv])
+                        if isinstance(c, (int, float)) and c > 0]
+                warm_mins.append(min(warm) if warm else None)
+            cpu_agree = (len(warm_mins) >= 2
+                         and all(m is not None for m in warm_mins)
+                         and max(warm_mins) <= 1.2 * min(warm_mins))
+            if agree or any(m is None for m in warm_mins):
+                out[k]["wall_cpu_verdict"] = None
+            elif not cpu_agree:
+                out[k]["wall_cpu_verdict"] = "throttle-suspect"
+            else:
+                out[k]["wall_cpu_verdict"] = "external-wait"
     return out
 
 
@@ -142,8 +167,10 @@ def _run_isolated(args, ops) -> int:
     merged_c: dict[str, int] = {}
     load0 = os.getloadavg()[0]
     pass_timings: list[dict[str, object]] = []
+    pass_cpus: list[dict[str, object]] = []
     for n_pass in range(max(args.passes, 1)):
         merged_t: dict[str, object] = {}
+        merged_cpu: dict[str, object] = {}
         for op in (gen_ops + pass_ops if n_pass == 0 else pass_ops):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
@@ -162,12 +189,15 @@ def _run_isolated(args, ops) -> int:
                 continue
             child = json.loads(line)
             merged_t.update(child.get("timings_sec", {}))
+            merged_cpu.update(child.get("cpu_sec", {}))
             merged_c.update(child.get("row_counts", {}))
         pass_timings.append(merged_t)
+        pass_cpus.append(merged_cpu)
     doc = {
         "docs": args.docs,
         "isolated": True,
         "timings_sec": pass_timings[0],
+        "cpu_sec": pass_cpus[0],
         "row_counts": merged_c,
         "load_avg_1m": {"start": round(load0, 2),
                         "end": round(os.getloadavg()[0], 2)},
@@ -175,7 +205,8 @@ def _run_isolated(args, ops) -> int:
     }
     if len(pass_timings) > 1:
         doc["passes"] = pass_timings
-        doc["cross_pass"] = _cross_pass(pass_timings)
+        doc["passes_cpu"] = pass_cpus
+        doc["cross_pass"] = _cross_pass(pass_timings, pass_cpus)
     print(json.dumps(doc))
     return 0
 
@@ -219,9 +250,17 @@ def main() -> int:
 
     spark = get_spark(
         app_name="measure-1m", master="local[32]", shuffle_partitions=64,
-        extra_conf={"spark.driver.memory": "48g"},
+        # UI on ONLY for the REST stage API: per-run CPU attribution
+        # (r13; see plans/telemetry.py) rides along with every timing.
+        extra_conf={"spark.driver.memory": "48g",
+                    "spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_validator_github_spark.plans.telemetry import StageCpuMeter
+
+    meter = StageCpuMeter(spark)
+    cpu_s: dict[str, object] = {}
     synthdocs.register(spark)
     per_shard = max(args.docs // 32, 1)
     src = (
@@ -254,6 +293,7 @@ def main() -> int:
         import gc
 
         runs = []
+        cpus = []
         out = None
         max_runs = (max(args.stable_cap, 3) if stable
                     else max(repeat or args.repeat, 1))
@@ -266,6 +306,7 @@ def main() -> int:
             # later runs thrash (measured: keeplongest 33 s → 261 s by
             # repeat three).
             gc.collect()
+            before = meter.snapshot()
             t0 = time.perf_counter()
             try:
                 out = fn()
@@ -274,6 +315,8 @@ def main() -> int:
                 print(f"[measure] {name} FAILED: {exc}", file=sys.stderr)
                 return
             runs.append(round(time.perf_counter() - t0, 1))
+            d = meter.delta(before)
+            cpus.append(None if d is None else round(d["cpu_s"], 1))
             # One source of truth for the commitment rule: the same
             # _stable_pair the cross-pass verdict recomputes with.
             if stable and _stable_pair(runs) is not None:
@@ -281,7 +324,8 @@ def main() -> int:
         if out is not None:
             counts[name] = out
         timings[name] = runs[0] if len(runs) == 1 else runs
-        print(f"[measure] {name}: {timings[name]} "
+        cpu_s[name] = cpus[0] if len(cpus) == 1 else cpus
+        print(f"[measure] {name}: {timings[name]} cpu={cpu_s[name]} "
               f"(load {os.getloadavg()[0]:.1f})", file=sys.stderr, flush=True)
 
     if "gen" in ops or not os.path.exists(pq):
@@ -718,6 +762,7 @@ def main() -> int:
     print(json.dumps({
         "docs": args.docs,
         "timings_sec": timings,
+        "cpu_sec": cpu_s,
         "row_counts": counts,
         "load_avg_1m": {"start": round(load0, 2),
                         "end": round(os.getloadavg()[0], 2)},
