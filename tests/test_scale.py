@@ -2672,3 +2672,31 @@ def test_adpcm_rejects_malformed():
         multimodal.encode_wav_adpcm(8000, [(0, 0, [1, 2]), (0, 0, [1, 2, 3, 4])])
     with pytest.raises(ValueError, match="header"):
         multimodal.encode_wav_adpcm(8000, [(0, 89, [1, 2])])
+
+
+def test_windowed_hashes_np_equals_expression_plan(spark):
+    """The Arrow byte-slice window-hash twin returns exactly the
+    expression kernel's (doc_id, pos, h) rows — including multi-byte
+    UTF-8 tokens, empty tokens from doubled spaces, and docs shorter
+    than k — and the full spans report is identical through either
+    kernel."""
+    texts = [
+        "one two three four five six seven eight",   # > k windows
+        "héllo wörld ünïcode tokens stretch bytes beyond ascii",
+        "a  b c d e f",                               # doubled space
+        "short doc",                                  # < k → no windows
+        "one two three four five six seven eight",    # exact duplicate
+    ]
+    docs = _docs(spark, texts)
+    k = 5
+    base = dedup._span_base(docs)
+    exp = sorted(map(tuple, dedup._span_windows(base, k).collect()))
+    got = sorted(map(tuple, dedup.windowed_hashes_np(base, k).collect()))
+    assert exp == got and len(exp) > 0
+
+    full_exp = sorted(map(tuple,
+                          dedup.substring_span_stats(docs, 5).collect()))
+    full_np = sorted(map(tuple,
+                         dedup.substring_span_stats(
+                             docs, 5, np_windows=True).collect()))
+    assert full_exp == full_np
