@@ -1398,19 +1398,34 @@ def _span_base(docs: DataFrame) -> DataFrame:
     )
 
 
-def _span_windows(base: DataFrame, k: int) -> DataFrame:
+def _span_windows(base: DataFrame, k: int,
+                  binary: bool = False) -> DataFrame:
     """(doc_id, pos, h): every k-token sliding-window hash, map-only.
     1-based window start so Spark and the oracles agree on ``pos``.
     Window strings and their md5 are assembled post-explode in codegen
     (`windowed_shingles`) — the earlier HOF form hashed every window
-    inside an interpreted lambda."""
+    inside an interpreted lambda.
+
+    ``binary=True`` keys on ``unhex(md5)`` — the same 128 bits as a
+    16-byte BINARY instead of a 32-char hex string. Bijective with the
+    hex form, so grouping/joining semantics are identical, but the
+    corpus-wide hash-agg shuffles 16 key bytes/row instead of a
+    32-char string (~35% less at spans' row shape — the difference
+    that keeps the 10M-doc shuffle on one box's disk; per-run shuffle
+    bytes recorded in MEASURE_10M_r13). Used by the consumers that
+    never expose ``h`` (stats/strip); the persisted span index stays
+    hex for artifact compatibility."""
+    h = F.md5("shingle")
+    if binary:
+        h = F.unhex(h)
     return (
         windowed_shingles(base.select("doc_id", "__toks"), k)
-        .select("doc_id", "pos", F.md5("shingle").alias("h"))
+        .select("doc_id", "pos", h.alias("h"))
     )
 
 
-def windowed_hashes_np(base: DataFrame, k: int) -> DataFrame:
+def windowed_hashes_np(base: DataFrame, k: int,
+                       binary: bool = False) -> DataFrame:
     """Arrow-batched twin of ``_span_windows`` (the np_assign/np_probe
     convention from scale/similarity.py): identical (doc_id, pos, h)
     values, Python-side kernel, opt-in only — the expression plan
@@ -1423,11 +1438,15 @@ def windowed_hashes_np(base: DataFrame, k: int) -> DataFrame:
     C-speed md5 call per window, no per-window join. Useful as the
     measured comparison point for the codegen path (SCALE.md records
     both at 1M; see tools/measure_1m.py op ``spans_np``).
+
+    ``binary`` mirrors ``_span_windows``: 16-byte digests instead of
+    hex strings, value-equal under unhex.
     """
     import hashlib
 
     import pandas as pd
     from pyspark.sql.types import (
+        BinaryType,
         IntegerType,
         LongType,
         StringType,
@@ -1438,7 +1457,7 @@ def windowed_hashes_np(base: DataFrame, k: int) -> DataFrame:
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("pos", IntegerType()),
-        StructField("h", StringType()),
+        StructField("h", BinaryType() if binary else StringType()),
     ])
 
     def gen(batches):
@@ -1461,8 +1480,8 @@ def windowed_hashes_np(base: DataFrame, k: int) -> DataFrame:
                 for p in range(n - k + 1):
                     ids.append(doc_id)
                     poss.append(p + 1)
-                    hs.append(md5(text[offs[p]:offs[p + k] - 1])
-                              .hexdigest())
+                    d = md5(text[offs[p]:offs[p + k] - 1])
+                    hs.append(d.digest() if binary else d.hexdigest())
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "pos": pd.Series(poss, dtype="int32"),
@@ -1507,8 +1526,10 @@ def substring_span_stats(docs: DataFrame,
     the expression plan stays the default and the oracle's shape."""
     k = int(span_tokens)
     base = _span_base(docs)
-    wins = (windowed_hashes_np(base, k) if np_windows
-            else _span_windows(base, k))
+    # Binary (unhex) window keys: identical grouping semantics, ~35%
+    # less shuffle — the final report never exposes h.
+    wins = (windowed_hashes_np(base, k, binary=True) if np_windows
+            else _span_windows(base, k, binary=True))
     gc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("global_count"))
     dup = (
         wins.join(gc.filter(F.col("global_count") > 1), "h")
@@ -1602,7 +1623,7 @@ def strip_duplicated_spans(docs: DataFrame,
     clean_text) with duplicated-span tokens removed in place."""
     k = int(span_tokens)
     base = _span_base(docs)
-    wins = _span_windows(base, k)
+    wins = _span_windows(base, k, binary=True)
     gc = wins.groupBy("h").agg(F.count(F.lit(1)).alias("global_count"))
     covered = (
         wins.join(gc.filter(F.col("global_count") > 1), "h")

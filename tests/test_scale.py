@@ -2694,6 +2694,15 @@ def test_windowed_hashes_np_equals_expression_plan(spark):
     got = sorted(map(tuple, dedup.windowed_hashes_np(base, k).collect()))
     assert exp == got and len(exp) > 0
 
+    # Binary (unhex) mode: both kernels agree with each other AND are
+    # the byte-wise unhex of the hex mode (bijection, same grouping).
+    exp_b = sorted((d, p, bytes(h)) for d, p, h in
+                   dedup._span_windows(base, k, binary=True).collect())
+    got_b = sorted((d, p, bytes(h)) for d, p, h in
+                   dedup.windowed_hashes_np(base, k, binary=True).collect())
+    assert exp_b == got_b
+    assert exp_b == sorted((d, p, bytes.fromhex(h)) for d, p, h in exp)
+
     full_exp = sorted(map(tuple,
                           dedup.substring_span_stats(docs, 5).collect()))
     full_np = sorted(map(tuple,

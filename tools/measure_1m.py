@@ -168,9 +168,11 @@ def _run_isolated(args, ops) -> int:
     load0 = os.getloadavg()[0]
     pass_timings: list[dict[str, object]] = []
     pass_cpus: list[dict[str, object]] = []
+    pass_shf: list[dict[str, object]] = []
     for n_pass in range(max(args.passes, 1)):
         merged_t: dict[str, object] = {}
         merged_cpu: dict[str, object] = {}
+        merged_shf: dict[str, object] = {}
         for op in (gen_ops + pass_ops if n_pass == 0 else pass_ops):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
@@ -190,14 +192,17 @@ def _run_isolated(args, ops) -> int:
             child = json.loads(line)
             merged_t.update(child.get("timings_sec", {}))
             merged_cpu.update(child.get("cpu_sec", {}))
+            merged_shf.update(child.get("shuffle_mb", {}))
             merged_c.update(child.get("row_counts", {}))
         pass_timings.append(merged_t)
         pass_cpus.append(merged_cpu)
+        pass_shf.append(merged_shf)
     doc = {
         "docs": args.docs,
         "isolated": True,
         "timings_sec": pass_timings[0],
         "cpu_sec": pass_cpus[0],
+        "shuffle_mb": pass_shf[0],
         "row_counts": merged_c,
         "load_avg_1m": {"start": round(load0, 2),
                         "end": round(os.getloadavg()[0], 2)},
@@ -261,6 +266,7 @@ def main() -> int:
 
     meter = StageCpuMeter(spark)
     cpu_s: dict[str, object] = {}
+    shuffle_mb: dict[str, object] = {}
     synthdocs.register(spark)
     per_shard = max(args.docs // 32, 1)
     src = (
@@ -294,6 +300,7 @@ def main() -> int:
 
         runs = []
         cpus = []
+        shfs = []
         out = None
         max_runs = (max(args.stable_cap, 3) if stable
                     else max(repeat or args.repeat, 1))
@@ -317,6 +324,8 @@ def main() -> int:
             runs.append(round(time.perf_counter() - t0, 1))
             d = meter.delta(before)
             cpus.append(None if d is None else round(d["cpu_s"], 1))
+            shfs.append(None if d is None
+                        else round(d["shuffle_write"] / 1e6, 1))
             # One source of truth for the commitment rule: the same
             # _stable_pair the cross-pass verdict recomputes with.
             if stable and _stable_pair(runs) is not None:
@@ -325,6 +334,7 @@ def main() -> int:
             counts[name] = out
         timings[name] = runs[0] if len(runs) == 1 else runs
         cpu_s[name] = cpus[0] if len(cpus) == 1 else cpus
+        shuffle_mb[name] = shfs[0] if len(shfs) == 1 else shfs
         print(f"[measure] {name}: {timings[name]} cpu={cpu_s[name]} "
               f"(load {os.getloadavg()[0]:.1f})", file=sys.stderr, flush=True)
 
@@ -774,6 +784,7 @@ def main() -> int:
         "docs": args.docs,
         "timings_sec": timings,
         "cpu_sec": cpu_s,
+        "shuffle_mb": shuffle_mb,
         "row_counts": counts,
         "load_avg_1m": {"start": round(load0, 2),
                         "end": round(os.getloadavg()[0], 2)},
