@@ -433,13 +433,258 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
+def _lzw_min_code_size(n_colors: int) -> int:
+    bits = 2
+    while (1 << bits) < n_colors:
+        bits += 1
+    return bits
+
+
+def _gif_lzw_encode(indices: "list[int]", mcs: int) -> bytes:
+    """GIF-variant LZW (GIF89a spec appendix): variable-width codes
+    LSB-first, CLEAR/EOI codes, dictionary reset at 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for idx in indices:
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        seq = (idx,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, expect: int) -> "list[int]":
+    """Inverse of ``_gif_lzw_encode`` incl. the KwKwK case; validates
+    the stream stops at EOI with exactly ``expect`` pixels out."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0          # bit cursor
+    width = mcs + 1
+    table: "list[tuple]" = [(i,) for i in range(1 << mcs)] + [(), ()]
+    out: "list[int]" = []
+    prev: "tuple | None" = None
+
+    def read() -> int:
+        nonlocal pos
+        if pos + width > 8 * len(data):
+            raise ValueError("LZW stream truncated before EOI")
+        byte, bit = divmod(pos, 8)
+        v = 0
+        for i in range((width + bit + 7) // 8):
+            v |= data[byte + i] << (8 * i)
+        pos += width
+        return (v >> bit) & ((1 << width) - 1)
+
+    while True:
+        code = read()
+        if code == eoi:
+            break
+        if code == clear:
+            table = [(i,) for i in range(1 << mcs)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)          # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of table range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > expect:
+            raise ValueError(
+                f"LZW decoded {len(out)} pixels, image holds {expect}"
+            )
+    if len(out) != expect:
+        raise ValueError(
+            f"LZW decoded {len(out)} pixels, need exactly {expect}"
+        )
+    return out
+
+
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Pure-stdlib GIF89a writer for RGB rasters with ≤256 distinct
+    colors: palette from the image's distinct triples, genuine LZW
+    (variable-width codes, CLEAR/EOI, 4096-entry dictionary reset),
+    ≤255-byte sub-block framing."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"raster length {len(pixels)} != {width}x{height}x3"
+        )
+    triples = [pixels[i:i + 3] for i in range(0, len(pixels), 3)]
+    palette = sorted(set(triples))
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors exceed a GIF "
+                         "palette (quantize first)")
+    lut = {c: i for i, c in enumerate(palette)}
+    indices = [lut[c] for c in triples]
+    # Palette table size must be a power of two ≥ 2.
+    pbits = 1
+    while (1 << pbits) < len(palette):
+        pbits += 1
+    table = b"".join(palette) + bytes(3 * ((1 << pbits) - len(palette)))
+    mcs = _lzw_min_code_size(1 << pbits)
+    lzw = _gif_lzw_encode(indices, mcs)
+    blocks = b"".join(
+        bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", width, height,
+                          0x80 | (pbits - 1), 0, 0)   # global table, 2^pbits
+            + table
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            + bytes([mcs]) + blocks + b"\x00"
+            + b"\x3B")
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a single-frame, non-interlaced GIF87a/89a to top-down
+    RGB with the stdlib alone: logical-screen + image descriptors,
+    global/local color tables, extension-block skipping, and a real
+    LZW decompressor (variable-width codes, CLEAR/EOI, KwKwK).
+
+    Strictness mirrors the codec family: sub-block framing must be
+    intact, the LZW stream must produce exactly width·height pixels
+    and end at EOI, every index must hit the palette, and trailing
+    bytes after the GIF trailer are rejected (the decode_ppm
+    exact-length rule). Interlaced images are a declared gap."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: header {data[:6]!r}")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = [data[pos + 3 * i:pos + 3 * i + 3] for i in range(n)]
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing GIF trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                       # trailer
+            raise ValueError("GIF ends before any image data")
+        if block == 0x21:                       # extension: skip
+            if pos >= len(data):
+                raise ValueError("truncated extension block")
+            pos += 1                            # label
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated extension sub-blocks")
+                n = data[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block == 0x2C:                       # image descriptor
+            break
+        raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if pos + 9 > len(data):
+        raise ValueError("truncated image descriptor")
+    left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+    pos += 9
+    if iflags & 0x40:
+        raise NotImplementedError(
+            "interlaced GIF decode is a declared gap (row reordering "
+            "pass not implemented)"
+        )
+    palette = gct
+    if iflags & 0x80:                           # local color table
+        n = 2 << (iflags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated local color table")
+        palette = [data[pos + 3 * i:pos + 3 * i + 3] for i in range(n)]
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("GIF image has no color table")
+    if w <= 0 or h <= 0 or w > sw or h > sh:
+        raise ValueError(f"invalid image dimensions {w}x{h} in "
+                         f"{sw}x{sh} screen")
+    if pos >= len(data):
+        raise ValueError("truncated before LZW min code size")
+    mcs = data[pos]
+    pos += 1
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"invalid LZW min code size {mcs}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated image sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(data):
+            raise ValueError("truncated image sub-block")
+        lzw += data[pos:pos + n]
+        pos += n
+    if pos >= len(data) or data[pos] != 0x3B:
+        raise ValueError("missing GIF trailer after image data")
+    if len(data) - pos > 1:
+        raise ValueError(
+            f"trailing bytes after GIF trailer: {len(data) - pos - 1} extra"
+        )
+    indices = _gif_lzw_decode(bytes(lzw), mcs, w * h)
+    npal = len(palette)
+    if any(i >= npal for i in indices):
+        raise ValueError("pixel index outside the color table")
+    out = b"".join(palette[i] for i in indices)
+    return w, h, 3, out
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to (width, height, channels, pixel bytes).
 
     Native (pure-Python) decode for binary netpbm (PPM P6 / PGM P5),
-    uncompressed 24-bit BMP, and non-interlaced 8-bit PNG (stdlib
-    zlib inflate + integer unfiltering) — every consumer dispatches
-    through here, so all four formats flow into the same stats/dHash/
+    uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib zlib
+    inflate + integer unfiltering), and single-frame GIF (real LZW
+    decompressor + palette mapping) — every consumer dispatches
+    through here, so all five formats flow into the same stats/dHash/
     resize plumbing. Formats that genuinely need codec libraries
     (JPEG, video containers) stay a declared gap — on a real cluster
     that branch dispatches to PIL/libvips; the surrounding mapInPandas
@@ -452,10 +697,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_bmp(payload)
     if head == PNG_SIG[:2]:
         return decode_png(payload)
+    if head == b"GI":
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no codec for image format {head!r}: only binary netpbm "
-        "(P6/P5), uncompressed 24-bit BMP and non-interlaced 8-bit "
-        "PNG decode natively; JPEG/... require codec libraries"
+        "(P6/P5), uncompressed 24-bit BMP, non-interlaced 8-bit PNG "
+        "and single-frame GIF decode natively; JPEG/... require codec "
+        "libraries"
     )
 
 
@@ -555,6 +803,23 @@ def attach_image_payload_png(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(to_png, PAYLOAD_SCHEMA)
+
+
+def attach_image_payload_gif(docs: DataFrame) -> DataFrame:
+    """``attach_image_payload``'s GIF twin: the SAME md5-derived pixels
+    (so ``_MULTIMODAL_SQL`` applies unchanged) written through
+    ``encode_gif`` — genuine LZW-compressed single-frame GIFs whose
+    palettes are the image's distinct triples (≤192 pixels per fixture
+    image, so the 256-entry ceiling always holds)."""
+
+    def to_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_gif(*_synth_raster(text)) for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_gif, PAYLOAD_SCHEMA)
 
 
 def image_pixel_stats(payloads: DataFrame) -> DataFrame:
@@ -923,6 +1188,11 @@ def _multimodal_bmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multimodal_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return image_pixel_stats(attach_image_payload_png(docs))
+
+
+def _multimodal_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return image_pixel_stats(attach_image_payload_gif(docs))
 
 
 def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,6 +2196,12 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "zlib-compressed non-interlaced PNGs with per-row "
               "filters cycling None/Sub/Up/Average/Paeth — same "
               "oracle, so the gate pins every unfilter branch."),
+        Query("multimodal_gif_stats", _multimodal_gif_q, _MULTIMODAL_SQL,
+              "The same pixel statistics through the GIF codec: "
+              "identical md5-derived pixels written as genuine "
+              "LZW-compressed single-frame GIFs (variable-width codes, "
+              "CLEAR/EOI, palette mapping) — same oracle, so the gate "
+              "pins the LZW decompressor itself."),
         Query("multimodal_resize", _resize_q, _RESIZE_SQL,
               "Aspect-preserving resize geometry over the real decoded "
               "dimensions (mapInPandas; integer geometry exact)."),

@@ -2709,3 +2709,103 @@ def test_windowed_hashes_np_equals_expression_plan(spark):
                          dedup.substring_span_stats(
                              docs, 5, np_windows=True).collect()))
     assert full_exp == full_np
+
+
+def test_gif_decode_canonical_and_hand_computed():
+    """GIF joins the native-decode family: the canonical 1x1 GIF (the
+    famous 43-byte tracking pixel, black on a 2-color palette) decodes
+    via the real LZW path, and encode->decode is the identity."""
+    one_px = bytes.fromhex(
+        "47494638396101000100800000000000ffffff21f90401000000002c"
+        "00000000010001000002024401003b")
+    assert multimodal.decode_gif(one_px) == (1, 1, 3, b"\x00\x00\x00")
+    assert multimodal.decode_image(one_px) == (1, 1, 3, b"\x00\x00\x00")
+
+    for w, h in [(1, 1), (3, 1), (16, 12), (40, 30)]:
+        px = bytes((17 * i + 3) % 256 for i in range(w * h * 3))
+        g = multimodal.encode_gif(w, h, px)
+        assert g[:6] == b"GIF89a"
+        assert multimodal.decode_gif(g) == (w, h, 3, px)
+
+    # LZW's best case (repetitive content) and the dictionary-reset
+    # path (long random stream over a small palette) both round-trip.
+    px = (b"\x01\x02\x03" * 1200)[:40 * 30 * 3]
+    g = multimodal.encode_gif(40, 30, px)
+    assert multimodal.decode_gif(g) == (40, 30, 3, px)
+    import random
+    rng = random.Random(13)
+    idx = [rng.randrange(4) for _ in range(20000)]
+    enc = multimodal._gif_lzw_encode(idx, 2)
+    assert multimodal._gif_lzw_decode(enc, 2, 20000) == idx
+
+
+def test_gif_rejects_malformed():
+    import struct
+
+    px = bytes(range(27))
+    ok = multimodal.encode_gif(3, 3, px)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"GIF90a" + ok[6:])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        multimodal.decode_gif(ok + b"\x00")
+    with pytest.raises(ValueError, match="trailer"):
+        multimodal.decode_gif(ok[:-1])
+    # Truncated mid-sub-block.
+    with pytest.raises(ValueError, match="truncated|trailer|LZW"):
+        multimodal.decode_gif(ok[:-5])
+    # Interlace flag is a declared gap.
+    doctored = bytearray(ok)
+    img_at = ok.index(b"\x2C", 13)
+    doctored[img_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_gif(bytes(doctored))
+    # An LZW stream that under-produces pixels is corrupt: claim a
+    # bigger image than the stream encodes.
+    doctored = bytearray(ok)
+    struct.pack_into("<H", doctored, 6, 4)          # screen width 4
+    struct.pack_into("<H", doctored, img_at + 5, 4)  # image width 4
+    with pytest.raises(ValueError, match="LZW"):
+        multimodal.decode_gif(bytes(doctored))
+    too_many = b"".join(bytes([i % 256, i // 256, 7]) for i in range(272))
+    with pytest.raises(ValueError, match="exceed"):
+        multimodal.encode_gif(17, 16, too_many)
+
+
+def test_gif_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        ncolors=st.integers(1, 6),
+        data=st.data(),
+    )
+    def roundtrip(w, h, ncolors, data):
+        colors = [bytes([(7 * c + 1) % 256, (13 * c) % 256, c]) for c in
+                  range(ncolors)]
+        px = b"".join(
+            colors[data.draw(st.integers(0, ncolors - 1))]
+            for _ in range(w * h)
+        )
+        g = multimodal.encode_gif(w, h, px)
+        assert multimodal.decode_gif(g) == (w, h, 3, px)
+
+    roundtrip()
+
+
+def test_gif_format_agnostic_consumers(spark):
+    docs = _docs(spark, ["alpha doc", "beta doc", "gamma doc"])
+    ppm = multimodal.attach_image_payload(docs)
+    gif = multimodal.attach_image_payload_gif(docs)
+    got_ppm = sorted(map(tuple, multimodal.image_pixel_stats(ppm).collect()))
+    got_gif = sorted(map(tuple, multimodal.image_pixel_stats(gif).collect()))
+    assert got_ppm == got_gif and len(got_ppm) == 3
+    keys = ["doc_id", "dhash"]
+    dh_ppm = sorted(map(tuple,
+                        multimodal.image_dhash(ppm).select(*keys).collect()))
+    dh_gif = sorted(map(tuple,
+                        multimodal.image_dhash(gif).select(*keys).collect()))
+    assert dh_ppm == dh_gif and len(dh_ppm) == 3
