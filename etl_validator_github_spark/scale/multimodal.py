@@ -257,38 +257,22 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body)))
 
 
-def encode_png(width: int, height: int, pixels: bytes,
-               channels: int = 3,
-               filters: "list[int] | None" = None) -> bytes:
-    """Pure-stdlib PNG writer: 8-bit greyscale/RGB/RGBA, non-interlaced.
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step), PNG §8.2.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    ``filters`` optionally names the per-row filter type (0–4); the
-    default cycles through all five so every unfilter branch of the
-    decoder (None/Sub/Up/Average/Paeth) sees real traffic on every
-    image taller than four rows. IDAT is stdlib ``zlib``; CRCs are
-    ``zlib.crc32`` — no codec library anywhere.
-    """
-    import struct
-    import zlib
 
-    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
-    if color_type is None:
-        raise ValueError(f"PNG writer supports 1/3/4 channels, got {channels}")
-    if len(pixels) != width * height * channels:
-        raise ValueError(
-            f"raster length {len(pixels)} != {width}x{height}x{channels}"
-        )
-    if filters is None:
-        filters = [y % 5 for y in range(height)]
-    if len(filters) != height or any(not 0 <= t <= 4 for t in filters):
-        raise ValueError("filters must give one type in 0..4 per row")
+def _png_filter_rows(raw: bytes, width: int, height: int, channels: int,
+                     filters: "list[int]") -> bytes:
+    """Filter a raster into PNG scanlines (filter byte + filtered row
+    per scanline); prior row resets to zeros at the raster start."""
     bpp = channels
-    rb = width * channels            # bytes per unfiltered row
-    raw = memoryview(pixels)
-    prior = bytes(rb)                # row above, unfiltered (zeros for y=0)
+    rb = width * channels
+    mv = memoryview(raw)
+    prior = bytes(rb)
     out = bytearray()
     for y in range(height):
-        row = raw[y * rb:(y + 1) * rb].tobytes()
+        row = mv[y * rb:(y + 1) * rb].tobytes()
         t = filters[y]
         out.append(t)
         if t == 0:
@@ -312,26 +296,133 @@ def encode_png(width: int, height: int, pixels: bytes,
                 for i in range(rb)
             )
         prior = row
+    return bytes(out)
+
+
+def _png_unfilter(stream: bytes, width: int, height: int,
+                  channels: int) -> bytes:
+    """Inverse of ``_png_filter_rows``: scanlines → raster, validating
+    filter-type bytes."""
+    bpp = channels
+    rb = width * channels
+    out = bytearray(height * rb)
+    prior = bytes(rb)
+    for y in range(height):
+        t = stream[y * (1 + rb)]
+        row = bytearray(stream[y * (1 + rb) + 1:(y + 1) * (1 + rb)])
+        if t == 0:
+            pass
+        elif t == 1:
+            for i in range(bpp, rb):
+                row[i] = (row[i] + row[i - bpp]) & 255
+        elif t == 2:
+            for i in range(rb):
+                row[i] = (row[i] + prior[i]) & 255
+        elif t == 3:
+            for i in range(rb):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prior[i]) // 2) & 255
+        elif t == 4:
+            for i in range(rb):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prior[i], ul)) & 255
+        else:
+            raise ValueError(f"unknown scanline filter type {t}")
+        out[y * rb:(y + 1) * rb] = row
+        prior = bytes(row)
+    return bytes(out)
+
+
+def _adam7_pass_dims(width: int, height: int) -> "list[tuple]":
+    """(x0, y0, dx, dy, pass_w, pass_h) per non-empty Adam7 pass."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               channels: int = 3,
+               filters: "list[int] | None" = None,
+               interlace: bool = False) -> bytes:
+    """Pure-stdlib PNG writer: 8-bit greyscale/RGB/RGBA, progressive
+    or Adam7-interlaced.
+
+    ``filters`` optionally names the per-scanline filter type (0–4);
+    the default cycles through all five so every unfilter branch of
+    the decoder (None/Sub/Up/Average/Paeth) sees real traffic on every
+    image taller than four rows. Under Adam7 the filters list indexes
+    the concatenated pass scanlines. IDAT is stdlib ``zlib``; CRCs are
+    ``zlib.crc32`` — no codec library anywhere.
+    """
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"PNG writer supports 1/3/4 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"raster length {len(pixels)} != {width}x{height}x{channels}"
+        )
+    if interlace:
+        passes = _adam7_pass_dims(width, height)
+        n_scan = sum(ph for *_, ph in passes)
+        if filters is None:
+            filters = [y % 5 for y in range(n_scan)]
+        if len(filters) != n_scan or any(not 0 <= t <= 4 for t in filters):
+            raise ValueError(
+                f"filters must give one type in 0..4 per scanline "
+                f"({n_scan} Adam7 scanlines)"
+            )
+        out = bytearray()
+        fi = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            sub = bytearray()
+            for sy in range(ph):
+                y = y0 + sy * dy
+                for sx in range(pw):
+                    x = x0 + sx * dx
+                    base = (y * width + x) * channels
+                    sub += pixels[base:base + channels]
+            out += _png_filter_rows(bytes(sub), pw, ph, channels,
+                                    filters[fi:fi + ph])
+            fi += ph
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type,
+                           0, 0, 1)
+        return (PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+                + _png_chunk(b"IEND", b""))
+    if filters is None:
+        filters = [y % 5 for y in range(height)]
+    if len(filters) != height or any(not 0 <= t <= 4 for t in filters):
+        raise ValueError("filters must give one type in 0..4 per row")
+    out = _png_filter_rows(pixels, width, height, channels, filters)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IDAT", zlib.compress(out))
             + _png_chunk(b"IEND", b""))
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a non-interlaced 8-bit greyscale/RGB/RGBA PNG with the
-    stdlib alone: real chunk walk with CRC validation, ``zlib`` IDAT
-    inflate, and all five scanline unfilters (None/Sub/Up/Average/
-    Paeth) as pure integer math. Returns (width, height, channels,
-    top-down row-major raster) — the shared convention of every
-    decoder here.
+    """Decode an 8-bit greyscale/RGB/RGBA PNG (progressive or Adam7-
+    interlaced) with the stdlib alone: real chunk walk with CRC
+    validation, ``zlib`` IDAT inflate, all five scanline unfilters
+    (None/Sub/Up/Average/Paeth) as pure integer math, and the 7-pass
+    Adam7 scatter. Returns (width, height, channels, top-down
+    row-major raster) — the shared convention of every decoder here.
 
     Strictness mirrors the rest of the codec family: IHDR must come
     first and IEND last, IDAT chunks must be consecutive, every CRC
-    must match, the inflated stream must be exactly
-    height·(1 + width·channels) bytes, and trailing bytes after IEND
-    are rejected (the decode_ppm exact-length rule).
+    must match, the inflated stream must hold exactly the scanline
+    bytes the geometry implies, and trailing bytes after IEND are
+    rejected (the decode_ppm exact-length rule).
     """
     import struct
     import zlib
@@ -390,47 +481,45 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             f"invalid IHDR compression/filter method {comp}/{filt}"
         )
     channels = _PNG_COLOR_CHANNELS.get(color_type)
-    if depth != 8 or channels is None or interlace != 0:
+    if depth != 8 or channels is None or interlace not in (0, 1):
         raise NotImplementedError(
-            f"only non-interlaced 8-bit grey/RGB/RGBA decodes natively "
+            f"only 8-bit grey/RGB/RGBA decodes natively "
             f"(depth={depth}, color_type={color_type}, "
             f"interlace={interlace})"
         )
     stream = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full raster by the pass geometry.
+        passes = _adam7_pass_dims(width, height)
+        need = sum(ph * (1 + pw * channels) for *_, pw, ph in passes)
+        if len(stream) != need:
+            raise ValueError(
+                f"inflated stream is {len(stream)} bytes, "
+                f"need exactly {need} (Adam7)"
+            )
+        out = bytearray(width * height * channels)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            plen = ph * (1 + pw * channels)
+            sub = _png_unfilter(stream[pos:pos + plen], pw, ph, channels)
+            pos += plen
+            for sy in range(ph):
+                y = y0 + sy * dy
+                for sx in range(pw):
+                    x = x0 + sx * dx
+                    src = (sy * pw + sx) * channels
+                    dst = (y * width + x) * channels
+                    out[dst:dst + channels] = sub[src:src + channels]
+        return width, height, channels, bytes(out)
     rb = width * channels
     if len(stream) != height * (1 + rb):
         raise ValueError(
             f"inflated stream is {len(stream)} bytes, "
             f"need exactly {height * (1 + rb)}"
         )
-    bpp = channels
-    out = bytearray(height * rb)
-    prior = bytes(rb)
-    for y in range(height):
-        t = stream[y * (1 + rb)]
-        row = bytearray(stream[y * (1 + rb) + 1:(y + 1) * (1 + rb)])
-        if t == 0:
-            pass
-        elif t == 1:
-            for i in range(bpp, rb):
-                row[i] = (row[i] + row[i - bpp]) & 255
-        elif t == 2:
-            for i in range(rb):
-                row[i] = (row[i] + prior[i]) & 255
-        elif t == 3:
-            for i in range(rb):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + (left + prior[i]) // 2) & 255
-        elif t == 4:
-            for i in range(rb):
-                left = row[i - bpp] if i >= bpp else 0
-                ul = prior[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + _paeth(left, prior[i], ul)) & 255
-        else:
-            raise ValueError(f"unknown scanline filter type {t}")
-        out[y * rb:(y + 1) * rb] = row
-        prior = bytes(row)
-    return width, height, channels, bytes(out)
+    return width, height, channels, _png_unfilter(stream, width, height,
+                                                  channels)
 
 
 def _lzw_min_code_size(n_colors: int) -> int:
@@ -539,11 +628,19 @@ def _gif_lzw_decode(data: bytes, mcs: int, expect: int) -> "list[int]":
     return out
 
 
-def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+def _gif_interlace_rows(height: int) -> "list[int]":
+    """GIF 4-pass interlace row order: every 8th from 0, every 8th
+    from 4, every 4th from 2, every 2nd from 1 (GIF89a §20)."""
+    return ([*range(0, height, 8)] + [*range(4, height, 8)]
+            + [*range(2, height, 4)] + [*range(1, height, 2)])
+
+
+def encode_gif(width: int, height: int, pixels: bytes,
+               interlace: bool = False) -> bytes:
     """Pure-stdlib GIF89a writer for RGB rasters with ≤256 distinct
     colors: palette from the image's distinct triples, genuine LZW
     (variable-width codes, CLEAR/EOI, 4096-entry dictionary reset),
-    ≤255-byte sub-block framing."""
+    ≤255-byte sub-block framing, optional 4-pass interlacing."""
     import struct
 
     if len(pixels) != width * height * 3:
@@ -557,6 +654,12 @@ def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
                          "palette (quantize first)")
     lut = {c: i for i, c in enumerate(palette)}
     indices = [lut[c] for c in triples]
+    if interlace:
+        indices = [
+            indices[y * width + x]
+            for y in _gif_interlace_rows(height)
+            for x in range(width)
+        ]
     # Palette table size must be a power of two ≥ 2.
     pbits = 1
     while (1 << pbits) < len(palette):
@@ -572,22 +675,24 @@ def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
             + struct.pack("<HHBBB", width, height,
                           0x80 | (pbits - 1), 0, 0)   # global table, 2^pbits
             + table
-            + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height,
+                                    0x40 if interlace else 0)
             + bytes([mcs]) + blocks + b"\x00"
             + b"\x3B")
 
 
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a single-frame, non-interlaced GIF87a/89a to top-down
-    RGB with the stdlib alone: logical-screen + image descriptors,
-    global/local color tables, extension-block skipping, and a real
-    LZW decompressor (variable-width codes, CLEAR/EOI, KwKwK).
+    """Decode a single-frame GIF87a/89a (interlaced or not) to
+    top-down RGB with the stdlib alone: logical-screen + image
+    descriptors, global/local color tables, extension-block skipping,
+    a real LZW decompressor (variable-width codes, CLEAR/EOI, KwKwK),
+    and the 4-pass interlace row scatter.
 
     Strictness mirrors the codec family: sub-block framing must be
     intact, the LZW stream must produce exactly width·height pixels
     and end at EOI, every index must hit the palette, and trailing
     bytes after the GIF trailer are rejected (the decode_ppm
-    exact-length rule). Interlaced images are a declared gap."""
+    exact-length rule)."""
     import struct
 
     data = bytes(payload)
@@ -628,11 +733,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated image descriptor")
     left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
     pos += 9
-    if iflags & 0x40:
-        raise NotImplementedError(
-            "interlaced GIF decode is a declared gap (row reordering "
-            "pass not implemented)"
-        )
+    interlaced = bool(iflags & 0x40)
     palette = gct
     if iflags & 0x80:                           # local color table
         n = 2 << (iflags & 0x07)
@@ -670,6 +771,14 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
             f"trailing bytes after GIF trailer: {len(data) - pos - 1} extra"
         )
     indices = _gif_lzw_decode(bytes(lzw), mcs, w * h)
+    if interlaced:
+        # The stream stores rows in 4-pass order; scatter them back.
+        rows = _gif_interlace_rows(h)
+        deinter: "list[int]" = [0] * (w * h)
+        for stream_row, img_row in enumerate(rows):
+            deinter[img_row * w:(img_row + 1) * w] = \
+                indices[stream_row * w:(stream_row + 1) * w]
+        indices = deinter
     npal = len(palette)
     if any(i >= npal for i in indices):
         raise ValueError("pixel index outside the color table")

@@ -2444,8 +2444,9 @@ def test_png_rejects_malformed():
     bad[idat_at + 5] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch"):
         multimodal.decode_png(bytes(bad))
-    # 16-bit depth and interlacing are declared gaps, not silent junk.
-    for field_off, val, what in [(8, 16, "depth"), (12, 1, "interlace")]:
+    # 16-bit depth and unknown interlace methods are declared gaps,
+    # not silent junk (Adam7 = method 1 now decodes natively).
+    for field_off, val, what in [(8, 16, "depth"), (12, 2, "interlace")]:
         ihdr = bytearray(struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
         ihdr[field_off] = val
         doctored = (multimodal.PNG_SIG
@@ -2754,12 +2755,7 @@ def test_gif_rejects_malformed():
     # Truncated mid-sub-block.
     with pytest.raises(ValueError, match="truncated|trailer|LZW"):
         multimodal.decode_gif(ok[:-5])
-    # Interlace flag is a declared gap.
-    doctored = bytearray(ok)
     img_at = ok.index(b"\x2C", 13)
-    doctored[img_at + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        multimodal.decode_gif(bytes(doctored))
     # An LZW stream that under-produces pixels is corrupt: claim a
     # bigger image than the stream encodes.
     doctored = bytearray(ok)
@@ -2770,6 +2766,22 @@ def test_gif_rejects_malformed():
     too_many = b"".join(bytes([i % 256, i // 256, 7]) for i in range(272))
     with pytest.raises(ValueError, match="exceed"):
         multimodal.encode_gif(17, 16, too_many)
+
+
+def test_gif_interlace_roundtrip():
+    """4-pass interlacing: the canonical GIF89a row order for 8 rows is
+    0,8.. / 4 / 2,6 / odd — hand-pinned — and interlaced encode→decode
+    is the identity (the decoder must scatter rows back)."""
+    assert multimodal._gif_interlace_rows(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert multimodal._gif_interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5,
+                                                  7, 9]
+    for w, h in [(3, 1), (4, 8), (5, 11), (16, 12)]:
+        px = bytes((29 * i + 11) % 256 for i in range(w * h * 3))
+        g = multimodal.encode_gif(w, h, px, interlace=True)
+        assert multimodal.decode_gif(g) == (w, h, 3, px)
+        # Interlaced and progressive files decode to the same raster.
+        assert multimodal.decode_gif(
+            multimodal.encode_gif(w, h, px)) == (w, h, 3, px)
 
 
 def test_gif_roundtrip_property():
@@ -2809,3 +2821,26 @@ def test_gif_format_agnostic_consumers(spark):
     dh_gif = sorted(map(tuple,
                         multimodal.image_dhash(gif).select(*keys).collect()))
     assert dh_ppm == dh_gif and len(dh_ppm) == 3
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: pass geometry hand-pinned for 8x8 (pass widths/heights
+    1,1,2,2,4,4,8 x ...), interlaced encode→decode is the identity for
+    shapes that exercise empty and partial passes, and an interlaced
+    file decodes to the same raster as its progressive twin."""
+    dims = multimodal._adam7_pass_dims(8, 8)
+    assert [(pw, ph) for *_, pw, ph in dims] == [
+        (1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4)]
+    # 1x1: only pass 1 is non-empty.
+    assert multimodal._adam7_pass_dims(1, 1) == [(0, 0, 8, 8, 1, 1)]
+
+    for w, h, ch in [(1, 1, 3), (3, 2, 1), (5, 5, 3), (8, 8, 4),
+                     (13, 7, 3), (16, 12, 3)]:
+        px = bytes((23 * i + 5) % 256 for i in range(w * h * ch))
+        inter = multimodal.encode_png(w, h, px, channels=ch,
+                                      interlace=True)
+        prog = multimodal.encode_png(w, h, px, channels=ch)
+        assert multimodal.decode_png(inter) == (w, h, ch, px), (w, h, ch)
+        assert multimodal.decode_png(prog) == multimodal.decode_png(inter)
+        # The interlaced file really declares Adam7 in IHDR.
+        assert inter[8 + 8 + 12] == 1 and prog[8 + 8 + 12] == 0
