@@ -1510,6 +1510,92 @@ def ima_adpcm_encode(samples: "list[int]",
     return head[0], head[1], nibbles
 
 
+def mulaw_decode_byte(b: int) -> int:
+    """G.711 μ-law byte → linear PCM16 (the standard CCITT expansion:
+    complement, split exponent/mantissa, bias 0x84 = 132)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    val = ((mant << 3) + 0x84) << exp
+    val -= 0x84
+    return -val if sign else val
+
+
+def mulaw_encode_sample(x: int) -> int:
+    """Linear PCM16 → G.711 μ-law byte (clip, bias, priority-encode
+    the exponent, complement) — the exact inverse path of
+    ``mulaw_decode_byte`` up to quantization."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x, 32635)
+    x += 0x84
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not x & mask:
+        exp -= 1
+        mask >>= 1
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def alaw_decode_byte(b: int) -> int:
+    """G.711 A-law byte → linear PCM16 (toggle even bits with 0x55,
+    exponent/mantissa expansion; a SET sign bit means positive in
+    A-law — 0xD5 → +8, 0x55 → −8)."""
+    b ^= 0x55
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    if exp == 0:
+        val = (mant << 4) + 8
+    else:
+        val = ((mant << 4) + 0x108) << (exp - 1)
+    return val if sign else -val
+
+
+#: Exact inverse of ``alaw_decode_byte`` on its own outputs, nearest
+#: quantization level otherwise (256-entry reverse map — decode is the
+#: hot path; encode only builds fixtures).
+_ALAW_LEVELS: "list[tuple[int, int]] | None" = None
+
+
+def alaw_encode_sample(x: int) -> int:
+    """Linear PCM16 → G.711 A-law byte (nearest companded level;
+    exact involution with the decoder)."""
+    global _ALAW_LEVELS
+    if _ALAW_LEVELS is None:
+        _ALAW_LEVELS = sorted(
+            (alaw_decode_byte(b), b) for b in range(256)
+        )
+    import bisect
+
+    i = bisect.bisect_left(_ALAW_LEVELS, (x, -1))
+    cands = _ALAW_LEVELS[max(0, i - 1):i + 1]
+    return min(cands, key=lambda vb: (abs(vb[0] - x), vb[1]))[1]
+
+
+def encode_wav_g711(sample_rate: int, encoded: bytes,
+                    law: str = "mulaw") -> bytes:
+    """RIFF/WAVE writer for G.711 (format 7 = μ-law, 6 = A-law), mono
+    8-bit: the payload bytes ARE the companded stream."""
+    import struct
+
+    fmt_tag = {"mulaw": 7, "alaw": 6}.get(law)
+    if fmt_tag is None:
+        raise ValueError(f"unknown companding law {law!r}")
+    fmt = struct.pack("<HHIIHHH", fmt_tag, 1, sample_rate, sample_rate,
+                      1, 8, 0)
+    fact = struct.pack("<I", len(encoded))
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(encoded)) + encoded
+            + (b"\x00" if len(encoded) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_adpcm(sample_rate: int,
                      blocks: "list[tuple[int, int, list[int]]]") -> bytes:
     """RIFF/WAVE writer for IMA-ADPCM (format 17), mono: each block is
@@ -1664,9 +1750,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, "list[int]"]:
                 f"{len(samples)}"
             )
         return rate, n_channels, samples
+    if audio_fmt in (6, 7) and bits == 8:
+        # G.711 companded telephony audio: 7 = μ-law, 6 = A-law; each
+        # byte expands to one PCM16 sample through the standard
+        # integer formula — no tables, no libraries.
+        if n_channels != 1:
+            raise NotImplementedError("only mono G.711 decodes here")
+        expand = mulaw_decode_byte if audio_fmt == 7 else alaw_decode_byte
+        samples = [expand(b) for b in pcm]
+        if fact is not None and fact != len(samples):
+            raise ValueError(
+                f"fact chunk declares {fact} samples, decoded "
+                f"{len(samples)}"
+            )
+        return rate, n_channels, samples
     raise NotImplementedError(
-        f"only PCM16 and mono IMA-ADPCM supported, got format "
-        f"{audio_fmt}/{bits}-bit "
+        f"only PCM16, mono IMA-ADPCM and mono G.711 (mu/A-law) "
+        f"supported, got format {audio_fmt}/{bits}-bit "
         "(other codecs need libraries this environment lacks)"
     )
 
@@ -1800,6 +1900,76 @@ def _audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _adpcm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return audio_stats(attach_audio_payload_adpcm(docs))
+
+
+#: μ-law fixture: companded byte i = (h32 + 29·i) % 256 — the payload
+#: bytes themselves are the md5-derived stream, so the oracle expands
+#: them with the same closed-form G.711 formula in SQL.
+MULAW_STRIDE = 29
+
+
+def attach_audio_payload_mulaw(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL G.711 μ-law WAV
+    (format 7, mono 8-bit) per doc; sample count reuses the PCM
+    fixture geometry."""
+
+    def to_mulaw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8],
+                          16)
+                n = AUDIO_MIN_SAMPLES + h32 % AUDIO_N_MOD
+                enc = bytes((h32 + MULAW_STRIDE * i) % 256
+                            for i in range(n))
+                payloads.append(encode_wav_g711(AUDIO_RATE, enc, "mulaw"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_mulaw,
+                                                     PAYLOAD_SCHEMA)
+
+
+def _mulaw_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return audio_stats(attach_audio_payload_mulaw(docs))
+
+
+# The oracle expands each regenerated companded byte with the G.711
+# μ-law closed form — complement, exponent (bits 4-6), mantissa, bias
+# 132 — entirely in SQL, so any Spark-side expansion bug (wrong bias,
+# wrong shift, sign slip) diverges the exact-integer stats.
+_MULAW_STATS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, h32,
+         {AUDIO_MIN_SAMPLES} + h32 % {AUDIO_N_MOD} AS n
+  FROM h
+), c AS (
+  SELECT doc_id, n,
+         255 - ((h32 + {MULAW_STRIDE} * i) % 256) AS cb
+  FROM meta, unnest(range(0, n)) AS t(i)
+), x AS (
+  SELECT doc_id, n,
+         CASE WHEN cb >= 128 THEN -v ELSE v END AS x
+  FROM (
+    SELECT doc_id, n, cb,
+           (((cb % 16) * 8 + 132) * (1 << ((cb // 16) % 8))) - 132 AS v
+    FROM c
+  )
+)
+SELECT doc_id,
+       CAST(MAX(n) AS INT) AS n_samples,
+       CAST({AUDIO_RATE} AS INT) AS sample_rate,
+       CAST(MAX(abs(x)) AS INT) AS peak_abs,
+       CAST(SUM(abs(x)) AS BIGINT) AS sum_abs,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST((1000 * SUM(abs(x))) // MAX(n) AS BIGINT) AS mean_abs_milli
+FROM x GROUP BY 1
+"""
 
 
 _IMA_STEP_VALUES = ", ".join(
@@ -2331,6 +2501,11 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "block-structured ADPCM WAVs, decoded by the pure-Python "
               "predictor/step state machine; the oracle re-runs the "
               "decoder in a recursive CTE over the standard tables."),
+        Query("multimodal_mulaw_stats", _mulaw_stats_q, _MULAW_STATS_SQL,
+              "The same signal statistics through G.711 μ-law (WAV "
+              "format 7): md5-derived companded bytes in genuine "
+              "telephony WAVs, expanded by the standard integer "
+              "formula; the oracle re-runs the expansion in SQL."),
         Query("multimodal_audio_downsample", _audio_downsample_q,
               _AUDIO_DOWNSAMPLE_SQL,
               "Strided audio decimation (8 kHz → 1 kHz, the frame-"

@@ -2844,3 +2844,57 @@ def test_png_adam7_interlace_roundtrip():
         assert multimodal.decode_png(prog) == multimodal.decode_png(inter)
         # The interlaced file really declares Adam7 in IHDR.
         assert inter[8 + 8 + 12] == 1 and prog[8 + 8 + 12] == 0
+
+
+def test_g711_companding_involution_and_known_values():
+    """G.711: decode∘encode is the identity on every companded byte —
+    except μ-law 0x7F, the spec's 'negative zero' (0x7F and 0xFF both
+    expand to 0; linear 0 compands to 0xFF) — and the canonical
+    values hold: μ-law 0xFF → 0, A-law 0xD5 → +8 / 0x55 → −8."""
+    for b in range(256):
+        if b != 0x7F:
+            assert multimodal.mulaw_encode_sample(
+                multimodal.mulaw_decode_byte(b)) == b, b
+        assert multimodal.alaw_encode_sample(
+            multimodal.alaw_decode_byte(b)) == b, b
+    assert multimodal.mulaw_decode_byte(0xFF) == 0
+    assert multimodal.mulaw_decode_byte(0x7F) == 0
+    assert multimodal.mulaw_encode_sample(0) == 0xFF
+    assert multimodal.alaw_decode_byte(0xD5) == 8
+    assert multimodal.alaw_decode_byte(0x55) == -8
+    # Extremes: full-scale magnitudes land at the top segment.
+    assert multimodal.mulaw_decode_byte(0x00) == -32124
+    assert multimodal.mulaw_decode_byte(0x80) == 32124
+    assert multimodal.alaw_decode_byte(0xAA) == 32256     # +full scale
+    # Quantization error of encode→decode stays within the segment
+    # step for a sweep of linear inputs.
+    for x in range(-32000, 32001, 377):
+        y = multimodal.mulaw_decode_byte(multimodal.mulaw_encode_sample(x))
+        assert abs(y - x) <= max(32, abs(x) // 16), (x, y)
+        z = multimodal.alaw_decode_byte(multimodal.alaw_encode_sample(x))
+        assert abs(z - x) <= max(32, abs(x) // 16), (x, z)
+
+
+def test_g711_wav_roundtrip_and_rejects():
+    import struct
+
+    enc = bytes(range(256))
+    for law, dec in [("mulaw", multimodal.mulaw_decode_byte),
+                     ("alaw", multimodal.alaw_decode_byte)]:
+        wav = multimodal.encode_wav_g711(11025, enc, law)
+        rate, ch, s = multimodal.decode_wav(wav)
+        assert (rate, ch) == (11025, 1)
+        assert s == [dec(b) for b in enc]
+    # Stereo G.711 is a declared gap; fact mismatch is corrupt.
+    wav = bytearray(multimodal.encode_wav_g711(8000, enc, "mulaw"))
+    fmt_at = bytes(wav).index(b"fmt ")
+    struct.pack_into("<H", wav, fmt_at + 8 + 2, 2)
+    with pytest.raises(NotImplementedError, match="mono"):
+        multimodal.decode_wav(bytes(wav))
+    wav = bytearray(multimodal.encode_wav_g711(8000, enc, "mulaw"))
+    fact_at = bytes(wav).index(b"fact")
+    struct.pack_into("<I", wav, fact_at + 8, 7)
+    with pytest.raises(ValueError, match="fact chunk"):
+        multimodal.decode_wav(bytes(wav))
+    with pytest.raises(ValueError, match="companding"):
+        multimodal.encode_wav_g711(8000, enc, "dpcm")
