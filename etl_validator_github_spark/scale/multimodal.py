@@ -569,6 +569,13 @@ def _gif_lzw_encode(indices: "list[int]", mcs: int) -> bytes:
         seq = (idx,)
     if seq:
         emit(table[seq], width)
+    # EOI width sync: the decoder appends one table entry per data code
+    # read (after the first), so by the time it reads EOI its table can
+    # have just reached 1<<width and widened — one step before our
+    # entry-add bookkeeping would.  Mirror that here so EOI is written
+    # at the width the decoder will read it with.
+    if next_code == (1 << width) and width < 12:
+        width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -587,12 +594,16 @@ def _gif_lzw_decode(data: bytes, mcs: int, expect: int) -> "list[int]":
 
     def read() -> int:
         nonlocal pos
-        if pos + width > 8 * len(data):
+        if pos >= 8 * len(data):
             raise ValueError("LZW stream truncated before EOI")
         byte, bit = divmod(pos, 8)
         v = 0
+        # Zero-pad past the end: encoders differ on whether EOI is
+        # written at the pre- or post-table-growth width, and the wider
+        # read only ever pulls zero padding bits above the EOI code.
         for i in range((width + bit + 7) // 8):
-            v |= data[byte + i] << (8 * i)
+            if byte + i < len(data):
+                v |= data[byte + i] << (8 * i)
         pos += width
         return (v >> bit) & ((1 << width) - 1)
 
