@@ -802,13 +802,14 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Native (pure-Python) decode for binary netpbm (PPM P6 / PGM P5),
     uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib zlib
-    inflate + integer unfiltering), and single-frame GIF (real LZW
-    decompressor + palette mapping) — every consumer dispatches
-    through here, so all five formats flow into the same stats/dHash/
-    resize plumbing. Formats that genuinely need codec libraries
-    (JPEG, video containers) stay a declared gap — on a real cluster
-    that branch dispatches to PIL/libvips; the surrounding mapInPandas
-    plumbing is identical.
+    inflate + integer unfiltering), single-frame GIF (real LZW
+    decompressor + palette mapping), and baseline JPEG (Huffman +
+    dequant + exact-integer IDCT, see ``scale/jpeg.py``) — every
+    consumer dispatches through here, so all six formats flow into
+    the same stats/dHash/resize plumbing. Formats that genuinely need
+    codec libraries (video containers, progressive JPEG) stay a
+    declared gap — on a real cluster that branch dispatches to
+    PIL/libvips; the surrounding mapInPandas plumbing is identical.
     """
     head = bytes(payload[:2])
     if head in (b"P6", b"P5"):
@@ -819,11 +820,14 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_png(payload)
     if head == b"GI":
         return decode_gif(payload)
+    if head == b"\xFF\xD8":
+        from etl_validator_github_spark.scale.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no codec for image format {head!r}: only binary netpbm "
-        "(P6/P5), uncompressed 24-bit BMP, non-interlaced 8-bit PNG "
-        "and single-frame GIF decode natively; JPEG/... require codec "
-        "libraries"
+        "(P6/P5), uncompressed 24-bit BMP, 8-bit PNG, single-frame "
+        "GIF and baseline JPEG decode natively; video containers/"
+        "progressive JPEG require codec libraries"
     )
 
 
@@ -940,6 +944,66 @@ def attach_image_payload_gif(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(to_gif, PAYLOAD_SCHEMA)
+
+
+#: JPEG fixture: the md5-derived determinism lives in the QUANTIZED
+#: COEFFICIENT domain (JPEG is lossy in pixels but exact in
+#: coefficients): block bi's zigzag-position-k coefficient is a
+#: closed-form function of h32, Huffman-coded into a genuine baseline
+#: bitstream by ``encode_gray_coefficients``. The decoder's IDCT is
+#: pinned to one exact-integer formula (``scale/jpeg.py``), so the
+#: oracle reproduces every decoded pixel digit-for-digit in SQL.
+JPEG_DC_MOD = 65        # DC in [-32, 32]
+JPEG_AC_GATE = 5        # AC present at ~1/5 of positions
+JPEG_AC_MOD = 31        # AC in [-15, 15]
+JPEG_RESTART = 2        # DRI interval: exercises RSTn on multi-block docs
+
+
+def _synth_jpeg_blocks(h32: int, w: int, h: int) -> "list[list[int]]":
+    bw, bh = -(-w // 8), -(-h // 8)
+    blocks = []
+    for bi in range(bw * bh):
+        blk = [0] * 64
+        blk[0] = (h32 + 37 * bi) % JPEG_DC_MOD - (JPEG_DC_MOD - 1) // 2
+        for k in range(1, 64):
+            j = bi * 64 + k
+            if (h32 + 11 * j) % JPEG_AC_GATE == 0:
+                blk[k] = (h32 + 13 * j) % JPEG_AC_MOD - (JPEG_AC_MOD - 1) // 2
+        blocks.append(blk)
+    return blocks
+
+
+def attach_image_payload_jpeg(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL grayscale baseline
+    JPEG per doc. Dims reuse the fixture geometry (1 + h32 % {W/H});
+    quantized coefficients are closed-form in h32 (see the section
+    note), written through ``encode_gray_coefficients`` with the Annex
+    K luminance table and a 2-MCU restart interval — the wire bytes
+    are genuine Huffman-coded, byte-stuffed, restart-marked JPEG."""
+    from etl_validator_github_spark.scale.jpeg import (
+        QUANT_LUMA,
+        ZIGZAG,
+        encode_gray_coefficients,
+    )
+
+    qz = [QUANT_LUMA[ZIGZAG[k]] for k in range(64)]
+
+    def to_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8],
+                          16)
+                w = 1 + h32 % IMG_W_MOD
+                h = 1 + h32 % IMG_H_MOD
+                payloads.append(encode_gray_coefficients(
+                    w, h, _synth_jpeg_blocks(h32, w, h), qz,
+                    restart_interval=JPEG_RESTART,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_jpeg, PAYLOAD_SCHEMA)
 
 
 def image_pixel_stats(payloads: DataFrame) -> DataFrame:
@@ -1313,6 +1377,11 @@ def _multimodal_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multimodal_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return image_pixel_stats(attach_image_payload_gif(docs))
+
+
+def _multimodal_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return image_pixel_stats(attach_image_payload_jpeg(docs))
 
 
 def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2317,6 +2386,111 @@ FROM agg
 """
 
 
+# JPEG oracle: regenerates the quantized coefficients from the
+# closed-form fixture, then runs the DECODER's arithmetic in SQL —
+# dequant (Annex K luminance, zigzag), the exact-integer IDCT as a
+# 64-term integer dot product against the shared weight table, the
+# +128 level shift, and the [0,255] clamp. The literal zz/wt tables
+# below are generated from scale/jpeg.py's constants, so decoder and
+# oracle share one source of truth. DuckDB's `//` truncates toward
+# zero (unlike Python's floor), so the rounding divide adds a 2^41
+# offset (a multiple of the 2^26 divisor, larger than any fixture
+# |sum|) to keep the operand positive — truncation == floor there.
+
+
+def _jpeg_sql() -> str:
+    from etl_validator_github_spark.scale.jpeg import (
+        IDCT_HALF,
+        IDCT_SHIFT,
+        IDCT_W,
+        QUANT_LUMA,
+        ZIGZAG,
+    )
+
+    zz_rows = ", ".join(
+        f"({k}, {ZIGZAG[k] // 8}, {ZIGZAG[k] % 8}, "
+        f"{QUANT_LUMA[ZIGZAG[k]]})"
+        for k in range(64)
+    )
+    wt_rows = ", ".join(
+        f"({u}, {x}, {IDCT_W[u][x]})" for u in range(8) for x in range(8)
+    )
+    offset = 1 << 41
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), dims AS (
+  SELECT doc_id, h32,
+         CAST(1 + h32 % {IMG_W_MOD} AS BIGINT) AS w,
+         CAST(1 + h32 % {IMG_H_MOD} AS BIGINT) AS h
+  FROM h
+), blocks AS (
+  SELECT doc_id, h32, w, h, tby.by AS by, tbx.bx AS bx,
+         tby.by * ((w + 7) // 8) + tbx.bx AS bi
+  FROM dims,
+       range(0, 2) AS tby(by),
+       range(0, 2) AS tbx(bx)
+  WHERE tby.by < (h + 7) // 8 AND tbx.bx < (w + 7) // 8
+), zz AS (
+  SELECT * FROM (VALUES {zz_rows}) AS v(k, vf, hf, q)
+), wt AS (
+  SELECT * FROM (VALUES {wt_rows}) AS v(u, x, wv)
+), dq AS (
+  SELECT b.doc_id, b.bi, zz.vf, zz.hf,
+         (CASE WHEN zz.k = 0
+               THEN (b.h32 + 37 * b.bi) % {JPEG_DC_MOD}
+                    - {(JPEG_DC_MOD - 1) // 2}
+               WHEN (b.h32 + 11 * (b.bi * 64 + zz.k)) % {JPEG_AC_GATE} = 0
+               THEN (b.h32 + 13 * (b.bi * 64 + zz.k)) % {JPEG_AC_MOD}
+                    - {(JPEG_AC_MOD - 1) // 2}
+               ELSE 0 END) * zz.q AS d
+  FROM blocks b, zz
+), bsum AS (
+  SELECT dq.doc_id, dq.bi, wx.x AS x, wy.x AS y,
+         SUM(dq.d * wx.wv * wy.wv) AS s
+  FROM dq
+  JOIN wt wx ON wx.u = dq.hf
+  JOIN wt wy ON wy.u = dq.vf
+  WHERE dq.d <> 0
+  GROUP BY 1, 2, 3, 4
+), cells AS (
+  SELECT b.doc_id, b.bi, b.w, b.h, tx.x AS x, ty.y AS y
+  FROM blocks b, range(0, 8) AS tx(x), range(0, 8) AS ty(y)
+  WHERE b.bx * 8 + tx.x < b.w AND b.by * 8 + ty.y < b.h
+), pix AS (
+  SELECT c.doc_id, c.w, c.h,
+         least(greatest(
+           128 + (COALESCE(bs.s, 0) + {IDCT_HALF} + {offset})
+                 // {1 << IDCT_SHIFT} - {offset >> IDCT_SHIFT},
+           0), 255) AS sample
+  FROM cells c
+  LEFT JOIN bsum bs
+    ON bs.doc_id = c.doc_id AND bs.bi = c.bi
+   AND bs.x = c.x AND bs.y = c.y
+), agg AS (
+  SELECT doc_id, MAX(w) AS w, MAX(h) AS h, SUM(sample) AS s,
+         MIN(sample) AS mn, MAX(sample) AS mx
+  FROM pix GROUP BY 1
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(s AS BIGINT) AS sum_r,
+       CAST(s AS BIGINT) AS sum_g,
+       CAST(s AS BIGINT) AS sum_b,
+       CAST(mn AS INT) AS min_byte,
+       CAST(mx AS INT) AS max_byte,
+       CAST((1000 * 3 * s) // (3 * w * h) AS BIGINT) AS mean_luma_milli
+FROM agg
+"""
+
+
+_JPEG_SQL = _jpeg_sql()
+
+
 _RESIZE_SQL = f"""
 WITH h AS (
   SELECT doc_id,
@@ -2492,6 +2666,14 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "LZW-compressed single-frame GIFs (variable-width codes, "
               "CLEAR/EOI, palette mapping) — same oracle, so the gate "
               "pins the LZW decompressor itself."),
+        Query("multimodal_jpeg_stats", _multimodal_jpeg_q, _JPEG_SQL,
+              "Pixel statistics through the baseline JPEG codec: "
+              "md5-derived QUANTIZED COEFFICIENTS (JPEG is lossy in "
+              "pixels, exact in coefficients) Huffman-coded into "
+              "genuine restart-marked grayscale bitstreams; the "
+              "decoder's exact-integer IDCT is mirrored in SQL, so "
+              "the gate pins Huffman decode, dequant, zigzag, IDCT "
+              "and clamp digit-for-digit."),
         Query("multimodal_resize", _resize_q, _RESIZE_SQL,
               "Aspect-preserving resize geometry over the real decoded "
               "dimensions (mapInPandas; integer geometry exact)."),

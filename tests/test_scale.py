@@ -237,13 +237,17 @@ def test_embedding_near_dups_finds_seeded_copies(spark):
 
 
 def test_decode_image_rejects_codec_formats():
-    # JPEG needs codec libraries the container doesn't ship; PNG now
-    # dispatches to the native decoder (which rejects a truncated
-    # signature as corrupt rather than unsupported).
+    # PNG/JPEG now dispatch to the native decoders (which reject a
+    # truncated stream as corrupt rather than unsupported); unknown
+    # magics and progressive JPEG stay declared gaps.
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        multimodal.decode_image(b"\xff\xd8\xff\xc2")
+    with pytest.raises(NotImplementedError, match="no codec"):
+        multimodal.decode_image(b"\x00\x01??")
 
 
 def test_ppm_decode_hand_computed():
@@ -2898,3 +2902,178 @@ def test_g711_wav_roundtrip_and_rejects():
         multimodal.decode_wav(bytes(wav))
     with pytest.raises(ValueError, match="companding"):
         multimodal.encode_wav_g711(8000, enc, "dpcm")
+
+
+def test_jpeg_gray_block_constant_exact_at_q100():
+    """At quality 100 every quant divisor is 1, so a block-constant
+    grayscale image survives FDCT→quant→Huffman→decode exactly (the
+    DC-only integer IDCT reproduces the constant)."""
+    import numpy as np
+
+    from etl_validator_github_spark.scale import jpeg
+
+    rng = np.random.default_rng(13)
+    for w, h in [(8, 8), (16, 8), (24, 16), (13, 11), (1, 1), (17, 9)]:
+        bw, bh = -(-w // 8), -(-h // 8)
+        grid = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                grid[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    rng.integers(0, 256))
+        img = grid[:h, :w].tobytes()
+        enc = jpeg.encode_jpeg(w, h, img, channels=1, quality=100)
+        assert jpeg.decode_jpeg(enc) == (w, h, 1, img), (w, h)
+        # And through the format-agnostic dispatcher.
+        assert multimodal.decode_image(enc) == (w, h, 1, img)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Lossy-path sanity: random grayscale at q=95 stays within a
+    small per-pixel band; smooth gradients at q=90 are near-exact;
+    constant color images survive 4:4:4 and 4:2:0 within the YCbCr
+    transform's rounding (±1)."""
+    import numpy as np
+
+    from etl_validator_github_spark.scale import jpeg
+
+    rng = np.random.default_rng(29)
+    w, h = 37, 29
+    img = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    enc = jpeg.encode_jpeg(w, h, img, channels=1, quality=95)
+    got = np.frombuffer(jpeg.decode_jpeg(enc)[3], dtype=np.uint8)
+    exp = np.frombuffer(img, dtype=np.uint8)
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 24
+
+    grid = (np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256)
+    enc = jpeg.encode_jpeg(w, h, grid.astype(np.uint8).tobytes(),
+                           channels=1, quality=90)
+    got = np.frombuffer(jpeg.decode_jpeg(enc)[3],
+                        dtype=np.uint8).reshape(h, w)
+    assert np.abs(got.astype(int) - grid).max() <= 4
+
+    for quality, sub, rst in [(75, "444", 0), (95, "444", 0),
+                              (85, "420", 2), (100, "420", 3)]:
+        img3 = bytes([120, 200, 64]) * (w * h)
+        enc = jpeg.encode_jpeg(w, h, img3, channels=3, quality=quality,
+                               subsampling=sub, restart_interval=rst)
+        dw, dh, ch, rast = jpeg.decode_jpeg(enc)
+        assert (dw, dh, ch) == (w, h, 3)
+        got = np.frombuffer(rast, dtype=np.uint8).reshape(-1, 3)
+        err = np.abs(got.astype(int) - np.array([120, 200, 64])).max()
+        assert err <= 1, (quality, sub, rst, err)
+
+
+def test_jpeg_coefficient_writer_bit_exact():
+    """The coefficient-domain writer (the gate fixture) round-trips
+    bit-exactly: Huffman encode → decode → dequant → pinned integer
+    IDCT equals an independent direct-summation reference over the
+    same coefficients (KwKwK-style edge regimes included: all-zero
+    blocks, dense blocks, ZRL runs, restart boundaries)."""
+    import random
+
+    import numpy as np
+
+    from etl_validator_github_spark.scale import jpeg
+
+    rnd = random.Random(7)
+    qz = [jpeg.QUANT_LUMA[jpeg.ZIGZAG[k]] for k in range(64)]
+    W = jpeg.IDCT_W
+    for trial in range(12):
+        w = 1 + rnd.randrange(16)
+        h = 1 + rnd.randrange(12)
+        bw, bh = -(-w // 8), -(-h // 8)
+        blocks = []
+        for bi in range(bw * bh):
+            blk = [0] * 64
+            style = (trial + bi) % 4
+            if style == 1:                       # dense to k=63 (no EOB)
+                blk = [rnd.randrange(31) - 15 for _ in range(64)]
+                blk[63] = blk[63] or 1
+            elif style == 2:                     # ZRL: long zero runs
+                blk[0] = rnd.randrange(65) - 32
+                blk[40] = 9
+                blk[60] = -3
+            elif style == 3:                     # all-zero AC
+                blk[0] = rnd.randrange(65) - 32
+            else:
+                blk[0] = rnd.randrange(65) - 32
+                for k in range(1, 64):
+                    if rnd.random() < 0.2:
+                        blk[k] = rnd.randrange(31) - 15
+            blocks.append(blk)
+        enc = jpeg.encode_gray_coefficients(w, h, blocks, qz,
+                                            restart_interval=2)
+        dw, dh, ch, rast = jpeg.decode_jpeg(enc)
+        assert (dw, dh, ch) == (w, h, 1)
+        ref = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for bi, blk in enumerate(blocks):
+            by, bx = divmod(bi, bw)
+            for y in range(8):
+                for x in range(8):
+                    s = sum(
+                        blk[k] * qz[k]
+                        * W[jpeg.ZIGZAG[k] % 8][x]
+                        * W[jpeg.ZIGZAG[k] // 8][y]
+                        for k in range(64) if blk[k]
+                    )
+                    v = 128 + ((s + jpeg.IDCT_HALF) >> jpeg.IDCT_SHIFT)
+                    ref[by * 8 + y, bx * 8 + x] = min(max(v, 0), 255)
+        assert rast == ref[:h, :w].astype(np.uint8).tobytes(), trial
+
+
+def test_jpeg_rejects_malformed():
+    import struct
+
+    from etl_validator_github_spark.scale import jpeg
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg.decode_jpeg(b"GIF89a")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc2")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc9")
+    # 12-bit precision frame.
+    sof12 = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+             + struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg.decode_jpeg(sof12)
+    # Entropy stream truncated mid-MCU.
+    good = jpeg.encode_jpeg(16, 16, bytes(range(256)), channels=1,
+                            quality=90)
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(good[:len(good) - 12])
+    # A wrong restart index is corrupt, not ignorable.
+    rst = jpeg.encode_jpeg(33, 9, bytes(297), channels=1, quality=90,
+                           restart_interval=1)
+    assert b"\xff\xd0" in rst  # the stream really carries RST0
+    broken = rst.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError, match="RST"):
+        jpeg.decode_jpeg(broken)
+
+
+def test_jpeg_format_agnostic_consumers(spark):
+    """The JPEG fixture flows through the same Spark-side stats and
+    dHash plumbing as every other codec; geometry matches the shared
+    md5 formula, and the stats are stable across runs (pure function
+    of text)."""
+    docs = _docs(spark, ["alpha doc", "beta doc", "gamma doc"])
+    jpg = multimodal.attach_image_payload_jpeg(docs)
+    stats = multimodal.image_pixel_stats(jpg)
+    rows = {r.doc_id: r for r in stats.collect()}
+    ppm_rows = {
+        r.doc_id: r
+        for r in multimodal.image_pixel_stats(
+            multimodal.attach_image_payload(docs)).collect()
+    }
+    assert set(rows) == set(ppm_rows) and len(rows) == 3
+    for doc_id, r in rows.items():
+        assert (r.width, r.height) == (ppm_rows[doc_id].width,
+                                       ppm_rows[doc_id].height)
+        assert r.n_pixels == r.width * r.height
+        assert 0 <= r.min_byte <= r.max_byte <= 255
+    again = {r.doc_id: r for r in stats.collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()}
+    # dHash runs on grayscale JPEG payloads through the same decoder.
+    dh = multimodal.image_dhash(jpg).collect()
+    assert len(dh) == 3 and all(r.dhash is not None for r in dh)
