@@ -179,6 +179,7 @@ def _run_isolated(args, ops) -> int:
                 "--docs", str(args.docs), "--ops", op,
                 "--workdir", args.workdir, "--repeat", str(args.repeat),
                 "--stable-cap", str(args.stable_cap),
+                "--codec", args.codec,
                 "--no-isolate",
             ]
             res = subprocess.run(cmd, capture_output=True, text=True)
@@ -200,6 +201,7 @@ def _run_isolated(args, ops) -> int:
     doc = {
         "docs": args.docs,
         "isolated": True,
+        "codec": args.codec,
         "timings_sec": pass_timings[0],
         "cpu_sec": pass_cpus[0],
         "shuffle_mb": pass_shf[0],
@@ -230,6 +232,12 @@ def main() -> int:
                     help="max runs for stable=True ops before giving "
                          "up on a stable pair (raise for ops the box "
                          "bursts on, e.g. spans)")
+    ap.add_argument("--codec", default="lz4",
+                    help="spark.io.compression.codec for shuffle/spill "
+                         "blocks (lz4 = Spark default; zstd trades CPU "
+                         "for ~35-45%% smaller shuffle files — the "
+                         "knob that decides whether the 10M spans "
+                         "shuffle fits a single box's local disk)")
     ap.add_argument("--isolate", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="run each op in its own subprocess (fresh JVM) "
@@ -258,7 +266,8 @@ def main() -> int:
         # UI on ONLY for the REST stage API: per-run CPU attribution
         # (r13; see plans/telemetry.py) rides along with every timing.
         extra_conf={"spark.driver.memory": "48g",
-                    "spark.ui.enabled": "true"},
+                    "spark.ui.enabled": "true",
+                    "spark.io.compression.codec": args.codec},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -782,6 +791,7 @@ def main() -> int:
 
     print(json.dumps({
         "docs": args.docs,
+        "codec": args.codec,
         "timings_sec": timings,
         "cpu_sec": cpu_s,
         "shuffle_mb": shuffle_mb,
