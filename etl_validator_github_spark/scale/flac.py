@@ -1,0 +1,577 @@
+"""Pure-stdlib FLAC codec (RFC 9639 subset, lossless).
+
+Decoder: ``fLaC`` magic, STREAMINFO parse + metadata-block skip, frame
+header parse (every block-size code including the 8/16-bit
+end-of-header forms, every sample-rate code, the extended-UTF-8 coded
+frame/sample number, CRC-8), subframe types CONSTANT / VERBATIM /
+FIXED(0-4) / LPC(1-32) with wasted-bits shifts, Rice-coded residuals
+(both 4- and 5-bit parameter widths, any partition order, escape
+partitions), stereo decorrelation (left/side, right/side, mid/side —
+the side channel carries one extra bit), per-frame CRC-16, and the
+STREAMINFO MD5 check over the whole decoded stream. Truncated input,
+bad CRCs, reserved codes and bytes trailing the final frame all raise
+(declared errors, never silent wrong samples).
+
+Encoder: mono or stereo, 16 bits per sample. Per frame it picks the
+cheapest of CONSTANT / VERBATIM / the five fixed predictors by exact
+coded bit cost (Rice parameter searched per subframe), writes
+partition-order-0 residuals, and supports all four stereo assignments
+(``independent`` / ``left_side`` / ``right_side`` / ``mid_side``).
+FLAC is lossless, so encode→decode is exact integer identity — which
+is what lets the gate query's DuckDB oracle recompute decoded-signal
+statistics from the fixture's closed-form waveform without parsing a
+byte (see ``multimodal._FLAC_STATS_SQL``).
+
+LPC *encoding* (Levinson-Durbin analysis) is deliberately absent: the
+fixed predictors already compress the fixtures and every FLAC decoder
+must handle them; the decoder side of LPC is implemented and tested
+via hand-built bitstreams.
+
+Reference behavior studied from HassanB613/etl-validator-github (the
+reference ships no media codecs; its pipelines treat binary payloads
+as opaque — see extract/GENERIC_FILE_PIPE.py). This module exists for
+the training-data side of the engine, where FLAC is the dominant
+lossless audio wire format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+FLAC_MAGIC = b"fLaC"
+
+#: Frame-header sync code: 14 bits ``11111111111110``.
+_SYNC = 0x3FFE
+
+#: RFC 9639 fixed-predictor coefficients by order (x[i] minus the
+#: predicted value gives the residual).
+_FIXED_COEF = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+#: Sample-rate code table (frame header bits 0b0001-0b1011).
+_RATE_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+#: Bits-per-sample code table (0b000 = from STREAMINFO; 0b011 reserved).
+_BPS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0, MSB-first —
+    the FLAC frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0,
+    MSB-first — the FLAC whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000
+                   else crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    """MSB-first bit accumulator (FLAC has no byte stuffing)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._acc = 0
+        self._nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nacc += nbits
+        while self._nacc >= 8:
+            self._nacc -= 8
+            self._buf.append((self._acc >> self._nacc) & 0xFF)
+        self._acc &= (1 << self._nacc) - 1
+
+    def write_unary(self, q: int) -> None:
+        """``q`` zero bits then a one bit (RFC 9639 unary)."""
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._nacc:
+            self.write(0, 8 - self._nacc)
+
+    def getvalue(self) -> bytes:
+        assert self._nacc == 0, "unaligned"
+        return bytes(self._buf)
+
+
+class _BitReader:
+    """MSB-first bit reader with byte-offset access so callers can CRC
+    the raw frame bytes (headers and frames are byte-aligned at every
+    CRC site by construction)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self._pos = pos          # next byte
+        self._acc = 0
+        self._nacc = 0
+
+    @property
+    def byte_pos(self) -> int:
+        assert self._nacc == 0, "unaligned byte_pos"
+        return self._pos
+
+    def read(self, nbits: int) -> int:
+        while self._nacc < nbits:
+            if self._pos >= len(self._data):
+                raise ValueError("FLAC: truncated stream")
+            self._acc = (self._acc << 8) | self._data[self._pos]
+            self._pos += 1
+            self._nacc += 8
+        self._nacc -= nbits
+        out = (self._acc >> self._nacc) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._nacc) - 1
+        return out
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self._nacc = 0
+        self._acc = 0
+
+
+def _utf8_encode_number(n: int) -> bytes:
+    """FLAC's extended UTF-8 number coding (plain UTF-8 shape, widened
+    to 7 bytes / 36 bits for sample numbers)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, cap in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31),
+                        (7, 36)):
+        if n < (1 << cap):
+            lead_mask = (0xFF << (8 - nbytes)) & 0xFF
+            out = bytearray(nbytes)
+            for i in range(nbytes - 1, 0, -1):
+                out[i] = 0x80 | (n & 0x3F)
+                n >>= 6
+            out[0] = lead_mask | n
+            return bytes(out)
+    raise ValueError("FLAC: coded number exceeds 36 bits")
+
+
+def _utf8_decode_number(br: _BitReader) -> int:
+    lead = br.read(8)
+    if lead < 0x80:
+        return lead
+    nbytes = 0
+    mask = 0x80
+    while lead & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("FLAC: malformed coded number")
+    n = lead & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        cont = br.read(8)
+        if cont & 0xC0 != 0x80:
+            raise ValueError("FLAC: malformed coded-number continuation")
+        n = (n << 6) | (cont & 0x3F)
+    return n
+
+
+def _zigzag(x: int) -> int:
+    return (x << 1) if x >= 0 else (-(x << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def _read_residual(br: _BitReader, blocksize: int,
+                   order: int) -> "list[int]":
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("FLAC: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise ValueError("FLAC: block size not divisible by partitions")
+    res: list[int] = []
+    for p in range(nparts):
+        count = (blocksize >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC: invalid partition order")
+        param = br.read(pbits)
+        if param == escape:
+            width = br.read(5)
+            if width == 0:
+                res.extend([0] * count)
+            else:
+                res.extend(br.read_signed(width) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                res.append(_unzigzag((q << param) | br.read(param)))
+    return res
+
+
+def _read_subframe(br: _BitReader, blocksize: int,
+                   bps: int) -> "list[int]":
+    if br.read(1):
+        raise ValueError("FLAC: subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC: wasted bits exhaust the sample size")
+    if stype == 0:                                   # CONSTANT
+        x = [br.read_signed(eff)] * blocksize
+    elif stype == 1:                                 # VERBATIM
+        x = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:                           # FIXED 0-4
+        order = stype - 8
+        if order > blocksize:
+            raise ValueError("FLAC: fixed order exceeds block size")
+        x = [br.read_signed(eff) for _ in range(order)]
+        coef = _FIXED_COEF[order]
+        for r in _read_residual(br, blocksize, order):
+            pred = sum(c * x[-1 - j] for j, c in enumerate(coef))
+            x.append(pred + r)
+    elif stype >= 32:                                # LPC
+        order = (stype & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("FLAC: LPC order exceeds block size")
+        x = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0xF:
+            raise ValueError("FLAC: invalid LPC precision code")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coef = [br.read_signed(prec) for _ in range(order)]
+        for r in _read_residual(br, blocksize, order):
+            pred = sum(c * x[-1 - j] for j, c in enumerate(coef)) >> shift
+            x.append(pred + r)
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {stype}")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+def _decode_frame(data: bytes, pos: int, stream_rate: int,
+                  stream_bps: int) -> "tuple[int, list[list[int]], int]":
+    """One frame at byte offset ``pos`` → (blocksize, per-channel
+    samples, next byte offset)."""
+    br = _BitReader(data, pos)
+    if br.read(14) != _SYNC:
+        raise ValueError("FLAC: lost frame sync")
+    br.read(1)                         # reserved
+    br.read(1)                         # blocking strategy (either is fine)
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    chan_code = br.read(4)
+    bps_code = br.read(3)
+    if br.read(1):
+        raise ValueError("FLAC: frame-header reserved bit set")
+    _utf8_decode_number(br)            # frame/sample number
+    if bs_code == 0:
+        raise ValueError("FLAC: reserved block-size code")
+    elif bs_code == 1:
+        blocksize = 192
+    elif bs_code <= 5:
+        blocksize = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        blocksize = br.read(8) + 1
+    elif bs_code == 7:
+        blocksize = br.read(16) + 1
+    else:
+        blocksize = 256 << (bs_code - 8)
+    if sr_code == 0:
+        rate = stream_rate
+    elif sr_code in _RATE_TABLE:
+        rate = _RATE_TABLE[sr_code]
+    elif sr_code == 12:
+        rate = br.read(8) * 1000
+    elif sr_code == 13:
+        rate = br.read(16)
+    elif sr_code == 14:
+        rate = br.read(16) * 10
+    else:
+        raise ValueError("FLAC: invalid sample-rate code")
+    if rate != stream_rate:
+        raise ValueError("FLAC: frame sample rate contradicts STREAMINFO")
+    if bps_code == 0:
+        bps = stream_bps
+    elif bps_code in _BPS_TABLE:
+        bps = _BPS_TABLE[bps_code]
+    else:
+        raise ValueError("FLAC: reserved sample-size code")
+    if bps != stream_bps:
+        raise ValueError("FLAC: frame sample size contradicts STREAMINFO")
+    crc8_end = br.byte_pos
+    if _crc8(data[pos:crc8_end]) != br.read(8):
+        raise ValueError("FLAC: frame-header CRC-8 mismatch")
+
+    if chan_code <= 7:
+        chans = [_read_subframe(br, blocksize, bps)
+                 for _ in range(chan_code + 1)]
+    elif chan_code <= 10:              # stereo decorrelation
+        side_first = chan_code == 9    # right/side stores side in ch 0
+        bps0 = bps + (1 if side_first else 0)
+        bps1 = bps + (0 if side_first else 1)
+        c0 = _read_subframe(br, blocksize, bps0)
+        c1 = _read_subframe(br, blocksize, bps1)
+        if chan_code == 8:             # left/side
+            chans = [c0, [l - s for l, s in zip(c0, c1)]]
+        elif chan_code == 9:           # right/side
+            chans = [[s + r for s, r in zip(c0, c1)], c1]
+        else:                          # mid/side
+            left, right = [], []
+            for m, s in zip(c0, c1):
+                m = (m << 1) | (s & 1)
+                left.append((m + s) >> 1)
+                right.append((m - s) >> 1)
+            chans = [left, right]
+    else:
+        raise ValueError("FLAC: reserved channel assignment")
+    br.align()
+    crc16_end = br.byte_pos
+    if _crc16(data[pos:crc16_end]) != br.read(16):
+        raise ValueError("FLAC: frame CRC-16 mismatch")
+    return blocksize, chans, br.byte_pos
+
+
+def decode_flac(payload: bytes) -> "tuple[int, int, list[int]]":
+    """FLAC stream → (sample_rate, n_channels, channel-interleaved
+    samples). Verifies every frame CRC and, when STREAMINFO carries a
+    non-zero MD5, the whole-stream signature; rejects bytes trailing
+    the final frame (corrupt / concatenated payloads — same strictness
+    rule as ``decode_ppm``)."""
+    data = bytes(payload)
+    if data[:4] != FLAC_MAGIC:
+        raise ValueError("FLAC: bad magic")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("FLAC: truncated metadata")
+        last = data[pos] >> 7
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+        body = data[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("FLAC: truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("FLAC: STREAMINFO must be 34 bytes")
+            info = body
+        elif btype == 127:
+            raise ValueError("FLAC: invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+    packed = int.from_bytes(info[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    md5_expect = info[18:34]
+    if rate == 0:
+        raise ValueError("FLAC: sample rate 0")
+
+    decoded = 0
+    out: list[int] = []
+    while (decoded < total) if total else (pos < len(data)):
+        blocksize, chans, pos = _decode_frame(data, pos, rate, bps)
+        if len(chans) != channels:
+            raise ValueError("FLAC: channel count contradicts STREAMINFO")
+        if total and decoded + blocksize > total:
+            raise ValueError("FLAC: more samples than STREAMINFO declares")
+        for i in range(blocksize):
+            for ch in chans:
+                out.append(ch[i])
+        decoded += blocksize
+    if pos != len(data):
+        raise ValueError(
+            f"FLAC: {len(data) - pos} trailing bytes after the final "
+            "frame (corrupt or concatenated payload)"
+        )
+    if md5_expect != b"\x00" * 16 and bps % 8 == 0:
+        width = bps // 8
+        raw = b"".join(
+            s.to_bytes(width, "little", signed=True) for s in out
+        )
+        if hashlib.md5(raw).digest() != md5_expect:
+            raise ValueError("FLAC: decoded-stream MD5 mismatch")
+    return rate, channels, out
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+def _rice_cost(residuals: "list[int]", param: int) -> int:
+    return sum((_zigzag(r) >> param) + 1 + param for r in residuals)
+
+
+def _best_rice(residuals: "list[int]") -> "tuple[int, int]":
+    """(param, coded bits) minimizing the exact Rice cost; params 0-30
+    (5-bit method reaches 30; 31 is the escape)."""
+    best_p, best_c = 0, _rice_cost(residuals, 0)
+    for p in range(1, 31):
+        c = _rice_cost(residuals, p)
+        if c < best_c:
+            best_p, best_c = p, c
+        elif c > best_c + 8 * len(residuals):
+            break
+    return best_p, best_c
+
+
+def _fixed_residuals(x: "list[int]", order: int) -> "list[int]":
+    coef = _FIXED_COEF[order]
+    return [x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(order, len(x))]
+
+
+def _write_subframe(bw: _BitWriter, x: "list[int]", bps: int) -> None:
+    n = len(x)
+    if all(v == x[0] for v in x):
+        bw.write(0, 1 + 6 + 1)                       # pad, CONSTANT, wasted
+        bw.write(x[0], bps)
+        return
+    # pick the cheapest fixed order by exact coded size
+    best = None                                       # (bits, order, res, p)
+    for order in range(min(4, n - 1) + 1):
+        res = _fixed_residuals(x, order)
+        param, rbits = _best_rice(res)
+        bits = order * bps + 2 + 4 + (5 if param > 14 else 4) + rbits
+        if best is None or bits < best[0]:
+            best = (bits, order, res, param)
+    bits, order, res, param = best
+    if bits >= n * bps:                               # VERBATIM is cheaper
+        bw.write(1 << 1, 1 + 6 + 1)                   # type 1, no wasted
+        for v in x:
+            bw.write(v, bps)
+        return
+    bw.write((8 + order) << 1, 1 + 6 + 1)             # FIXED, no wasted
+    for v in x[:order]:
+        bw.write(v, bps)
+    method = 1 if param > 14 else 0
+    bw.write(method, 2)
+    bw.write(0, 4)                                    # partition order 0
+    bw.write(param, 5 if method else 4)
+    for r in res:
+        u = _zigzag(r)
+        bw.write_unary(u >> param)
+        bw.write(u, param)
+
+
+def encode_flac(sample_rate: int, samples: "list[int]",
+                channels: int = 1, stereo_mode: str = "independent",
+                block_size: int = 192) -> bytes:
+    """Mono or stereo 16-bit FLAC writer. ``samples`` is channel-
+    interleaved when ``channels == 2``; ``stereo_mode`` selects the
+    channel assignment (``independent`` / ``left_side`` /
+    ``right_side`` / ``mid_side`` — the decorrelated modes are exact
+    integer transforms, so every mode round-trips losslessly)."""
+    if channels not in (1, 2):
+        raise ValueError("only mono and stereo encode here")
+    if channels == 1 and stereo_mode != "independent":
+        raise ValueError("stereo_mode applies to stereo input only")
+    if not samples or len(samples) % channels:
+        raise ValueError("sample count must be a positive multiple "
+                         "of the channel count")
+    if not 0 < sample_rate < (1 << 20):
+        raise ValueError("sample rate out of STREAMINFO range")
+    if any(not -32768 <= s <= 32767 for s in samples):
+        raise ValueError("samples must fit 16 bits")
+    bps = 16
+    n = len(samples) // channels
+    chan_data = [samples[c::channels] for c in range(channels)]
+
+    frames = bytearray()
+    sizes: list[int] = []
+    blocksizes: list[int] = []
+    for fno, start in enumerate(range(0, n, block_size)):
+        bs = min(block_size, n - start)
+        blocksizes.append(bs)
+        block = [cd[start:start + bs] for cd in chan_data]
+        if channels == 2 and stereo_mode != "independent":
+            left, right = block
+            side = [l - r for l, r in zip(left, right)]
+            if stereo_mode == "left_side":
+                chan_code, subs = 8, [(left, bps), (side, bps + 1)]
+            elif stereo_mode == "right_side":
+                chan_code, subs = 9, [(side, bps + 1), (right, bps)]
+            elif stereo_mode == "mid_side":
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                chan_code, subs = 10, [(mid, bps), (side, bps + 1)]
+            else:
+                raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+        else:
+            chan_code = channels - 1
+            subs = [(ch, bps) for ch in block]
+
+        head = _BitWriter()
+        head.write(_SYNC, 14)
+        head.write(0, 1)                  # reserved
+        head.write(0, 1)                  # fixed blocking strategy
+        head.write(0b0111, 4)             # block size: 16 bits at end
+        head.write(0, 4)                  # sample rate: from STREAMINFO
+        head.write(chan_code, 4)
+        head.write(0b100, 3)              # 16 bits per sample
+        head.write(0, 1)                  # reserved
+        head.align()
+        hbytes = bytearray(head.getvalue())
+        hbytes += _utf8_encode_number(fno)
+        hbytes += struct.pack(">H", bs - 1)
+        hbytes.append(_crc8(bytes(hbytes)))
+
+        body = _BitWriter()
+        for ch, ch_bps in subs:
+            _write_subframe(body, ch, ch_bps)
+        body.align()
+        frame = bytes(hbytes) + body.getvalue()
+        frame += struct.pack(">H", _crc16(frame))
+        frames += frame
+        sizes.append(len(frame))
+
+    raw = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+    info = bytearray()
+    info += struct.pack(">HH", min(blocksizes), max(blocksizes))
+    info += min(sizes).to_bytes(3, "big") + max(sizes).to_bytes(3, "big")
+    packed = (sample_rate << 44) | ((channels - 1) << 41) \
+        | ((bps - 1) << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += hashlib.md5(raw).digest()
+    header = bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    return FLAC_MAGIC + header + frames

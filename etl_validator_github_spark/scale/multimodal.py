@@ -41,6 +41,11 @@ from pyspark.sql.types import (
 
 from etl_validator_github_spark.contract import Query, load
 from etl_validator_github_spark.scale.dedup import COPY_OFFSET
+from etl_validator_github_spark.scale.flac import (
+    FLAC_MAGIC,
+    decode_flac,
+    encode_flac,
+)
 
 PAYLOAD_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -1852,14 +1857,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, "list[int]"]:
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, "list[int]"]:
-    """Decode an audio payload. Real paths: RIFF/WAVE PCM16 and mono
-    IMA-ADPCM (format 17). Perceptual codecs (MP3/AAC/FLAC) are a
-    declared gap (no codec libraries in this sandbox)."""
+    """Decode an audio payload. Real paths: RIFF/WAVE (PCM16, mono
+    IMA-ADPCM format 17, mono G.711 formats 6/7) and FLAC (scale/
+    flac.py — fixed+LPC subframes, Rice residuals, stereo
+    decorrelation, CRC+MD5 verified). Perceptual codecs (MP3/AAC) are
+    a declared gap (no codec libraries in this sandbox)."""
     head = bytes(payload[:4])
     if head == b"RIFF":
         return decode_wav(payload)
+    if head == FLAC_MAGIC:
+        return decode_flac(payload)
     raise NotImplementedError(
-        f"no codec for magic {head!r}: only RIFF/WAVE decodes here"
+        f"no codec for magic {head!r}: only RIFF/WAVE and FLAC "
+        "decode here"
     )
 
 
@@ -2049,6 +2059,82 @@ SELECT doc_id,
        CAST(SUM(x * x) AS BIGINT) AS energy,
        CAST((1000 * SUM(abs(x))) // MAX(n) AS BIGINT) AS mean_abs_milli
 FROM x GROUP BY 1
+"""
+
+
+#: FLAC fixture: STEREO — left reuses the PCM waveform, right walks a
+#: coprime stride, and the payload is mid/side-decorrelated FLAC so the
+#: gate exercises the full decode stack (frame sync, fixed predictors,
+#: Rice residuals, the mid/side integer reconstruction, CRC-8/16 and
+#: the STREAMINFO MD5). FLAC is lossless, so the oracle recomputes the
+#: decoded stats from the closed-form waveform without parsing a byte.
+FLAC_STRIDE_R = 23
+
+
+def attach_audio_payload_flac(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL stereo FLAC per
+    doc. Per-channel length n = AUDIO_MIN_SAMPLES + h32 % AUDIO_N_MOD;
+    left[i] = (h32 + AUDIO_STRIDE·i) % 4096 − 2048 (the PCM fixture
+    waveform), right[i] = (h32 + FLAC_STRIDE_R·i) % 4096 − 2048;
+    encoded mid/side with 192-sample frames (1–2 frames per doc)."""
+
+    def to_flac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8],
+                          16)
+                n = AUDIO_MIN_SAMPLES + h32 % AUDIO_N_MOD
+                inter = []
+                for i in range(n):
+                    inter.append((h32 + AUDIO_STRIDE * i) % 4096 - 2048)
+                    inter.append((h32 + FLAC_STRIDE_R * i) % 4096 - 2048)
+                payloads.append(encode_flac(AUDIO_RATE, inter, channels=2,
+                                            stereo_mode="mid_side"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_flac,
+                                                     PAYLOAD_SCHEMA)
+
+
+def _flac_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return audio_stats(attach_audio_payload_flac(docs))
+
+
+# Lossless codec ⇒ the oracle is the fixture waveform itself: both
+# channels' closed forms unioned, stats over all 2n interleaved
+# samples. Any decoder bug (predictor slip, Rice sign, mid/side
+# reconstruction, CRC letting a corrupt frame through) diverges the
+# exact-integer sums.
+_FLAC_STATS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), meta AS (
+  SELECT doc_id, h32,
+         {AUDIO_MIN_SAMPLES} + h32 % {AUDIO_N_MOD} AS n
+  FROM h
+), s AS (
+  SELECT doc_id, n,
+         (h32 + {AUDIO_STRIDE} * i) % 4096 - 2048 AS x
+  FROM meta, unnest(range(0, n)) AS t(i)
+  UNION ALL
+  SELECT doc_id, n,
+         (h32 + {FLAC_STRIDE_R} * i) % 4096 - 2048 AS x
+  FROM meta, unnest(range(0, n)) AS t(i)
+)
+SELECT doc_id,
+       CAST(2 * MAX(n) AS INT) AS n_samples,
+       CAST({AUDIO_RATE} AS INT) AS sample_rate,
+       CAST(MAX(abs(x)) AS INT) AS peak_abs,
+       CAST(SUM(abs(x)) AS BIGINT) AS sum_abs,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST((1000 * SUM(abs(x))) // (2 * MAX(n)) AS BIGINT)
+         AS mean_abs_milli
+FROM s GROUP BY 1
 """
 
 
@@ -2699,6 +2785,13 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "format 7): md5-derived companded bytes in genuine "
               "telephony WAVs, expanded by the standard integer "
               "formula; the oracle re-runs the expansion in SQL."),
+        Query("multimodal_flac_stats", _flac_stats_q, _FLAC_STATS_SQL,
+              "The same signal statistics through the FLAC codec "
+              "(scale/flac.py): md5-derived STEREO waveforms written "
+              "as genuine mid/side FLAC (fixed predictors, Rice "
+              "residuals, CRC-8/16, STREAMINFO MD5) and decoded by "
+              "the pure-stdlib decoder; lossless, so the oracle is "
+              "the closed-form waveform itself."),
         Query("multimodal_audio_downsample", _audio_downsample_q,
               _AUDIO_DOWNSAMPLE_SQL,
               "Strided audio decimation (8 kHz → 1 kHz, the frame-"

@@ -3077,3 +3077,160 @@ def test_jpeg_format_agnostic_consumers(spark):
     # dHash runs on grayscale JPEG payloads through the same decoder.
     dh = multimodal.image_dhash(jpg).collect()
     assert len(dh) == 3 and all(r.dhash is not None for r in dh)
+
+
+def test_flac_roundtrip_property():
+    """FLAC is lossless: encode→decode is the identity for any int16
+    vector, mono and stereo, across every stereo assignment and odd
+    block geometries (partial last frame, single-sample blocks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_validator_github_spark.scale import flac
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 44100, 96000]),
+        block=st.sampled_from([1, 7, 192]),
+        mode=st.sampled_from(["independent", "left_side", "right_side",
+                              "mid_side"]),
+        frames=st.lists(
+            st.tuples(st.integers(-32768, 32767),
+                      st.integers(-32768, 32767)),
+            min_size=1, max_size=80),
+    )
+    def roundtrip(rate, block, mode, frames):
+        stereo = [v for pair in frames for v in pair]
+        got = flac.decode_flac(flac.encode_flac(
+            rate, stereo, channels=2, stereo_mode=mode, block_size=block))
+        assert got == (rate, 2, stereo)
+        mono = [pair[0] for pair in frames]
+        got = flac.decode_flac(flac.encode_flac(rate, mono,
+                                                block_size=block))
+        assert got == (rate, 1, mono)
+
+    roundtrip()
+
+
+def test_flac_compresses_smooth_signals():
+    """The fixed-predictor search must actually fire: a pure linear
+    ramp (order-2 residuals exactly zero) codes >4x below raw PCM16,
+    and the fixture's wrapping sawtooth still beats raw 2x even though
+    each wrap point costs one large Rice quotient (the encoder writes
+    partition order 0; isolating wraps would need partitioned Rice,
+    which only the decoder implements)."""
+    from etl_validator_github_spark.scale import flac
+
+    ramp = [i - 2048 for i in range(4096)]
+    payload = flac.encode_flac(8000, ramp)
+    assert len(payload) < len(ramp) * 2 // 4  # >4x vs raw PCM16
+    assert flac.decode_flac(payload) == (8000, 1, ramp)
+
+    saw = [(i * 11) % 4096 - 2048 for i in range(4096)]
+    payload = flac.encode_flac(8000, saw)
+    assert len(payload) < len(saw) * 2 // 2   # >2x vs raw PCM16
+    assert flac.decode_flac(payload) == (8000, 1, saw)
+
+
+def test_flac_decode_lpc_and_partitions_hand_built():
+    """Decoder-only paths pinned by a hand-assembled bitstream: an LPC
+    subframe (order 1, coef 2, shift 1), a Rice partition order of 1,
+    and an escape (raw-width) partition. Expected samples computed by
+    hand: x = [10, 20, 30, 25]."""
+    import struct
+
+    from etl_validator_github_spark.scale import flac
+
+    info = bytearray()
+    info += struct.pack(">HH", 4, 4)
+    info += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+    info += ((8000 << 44) | (0 << 41) | (15 << 36) | 4).to_bytes(8, "big")
+    info += b"\x00" * 16                      # md5 zero: check skipped
+    stream = bytearray(flac.FLAC_MAGIC)
+    stream += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+    head = flac._BitWriter()
+    head.write(flac._SYNC, 14)
+    head.write(0, 2)                          # reserved + fixed blocking
+    head.write(0b0111, 4)                     # 16-bit block size at end
+    head.write(0, 4)                          # rate from STREAMINFO
+    head.write(0, 4)                          # mono
+    head.write(0b100, 3)                      # 16 bps
+    head.write(0, 1)
+    head.align()
+    hbytes = bytearray(head.getvalue()) + flac._utf8_encode_number(0)
+    hbytes += struct.pack(">H", 3)            # blocksize 4
+    hbytes.append(flac._crc8(bytes(hbytes)))
+
+    body = flac._BitWriter()
+    body.write(0b0100000, 7)                  # pad 0 + LPC order 1
+    body.write(0, 1)                          # no wasted bits
+    body.write(10, 16)                        # warmup x0 = 10
+    body.write(3, 4)                          # precision 4
+    body.write(1, 5)                          # shift 1
+    body.write(2, 4)                          # coefficient 2
+    body.write(0, 2)                          # Rice method 0 (4-bit)
+    body.write(1, 4)                          # partition order 1
+    body.write(2, 4)                          # p0: param 2
+    body.write_unary(5)                       # r=10 → zigzag 20 → q=5
+    body.write(0, 2)                          # low bits of 20
+    body.write(0xF, 4)                        # p1: escape
+    body.write(6, 5)                          # raw width 6
+    body.write(10, 6)                         # r2 = 10  → x2 = 30
+    body.write(-5, 6)                         # r3 = −5  → x3 = 25
+    body.align()
+    frame = bytes(hbytes) + body.getvalue()
+    frame += struct.pack(">H", flac._crc16(frame))
+    stream += frame
+
+    assert flac.decode_flac(bytes(stream)) == (8000, 1, [10, 20, 30, 25])
+
+
+def test_flac_rejects_malformed():
+    from etl_validator_github_spark.scale import flac
+
+    good = flac.encode_flac(8000, [(i * 37) % 4096 - 2048
+                                   for i in range(300)])
+    assert flac.decode_flac(good)[0] == 8000
+    with pytest.raises(ValueError, match="magic"):
+        flac.decode_flac(b"fLaX" + good[4:])
+    with pytest.raises(ValueError, match="truncated|sync"):
+        flac.decode_flac(good[:-7])
+    with pytest.raises(ValueError, match="trailing"):
+        flac.decode_flac(good + b"\x00")
+    # Flip one residual bit mid-frame: some CRC must catch it.
+    bad = bytearray(good)
+    bad[len(bad) - 12] ^= 0x10
+    with pytest.raises(ValueError, match="CRC|MD5|sync|truncated"):
+        flac.decode_flac(bytes(bad))
+    # Corrupt the STREAMINFO MD5: frames pass CRC, stream check fires.
+    bad = bytearray(good)
+    bad[8 + 18] ^= 0xFF                       # first md5 byte
+    with pytest.raises(ValueError, match="MD5"):
+        flac.decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="multiple"):
+        flac.encode_flac(8000, [1, 2, 3], channels=2)
+    with pytest.raises(ValueError, match="16 bits"):
+        flac.encode_flac(8000, [40000])
+
+
+def test_flac_format_agnostic_consumers(spark):
+    """decode_audio dispatches on the fLaC magic, and audio_stats over
+    a stereo mid/side FLAC equals hand-computed stats of the exact
+    samples (losslessness end-to-end through the Spark consumer)."""
+    import numpy as np
+
+    from etl_validator_github_spark.scale import flac
+
+    samples = [(i * 31) % 4096 - 2048 for i in range(2 * 210)]
+    payload = flac.encode_flac(8000, samples, channels=2,
+                               stereo_mode="mid_side")
+    assert multimodal.decode_audio(payload) == (8000, 2, samples)
+    df = spark.createDataFrame([(3, bytearray(payload))],
+                               multimodal.PAYLOAD_SCHEMA)
+    row = multimodal.audio_stats(df).collect()[0]
+    a = np.asarray(samples, dtype=np.int64)
+    assert (row.n_samples, row.sample_rate) == (len(samples), 8000)
+    assert row.peak_abs == int(np.abs(a).max())
+    assert row.sum_abs == int(np.abs(a).sum())
+    assert row.energy == int((a * a).sum())
