@@ -14,9 +14,11 @@ bad CRCs, reserved codes and bytes trailing the final frame all raise
 
 Encoder: mono or stereo, 16 bits per sample. Per frame it picks the
 cheapest of CONSTANT / VERBATIM / the five fixed predictors by exact
-coded bit cost (Rice parameter searched per subframe), writes
-partition-order-0 residuals, and supports all four stereo assignments
-(``independent`` / ``left_side`` / ``right_side`` / ``mid_side``).
+coded bit cost, with the Rice partition order and per-partition
+parameters searched exactly (partitioning isolates rare large
+residuals such as sawtooth wraps), and supports all four stereo
+assignments (``independent`` / ``left_side`` / ``right_side`` /
+``mid_side``).
 FLAC is lossless, so encode→decode is exact integer identity — which
 is what lets the gate query's DuckDB oracle recompute decoded-signal
 statistics from the fixture's closed-form waveform without parsing a
@@ -462,6 +464,38 @@ def _fixed_residuals(x: "list[int]", order: int) -> "list[int]":
             for i in range(order, len(x))]
 
 
+#: Encoder cap on the Rice partition order (2^6 = 64 partitions is
+#: libFLAC's default ceiling too); the decoder accepts any order.
+_MAX_PORDER = 6
+
+
+def _plan_residual(res: "list[int]", blocksize: int,
+                   order: int) -> "tuple[int, int, list[int], int]":
+    """Choose (porder, method, per-partition params, total coded bits)
+    minimizing the exact residual size. Partitioning isolates rare
+    large residuals (e.g. a sawtooth wrap) so one spike doesn't drag
+    every sample's Rice parameter up."""
+    best = None
+    porder = 0
+    while porder <= _MAX_PORDER:
+        nparts = 1 << porder
+        if blocksize % nparts or (blocksize >> porder) <= order:
+            break
+        params, bits, pos = [], 0, 0
+        for p in range(nparts):
+            count = (blocksize >> porder) - (order if p == 0 else 0)
+            param, rbits = _best_rice(res[pos:pos + count])
+            params.append(param)
+            bits += rbits
+            pos += count
+        method = 1 if max(params) > 14 else 0
+        total = 2 + 4 + nparts * (5 if method else 4) + bits
+        if best is None or total < best[3]:
+            best = (porder, method, params, total)
+        porder += 1
+    return best
+
+
 def _write_subframe(bw: _BitWriter, x: "list[int]", bps: int) -> None:
     n = len(x)
     if all(v == x[0] for v in x):
@@ -469,14 +503,14 @@ def _write_subframe(bw: _BitWriter, x: "list[int]", bps: int) -> None:
         bw.write(x[0], bps)
         return
     # pick the cheapest fixed order by exact coded size
-    best = None                                       # (bits, order, res, p)
+    best = None                               # (bits, order, res, plan)
     for order in range(min(4, n - 1) + 1):
         res = _fixed_residuals(x, order)
-        param, rbits = _best_rice(res)
-        bits = order * bps + 2 + 4 + (5 if param > 14 else 4) + rbits
+        plan = _plan_residual(res, n, order)
+        bits = order * bps + plan[3]
         if best is None or bits < best[0]:
-            best = (bits, order, res, param)
-    bits, order, res, param = best
+            best = (bits, order, res, plan)
+    bits, order, res, (porder, method, params, _) = best
     if bits >= n * bps:                               # VERBATIM is cheaper
         bw.write(1 << 1, 1 + 6 + 1)                   # type 1, no wasted
         for v in x:
@@ -485,14 +519,17 @@ def _write_subframe(bw: _BitWriter, x: "list[int]", bps: int) -> None:
     bw.write((8 + order) << 1, 1 + 6 + 1)             # FIXED, no wasted
     for v in x[:order]:
         bw.write(v, bps)
-    method = 1 if param > 14 else 0
     bw.write(method, 2)
-    bw.write(0, 4)                                    # partition order 0
-    bw.write(param, 5 if method else 4)
-    for r in res:
-        u = _zigzag(r)
-        bw.write_unary(u >> param)
-        bw.write(u, param)
+    bw.write(porder, 4)
+    pos = 0
+    for p, param in enumerate(params):
+        count = (n >> porder) - (order if p == 0 else 0)
+        bw.write(param, 5 if method else 4)
+        for r in res[pos:pos + count]:
+            u = _zigzag(r)
+            bw.write_unary(u >> param)
+            bw.write(u, param)
+        pos += count
 
 
 def encode_flac(sample_rate: int, samples: "list[int]",

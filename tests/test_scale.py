@@ -3115,10 +3115,9 @@ def test_flac_roundtrip_property():
 def test_flac_compresses_smooth_signals():
     """The fixed-predictor search must actually fire: a pure linear
     ramp (order-2 residuals exactly zero) codes >4x below raw PCM16,
-    and the fixture's wrapping sawtooth still beats raw 2x even though
-    each wrap point costs one large Rice quotient (the encoder writes
-    partition order 0; isolating wraps would need partitioned Rice,
-    which only the decoder implements)."""
+    and the fixture's wrapping sawtooth also codes >4x because the
+    Rice partition search isolates each wrap spike into its own
+    partition instead of dragging the whole block's parameter up."""
     from etl_validator_github_spark.scale import flac
 
     ramp = [i - 2048 for i in range(4096)]
@@ -3128,7 +3127,7 @@ def test_flac_compresses_smooth_signals():
 
     saw = [(i * 11) % 4096 - 2048 for i in range(4096)]
     payload = flac.encode_flac(8000, saw)
-    assert len(payload) < len(saw) * 2 // 2   # >2x vs raw PCM16
+    assert len(payload) < len(saw) * 2 // 4   # >4x vs raw PCM16
     assert flac.decode_flac(payload) == (8000, 1, saw)
 
 
