@@ -13,21 +13,22 @@ Rotation policy (highest priority first):
 3. back-fill with the queries whose last green verdict is oldest.
 
 Round-13 window under that policy (the r12 verdict's explicit ask,
-adjusted for the six queries added this round): the six never-checked
-r13 additions (multimodal_png_stats — the stdlib-zlib PNG decoder
-with all five unfilter branches; multimodal_adpcm_stats — the
-IMA-ADPCM state-machine decoder whose oracle re-runs the decode in a
-recursive CTE; multimodal_gif_stats — the LZW decompressor;
+adjusted for the seven queries added this round): the seven
+never-checked r13 additions (multimodal_png_stats — the stdlib-zlib
+PNG decoder with all five unfilter branches; multimodal_adpcm_stats —
+the IMA-ADPCM state-machine decoder whose oracle re-runs the decode in
+a recursive CTE; multimodal_gif_stats — the LZW decompressor;
 multimodal_mulaw_stats — the G.711 expansion; multimodal_jpeg_stats —
 the baseline-JPEG coefficient-domain decoder; multimodal_flac_stats —
-the lossless FLAC decoder over a stereo mid/side fixture), then the
-twenty-six r8-stale queries in their r8-gate order
-(events_hourly_gapfill … brand_supplier_hhi; the r12 judge
-pre-verified 8 of these green at sf0.01), then back-fill with the
-eighteen oldest r9-verdict queries in their r9-gate order
-(embed_ivfpq_topk … warehouse_universe_sample). After this window
-lands green, nothing in the catalog is staler than r9, and the 32
-remaining r9 rows lead the r14 back-fill.
+the lossless FLAC decoder over a stereo mid/side fixture;
+multimodal_avi_stats — the MJPEG AVI container with per-frame JPEG
+decode and the frame-axis IDCT oracle), then the twenty-six r8-stale
+queries in their r8-gate order (events_hourly_gapfill …
+brand_supplier_hhi; the r12 judge pre-verified 8 of these green at
+sf0.01), then back-fill with the seventeen oldest r9-verdict queries
+in their r9-gate order (embed_ivfpq_topk … customers_k_anonymity).
+After this window lands green, nothing in the catalog is staler than
+r9, and the 33 remaining r9 rows lead the r14 back-fill.
 """
 
 from __future__ import annotations
@@ -84,13 +85,14 @@ assert sum(len(d) for d in _MODULE_DICTS) == len(_ALL), (
 )
 
 _R13_GATE = (
-    # -- never driver-checked (6): the r13 codec additions.
+    # -- never driver-checked (7): the r13 codec additions.
     "multimodal_png_stats",
     "multimodal_adpcm_stats",
     "multimodal_gif_stats",
     "multimodal_mulaw_stats",
     "multimodal_jpeg_stats",
     "multimodal_flac_stats",
+    "multimodal_avi_stats",
     # -- the 26 r8-stale queries (oldest verdicts in the catalog), in
     #    their r8-gate order.
     "events_hourly_gapfill",
@@ -119,8 +121,8 @@ _R13_GATE = (
     "part_name_fuzzy_matches",
     "customers_rfm_segments",
     "brand_supplier_hhi",
-    # -- back-fill: the 18 oldest r9-verdict queries in their r9-gate
-    #    order (32 r9 rows remain; they lead the r14 back-fill).
+    # -- back-fill: the 17 oldest r9-verdict queries in their r9-gate
+    #    order (33 r9 rows remain; they lead the r14 back-fill).
     "embed_ivfpq_topk",
     "embed_ivfpq_recall",
     "embed_matryoshka_recall",
@@ -138,7 +140,6 @@ _R13_GATE = (
     "orders_chi2_independence",
     "customers_abc_classes",
     "customers_k_anonymity",
-    "warehouse_universe_sample",
 )
 
 assert len(_R13_GATE) == _DRIVER_GATE, (

@@ -7,19 +7,22 @@ Python touches each batch once, the plan stays distributed, and the
 binary bytes never hit the driver.
 
 Decode is REAL for binary netpbm (PPM ``P6`` / PGM ``P5``),
-uncompressed 24-bit BMP, and non-interlaced 8-bit PNG (stdlib zlib
-inflate + pure-integer None/Sub/Up/Average/Paeth unfiltering), so
-``image_pixel_stats`` computes true pixel statistics from decoded
+uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib inflate + pure-integer
+None/Sub/Up/Average/Paeth unfiltering, Adam7 supported), GIF (real
+LZW), baseline JPEG (``scale/jpeg.py``), and — on the video side —
+MJPEG AVI (``scale/avi.py``: strict RIFF container parse feeding the
+JPEG decoder per frame), so ``image_pixel_stats`` and
+``video_pixel_stats`` compute true pixel statistics from decoded
 bytes — that path is the production shape with the codecs swapped for
 ones that need no native libraries. Formats that DO need codec
-libraries (JPEG/video containers) still raise NotImplementedError from
-``decode_image``: this container has none, and on a real cluster that
-branch is where PIL/libvips/ffmpeg
-plug in. The video-frame operators run on md5-derived fake metadata
-(``extract_features``) for the same reason — their outputs are pure
-functions of the payload hash, keeping the pipeline oracle-checkable
-end-to-end while the Spark-side plumbing (schema, Arrow batch shape,
-UDF signatures, partition behavior) stays real and tested.
+libraries (MP4/H.26x, progressive JPEG, lossy audio) still raise
+NotImplementedError: this container has none, and on a real cluster
+that branch is where PIL/libvips/ffmpeg plug in. The generic
+``extract_features`` frame operators additionally run on md5-derived
+fake metadata — their outputs are pure functions of the payload hash,
+keeping the pipeline oracle-checkable end-to-end while the Spark-side
+plumbing (schema, Arrow batch shape, UDF signatures, partition
+behavior) stays real and tested.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ from pyspark.sql.types import (
 )
 
 from etl_validator_github_spark.contract import Query, load
+from etl_validator_github_spark.scale.avi import decode_avi, encode_avi_mjpeg
 from etl_validator_github_spark.scale.dedup import COPY_OFFSET
 from etl_validator_github_spark.scale.flac import (
     FLAC_MAGIC,
@@ -811,10 +815,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     decompressor + palette mapping), and baseline JPEG (Huffman +
     dequant + exact-integer IDCT, see ``scale/jpeg.py``) — every
     consumer dispatches through here, so all six formats flow into
-    the same stats/dHash/resize plumbing. Formats that genuinely need
-    codec libraries (video containers, progressive JPEG) stay a
-    declared gap — on a real cluster that branch dispatches to
-    PIL/libvips; the surrounding mapInPandas plumbing is identical.
+    the same stats/dHash/resize plumbing. (MJPEG AVI video decodes
+    natively too, via ``scale/avi.py`` + ``video_pixel_stats`` — a
+    container of JPEGs, not an image, so it is not dispatched here.)
+    Formats that genuinely need codec libraries (MP4/H.26x,
+    progressive JPEG) stay a declared gap — on a real cluster that
+    branch dispatches to PIL/libvips/ffmpeg; the surrounding
+    mapInPandas plumbing is identical.
     """
     head = bytes(payload[:2])
     if head in (b"P6", b"P5"):
@@ -831,8 +838,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     raise NotImplementedError(
         f"no codec for image format {head!r}: only binary netpbm "
         "(P6/P5), uncompressed 24-bit BMP, 8-bit PNG, single-frame "
-        "GIF and baseline JPEG decode natively; video containers/"
-        "progressive JPEG require codec libraries"
+        "GIF and baseline JPEG decode natively (MJPEG AVI via "
+        "decode_avi); MP4/H.26x and progressive JPEG require codec "
+        "libraries"
     )
 
 
@@ -2484,10 +2492,11 @@ FROM agg
 # |sum|) to keep the operand positive — truncation == floor there.
 
 
-def _jpeg_sql() -> str:
+def _jpeg_oracle_tables() -> "tuple[str, str, int]":
+    """The zz/wt VALUES literals plus the rounding-divide offset shared
+    by the JPEG and AVI oracles — generated from scale/jpeg.py's
+    constants so decoders and oracles share one source of truth."""
     from etl_validator_github_spark.scale.jpeg import (
-        IDCT_HALF,
-        IDCT_SHIFT,
         IDCT_W,
         QUANT_LUMA,
         ZIGZAG,
@@ -2501,7 +2510,13 @@ def _jpeg_sql() -> str:
     wt_rows = ", ".join(
         f"({u}, {x}, {IDCT_W[u][x]})" for u in range(8) for x in range(8)
     )
-    offset = 1 << 41
+    return zz_rows, wt_rows, 1 << 41
+
+
+def _jpeg_sql() -> str:
+    from etl_validator_github_spark.scale.jpeg import IDCT_HALF, IDCT_SHIFT
+
+    zz_rows, wt_rows, offset = _jpeg_oracle_tables()
     return f"""
 WITH h AS (
   SELECT doc_id,
@@ -2728,6 +2743,244 @@ FROM flips GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Real video container path: MJPEG AVI (scale/avi.py). Each document
+# carries a genuine RIFF AVI whose '00dc' chunks are real baseline
+# JPEGs from the coefficient-domain writer — container parse, per-frame
+# Huffman/IDCT decode, and the per-video rollup all run inside one
+# Arrow-batched mapInPandas pass. Frame coefficients reuse the JPEG
+# fixture's closed form under a per-frame seed, so the DuckDB oracle
+# extends the JPEG IDCT mirror with a frame axis and reproduces every
+# decoded sample digit-for-digit, including the frame-to-frame motion
+# statistic.
+# ---------------------------------------------------------------------------
+
+AVI_FPS = 12
+AVI_FRAMES_MIN = 2
+AVI_FRAMES_MOD = 3            # n_frames = AVI_FRAMES_MIN + h32 % MOD in [2, 4]
+AVI_FRAME_SEED = 2654435761   # Knuth multiplicative constant, per-frame seed
+
+VIDEO_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("fps", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("sum_luma", LongType()),
+    StructField("min_byte", IntegerType()),
+    StructField("max_byte", IntegerType()),
+    StructField("mean_luma_milli", LongType()),
+    StructField("motion_abs", LongType()),
+])
+
+
+def _avi_frame_seed(h32: int, f: int) -> int:
+    return (h32 + AVI_FRAME_SEED * (f + 1)) % (1 << 32)
+
+
+def attach_video_payload_avi(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL MJPEG AVI per doc.
+
+    Dims reuse the image-fixture geometry; 2–4 frames per video, each a
+    genuine grayscale baseline JPEG whose quantized coefficients follow
+    the JPEG fixture's closed form under the per-frame seed
+    ``(h32 + AVI_FRAME_SEED * (f + 1)) mod 2^32`` — same dims every
+    frame, as the container requires."""
+    from etl_validator_github_spark.scale.jpeg import (
+        QUANT_LUMA,
+        ZIGZAG,
+        encode_gray_coefficients,
+    )
+
+    qz = [QUANT_LUMA[ZIGZAG[k]] for k in range(64)]
+
+    def to_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8],
+                          16)
+                w = 1 + h32 % IMG_W_MOD
+                h = 1 + h32 % IMG_H_MOD
+                n_frames = AVI_FRAMES_MIN + h32 % AVI_FRAMES_MOD
+                frames = [
+                    encode_gray_coefficients(
+                        w, h,
+                        _synth_jpeg_blocks(_avi_frame_seed(h32, f), w, h),
+                        qz, restart_interval=JPEG_RESTART,
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_avi_mjpeg(w, h, frames, fps=AVI_FPS))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(to_avi, PAYLOAD_SCHEMA)
+
+
+def video_pixel_stats(payloads: DataFrame) -> DataFrame:
+    """Binary AVI payload → true per-video statistics via real decode.
+
+    Container parse (strict RIFF walk), per-frame baseline-JPEG decode,
+    then exact-integer rollups: total luma sum, byte min/max across all
+    frames, mean luma in milli units, and ``motion_abs`` — the sum over
+    consecutive frame pairs of |Σluma_f − Σluma_{f−1}|, the cheapest
+    honest temporal-change proxy (exact under integer math, unlike a
+    float MSE). One Arrow batch in, one out; nothing touches the
+    driver.
+    """
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_STATS_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, fps, frames = decode_avi(bytes(payload))
+                frame_sums: list[int] = []
+                mn, mx = 255, 0
+                for frame in frames:
+                    fw, fh, nch, raster = decode_image(frame)
+                    if (fw, fh, nch) != (w, h, 1):
+                        raise ValueError(
+                            f"frame geometry {fw}x{fh}x{nch} disagrees "
+                            f"with container {w}x{h}x1")
+                    a = np.frombuffer(raster, dtype=np.uint8)
+                    frame_sums.append(int(a.astype(np.int64).sum()))
+                    mn = min(mn, int(a.min()))
+                    mx = max(mx, int(a.max()))
+                total = sum(frame_sums)
+                n_px = w * h * len(frames)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["fps"].append(fps)
+                out["n_pixels"].append(n_px)
+                out["sum_luma"].append(total)
+                out["min_byte"].append(mn)
+                out["max_byte"].append(mx)
+                out["mean_luma_milli"].append((1000 * total) // n_px)
+                out["motion_abs"].append(sum(
+                    abs(b - a) for a, b in zip(frame_sums, frame_sums[1:])
+                ))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                "fps": pd.Series(out["fps"], dtype="int32"),
+                "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                "sum_luma": pd.Series(out["sum_luma"], dtype="int64"),
+                "min_byte": pd.Series(out["min_byte"], dtype="int32"),
+                "max_byte": pd.Series(out["max_byte"], dtype="int32"),
+                "mean_luma_milli": pd.Series(
+                    out["mean_luma_milli"], dtype="int64"),
+                "motion_abs": pd.Series(out["motion_abs"], dtype="int64"),
+            })
+
+    return payloads.mapInPandas(stats, VIDEO_STATS_SCHEMA)
+
+
+def _avi_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return video_pixel_stats(attach_video_payload_avi(docs))
+
+
+def _avi_sql() -> str:
+    """The JPEG IDCT oracle extended with a frame axis: regenerate each
+    frame's coefficients from the per-frame seed, run the decoder's
+    exact-integer arithmetic per (doc, frame), then roll frames up to
+    the per-video stats including the LAG-window motion sum."""
+    from etl_validator_github_spark.scale.jpeg import IDCT_HALF, IDCT_SHIFT
+
+    zz_rows, wt_rows, offset = _jpeg_oracle_tables()
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT) AS h32
+  FROM documents
+), dims AS (
+  SELECT doc_id, h32,
+         CAST(1 + h32 % {IMG_W_MOD} AS BIGINT) AS w,
+         CAST(1 + h32 % {IMG_H_MOD} AS BIGINT) AS h,
+         CAST({AVI_FRAMES_MIN} + h32 % {AVI_FRAMES_MOD} AS BIGINT) AS nf
+  FROM h
+), fr AS (
+  SELECT doc_id, w, h, t.f AS f,
+         (h32 + {AVI_FRAME_SEED} * (t.f + 1)) % 4294967296 AS fh
+  FROM dims, unnest(range(0, nf)) AS t(f)
+), blocks AS (
+  SELECT fr.doc_id, fr.f, fr.fh, fr.w, fr.h, tby.by AS by, tbx.bx AS bx,
+         tby.by * ((fr.w + 7) // 8) + tbx.bx AS bi
+  FROM fr,
+       range(0, 2) AS tby(by),
+       range(0, 2) AS tbx(bx)
+  WHERE tby.by < (fr.h + 7) // 8 AND tbx.bx < (fr.w + 7) // 8
+), zz AS (
+  SELECT * FROM (VALUES {zz_rows}) AS v(k, vf, hf, q)
+), wt AS (
+  SELECT * FROM (VALUES {wt_rows}) AS v(u, x, wv)
+), dq AS (
+  SELECT b.doc_id, b.f, b.bi, zz.vf, zz.hf,
+         (CASE WHEN zz.k = 0
+               THEN (b.fh + 37 * b.bi) % {JPEG_DC_MOD}
+                    - {(JPEG_DC_MOD - 1) // 2}
+               WHEN (b.fh + 11 * (b.bi * 64 + zz.k)) % {JPEG_AC_GATE} = 0
+               THEN (b.fh + 13 * (b.bi * 64 + zz.k)) % {JPEG_AC_MOD}
+                    - {(JPEG_AC_MOD - 1) // 2}
+               ELSE 0 END) * zz.q AS d
+  FROM blocks b, zz
+), bsum AS (
+  SELECT dq.doc_id, dq.f, dq.bi, wx.x AS x, wy.x AS y,
+         SUM(dq.d * wx.wv * wy.wv) AS s
+  FROM dq
+  JOIN wt wx ON wx.u = dq.hf
+  JOIN wt wy ON wy.u = dq.vf
+  WHERE dq.d <> 0
+  GROUP BY 1, 2, 3, 4, 5
+), cells AS (
+  SELECT b.doc_id, b.f, b.bi, b.w, b.h, tx.x AS x, ty.y AS y
+  FROM blocks b, range(0, 8) AS tx(x), range(0, 8) AS ty(y)
+  WHERE b.bx * 8 + tx.x < b.w AND b.by * 8 + ty.y < b.h
+), pix AS (
+  SELECT c.doc_id, c.f, c.w, c.h,
+         least(greatest(
+           128 + (COALESCE(bs.s, 0) + {IDCT_HALF} + {offset})
+                 // {1 << IDCT_SHIFT} - {offset >> IDCT_SHIFT},
+           0), 255) AS sample
+  FROM cells c
+  LEFT JOIN bsum bs
+    ON bs.doc_id = c.doc_id AND bs.f = c.f AND bs.bi = c.bi
+   AND bs.x = c.x AND bs.y = c.y
+), fagg AS (
+  SELECT doc_id, f, MAX(w) AS w, MAX(h) AS h, SUM(sample) AS s,
+         MIN(sample) AS mn, MAX(sample) AS mx
+  FROM pix GROUP BY 1, 2
+), lagged AS (
+  SELECT doc_id, w, h, s, mn, mx,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev_s
+  FROM fagg
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST({AVI_FPS} AS INT) AS fps,
+       CAST(MAX(w) * MAX(h) * COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(s) AS BIGINT) AS sum_luma,
+       CAST(MIN(mn) AS INT) AS min_byte,
+       CAST(MAX(mx) AS INT) AS max_byte,
+       CAST((1000 * SUM(s)) // (COUNT(*) * MAX(w) * MAX(h)) AS BIGINT)
+         AS mean_luma_milli,
+       CAST(COALESCE(SUM(ABS(s - prev_s)), 0) AS BIGINT) AS motion_abs
+FROM lagged GROUP BY 1
+"""
+
+
+_AVI_SQL = _avi_sql()
+
+
 MULTIMODAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -2760,6 +3013,13 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
               "decoder's exact-integer IDCT is mirrored in SQL, so "
               "the gate pins Huffman decode, dequant, zigzag, IDCT "
               "and clamp digit-for-digit."),
+        Query("multimodal_avi_stats", _avi_stats_q, _AVI_SQL,
+              "Per-video statistics through a REAL video container: "
+              "MJPEG AVIs (strict RIFF parse, scale/avi.py) whose "
+              "frames are genuine baseline JPEGs decoded per frame "
+              "inside one mapInPandas pass; exact-integer luma rollup "
+              "+ frame-to-frame motion sum, oracled by the JPEG IDCT "
+              "mirror extended with a frame axis."),
         Query("multimodal_resize", _resize_q, _RESIZE_SQL,
               "Aspect-preserving resize geometry over the real decoded "
               "dimensions (mapInPandas; integer geometry exact)."),

@@ -3233,3 +3233,123 @@ def test_flac_format_agnostic_consumers(spark):
     assert row.peak_abs == int(np.abs(a).max())
     assert row.sum_abs == int(np.abs(a).sum())
     assert row.energy == int((a * a).sum())
+
+
+def test_avi_roundtrip_property():
+    """The MJPEG AVI container is lossless over its frame payloads:
+    encode→decode returns the exact JPEG bytes, dims and fps, across
+    frame counts, dimensions, and per-frame content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_validator_github_spark.scale import jpeg
+    from etl_validator_github_spark.scale.avi import (
+        decode_avi,
+        encode_avi_mjpeg,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 14),
+        fps=st.sampled_from([1, 12, 30]),
+        seeds=st.lists(st.integers(0, 255), min_size=1, max_size=6),
+    )
+    def roundtrip(w, h, fps, seeds):
+        frames = [
+            jpeg.encode_jpeg(w, h, bytes((s + i) % 256
+                                         for i in range(w * h)),
+                             channels=1, quality=90)
+            for s in seeds
+        ]
+        got = decode_avi(encode_avi_mjpeg(w, h, frames, fps=fps))
+        assert got == (w, h, fps, frames)
+
+    roundtrip()
+
+
+def test_avi_rejects_malformed():
+    """The container parser follows the codec-family strictness rule:
+    truncation, trailing bytes, and every broken cross-reference the
+    RIFF layout carries fail loudly."""
+    import struct
+
+    from etl_validator_github_spark.scale import jpeg
+    from etl_validator_github_spark.scale.avi import (
+        decode_avi,
+        encode_avi_mjpeg,
+    )
+
+    frame = jpeg.encode_jpeg(8, 6, bytes(48), channels=1, quality=90)
+    good = encode_avi_mjpeg(8, 6, [frame, frame], fps=10)
+    assert decode_avi(good) == (8, 6, 10, [frame, frame])
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_avi(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated or trailing"):
+        decode_avi(good + b"\x00")
+    with pytest.raises(ValueError, match="truncated or trailing"):
+        decode_avi(good[:-5])
+    with pytest.raises(ValueError, match="not 'AVI '"):
+        decode_avi(good[:8] + b"WAVE" + good[12:])
+    # avih total-frames flips out of sync with the movi layout.
+    avih_body = good.index(b"avih") + 8
+    broken = bytearray(good)
+    struct.pack_into("<I", broken, avih_body + 16, 3)
+    with pytest.raises(ValueError, match="strh length"):
+        decode_avi(bytes(broken))
+    # idx1 offset pointing one chunk off.
+    idx_entry = good.rindex(b"00dc") + 8
+    broken = bytearray(good)
+    struct.pack_into("<I", broken, idx_entry,
+                     struct.unpack_from("<I", good, idx_entry)[0] + 2)
+    with pytest.raises(ValueError, match="idx1 entry"):
+        decode_avi(bytes(broken))
+    # A movi chunk that is not a complete JPEG.
+    with pytest.raises(ValueError, match="not a complete JPEG"):
+        encode_avi_mjpeg(8, 6, [frame[:-2]], fps=10)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg(8, 6, [], fps=10)
+
+
+def test_avi_video_stats_exact(spark):
+    """video_pixel_stats equals hand-computed rollups of the per-frame
+    jpeg decodes (the decoder itself is pinned elsewhere), and a frame
+    whose geometry disagrees with the container header is an error,
+    not a silent mis-rollup."""
+    import numpy as np
+
+    from etl_validator_github_spark.scale import jpeg
+    from etl_validator_github_spark.scale.avi import encode_avi_mjpeg
+
+    w, h = 11, 7
+    frames = [
+        jpeg.encode_jpeg(w, h, bytes((17 * s + i) % 256
+                                     for i in range(w * h)),
+                         channels=1, quality=85)
+        for s in range(3)
+    ]
+    payload = encode_avi_mjpeg(w, h, frames, fps=24)
+    df = spark.createDataFrame([(9, bytearray(payload))],
+                               multimodal.PAYLOAD_SCHEMA)
+    row = multimodal.video_pixel_stats(df).collect()[0]
+
+    rasters = [np.frombuffer(jpeg.decode_jpeg(f)[3], dtype=np.uint8)
+               .astype(np.int64) for f in frames]
+    sums = [int(a.sum()) for a in rasters]
+    assert (row.doc_id, row.width, row.height) == (9, w, h)
+    assert (row.n_frames, row.fps) == (3, 24)
+    assert row.n_pixels == 3 * w * h
+    assert row.sum_luma == sum(sums)
+    assert row.min_byte == min(int(a.min()) for a in rasters)
+    assert row.max_byte == max(int(a.max()) for a in rasters)
+    assert row.mean_luma_milli == (1000 * sum(sums)) // (3 * w * h)
+    assert row.motion_abs == sum(abs(b - a)
+                                 for a, b in zip(sums, sums[1:]))
+
+    # Container says 8x6 but the frames are 11x7: loud failure.
+    lying = encode_avi_mjpeg(8, 6, frames, fps=24)
+    bad = spark.createDataFrame([(1, bytearray(lying))],
+                                multimodal.PAYLOAD_SCHEMA)
+    with pytest.raises(Exception, match="frame geometry"):
+        multimodal.video_pixel_stats(bad).collect()
