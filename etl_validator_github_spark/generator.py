@@ -24,7 +24,7 @@ from __future__ import annotations
 import datetime as dt
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_validator_github_spark.schema import COLUMNS, bankdata_schema
@@ -260,7 +260,33 @@ def generate_bankdata_distributed(
     """
     as_of = as_of or dt.date(2026, 3, 10)
     df = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return df.select(*_bankdata_columns(seed, as_of, keep_id))
 
+
+#: Column-handle memo for the generator's 30-column projection. The
+#: expressions are a pure function of (seed, as_of, keep_id) — they
+#: reference only the range's ``id`` — while building them costs ~4k
+#: py4j round trips (~1 s of pure driver chatter per call, measured
+#: r13). Column handles are immutable expression trees that bind to a
+#: DataFrame only at use, and the py4j JVM outlives SparkSession
+#: stop/start within one interpreter, so per-process reuse is safe.
+#: This memoizes the QUERY EXPRESSION, never data: every run still
+#: generates and computes from scratch.
+_BANKDATA_COLS: dict[tuple[int, int, bool], list[Column]] = {}
+
+
+def _bankdata_columns(seed: int, as_of: dt.date,
+                      keep_id: bool) -> list[Column]:
+    key = (seed, as_of.toordinal(), keep_id)
+    cols = _BANKDATA_COLS.get(key)
+    if cols is None:
+        cols = _BANKDATA_COLS[key] = _build_bankdata_columns(
+            seed, as_of, keep_id)
+    return cols
+
+
+def _build_bankdata_columns(seed: int, as_of: dt.date,
+                            keep_id: bool) -> list[Column]:
     def h(k: int):  # deterministic per-row uniform-ish integer stream
         return F.pmod((F.col("id") + F.lit(seed)) * F.lit(2654435761 + 40503 * k) + F.lit(k * 97), F.lit(2**31 - 1))
 
@@ -284,7 +310,7 @@ def generate_bankdata_distributed(
     nine_digits = F.lpad((h(4) % 10**9).cast("string"), 9, "0")
     blank = F.lit("")
 
-    df = df.select(
+    return [
         F.when(h(5) % 2 == 0, "A").otherwise("D").alias("RecordOperation"),
         org.alias("OrganizationCode"),
         payee.alias("PayeeID"),
@@ -318,5 +344,4 @@ def generate_bankdata_distributed(
         blank.alias("ContactOtherPhone"),
         F.concat(F.lit("user"), F.col("id").cast("string"), F.lit("@example.com")).alias("ContactEmail"),
         *([F.col("id")] if keep_id else []),
-    )
-    return df
+    ]

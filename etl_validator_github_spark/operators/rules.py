@@ -569,6 +569,37 @@ def compile_rules(rules: list[Rule]) -> Column:
     return F.array_compact(F.array(*[r.error_expr() for r in rules]))
 
 
+#: Per-process memo of the compiled default catalog. Building the ~55
+#: violation Columns crosses py4j ~20k times (~2.5 s of driver chatter
+#: per call, measured r13) although the handles are static, immutable
+#: expression trees independent of any DataFrame or SparkSession (the
+#: py4j JVM outlives session stop/start in-process). This memoizes
+#: EXPRESSIONS only — never data or results; every query run still
+#: evaluates the catalog from its inputs.
+_DEFAULT_VIOLATIONS: list[tuple[str, Column]] | None = None
+_DEFAULT_ERRORS_ARRAY: Column | None = None
+
+
+def compiled_bankdata_violations() -> list[tuple[str, Column]]:
+    """(message, violation Column) per default-catalog rule, memoized."""
+    global _DEFAULT_VIOLATIONS
+    if _DEFAULT_VIOLATIONS is None:
+        _DEFAULT_VIOLATIONS = [
+            (r.message, r.violation_expr()) for r in bankdata_rules()
+        ]
+    return _DEFAULT_VIOLATIONS
+
+
+def compiled_bankdata_errors() -> Column:
+    """``compile_rules(bankdata_rules())``, memoized per process."""
+    global _DEFAULT_ERRORS_ARRAY
+    if _DEFAULT_ERRORS_ARRAY is None:
+        _DEFAULT_ERRORS_ARRAY = F.array_compact(F.array(*[
+            F.when(v, F.lit(m)) for m, v in compiled_bankdata_violations()
+        ]))
+    return _DEFAULT_ERRORS_ARRAY
+
+
 def compile_any_violation(rules: list[Rule]) -> Column:
     """Boolean OR of every rule's violation predicate.
 

@@ -9,14 +9,15 @@ aggregation in operators/errors.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_validator_github_spark.operators.rules import (
     Rule,
-    bankdata_rules,
     compile_any_violation,
     compile_rules,
+    compiled_bankdata_errors,
+    compiled_bankdata_violations,
 )
 from etl_validator_github_spark.schema import schema_diff
 
@@ -29,7 +30,11 @@ def with_errors(
     errors_col: str = ERRORS_COL,
 ) -> DataFrame:
     """Append an ``array<string>`` column of rule-violation messages."""
-    rules = bankdata_rules() if rules is None else rules
+    if rules is None:
+        # Memoized expression handles for the default catalog: building
+        # the tree costs ~20k py4j round trips (~2.5 s/call, r13) while
+        # the Columns are static — see rules.compiled_bankdata_errors.
+        return df.withColumn(errors_col, compiled_bankdata_errors())
     return df.withColumn(errors_col, compile_rules(rules))
 
 
@@ -52,6 +57,72 @@ def failing_records(
     clean rows matters.
     """
     return with_errors(df, rules, errors_col).filter(F.size(errors_col) > 0)
+
+
+def summarize_rule_violations(
+    df: DataFrame,
+    rules: list[Rule] | None = None,
+) -> DataFrame:
+    """Error frequency by rule message, one codegen pass — equivalent to
+    ``summarize_errors(with_errors(df))`` but structurally cheaper.
+
+    The array+explode form pays three ways (measured at n=200k, r13):
+    the optimizer's InferFiltersFromGenerate re-evaluates the whole rule
+    array in an inferred ``size()>0`` filter below the explode (the
+    guide §4.4 duplication class, for expressions); ``array_compact``
+    lowers to a higher-order lambda that kicks the entire per-row stage
+    out of whole-stage codegen; and every violation materializes an
+    exploded row. Here each rule compiles to ONE ``sum(violation)``
+    counter in a single map-side aggregation — no array, no Generate,
+    codegen end to end, and the shuffle carries one partial row per
+    task. Messages shared by several rules are re-merged by the final
+    (≤ |rules| rows) groupBy; zero-count messages are dropped, matching
+    the explode form exactly.
+    """
+    if rules is None:
+        aggs, pairs = _default_summary_exprs()  # memoized handles (r13)
+    else:
+        comp = [(r.message, r.violation_expr()) for r in rules]
+        aggs, pairs = _summary_exprs(comp)
+    counts = df.agg(*aggs)
+    return (
+        counts.select(F.explode(pairs).alias("p"))
+        .select("p.error_desc", "p.error_count")
+        .groupBy("error_desc")
+        .agg(F.sum("error_count").alias("error_count"))
+        .filter(F.col("error_count") > 0)
+        .orderBy("error_desc")
+    )
+
+
+def _summary_exprs(
+    comp: list[tuple[str, Column]],
+) -> tuple[list[Column], Column]:
+    """(per-rule sum aggregates, message/count unpivot array) for
+    ``summarize_rule_violations``."""
+    aggs = [
+        F.sum(v.cast("long")).alias(f"_r{i}")
+        for i, (_, v) in enumerate(comp)
+    ]
+    pairs = F.array(*[
+        F.struct(F.lit(m).alias("error_desc"),
+                 F.col(f"_r{i}").alias("error_count"))
+        for i, (m, _) in enumerate(comp)
+    ])
+    return aggs, pairs
+
+
+#: Default-catalog summary expressions, memoized like the violation
+#: handles they wrap (expression-only memo; ~110 Column builds saved
+#: per call).
+_DEFAULT_SUMMARY: tuple[list[Column], Column] | None = None
+
+
+def _default_summary_exprs() -> tuple[list[Column], Column]:
+    global _DEFAULT_SUMMARY
+    if _DEFAULT_SUMMARY is None:
+        _DEFAULT_SUMMARY = _summary_exprs(compiled_bankdata_violations())
+    return _DEFAULT_SUMMARY
 
 
 def validate_schema(df: DataFrame) -> dict[str, list[str]]:

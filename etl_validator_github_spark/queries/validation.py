@@ -30,7 +30,7 @@ from etl_validator_github_spark.operators.reconcile import reconcile_errors
 from etl_validator_github_spark.operators.rules import Rule, compile_rules
 from etl_validator_github_spark.operators.validate import (
     failing_records,
-    summarize_errors,
+    summarize_rule_violations,
 )
 from etl_validator_github_spark.contract import Query, load
 
@@ -89,8 +89,12 @@ WHERE e1 IS NOT NULL OR e2 IS NOT NULL OR e3 IS NOT NULL OR e4 IS NOT NULL
 
 def _validate_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    errs = failing_records(cust, rules=customer_rules())
-    return summarize_errors(errs)
+    # Per-rule counter aggregation instead of array+explode+groupBy:
+    # same (error_desc, error_count) rows, but each rule evaluates ONCE
+    # per row inside whole-stage codegen (the explode form re-evaluates
+    # the interpreted array in an optimizer-inferred size()>0 filter —
+    # see operators/validate.summarize_rule_violations).
+    return summarize_rule_violations(cust, rules=customer_rules())
 
 
 _SUMMARY_SQL = f"""
@@ -200,6 +204,27 @@ FROM csv_tok c FULL OUTER JOIN db_tok d ON c.payee_id = d.payee_id
 # cross-engine recomputation, no staged files.
 # ---------------------------------------------------------------------------
 
+#: Memoized injection-override projection (see generator._BANKDATA_COLS
+#: for the rationale: static Column handles, expression-only memo).
+_INJECT_COLS: dict[tuple[int, tuple[str, ...]], list[F.Column]] = {}
+
+
+def _injected_columns(seed: int, cols: tuple[str, ...]) -> list[F.Column]:
+    memo_key = (seed, cols)
+    out = _INJECT_COLS.get(memo_key)
+    if out is None:
+        key = injection_key_expr(seed=seed)
+        overrides: dict[str, F.Column] = {}
+        for lo, hi, col, val in INJECTIONS:
+            base = overrides.get(col, F.col(col))
+            overrides[col] = (
+                F.when(key.between(lo, hi), F.lit(val)).otherwise(base)
+            )
+        out = _INJECT_COLS[memo_key] = [
+            overrides.get(c, F.col(c)).alias(c) for c in cols if c != "id"
+        ]
+    return out
+
 
 def _bankdata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir scales the generated row count so bench stresses the rule
@@ -217,22 +242,20 @@ def _bankdata_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generate+inject projection grows only linearly and plans fine
     # without a barrier in between (measured: one barrier is ~1.3 s
     # faster per run than two at n=200k).
-    key = injection_key_expr(seed=246)
-    overrides: dict[str, F.Column] = {}
-    for lo, hi, col, val in INJECTIONS:
-        base = overrides.get(col, F.col(col))
-        overrides[col] = F.when(key.between(lo, hi), F.lit(val)).otherwise(base)
-    df = df.select(
-        *[overrides.get(c, F.col(c)).alias(c) for c in df.columns if c != "id"]
-    )
+    df = df.select(*_injected_columns(246, tuple(df.columns)))
     # Lineage barrier AFTER injection: without it Catalyst inlines the
     # generate+inject CASE trees into every one of the ~50 rule
     # expressions and the optimizer blows up super-linearly (observed:
     # minutes of planning). The barrier materializes only n small rows;
     # in production the input is a real table, so it is free.
     df = df.localCheckpoint(eager=False)
-    errs = failing_records(df)
-    return summarize_errors(errs)
+    # Per-rule counter aggregation: each of the ~50 rules evaluates ONCE
+    # per row in a single codegen'd map-side aggregation. The previous
+    # array+explode form paid the whole catalog twice (optimizer-inferred
+    # size()>0 filter below the explode) and ran interpreted
+    # (array_compact's lambda blocks codegen) — measured ~2x at n=200k;
+    # see operators/validate.summarize_rule_violations.
+    return summarize_rule_violations(df)
 
 
 # ---------------------------------------------------------------------------

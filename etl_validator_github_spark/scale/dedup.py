@@ -646,27 +646,46 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 
 
 def clean_corpus(docs: DataFrame) -> DataFrame:
-    """Kept documents: exact-dedup canonical copies that pass quality."""
+    """Kept documents: exact-dedup canonical copies that pass quality.
+
+    Single-pass shape (r13): the old two-branch form (quality filter ⋉
+    keep-list semi-join) consumed ``docs`` twice, so Catalyst planned
+    the scan + parallelism repartition TWICE — two full passes over the
+    text payload at any scale. Because every copy in an exact-dup group
+    shares the text byte-for-byte, the per-doc quality stats are
+    constant within a group, so one groupBy(md5(text)) carrying
+    (min doc_id, its lang, the shared stats) is value-identical to
+    "canonical copy that passes quality" — one scan, and the shuffle
+    carries ~50 bytes/doc of stats instead of the text (guide §2.3/§2.4;
+    oracle parity pins the equivalence).
+    """
     toks = F.split("text", " ")
     stats = docs.select(
-        "doc_id", "lang", "text",
+        F.md5("text").alias("h"), "doc_id", "lang",
         F.size(toks).alias("n_tokens"),
         (F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "in", "to")))
          / F.size(toks)).alias("stop_ratio"),
     )
-    quality = stats.filter(
+    # min(struct(doc_id, lang)): doc_id is unique, so the struct order
+    # is total and the min carries the canonical copy's lang along.
+    # This aggregate plans as SortAggregate (string-bearing buffers are
+    # not hash-mutable — min_by, min(string) and min(struct) all demote
+    # the same way), which is still the right trade: the sort runs on
+    # ~50-byte stat rows with map-side partial aggregation and spills
+    # gracefully, and it buys back a whole scan+repartition of the text
+    # payload vs the two-branch form.
+    canon = stats.groupBy("h").agg(
+        F.min(F.struct("doc_id", "lang")).alias("c"),
+        # n_tokens / stop_ratio are functions of the (identical) text:
+        # min == the canonical copy's value.
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("stop_ratio").alias("stop_ratio"),
+    )
+    return canon.filter(
         (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000)
         & (F.col("stop_ratio") < 0.5)
-    )
-    keep = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return (
-        quality.join(keep, "doc_id", "left_semi")
-        .select("doc_id", "lang", "n_tokens")
-    )
+    ).select(F.col("c.doc_id").alias("doc_id"),
+             F.col("c.lang").alias("lang"), "n_tokens")
 
 
 def _clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -791,6 +791,12 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
              k: int = TOP_K, nprobe: int = N_PROBE) -> DataFrame:
     """Approximate top-k neighbors via IVF cell probing."""
     assigned = ivf_assignments(embeddings, nprobe=nprobe)
+    # Lazy barrier (the file's standing idiom, see semdedup/pq paths):
+    # the member and probe branches below both consume ``assigned``, and
+    # without it Catalyst plans the whole quantize → centroid build
+    # (2 exchanges) → all-cell scoring pipeline TWICE — the r13 before-
+    # plan shows the duplicated subtree. One materialization, two reads.
+    assigned = assigned.localCheckpoint(eager=False)
     assign = assigned.select(
         "vec_id",
         F.col("top_cells")[0]["label"].alias("cell"),
