@@ -4043,13 +4043,20 @@ def _fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for child, ck, parent, pk in _FK_EDGES:
         c = load(spark, sf_dir, child)
-        p = load(spark, sf_dir, parent).select(pk)
-        orphans = c.select(F.col(ck).alias(pk)).join(p, pk, "left_anti")
+        # Parent keys are primary keys (unique), so a 1:1 LEFT join with
+        # a hit marker counts child rows and orphans in the SAME pass —
+        # the previous count-crossJoin-anti shape scanned every child
+        # twice (r13; 18 scans -> 12 across the six edges, one BNLJ
+        # fold per edge removed).
+        p = (load(spark, sf_dir, parent).select(pk)
+             .withColumn("__hit", F.lit(1)))
         row = (
-            c.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-            )  # 1-row × 1-row fold
+            c.select(F.col(ck).alias(pk)).join(p, pk, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                .alias("n_orphans"),
+            )
             .select(
                 F.lit(f"{child}.{ck}").alias("fk"),
                 F.lit(parent).alias("parent"),

@@ -2150,6 +2150,14 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
         bigram_lm_score(docs)
         .select("doc_id", "nll_bits_milli")
         .join(docs.select("doc_id", "lang"), "doc_id")
+        # Lazy barrier (r13): the histogram and the final labeling both
+        # consume the scores, and without it the ENTIRE bigram-LM
+        # scoring pipeline (reference-model joins and all) re-plans and
+        # re-executes per consumer — the "scan twice" note below only
+        # budgeted for the corpus scan. The materialized frame is three
+        # narrow columns per doc (measured at sf0.1: 1.83 -> 1.57 s
+        # warm, 8.7 -> 3.6 s cold; plan 18 scans -> 10).
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("lang", "nll_bits_milli").agg(
         F.count(F.lit(1)).alias("n")
