@@ -2111,20 +2111,23 @@ def keep_longest_dedup(docs: DataFrame) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
-    best = base.groupBy("cluster_id").agg(
-        F.max(F.struct(
-            F.col("n_tokens").alias("n"),
-            (-F.col("doc_id")).alias("neg_id"),
-        )).alias("__b")
-    )
-    return (
-        base.join(best, "cluster_id")
-        .select(
-            "doc_id", "cluster_id", "n_tokens",
-            ((F.col("n_tokens") == F.col("__b.n"))
-             & (F.col("doc_id") == -F.col("__b.neg_id")))
-            .cast("int").alias("keep"),
-        )
+    # One window pass instead of groupBy + self-join (r13): the join
+    # form consumed ``base`` twice — re-planning the pair/cluster
+    # pipeline per consumer — and added two sort-merge joins; the
+    # window shares the single cluster_id exchange and marks the best
+    # member in-partition. Tie-break identical: max(struct(n, -id)).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    best = F.max(F.struct(
+        F.col("n_tokens").alias("n"),
+        (-F.col("doc_id")).alias("neg_id"),
+    )).over(w)
+    return base.select(
+        "doc_id", "cluster_id", "n_tokens",
+        ((F.col("n_tokens") == best["n"])
+         & (F.col("doc_id") == -best["neg_id"]))
+        .cast("int").alias("keep"),
     )
 
 

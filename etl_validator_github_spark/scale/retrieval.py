@@ -280,8 +280,13 @@ def bm25_self_retrieval(docs: DataFrame,
     rel_stats = relevant.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_relevant")
     )
+    # hits is structurally bounded (|probes| x k rows) at ANY corpus
+    # scale, and the tiny per-query aggregates below are bounded by
+    # |probes|: broadcast them so the planner never falls back to
+    # sort-merge on frames it cannot size post-barrier (r13; the
+    # family's plans carried 2-3 SMJs of <100-row frames).
     hit_rel = (
-        hits.join(relevant, ["query_id", "doc_id"])
+        F.broadcast(hits).join(relevant, ["query_id", "doc_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_hits_relevant"))
     )
@@ -292,8 +297,8 @@ def bm25_self_retrieval(docs: DataFrame,
     )
     return (
         rel_stats
-        .join(hit_rel, "query_id", "left")
-        .join(self_rank, "query_id", "left")
+        .join(F.broadcast(hit_rel), "query_id", "left")
+        .join(F.broadcast(self_rank), "query_id", "left")
         .select(
             "query_id", "n_relevant",
             F.coalesce("n_hits_relevant", F.lit(0)).cast("int")
@@ -315,14 +320,15 @@ def bm25_self_mrr(docs: DataFrame,
     recall@k: recall counts coverage, RR measures how high the first
     good answer sits."""
     probes, hits, relevant = _self_eval_frames(docs, probe_ids, k)
+    # Bounded-frame broadcasts (see bm25_self_retrieval, r13).
     fr = (
-        hits.join(relevant, ["query_id", "doc_id"])
+        F.broadcast(hits).join(relevant, ["query_id", "doc_id"])
         .groupBy("query_id")
         .agg(F.min("rnk").cast("int").alias("first_rel_rank"))
     )
     return (
         probes.select("query_id")
-        .join(fr, "query_id", "left")
+        .join(F.broadcast(fr), "query_id", "left")
         .select(
             "query_id",
             "first_rel_rank",
@@ -356,8 +362,9 @@ def bm25_self_ndcg(docs: DataFrame,
     probes, hits, relevant = _self_eval_frames(docs, probe_ids, k)
     disc = _ndcg_discounts(k)
     idcg_prefix = [sum(disc[:i + 1]) for i in range(k)]
+    # Bounded-frame broadcasts (see bm25_self_retrieval, r13).
     dcg = (
-        hits.join(relevant, ["query_id", "doc_id"])
+        F.broadcast(hits).join(relevant, ["query_id", "doc_id"])
         .groupBy("query_id")
         .agg(F.sum(F.element_at(F.array(*[F.lit(d) for d in disc]),
                                 F.col("rnk"))).cast("long")
@@ -371,7 +378,7 @@ def bm25_self_ndcg(docs: DataFrame,
         F.least(F.col("n_relevant"), F.lit(k)),
     ).cast("long")
     return (
-        rel_stats.join(dcg, "query_id", "left")
+        rel_stats.join(F.broadcast(dcg), "query_id", "left")
         .select(
             "query_id", "n_relevant",
             F.coalesce("dcg_micro", F.lit(0)).cast("long")
