@@ -377,3 +377,48 @@ def test_expectations_hand_data_all_branches(spark):
     assert out["in_set(s)"] == 1
     assert out["between(x)"] == 2
     assert out["matches(p)"] == 2
+
+
+def test_rule_counter_summary_equals_explode_form(spark):
+    """summarize_rule_violations (r13 counter aggregation) must be
+    value-identical to the explode form it replaced — same messages,
+    same counts, same order, zero-count messages absent from both."""
+    from pyspark.sql import Row
+
+    from etl_validator_github_spark.operators.rules import Rule
+    from etl_validator_github_spark.operators.validate import (
+        summarize_errors,
+        summarize_rule_violations,
+    )
+
+    df = generate_bankdata(spark, 40, seed=246)
+    df = mutate.overwrite_cells(
+        df,
+        {("RoutingTransitNumber", 2): "ABC12",
+         ("OrganizationTIN", 5): "12",
+         ("OrganizationCode", 7): "Z"},
+        order_by="PayeeID",
+    )
+    fast = [r.asDict() for r in summarize_rule_violations(df).collect()]
+    slow = [r.asDict() for r in summarize_errors(with_errors(df)).collect()]
+    assert fast == slow
+    assert fast, "injections must make the comparison non-vacuous"
+
+    # Custom-rules path, including two rules SHARING a message (the
+    # counter form must re-merge them like the explode form does).
+    toy = spark.createDataFrame(
+        [Row(x=1, y=10), Row(x=-1, y=10), Row(x=2, y=-5), Row(x=-3, y=-7)]
+    )
+    rules = [
+        Rule("x_pos", "value out of range", lambda: F.col("x") >= 0),
+        Rule("y_pos", "value out of range", lambda: F.col("y") >= 0),
+        Rule("x_small", "x too large", lambda: F.col("x") <= 1),
+    ]
+    fast = [r.asDict()
+            for r in summarize_rule_violations(toy, rules=rules).collect()]
+    slow = [r.asDict()
+            for r in summarize_errors(with_errors(toy, rules=rules)).collect()]
+    assert fast == slow == [
+        {"error_desc": "value out of range", "error_count": 4},
+        {"error_desc": "x too large", "error_count": 1},
+    ]

@@ -884,12 +884,16 @@ def test_cusum_no_second_scan(spark, sf_dir):
     assert "Join" not in p
 
 
-def test_fk_audit_uses_anti_joins(spark, sf_dir):
-    """FK audit: every orphan check is a LeftAnti against a key-only
-    parent projection — no outer joins, no cartesians beyond the
-    documented 1-row count folds."""
+def test_fk_audit_counts_in_one_pass(spark, sf_dir):
+    """FK audit (r13 shape): each edge is ONE pass over the child — a
+    1:1 LEFT join against the key-only parent projection with a hit
+    marker, counting child rows and orphans in the same aggregate.
+    The old count × LeftAnti shape scanned every child twice and folded
+    through a per-edge 1-row BNLJ."""
     p = plan(spark, sf_dir, "star_schema_fk_audit")
-    assert p.count("LeftAnti") >= 6
+    assert p.count("BroadcastHashJoin LeftOuter") >= 6, p
+    assert "LeftAnti" not in p, "two-scan orphan check resurfaced"
+    assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
 
