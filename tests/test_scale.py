@@ -3112,6 +3112,38 @@ def test_flac_roundtrip_property():
     roundtrip()
 
 
+def test_flac_encoder_bytes_are_pinned():
+    """Encoded BYTES for the multimodal fixture waveforms are pinned:
+    the r13 Rice-search rewrites (zigzag hoist, additive per-partition
+    cost tables, bit-histogram suffix sums) promise bit-for-bit the
+    same parameter choices as the exhaustive per-porder scan they
+    replaced — this digest is the proof, and any future encoder change
+    that alters output bytes (even losslessly) must update it
+    consciously."""
+    import hashlib
+
+    from etl_validator_github_spark.scale.flac import encode_flac
+    from etl_validator_github_spark.scale.multimodal import (
+        AUDIO_MIN_SAMPLES,
+        AUDIO_N_MOD,
+        AUDIO_RATE,
+        AUDIO_STRIDE,
+        FLAC_STRIDE_R,
+    )
+
+    digest = hashlib.md5()
+    for d in range(25):
+        h32 = int(hashlib.md5(f"doc {d} text".encode()).hexdigest()[:8], 16)
+        n = AUDIO_MIN_SAMPLES + h32 % AUDIO_N_MOD
+        inter = []
+        for i in range(n):
+            inter.append((h32 + AUDIO_STRIDE * i) % 4096 - 2048)
+            inter.append((h32 + FLAC_STRIDE_R * i) % 4096 - 2048)
+        digest.update(encode_flac(AUDIO_RATE, inter, channels=2,
+                                  stereo_mode="mid_side"))
+    assert digest.hexdigest() == "cec9e4c0818a30a700ab5d2f2c04b5b4"
+
+
 def test_flac_compresses_smooth_signals():
     """The fixed-predictor search must actually fire: a pure linear
     ramp (order-2 residuals exactly zero) codes >4x below raw PCM16,
