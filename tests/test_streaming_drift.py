@@ -127,3 +127,31 @@ def test_windowed_value_counts_schema(spark):
     )
     out = windowed_value_counts(df)
     assert out.columns == ["window_start", "v", "n"]
+
+
+def test_ks_sparse_equals_dense(spark):
+    """The r13 sparse change-point evaluation (counts_within_ref=True)
+    must return EXACTLY the dense merged-grid result whenever its
+    premise holds — randomized histograms where every group value is
+    drawn from the reference domain, including groups missing most of
+    the domain, single-value groups, and heavy ties at the extremes."""
+    import random
+
+    rng = random.Random(13)
+    domain = sorted(rng.sample(range(-50, 200), 40))
+    ref_rows = [(v, rng.randint(1, 9)) for v in domain]
+    ref = spark.createDataFrame(ref_rows, "v long, n_ref long")
+    counts_rows = []
+    for g in range(12):
+        vals = rng.sample(domain, rng.randint(1, len(domain)))
+        counts_rows += [(f"g{g}", v, rng.randint(1, 7)) for v in vals]
+    counts_rows += [("solo", domain[0], 3), ("edge", domain[-1], 1)]
+    counts = spark.createDataFrame(counts_rows, "g string, v long, n long")
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    dense = key(ks_vs_reference(counts, ref, ["g"]).collect())
+    sparse = key(ks_vs_reference(counts, ref, ["g"],
+                                 counts_within_ref=True).collect())
+    assert sparse == dense
