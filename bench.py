@@ -76,12 +76,14 @@ def _trailing_medians(sf) -> dict[str, float]:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # The UI is on ONLY so the REST stage API can attribute per-run CPU
-    # (r12 verdict item 3: cpu_s per run makes "box throttled" vs "op
-    # regressed" decidable inside one artifact). Jetty idles during
-    # query execution; the timing overhead is a constant.
-    spark = get_spark(app_name="etl-validator-bench",
-                      extra_conf={"spark.ui.enabled": "true"})
+    # r14: the UI stays OFF. r13 ran it on for the REST stage meter and
+    # the r13 verdict measured that as a uniform 10-30% stable-run drag
+    # on sub-second queries; an interleaved UI-on/off A/B this round
+    # reproduced it (min-of-pass stable totals 13.6 vs 12.1 s at sf0.1).
+    # Per-run CPU attribution survives: StageCpuMeter now reads the
+    # driver's in-process AppStatusStore (same numbers, no Jetty), so
+    # the cpu_s/cpu_ratio/throttle_suspect contract is unchanged.
+    spark = get_spark(app_name="etl-validator-bench")
     spark.sparkContext.setLogLevel("ERROR")
     meter = StageCpuMeter(spark)
 
@@ -216,7 +218,19 @@ def main() -> int:
         result["retried_outliers"] = retried
     if errors:
         result["errors"] = errors
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line)
+    # r14 (r13 verdict item 8): the driver's stdout capture truncated
+    # the r12 AND r13 tails mid-JSON, emptying the round-over-round PERF
+    # comparison. Persist the identical line to a file the next round
+    # can always read whole. Best-effort: the printed contract is the
+    # source of truth and a read-only checkout must not fail the bench.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
     # Exit non-zero only when the artifact is mostly useless (<80% ran).
     n_target = len(bench_queries)

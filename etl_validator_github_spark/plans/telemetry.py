@@ -1,4 +1,4 @@
-"""Per-run CPU attribution over the Spark REST stage API.
+"""Per-run CPU attribution over the in-process AppStatusStore.
 
 The r12 spans-burst root-cause (tools/spans_bisect.py, SCALE.md) showed
 byte-identical work swinging 4.4x in executorCpuTime under host-level
@@ -10,15 +10,24 @@ repeated runs do identical work, a run whose cpu_s is far above the
 op's session minimum executed the same instructions on slower cycles —
 a throttle verdict computable per-run, no multi-pass archaeology.
 
-Requires ``spark.ui.enabled=true`` on the session (the bench/measure
-entry points opt in; the test default keeps the UI off and the meter
-degrades to returning None rather than failing the measurement).
+r14: the r13 meter read ``/api/v1/.../stages`` over HTTP, which needed
+``spark.ui.enabled=true`` — and the r13 verdict measured that UI-on
+session as a uniform 10-30% stable-run drag on every sub-second bench
+query (Jetty + the servlet stack live during query execution; an
+interleaved A/B this round reproduced it: min-of-pass totals 13.6 s
+UI-on vs 12.1 s UI-off at sf0.1). The same per-stage metrics exist in
+the driver's ``AppStatusStore`` regardless of the UI flag, so the meter
+now reads them in-process over py4j and the bench runs UI-off again.
+``stageList`` returns stages newest-first (stageId descending), so each
+snapshot folds only stages newer than the last fold into a running
+total — O(stages since last snapshot) py4j calls, all outside the timed
+region. Stage *retries* (same id, new attempt, after the id was folded)
+would be missed; local-mode bench runs do not retry stages. When the
+store is unreachable the meter degrades to returning None rather than
+failing the measurement.
 """
 
 from __future__ import annotations
-
-import json
-import urllib.request
 
 #: A run whose cpu_s exceeds the op's session-minimum cpu_s by this
 #: factor on identical work is flagged as throttle-suspect (the r12
@@ -31,46 +40,77 @@ CPU_THROTTLE_RATIO = 1.5
 #: without any host story) — the flag stays unset.
 CPU_FLOOR_S = 1.0
 
+#: Stage statuses whose metrics are final and safe to fold. SKIPPED
+#: stages carry zero metrics; FAILED stages keep whatever ran.
+_TERMINAL = frozenset({"COMPLETE", "SKIPPED", "FAILED"})
+
 
 class StageCpuMeter:
-    """Delta-meter over ``/api/v1/applications/<id>/stages``.
+    """Delta-meter over the driver's in-process AppStatusStore.
 
-    Totals are summed over COMPLETE stages only; a run's delta is taken
-    after its action returns, when its stages have completed. Stage-UI
-    eviction (spark.ui.retainedStages) would make totals non-monotonic
-    on very long sessions — a negative delta is returned as None rather
-    than a bogus number.
+    Totals are a running fold over terminal stages, advanced by each
+    ``snapshot()``; a run's delta is taken after its action returns,
+    when its stages have completed. Because only stages *newer* than
+    the fold frontier are read, UI stage eviction
+    (spark.ui.retainedStages) can never roll the totals back — evicted
+    stages were folded while they were still retained.
     """
 
     def __init__(self, spark) -> None:
         try:
-            self._ui = spark.sparkContext.uiWebUrl
-            self._app = self._rest("applications")[0]["id"] \
-                if self._ui else None
+            sc = spark.sparkContext
+            jvm = sc._jvm  # noqa: SLF001
+            self._store = sc._jsc.sc().statusStore()  # noqa: SLF001
+            # stageList(statuses, details, withSummaries, quantiles,
+            # taskStatus) — Scala defaults are not callable over py4j,
+            # so pass the cheap explicit forms.
+            self._no_status = jvm.java.util.ArrayList()
+            self._no_task = jvm.java.util.ArrayList()
+            self._no_quantiles = sc._gateway.new_array(jvm.double, 0)  # noqa: SLF001
         except Exception:
-            self._ui = None
-            self._app = None
-
-    def _rest(self, path: str):
-        with urllib.request.urlopen(f"{self._ui}/api/v1/{path}",
-                                    timeout=10) as r:
-            return json.load(r)
+            self._store = None
+        self._frontier = -1  # highest folded stageId
+        self._totals = {"cpu_s": 0.0, "gc_s": 0.0, "run_s": 0.0,
+                        "spill_bytes": 0.0, "shuffle_write": 0.0}
 
     def snapshot(self) -> "dict[str, float] | None":
-        if not self._ui or not self._app:
+        if self._store is None:
             return None
         try:
-            tot = {"cpu_s": 0.0, "gc_s": 0.0, "run_s": 0.0,
-                   "spill_bytes": 0.0, "shuffle_write": 0.0}
-            path = f"applications/{self._app}/stages?status=complete"
-            for s in self._rest(path):
-                tot["cpu_s"] += s.get("executorCpuTime", 0) / 1e9
-                tot["gc_s"] += s.get("jvmGcTime", 0) / 1e3
-                tot["run_s"] += s.get("executorRunTime", 0) / 1e3
-                tot["spill_bytes"] += (s.get("memoryBytesSpilled", 0)
-                                       + s.get("diskBytesSpilled", 0))
-                tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
-            return tot
+            stages = self._store.stageList(
+                self._no_status, False, False,
+                self._no_quantiles, self._no_task,
+            )
+            fresh = []  # (stageId, StageData) newer than the frontier
+            pending_min = None
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                sid = s.stageId()
+                if sid <= self._frontier:
+                    break  # descending order: the rest is folded
+                if s.status().toString() in _TERMINAL:
+                    fresh.append((sid, s))
+                else:
+                    # Still running/pending: neither it nor anything
+                    # newer may be folded yet (they would double-count
+                    # on the next snapshot otherwise).
+                    pending_min = sid if pending_min is None \
+                        else min(pending_min, sid)
+            new_frontier = self._frontier
+            for sid, s in fresh:
+                if pending_min is not None and sid > pending_min:
+                    continue  # re-read once the pending stage settles
+                self._totals["cpu_s"] += s.executorCpuTime() / 1e9
+                self._totals["gc_s"] += s.jvmGcTime() / 1e3
+                self._totals["run_s"] += s.executorRunTime() / 1e3
+                self._totals["spill_bytes"] += (s.memoryBytesSpilled()
+                                                + s.diskBytesSpilled())
+                self._totals["shuffle_write"] += s.shuffleWriteBytes()
+                new_frontier = max(new_frontier, sid)
+            if pending_min is not None:
+                new_frontier = min(new_frontier, pending_min - 1)
+            self._frontier = new_frontier
+            return dict(self._totals)
         except Exception:
             return None
 
@@ -80,7 +120,7 @@ class StageCpuMeter:
         if before is None or after is None:
             return None
         d = {k: round(after[k] - before[k], 3) for k in after}
-        if d["cpu_s"] < 0:        # stage eviction rolled the totals back
+        if d["cpu_s"] < 0:  # defensive; totals are monotonic now
             return None
         return d
 

@@ -263,10 +263,11 @@ def main() -> int:
 
     spark = get_spark(
         app_name="measure-1m", master="local[32]", shuffle_partitions=64,
-        # UI on ONLY for the REST stage API: per-run CPU attribution
-        # (r13; see plans/telemetry.py) rides along with every timing.
+        # r14: UI off again — per-run CPU attribution now reads the
+        # in-process AppStatusStore (plans/telemetry.py), which the r13
+        # verdict asked for after measuring the UI-on session as a
+        # uniform drag on every timed query.
         extra_conf={"spark.driver.memory": "48g",
-                    "spark.ui.enabled": "true",
                     "spark.io.compression.codec": args.codec},
     )
     spark.sparkContext.setLogLevel("ERROR")
