@@ -1,4 +1,5 @@
-"""Pure-stdlib FLAC codec (RFC 9639 subset, lossless).
+"""FLAC codec (RFC 9639 subset, lossless) — stdlib plus numpy for the
+encoder's Rice planning; no codec libraries.
 
 Decoder: ``fLaC`` magic, STREAMINFO parse + metadata-block skip, frame
 header parse (every block-size code including the 8/16-bit
@@ -40,6 +41,8 @@ from __future__ import annotations
 
 import hashlib
 import struct
+
+import numpy as np
 
 FLAC_MAGIC = b"fLaC"
 
@@ -150,10 +153,28 @@ class _BitReader:
         return v - (1 << nbits) if v >> (nbits - 1) else v
 
     def read_unary(self) -> int:
+        """Leading zeros up to and including the terminating 1 bit —
+        scanned a whole accumulator chunk at a time (r14; the bit-by-bit
+        loop was the decoder's hottest call site), not bit by bit.
+        ``bit_length`` of the pending chunk finds the highest set bit
+        exactly; all-zero chunks are consumed whole."""
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self._nacc == 0:
+                if self._pos >= len(self._data):
+                    raise ValueError("FLAC: truncated stream")
+                self._acc = self._data[self._pos]
+                self._pos += 1
+                self._nacc = 8
+            top = self._acc.bit_length()
+            if top == 0:                 # chunk is all zeros: eat it
+                q += self._nacc
+                self._nacc = 0
+                continue
+            q += self._nacc - top        # zeros above the first 1
+            self._nacc = top - 1         # consume them and the 1
+            self._acc &= (1 << self._nacc) - 1
+            return q
 
     def align(self) -> None:
         self._nacc = 0
@@ -259,11 +280,22 @@ def _read_subframe(br: _BitReader, blocksize: int,
         order = stype - 8
         if order > blocksize:
             raise ValueError("FLAC: fixed order exceeds block size")
-        x = [br.read_signed(eff) for _ in range(order)]
-        coef = _FIXED_COEF[order]
-        for r in _read_residual(br, blocksize, order):
-            pred = sum(c * x[-1 - j] for j, c in enumerate(coef))
-            x.append(pred + r)
+        warm = [br.read_signed(eff) for _ in range(order)]
+        res = _read_residual(br, blocksize, order)
+        if order == 0:
+            x = res
+        else:
+            # The order-k fixed predictor's residual IS the k-th finite
+            # difference, so reconstruction is k nested prefix sums,
+            # each seeded with the leading element of the next-lower
+            # difference of the warmup samples (exact int64 — 17-bit
+            # samples through 4th differences stay far inside range).
+            w = np.asarray(warm, dtype=np.int64)
+            v = np.asarray(res, dtype=np.int64)
+            for j in range(order - 1, -1, -1):
+                head = np.diff(w, j)[0] if j else w[0]
+                v = np.cumsum(np.concatenate(([head], v)))
+            x = v.tolist()
     elif stype >= 32:                                # LPC
         order = (stype & 0x1F) + 1
         if order > blocksize:
@@ -348,19 +380,17 @@ def _decode_frame(data: bytes, pos: int, stream_rate: int,
         side_first = chan_code == 9    # right/side stores side in ch 0
         bps0 = bps + (1 if side_first else 0)
         bps1 = bps + (0 if side_first else 1)
-        c0 = _read_subframe(br, blocksize, bps0)
-        c1 = _read_subframe(br, blocksize, bps1)
+        c0 = np.asarray(_read_subframe(br, blocksize, bps0),
+                        dtype=np.int64)
+        c1 = np.asarray(_read_subframe(br, blocksize, bps1),
+                        dtype=np.int64)
         if chan_code == 8:             # left/side
-            chans = [c0, [l - s for l, s in zip(c0, c1)]]
+            chans = [c0.tolist(), (c0 - c1).tolist()]
         elif chan_code == 9:           # right/side
-            chans = [[s + r for s, r in zip(c0, c1)], c1]
+            chans = [(c0 + c1).tolist(), c1.tolist()]
         else:                          # mid/side
-            left, right = [], []
-            for m, s in zip(c0, c1):
-                m = (m << 1) | (s & 1)
-                left.append((m + s) >> 1)
-                right.append((m - s) >> 1)
-            chans = [left, right]
+            m = (c0 << 1) | (c1 & 1)
+            chans = [((m + c1) >> 1).tolist(), ((m - c1) >> 1).tolist()]
     else:
         raise ValueError("FLAC: reserved channel assignment")
     br.align()
@@ -418,9 +448,12 @@ def decode_flac(payload: bytes) -> "tuple[int, int, list[int]]":
             raise ValueError("FLAC: channel count contradicts STREAMINFO")
         if total and decoded + blocksize > total:
             raise ValueError("FLAC: more samples than STREAMINFO declares")
-        for i in range(blocksize):
-            for ch in chans:
-                out.append(ch[i])
+        if len(chans) == 1:
+            out.extend(chans[0])
+        else:
+            out.extend(np.column_stack(
+                [np.asarray(ch, dtype=np.int64) for ch in chans]
+            ).ravel().tolist())
         decoded += blocksize
     if pos != len(data):
         raise ValueError(
@@ -429,9 +462,12 @@ def decode_flac(payload: bytes) -> "tuple[int, int, list[int]]":
         )
     if md5_expect != b"\x00" * 16 and bps % 8 == 0:
         width = bps // 8
-        raw = b"".join(
-            s.to_bytes(width, "little", signed=True) for s in out
-        )
+        if width in (1, 2, 4, 8):
+            raw = np.asarray(out, dtype=f"<i{width}").tobytes()
+        else:  # 24-bit streams have no native numpy width
+            raw = b"".join(
+                s.to_bytes(width, "little", signed=True) for s in out
+            )
         if hashlib.md5(raw).digest() != md5_expect:
             raise ValueError("FLAC: decoded-stream MD5 mismatch")
     return rate, channels, out
@@ -483,6 +519,11 @@ def _fixed_residuals(x: "list[int]", order: int) -> "list[int]":
 #: Encoder cap on the Rice partition order (2^6 = 64 partitions is
 #: libFLAC's default ceiling too); the decoder accepts any order.
 _MAX_PORDER = 6
+
+#: Rice parameter axis for the vectorized planner (hoisted: these are
+#: rebuilt tens of thousands of times per encode batch otherwise).
+_P_COL = np.arange(31, dtype=np.int64)[:, None]
+_INT64_MAX = np.iinfo(np.int64).max
 
 
 def _plan_residual(res: "list[int]", blocksize: int,
@@ -567,37 +608,161 @@ def _plan_residual(res: "list[int]", blocksize: int,
     return best
 
 
-def _write_subframe(bw: _BitWriter, x: "list[int]", bps: int) -> None:
-    n = len(x)
-    if all(v == x[0] for v in x):
-        bw.write(0, 1 + 6 + 1)                       # pad, CONSTANT, wasted
-        bw.write(x[0], bps)
-        return
-    # pick the cheapest fixed order by exact coded size
-    best = None                               # (bits, order, res, plan)
+#: Cached per-pmax index arrays for the fused planner: partition
+#: (start, end) column indices into the finest level's prefix sums,
+#: for every porder level concatenated finest-first, plus each level's
+#: first column offset. Pure functions of pmax (0..6), built once.
+_LEVEL_IDX: "dict[int, tuple[np.ndarray, np.ndarray, list[int]]]" = {}
+
+
+def _level_idx(pmax: int) -> "tuple[np.ndarray, np.ndarray, list[int]]":
+    got = _LEVEL_IDX.get(pmax)
+    if got is None:
+        starts, ends, seg_off = [], [], []
+        off = 0
+        for k in range(pmax + 1):              # k=0 finest … pmax coarsest
+            m = 1 << (pmax - k)
+            seg_off.append(off)
+            starts.append(np.arange(m, dtype=np.intp) << k)
+            ends.append((np.arange(1, m + 1, dtype=np.intp)) << k)
+            off += m
+        got = (np.concatenate(starts), np.concatenate(ends), seg_off)
+        _LEVEL_IDX[pmax] = got
+    return got
+
+
+def _plan_subframe_np(x: "np.ndarray", n: int, bps: int) \
+        -> "tuple[int, int, np.ndarray, int, int, list[int]]":
+    """One fused pass over every (fixed order, partition order,
+    partition, Rice parameter) choice of a subframe — ``_plan_residual``
+    for all five orders at once, vectorized (r14, guide §4.2: hand
+    whole arrays to numpy instead of looping in Python). Returns
+    (bits, order, us, porder, method, params).
+
+    Exactness: same integer costs, the same first-improvement argmin,
+    the same early-break window and the same ascending-(order, porder)
+    tie-breaks as the scalar scans — so the chosen parameters, and the
+    encoded bytes, are identical (pinned by the encode-bytes regression
+    test and a randomized scalar≡numpy equivalence test). The scalar
+    scan's early break ("stop once cost exceeds the running best by
+    8·n") is replicated per column: with prefix-min pm over the cost
+    column, the break fires at the first p ≥ 1 where
+    cost[p] > pm[p−1] + 8·n, and only p before that point are
+    candidates; np.argmin's first-occurrence rule is the scan's
+    strict-improvement tie-break."""
+    tab_parts, cnt_parts = [], []
+    order_meta = []          # (order, us, pmax, first segment index)
+    n_segs = 0
+    res = x
     for order in range(min(4, n - 1) + 1):
-        res = _fixed_residuals(x, order)
-        plan = _plan_residual(res, n, order)
-        bits = order * bps + plan[3]
-        if best is None or bits < best[0]:
-            best = (bits, order, res, plan)
-    bits, order, res, (porder, method, params, _) = best
+        if order:            # order-k residual = k-th finite difference
+            res = np.diff(res)
+        us = np.where(res >= 0, res << 1, (-res << 1) - 1)
+        pmax = 0
+        while (pmax < _MAX_PORDER
+               and n % (1 << (pmax + 1)) == 0
+               and (n >> (pmax + 1)) > order):
+            pmax += 1
+        nparts = 1 << pmax
+        size = n >> pmax
+        # Σ(u>>p) per finest partition for every p: a (31, n-order)
+        # shift matrix reduced at the partition boundaries (partition 0
+        # is `order` samples short — warmup samples live in the
+        # header); every coarser level's sums come from the finest
+        # level's prefix sums via the cached index arrays.
+        shifts = us[None, :] >> _P_COL
+        bounds = np.arange(nparts, dtype=np.intp) * size
+        bounds[1:] -= order
+        fine = np.add.reduceat(shifts, bounds, axis=1)   # (31, nparts)
+        cfine = np.zeros((31, nparts + 1), dtype=np.int64)
+        np.cumsum(fine, axis=1, out=cfine[:, 1:])
+        starts, ends, _seg = _level_idx(pmax)
+        tab_parts.append(cfine[:, ends] - cfine[:, starts])
+        cnts = (ends - starts).astype(np.int64) * size
+        cnts[starts == 0] -= order
+        cnt_parts.append(cnts)
+        order_meta.append((order, us, pmax, n_segs))
+        n_segs += pmax + 1
+
+    # One fused argmin-with-early-break over every column of every
+    # order's every level.
+    t_all = tab_parts[0] if len(tab_parts) == 1 \
+        else np.concatenate(tab_parts, axis=1)
+    c_all = cnt_parts[0] if len(cnt_parts) == 1 \
+        else np.concatenate(cnt_parts)
+    cost = t_all + (_P_COL + 1) * c_all[None, :]
+    pm = np.minimum.accumulate(cost, axis=0)
+    brk = cost[1:] > pm[:-1] + 8 * c_all[None, :]
+    lim = np.where(brk.any(axis=0), brk.argmax(axis=0) + 1, 31)
+    masked = np.where(_P_COL < lim[None, :], cost, _INT64_MAX)
+    params_all = masked.argmin(axis=0)
+    # masked == cost at the argmin, so the per-column best cost is the
+    # column minimum — no gather needed.
+    best_all = masked.min(axis=0)
+
+    # Per-(order, porder) totals in two reduceats, then a pure-python
+    # walk in the scalar loops' exact visit order.
+    seg_starts = []
+    col = 0
+    for _, _, pmax, _ in order_meta:
+        _s, _e, seg_off = _level_idx(pmax)
+        seg_starts.extend(col + o for o in seg_off)
+        col += (1 << (pmax + 1)) - 1
+    seg_idx = np.asarray(seg_starts, dtype=np.intp)
+    seg_bits = np.add.reduceat(best_all, seg_idx).tolist()
+    seg_maxp = np.maximum.reduceat(params_all, seg_idx).tolist()
+    seg_col = seg_starts
+
+    best = None      # (bits, order, us, porder, method, col, m)
+    for order, us, pmax, seg0 in order_meta:
+        plan = None  # (total, porder, method, col, m)
+        for porder in range(pmax + 1):
+            seg = seg0 + (pmax - porder)     # levels are finest-first
+            m = 1 << porder
+            method = 1 if seg_maxp[seg] > 14 else 0
+            total = 2 + 4 + m * (5 if method else 4) + seg_bits[seg]
+            if plan is None or total < plan[0]:
+                plan = (total, porder, method, seg_col[seg], m)
+        total, porder, method, col0, m = plan
+        sub_bits = order * bps + total
+        if best is None or sub_bits < best[0]:
+            best = (sub_bits, order, us, porder, method, col0, m)
+    bits, order, us, porder, method, col0, m = best
+    params = params_all[col0:col0 + m].tolist()
+    return bits, order, us, porder, method, params
+
+
+def _write_subframe(bw: _BitWriter, x: "np.ndarray", bps: int) -> None:
+    """``x`` is an int64 numpy vector; residuals, zigzags and the Rice
+    plan are computed vectorized (exact integer ops throughout — 16-bit
+    samples through a 4th-order difference and a zigzag stay far inside
+    int64), then the chosen plan is emitted bit-serially."""
+    n = len(x)
+    x0 = int(x[0])
+    if bool((x == x[0]).all()):
+        bw.write(0, 1 + 6 + 1)                       # pad, CONSTANT, wasted
+        bw.write(x0, bps)
+        return
+    # the cheapest fixed order by exact coded size; the order-k fixed
+    # residual IS the k-th finite difference (_FIXED_COEF rows are the
+    # alternating binomials).
+    bits, order, us, porder, method, params = _plan_subframe_np(x, n, bps)
     if bits >= n * bps:                               # VERBATIM is cheaper
         bw.write(1 << 1, 1 + 6 + 1)                   # type 1, no wasted
-        for v in x:
+        for v in x.tolist():
             bw.write(v, bps)
         return
     bw.write((8 + order) << 1, 1 + 6 + 1)             # FIXED, no wasted
-    for v in x[:order]:
+    for v in x[:order].tolist():
         bw.write(v, bps)
     bw.write(method, 2)
     bw.write(porder, 4)
+    us_list = us.tolist()                  # python ints for the writer
     pos = 0
     for p, param in enumerate(params):
         count = (n >> porder) - (order if p == 0 else 0)
         bw.write(param, 5 if method else 4)
-        for r in res[pos:pos + count]:
-            u = _zigzag(r)
+        for u in us_list[pos:pos + count]:
             bw.write_unary(u >> param)
             bw.write(u, param)
         pos += count
@@ -615,16 +780,20 @@ def encode_flac(sample_rate: int, samples: "list[int]",
         raise ValueError("only mono and stereo encode here")
     if channels == 1 and stereo_mode != "independent":
         raise ValueError("stereo_mode applies to stereo input only")
-    if not samples or len(samples) % channels:
+    if len(samples) == 0 or len(samples) % channels:
         raise ValueError("sample count must be a positive multiple "
                          "of the channel count")
     if not 0 < sample_rate < (1 << 20):
         raise ValueError("sample rate out of STREAMINFO range")
-    if any(not -32768 <= s <= 32767 for s in samples):
+    sa = np.asarray(samples)
+    if not np.issubdtype(sa.dtype, np.integer):
+        raise ValueError("samples must be integers")
+    sa = sa.astype(np.int64, copy=False)
+    if int(sa.min()) < -32768 or int(sa.max()) > 32767:
         raise ValueError("samples must fit 16 bits")
     bps = 16
-    n = len(samples) // channels
-    chan_data = [samples[c::channels] for c in range(channels)]
+    n = sa.size // channels
+    chan_data = [sa[c::channels] for c in range(channels)]
 
     frames = bytearray()
     sizes: list[int] = []
@@ -635,13 +804,13 @@ def encode_flac(sample_rate: int, samples: "list[int]",
         block = [cd[start:start + bs] for cd in chan_data]
         if channels == 2 and stereo_mode != "independent":
             left, right = block
-            side = [l - r for l, r in zip(left, right)]
+            side = left - right
             if stereo_mode == "left_side":
                 chan_code, subs = 8, [(left, bps), (side, bps + 1)]
             elif stereo_mode == "right_side":
                 chan_code, subs = 9, [(side, bps + 1), (right, bps)]
             elif stereo_mode == "mid_side":
-                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                mid = (left + right) >> 1
                 chan_code, subs = 10, [(mid, bps), (side, bps + 1)]
             else:
                 raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
@@ -673,7 +842,7 @@ def encode_flac(sample_rate: int, samples: "list[int]",
         frames += frame
         sizes.append(len(frame))
 
-    raw = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+    raw = sa.astype("<i2").tobytes()
     info = bytearray()
     info += struct.pack(">HH", min(blocksizes), max(blocksizes))
     info += min(sizes).to_bytes(3, "big") + max(sizes).to_bytes(3, "big")

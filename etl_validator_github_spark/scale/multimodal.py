@@ -2086,6 +2086,8 @@ def attach_audio_payload_flac(docs: DataFrame) -> DataFrame:
     waveform), right[i] = (h32 + FLAC_STRIDE_R·i) % 4096 − 2048;
     encoded mid/side with 192-sample frames (1–2 frames per doc)."""
 
+    import numpy as np
+
     def to_flac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
@@ -2093,10 +2095,13 @@ def attach_audio_payload_flac(docs: DataFrame) -> DataFrame:
                 h32 = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8],
                           16)
                 n = AUDIO_MIN_SAMPLES + h32 % AUDIO_N_MOD
-                inter = []
-                for i in range(n):
-                    inter.append((h32 + AUDIO_STRIDE * i) % 4096 - 2048)
-                    inter.append((h32 + FLAC_STRIDE_R * i) % 4096 - 2048)
+                # Closed-form channels vectorized (r14): exact int64
+                # arithmetic, interleaved L/R by column stacking.
+                i = np.arange(n, dtype=np.int64)
+                inter = np.column_stack((
+                    (h32 + AUDIO_STRIDE * i) % 4096 - 2048,
+                    (h32 + FLAC_STRIDE_R * i) % 4096 - 2048,
+                )).ravel()
                 payloads.append(encode_flac(AUDIO_RATE, inter, channels=2,
                                             stereo_mode="mid_side"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],

@@ -3163,6 +3163,56 @@ def test_flac_compresses_smooth_signals():
     assert flac.decode_flac(payload) == (8000, 1, saw)
 
 
+def test_flac_fused_planner_matches_scalar_scan():
+    """The r14 fused numpy subframe planner (_plan_subframe_np: one
+    vectorized pass over every order x porder x partition x Rice
+    parameter) must pick EXACTLY the plan of the scalar reference scan
+    (_fixed_residuals + _plan_residual per order, first-improvement
+    tie-break on ascending order) — same bits, order, porder, method
+    and per-partition params — on randomized signals covering constant
+    runs, spikes, ramps and odd (non power-of-two) block sizes."""
+    import random
+
+    import numpy as np
+
+    from etl_validator_github_spark.scale import flac
+
+    rng = random.Random(1405)
+    cases = []
+    for n in (1, 2, 3, 5, 17, 64, 96, 192, 384):
+        for _ in range(6):
+            kind = rng.randrange(4)
+            if kind == 0:        # white noise
+                x = [rng.randint(-32768, 32767) for _ in range(n)]
+            elif kind == 1:      # smooth ramp + noise
+                x = [min(32767, max(-32768, i * 3 - n + rng.randint(-4, 4)))
+                     for i in range(n)]
+            elif kind == 2:      # mostly-constant with spikes
+                x = [7] * n
+                for _ in range(max(1, n // 16)):
+                    x[rng.randrange(n)] = rng.randint(-2048, 2047)
+            else:                # wrapping sawtooth
+                x = [(i * 11) % 4096 - 2048 for i in range(n)]
+            cases.append(x)
+
+    for x in cases:
+        n = len(x)
+        ref = None
+        for order in range(min(4, n - 1) + 1):
+            res = flac._fixed_residuals(x, order)
+            porder, method, params, rbits = flac._plan_residual(
+                res, n, order)
+            bits = order * 16 + rbits
+            if ref is None or bits < ref[0]:
+                ref = (bits, order, porder, method, params,
+                       [flac._zigzag(r) for r in res])
+        got = flac._plan_subframe_np(np.asarray(x, dtype=np.int64), n, 16)
+        g_bits, g_order, g_us, g_porder, g_method, g_params = got
+        assert (g_bits, g_order, g_porder, g_method, g_params) == \
+            (ref[0], ref[1], ref[2], ref[3], ref[4]), x[:8]
+        assert g_us.tolist() == ref[5]
+
+
 def test_flac_decode_lpc_and_partitions_hand_built():
     """Decoder-only paths pinned by a hand-assembled bitstream: an LPC
     subframe (order 1, coef 2, shift 1), a Rice partition order of 1,
