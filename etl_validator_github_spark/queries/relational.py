@@ -3915,6 +3915,16 @@ def _trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents("l_extendedprice")).alias("rev_cents"))
         .filter(F.col("rev_cents") >= _REACH_MIN_REV_CENTS)
         .select("src", "dst")
+        # Barrier the edge list (lazy — materializes inside the timed
+        # run, the file's standing idiom): the recursive CTE references
+        # this relation in its anchor AND in every iteration's step, so
+        # without it each of the ≤ _REACH_MAX_HOPS loop turns re-runs
+        # the whole lineitem⋈supplier⋈orders⋈customer aggregation
+        # (guide §2.4 — don't recompute a shared subtree). The edge
+        # list is nation×nation-bounded (≤ 625 rows at any scale), so
+        # the checkpoint is always tiny. Warm 2.6 → 1.5 s at sf0.01,
+        # first run 10.8 → 1.8 s; rows identical.
+        .localCheckpoint(eager=False)
     )
     # WITH RECURSIVE needs a named relation, but a session-global name
     # would race concurrent builds and leak (ADVICE r8): use a per-call

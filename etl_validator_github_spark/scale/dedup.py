@@ -561,7 +561,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD) -> Data
     n_seg = max_hamming + 1
     seg_bits = SIMHASH_BITS // n_seg
     mask = (1 << seg_bits) - 1
-    sh = simhash(docs)
+    # Barrier the fingerprint table (lazy — materializes inside the
+    # timed run): the segment self-join consumes it on BOTH sides, so
+    # without it the whole tokenize→explode→md5→64-vote aggregation —
+    # the operator's dominant cost — plans and executes twice (guide
+    # §2.4). The checkpoint holds 3 narrow columns per doc (independent
+    # of text length), the same per-doc-row trade the IVF assignment
+    # barrier makes. Warm ~2.9 → ~2.4 s at sf0.01, first run 8.1 → 3.5;
+    # pair set identical.
+    sh = simhash(docs).localCheckpoint(eager=False)
     segs = F.array(*[
         F.struct(
             F.lit(s).alias("seg"),
