@@ -150,8 +150,26 @@ def _ks_sparse(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*group_cols)
+    # LEFT join + loud premise check (ADVICE r13): an inner join would
+    # silently DROP any counts value absent from ref, corrupting both
+    # n_window and ks_micro. The guard costs nothing when the premise
+    # holds (cum_r is non-null on every row) and fails the job with a
+    # clear message when a caller passes counts_within_ref=True
+    # wrongly. It rides the cum_r read, so column pruning can't elide
+    # it.
+    cum_r_checked = F.when(
+        F.col("cum_r").isNull(),
+        F.raise_error(F.concat(
+            F.lit("ks_vs_reference(counts_within_ref=True): counts "
+                  "value v="),
+            F.col("v").cast("string"),
+            F.lit(" is missing from the reference — the premise is "
+                  "violated; call with counts_within_ref=False"),
+        )).cast("long"),
+    ).otherwise(F.col("cum_r"))
     cum = (
-        counts.join(F.broadcast(ref_cum), "v")
+        counts.join(F.broadcast(ref_cum), "v", "left")
+        .withColumn("cum_r", cum_r_checked)
         .withColumn("cum_l", F.sum("n").over(w_cum).cast("long"))
         .withColumn("n_l", F.sum("n").over(w_all).cast("long"))
         .crossJoin(F.broadcast(ref_tot))  # documented 1-row fold

@@ -272,12 +272,17 @@ def generate_bankdata_distributed(
 #: stop/start within one interpreter, so per-process reuse is safe.
 #: This memoizes the QUERY EXPRESSION, never data: every run still
 #: generates and computes from scratch.
-_BANKDATA_COLS: dict[tuple[int, int, bool], list[Column]] = {}
+#: Key includes the py4j gateway identity so a gateway relaunch
+#: rebuilds the handles instead of serving stale JavaObjects (ADVICE
+#: r13).
+_BANKDATA_COLS: dict[tuple[int, int, int, bool], list[Column]] = {}
 
 
 def _bankdata_columns(seed: int, as_of: dt.date,
                       keep_id: bool) -> list[Column]:
-    key = (seed, as_of.toordinal(), keep_id)
+    from etl_validator_github_spark.plans.session import gateway_token
+
+    key = (gateway_token(), seed, as_of.toordinal(), keep_id)
     cols = _BANKDATA_COLS.get(key)
     if cols is None:
         cols = _BANKDATA_COLS[key] = _build_bankdata_columns(

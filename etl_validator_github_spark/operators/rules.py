@@ -576,28 +576,36 @@ def compile_rules(rules: list[Rule]) -> Column:
 #: py4j JVM outlives session stop/start in-process). This memoizes
 #: EXPRESSIONS only — never data or results; every query run still
 #: evaluates the catalog from its inputs.
-_DEFAULT_VIOLATIONS: list[tuple[str, Column]] | None = None
-_DEFAULT_ERRORS_ARRAY: Column | None = None
+#: Keyed on the py4j gateway identity so a gateway relaunch rebuilds
+#: the handles instead of serving stale JavaObjects (ADVICE r13).
+_DEFAULT_VIOLATIONS: dict[int, list[tuple[str, Column]]] = {}
+_DEFAULT_ERRORS_ARRAY: dict[int, Column] = {}
 
 
 def compiled_bankdata_violations() -> list[tuple[str, Column]]:
     """(message, violation Column) per default-catalog rule, memoized."""
-    global _DEFAULT_VIOLATIONS
-    if _DEFAULT_VIOLATIONS is None:
-        _DEFAULT_VIOLATIONS = [
+    from etl_validator_github_spark.plans.session import gateway_token
+
+    tok = gateway_token()
+    got = _DEFAULT_VIOLATIONS.get(tok)
+    if got is None:
+        got = _DEFAULT_VIOLATIONS[tok] = [
             (r.message, r.violation_expr()) for r in bankdata_rules()
         ]
-    return _DEFAULT_VIOLATIONS
+    return got
 
 
 def compiled_bankdata_errors() -> Column:
     """``compile_rules(bankdata_rules())``, memoized per process."""
-    global _DEFAULT_ERRORS_ARRAY
-    if _DEFAULT_ERRORS_ARRAY is None:
-        _DEFAULT_ERRORS_ARRAY = F.array_compact(F.array(*[
+    from etl_validator_github_spark.plans.session import gateway_token
+
+    tok = gateway_token()
+    got = _DEFAULT_ERRORS_ARRAY.get(tok)
+    if got is None:
+        got = _DEFAULT_ERRORS_ARRAY[tok] = F.array_compact(F.array(*[
             F.when(v, F.lit(m)) for m, v in compiled_bankdata_violations()
         ]))
-    return _DEFAULT_ERRORS_ARRAY
+    return got
 
 
 def compile_any_violation(rules: list[Rule]) -> Column:

@@ -82,6 +82,12 @@ def summarize_rule_violations(
     if rules is None:
         aggs, pairs = _default_summary_exprs()  # memoized handles (r13)
     else:
+        if not rules:
+            # df.agg() with zero aggregates raises; the pre-r13
+            # explode form returned an empty frame here (ADVICE r13).
+            return df.sparkSession.createDataFrame(
+                [], "error_desc string, error_count bigint"
+            )
         comp = [(r.message, r.violation_expr()) for r in rules]
         aggs, pairs = _summary_exprs(comp)
     counts = df.agg(*aggs)
@@ -114,15 +120,20 @@ def _summary_exprs(
 
 #: Default-catalog summary expressions, memoized like the violation
 #: handles they wrap (expression-only memo; ~110 Column builds saved
-#: per call).
-_DEFAULT_SUMMARY: tuple[list[Column], Column] | None = None
+#: per call). Keyed on the py4j gateway identity so a gateway relaunch
+#: rebuilds the handles (ADVICE r13).
+_DEFAULT_SUMMARY: dict[int, tuple[list[Column], Column]] = {}
 
 
 def _default_summary_exprs() -> tuple[list[Column], Column]:
-    global _DEFAULT_SUMMARY
-    if _DEFAULT_SUMMARY is None:
-        _DEFAULT_SUMMARY = _summary_exprs(compiled_bankdata_violations())
-    return _DEFAULT_SUMMARY
+    from etl_validator_github_spark.plans.session import gateway_token
+
+    tok = gateway_token()
+    got = _DEFAULT_SUMMARY.get(tok)
+    if got is None:
+        got = _DEFAULT_SUMMARY[tok] = _summary_exprs(
+            compiled_bankdata_violations())
+    return got
 
 
 def validate_schema(df: DataFrame) -> dict[str, list[str]]:

@@ -4064,8 +4064,13 @@ def _fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.select(F.col(ck).alias(pk)).join(p, pk, "left")
             .agg(
                 F.count(F.lit(1)).alias("n_child"),
-                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
-                .alias("n_orphans"),
+                # coalesce: sum() over an EMPTY child table is NULL,
+                # where the old count-over-anti-join shape yielded 0
+                # (ADVICE r13) — keep the degenerate case's output.
+                F.coalesce(
+                    F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_orphans"),
             )
             .select(
                 F.lit(f"{child}.{ck}").alias("fk"),

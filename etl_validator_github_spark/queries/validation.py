@@ -205,12 +205,15 @@ FROM csv_tok c FULL OUTER JOIN db_tok d ON c.payee_id = d.payee_id
 # ---------------------------------------------------------------------------
 
 #: Memoized injection-override projection (see generator._BANKDATA_COLS
-#: for the rationale: static Column handles, expression-only memo).
-_INJECT_COLS: dict[tuple[int, tuple[str, ...]], list[F.Column]] = {}
+#: for the rationale: static Column handles, expression-only memo;
+#: keyed on the py4j gateway identity — ADVICE r13).
+_INJECT_COLS: dict[tuple[int, int, tuple[str, ...]], list[F.Column]] = {}
 
 
 def _injected_columns(seed: int, cols: tuple[str, ...]) -> list[F.Column]:
-    memo_key = (seed, cols)
+    from etl_validator_github_spark.plans.session import gateway_token
+
+    memo_key = (gateway_token(), seed, cols)
     out = _INJECT_COLS.get(memo_key)
     if out is None:
         key = injection_key_expr(seed=seed)

@@ -422,3 +422,9 @@ def test_rule_counter_summary_equals_explode_form(spark):
         {"error_desc": "value out of range", "error_count": 4},
         {"error_desc": "x too large", "error_count": 1},
     ]
+
+    # rules=[] must return an empty frame like the explode form did,
+    # not raise from df.agg() with zero aggregates (r14, ADVICE r13).
+    empty = summarize_rule_violations(toy, rules=[])
+    assert empty.columns == ["error_desc", "error_count"]
+    assert empty.collect() == []

@@ -155,3 +155,18 @@ def test_ks_sparse_equals_dense(spark):
     sparse = key(ks_vs_reference(counts, ref, ["g"],
                                  counts_within_ref=True).collect())
     assert sparse == dense
+
+
+def test_ks_sparse_premise_violation_fails_loudly(spark):
+    """counts_within_ref=True with a counts value ABSENT from ref must
+    raise (r14 guard, ADVICE r13) — the old inner join silently dropped
+    the row and returned plausible wrong statistics."""
+    import pytest
+
+    ref = spark.createDataFrame([(1, 5), (2, 5)], "v long, n_ref long")
+    counts = spark.createDataFrame(
+        [("g0", 1, 3), ("g0", 7, 2)], "g string, v long, n long"
+    )
+    with pytest.raises(Exception, match="missing from the reference"):
+        ks_vs_reference(counts, ref, ["g"],
+                        counts_within_ref=True).collect()
